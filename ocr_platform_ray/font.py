@@ -1,0 +1,190 @@
+"""Deterministic 5x7 bitmap glyph font: render + template decode.
+
+Stands in for the VietOCR recognizer's pixel->text mapping
+(/root/reference/libs/ocr_core/ocr_core/engines/vietocr_engine.py) with a
+fully deterministic, dependency-free codec so the Ray pipeline and the
+single-process oracle agree bit-for-bit. Charset: A-Z 0-9 and space.
+
+Layout rules (shared by renderer and decoder):
+- glyph cell = 5 cols x 7 rows, scaled by integer ``s`` -> (7s x 5s) px;
+- 1*s blank cols between glyphs of a word;
+- 4*s blank cols between words (decoder: blank run > 2*s => space).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Classic public 5x7 dot-matrix shapes; one hex value per row, 5 bits wide.
+_FONT_HEX: dict[str, tuple[int, ...]] = {
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x11, 0x0A, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+}
+
+GLYPH_H = 7
+GLYPH_W = 5
+CHAR_GAP = 1   # * s, between glyphs in a word
+WORD_GAP = 4   # * s, between words
+CHARSET = "".join(sorted(_FONT_HEX))
+
+
+def _bitmap(ch: str) -> np.ndarray:
+    rows = _FONT_HEX[ch]
+    out = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    for r, val in enumerate(rows):
+        for c in range(GLYPH_W):
+            out[r, c] = bool((val >> (GLYPH_W - 1 - c)) & 1)
+    return out
+
+
+GLYPHS: dict[str, np.ndarray] = {ch: _bitmap(ch) for ch in _FONT_HEX}
+# Stacked templates for vectorized matching: (n_chars, 7, 5), row order = CHARSET.
+TEMPLATES: np.ndarray = np.stack([GLYPHS[ch] for ch in CHARSET])
+
+
+def _cropped_templates() -> dict[int, tuple[list[str], np.ndarray]]:
+    """Templates cropped to their ink column extent, grouped by extent width
+    (most glyphs span 5 columns; '1' and 'I' span 3). An ink run in a band
+    only covers the extent, so matching must too."""
+    by_width: dict[int, tuple[list[str], list[np.ndarray]]] = {}
+    for ch in CHARSET:
+        g = GLYPHS[ch]
+        cols = np.flatnonzero(g.any(axis=0))
+        c0, c1 = int(cols[0]), int(cols[-1]) + 1
+        chars, mats = by_width.setdefault(c1 - c0, ([], []))
+        chars.append(ch)
+        mats.append(g[:, c0:c1])
+    return {w: (chars, np.stack(mats)) for w, (chars, mats) in by_width.items()}
+
+
+TPL_BY_WIDTH: dict[int, tuple[list[str], np.ndarray]] = _cropped_templates()
+
+
+def text_width(text: str, s: int) -> int:
+    """Pixel width of ``text`` rendered at scale ``s`` (no trailing gap)."""
+    w = 0
+    prev_glyph = False
+    for ch in text:
+        if ch == " ":
+            w += WORD_GAP * s
+            prev_glyph = False
+        else:
+            if prev_glyph:
+                w += CHAR_GAP * s
+            w += GLYPH_W * s
+            prev_glyph = True
+    return w
+
+
+def render_line(text: str, s: int) -> np.ndarray:
+    """Render ``text`` -> uint8 array (7*s, width), values {0, 255}.
+
+    Unknown characters are skipped. Empty/blank text -> (7*s, 0) array.
+    """
+    cols = max(0, text_width(text, s))
+    out = np.zeros((GLYPH_H * s, cols), dtype=np.uint8)
+    x = 0
+    prev_glyph = False
+    for ch in text:
+        if ch == " ":
+            x += WORD_GAP * s
+            prev_glyph = False
+            continue
+        g = GLYPHS.get(ch)
+        if g is None:
+            continue
+        if prev_glyph:
+            x += CHAR_GAP * s
+        big = np.kron(g, np.ones((s, s), dtype=np.uint8)) * 255
+        out[:, x : x + GLYPH_W * s] = big
+        x += GLYPH_W * s
+        prev_glyph = True
+    return out
+
+
+def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous True runs of a 1-D bool array as [start, stop) pairs."""
+    if mask.size == 0:
+        return []
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], mask.view(np.int8), [0]))))
+    return [(int(idx[i]), int(idx[i + 1])) for i in range(0, len(idx), 2)]
+
+
+def decode_band(band: np.ndarray) -> tuple[str, float]:
+    """Decode one binarized text band (2-D bool, full glyph height) -> (text, conf).
+
+    conf = min over glyphs of template-match similarity (fraction of the 35
+    cells agreeing with the best template); 1.0 when the band has no glyphs.
+    Deterministic: ties broken by CHARSET order.
+    """
+    h = band.shape[0]
+    if h < GLYPH_H or band.shape[1] == 0 or not band.any():
+        return "", 1.0
+    s = h // GLYPH_H  # integer scale estimate; exact for clean bands
+    col_on = band.any(axis=0)
+    glyph_runs = _runs(col_on)
+    if not glyph_runs:
+        return "", 1.0
+    chars: list[str] = []
+    confs: list[float] = []
+    prev_stop = None
+    # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols); word gap >= 4*s
+    space_gap = 3 * max(1, s)
+    rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
+    for (x0, x1) in glyph_runs:
+        if prev_stop is not None and (x0 - prev_stop) > space_gap and chars:
+            chars.append(" ")
+        prev_stop = x1
+        wrun = x1 - x0
+        best_sim = -1.0
+        best_ch = "?"
+        # Sample a cell grid per template width at cell centers (exact for
+        # clean glyphs); best Hamming similarity wins, CHARSET-order ties.
+        for width in sorted(TPL_BY_WIDTH):
+            tchars, tmats = TPL_BY_WIDTH[width]
+            cc = x0 + np.minimum(
+                (np.arange(width) * wrun + wrun // 2) // width, wrun - 1
+            )
+            cells = band[np.ix_(rr, cc)]
+            sims = (tmats == cells[None, :, :]).reshape(len(tchars), -1).mean(axis=1)
+            k = int(np.argmax(sims))
+            if sims[k] > best_sim:
+                best_sim = float(sims[k])
+                best_ch = tchars[k]
+        chars.append(best_ch)
+        confs.append(best_sim)
+    return "".join(chars), (min(confs) if confs else 1.0)

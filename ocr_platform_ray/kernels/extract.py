@@ -1,0 +1,154 @@
+"""Per-image-span detect+recognize composition and per-document span assembly.
+
+Composes the kernels exactly as the reference's two-phase flow does
+(/root/reference/apps/worker/app/tasks/ocr_tasks.py run_job -> detect on
+the ORIGINAL page, run_ocr_job -> ``run_ocr_with_boxes``): detection runs
+in original page coordinates; recognition preprocesses the page, scales
+boxes only for cropping (orchestrator.py:141-155 — ``scale_x = w_prep /
+w_orig``, int truncation, output boxes stay in original coordinates), and
+splits tall crops by the ORIGINAL box height (vietocr_engine.py:63-100).
+
+Block ids are deterministic ``{span_idx}-{i}`` (the reference appends a
+uuid4 suffix, orchestrator.py:88 — dropped for reproducible equality, see
+SURVEY §7.5.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .. import media
+from . import detectk, order, recognizek
+from .preprocess import DEFAULT_MAX_SIDE, preprocess
+from .textnorm import normalize_text
+
+Box = tuple[int, int, int, int]
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Engine config (reference config_loader.py analogue, SURVEY P17)."""
+
+    max_side: int = DEFAULT_MAX_SIDE      # preprocess bound (OCR_MAX_SIDE default 1200)
+    detect_max_side: int = 0              # CRAFT max_side — shipped config leaves it off
+    drop_empty_text_spans: bool = True    # normalize may empty a boilerplate-only span
+
+
+@dataclass
+class BlockResult:
+    text: str
+    conf: float
+    box: Box
+    block_id: str
+
+
+def detect_image(ref: str, cfg: ExtractConfig) -> tuple[list[Box], int, int]:
+    """Detect stage for one image span: original-coordinate boxes in
+    reading order, plus (width, height). The detect-stage checkpoint row."""
+    img = media.render(ref)
+    h, w = img.shape[:2]
+    boxes = detectk.detect_boxes(img, max_side=cfg.detect_max_side)
+    idx = order.reading_order(boxes)
+    return [boxes[i] for i in idx], w, h
+
+
+def recognize_image(
+    ref: str,
+    boxes_orig: list[Box],
+    page_w: int,
+    page_h: int,
+    cfg: ExtractConfig,
+    span_idx: int = 0,
+) -> list[BlockResult]:
+    """Recognize stage for one image span given original-coordinate boxes
+    (detected or override). Exact ``run_ocr_with_boxes`` arithmetic."""
+    if not boxes_orig:
+        return []
+    img = media.render(ref)  # reference recomputes pages from source too (ocr_tasks.py:220-226)
+    img_prep = preprocess(img, cfg.max_side)
+    h_prep, w_prep = img_prep.shape[:2]
+    w_orig = page_w or img.shape[1]
+    h_orig = page_h or img.shape[0]
+    scale_x = w_prep / w_orig if w_orig else 1.0
+    scale_y = h_prep / h_orig if h_orig else 1.0
+    raw: list[str] = []
+    confs: list[float] = []
+    for (x1, y1, x2, y2) in boxes_orig:
+        box_crop = (int(x1 * scale_x), int(y1 * scale_y), int(x2 * scale_x), int(y2 * scale_y))
+        crop_img = recognizek.crop(img_prep, box_crop)
+        t, c = recognizek.recognize_crop(crop_img, original_height_px=y2 - y1)
+        raw.append(t)
+        confs.append(c)
+    texts = recognizek.postprocess_texts(raw)
+    n = min(len(boxes_orig), len(texts))  # reference zip-align guard (orchestrator.py:75-80)
+    return [
+        BlockResult(
+            text=texts[i],
+            conf=confs[i],
+            box=boxes_orig[i],
+            block_id=f"{span_idx}-{i}",
+        )
+        for i in range(n)
+    ]
+
+
+def extract_image_span(
+    ref: str,
+    cfg: ExtractConfig,
+    span_idx: int = 0,
+    override_boxes: list[Box] | None = None,
+) -> list[BlockResult]:
+    """Fused detect+recognize for one image span (reference ``run_ocr`` /
+    two-phase composition — identical by construction, see module doc).
+
+    ``override_boxes`` is the human-edit analogue (PATCH /jobs/{id}/detect,
+    routes_jobs.py:230-249): array order preserved, no reading-order sort.
+    """
+    if override_boxes is not None:
+        img = media.render(ref)
+        h, w = img.shape[:2]
+        boxes = [(int(x1), int(y1), int(x2), int(y2)) for (x1, y1, x2, y2) in override_boxes]
+        return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx)
+    boxes, w, h = detect_image(ref, cfg)
+    return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx)
+
+
+def extract_document(
+    spans: list[dict],
+    cfg: ExtractConfig,
+    overrides: dict[int, list[Box]] | None = None,
+) -> list[dict]:
+    """One document's interleaved spans -> ordered output span sequence.
+
+    Input spans: dicts with kind/text/media_ref/offset (input order = offset
+    order; we sort by (offset, input index) to be explicit). Output spans:
+    - kind='text': normalized native text (dropped if empty after
+      normalization when cfg.drop_empty_text_spans);
+    - kind='image': one span per recognized block in reading order, text =
+      recognized text, media_ref preserved; zero-box images emit nothing
+      (reference: page with no boxes -> empty block list,
+      orchestrator.py:130-137).
+    Output offsets are re-numbered 0..n-1 (the merge-by-offset result).
+    """
+    idx_sorted = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
+    out: list[dict] = []
+    for i in idx_sorted:
+        sp = spans[i]
+        if sp["kind"] == "text":
+            t = normalize_text(sp["text"] or "")
+            if t or not cfg.drop_empty_text_spans:
+                out.append({"kind": "text", "text": t, "media_ref": "", "offset": len(out)})
+        elif sp["kind"] == "image":
+            ov = overrides.get(i) if overrides else None
+            blocks = extract_image_span(sp["media_ref"], cfg, span_idx=i, override_boxes=ov)
+            for b in blocks:
+                out.append(
+                    {
+                        "kind": "image",
+                        "text": b.text,
+                        "media_ref": sp["media_ref"],
+                        "offset": len(out),
+                    }
+                )
+        # unknown kinds are dropped (schema enforcement happens at read)
+    return out

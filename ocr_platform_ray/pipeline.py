@@ -1,0 +1,172 @@
+"""Pipeline assembly: Ray Data Dataset graphs for the extraction engine.
+
+Physical design (SURVEY §4, §7.4):
+- the main path has ZERO shuffles — every span of a document lives in its
+  row, so normalize / detect / recognize / merge are all row-local;
+- skew (north_rule): documents are bucketed by image-span count; the light
+  and heavy buckets run the extract actor pool with different batch sizes
+  (a heavy batch of 256-image docs would straggle a light-sized batch), and
+  the branches are unioned. Cost: the cheap count stage runs once per
+  branch; the expensive extract stage runs exactly once per row.
+- stateful stages are actor pools (model state in ``__init__``);
+  ``concurrency`` sized from the cluster so no stage starves the others.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .corpus import spans_from_document
+from .kernels.extract import ExtractConfig
+from .schema import DOCUMENTS_SCHEMA
+from .stages.extract import DetectStage, ExtractStage, RecognizeStage
+from .stages.normalize import count_spans_batch, normalize_spans_batch
+
+
+@dataclass
+class PipelineOptions:
+    """Physical knobs (per-stage resources; GPU slot kept for real deploys)."""
+
+    heavy_threshold: int = 9        # docs with >= this many image spans are "heavy"
+    light_batch_size: int = 16
+    heavy_batch_size: int = 2
+    concurrency: tuple[int, int] | int | None = None  # actor pool size; None -> derive
+    num_cpus: float = 1.0
+    num_gpus: float = 0.0           # plumbed through for GPU clusters; 0 in sandbox
+
+    def pool(self) -> tuple[int, int] | int:
+        if self.concurrency is not None:
+            return self.concurrency
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        return (1, max(2, int(ncpu / max(self.num_cpus, 0.25))))
+
+    def actor_kwargs(self) -> dict:
+        kw: dict = {"num_cpus": self.num_cpus}
+        if self.num_gpus:
+            kw["num_gpus"] = self.num_gpus
+        return kw
+
+
+def read_corpus(path: str, **kwargs) -> rd.Dataset:
+    """Lance-shaped io seam: reads Lance when available, else Parquet
+    (SURVEY §7.0 — no pylance in this sandbox; single documented swap point)."""
+    try:
+        import lance  # noqa: F401
+
+        return rd.read_lance(path, **kwargs)
+    except ImportError:
+        return rd.read_parquet(path, **kwargs)
+
+
+def corpus_from_documents(sf_dir: str) -> rd.Dataset:
+    """Interleaved-span corpus derived deterministically from the driver's
+    ``documents`` table (doc_id, text) — the bench input (TESTDATA.md)."""
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        rows = [
+            {
+                "doc_id": f"doc-{int(d):08d}",
+                "spans": spans_from_document(int(d), t),
+            }
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_spans, batch_format="pyarrow")
+
+
+def _prepared(ds: rd.Dataset) -> rd.Dataset:
+    """Cheap vectorized prefix: span counts (skew key) + text normalize."""
+    ds = ds.map_batches(count_spans_batch, batch_format="pyarrow")
+    return ds.map_batches(normalize_spans_batch, batch_format="pyarrow")
+
+
+def _bucketed(
+    ds: rd.Dataset, stage_cls, opts: PipelineOptions, fn_constructor_kwargs: dict
+) -> rd.Dataset:
+    """Skew-handled actor stage: split by span-count bucket, per-bucket
+    batch size, union. Every row passes the expensive stage exactly once."""
+    prepared = _prepared(ds)
+    light = prepared.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
+    heavy = prepared.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
+    common = dict(
+        batch_format="pyarrow",
+        concurrency=opts.pool(),
+        fn_constructor_kwargs=fn_constructor_kwargs,
+        **opts.actor_kwargs(),
+    )
+    out_light = light.map_batches(stage_cls, batch_size=opts.light_batch_size, **common)
+    out_heavy = heavy.map_batches(stage_cls, batch_size=opts.heavy_batch_size, **common)
+    return out_light.union(out_heavy)
+
+
+def build_extract_pipeline(
+    ds: rd.Dataset,
+    cfg: ExtractConfig | None = None,
+    opts: PipelineOptions | None = None,
+    overrides: list[dict] | None = None,
+) -> rd.Dataset:
+    """Flagship fused pipeline: docs -> normalize -> (bucketed) fused
+    detect+recognize -> extracted span sequences. Overrides (human-edit
+    analogue) are broadcast once via ``ray.put``."""
+    cfg = cfg or ExtractConfig()
+    opts = opts or PipelineOptions()
+    ov_ref = ray.put(overrides) if overrides else None
+    return _bucketed(
+        ds, ExtractStage, opts, {"cfg": cfg, "overrides_ref": ov_ref}
+    )
+
+
+def build_detect_pipeline(
+    ds: rd.Dataset,
+    cfg: ExtractConfig | None = None,
+    opts: PipelineOptions | None = None,
+) -> rd.Dataset:
+    """Two-phase, phase 1 (reference run_job -> DETECT_DONE): emit doc rows
+    with the embedded ``detect`` column. Checkpoint this to parquet."""
+    cfg = cfg or ExtractConfig()
+    opts = opts or PipelineOptions()
+    return _bucketed(ds, DetectStage, opts, {"cfg": cfg})
+
+
+def build_recognize_pipeline(
+    detected: rd.Dataset,
+    cfg: ExtractConfig | None = None,
+    opts: PipelineOptions | None = None,
+    overrides: list[dict] | None = None,
+) -> rd.Dataset:
+    """Two-phase, phase 2 (reference run_ocr_job): consume the detect
+    checkpoint (possibly human-edited via the override table) and emit
+    extracted span sequences. Input rows already carry ``detect`` +
+    ``n_image_spans``; the bucket split reuses them without re-counting."""
+    cfg = cfg or ExtractConfig()
+    opts = opts or PipelineOptions()
+    ov_ref = ray.put(overrides) if overrides else None
+    kwargs = {"cfg": cfg, "overrides_ref": ov_ref}
+    light = detected.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
+    heavy = detected.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
+    common = dict(
+        batch_format="pyarrow",
+        concurrency=opts.pool(),
+        fn_constructor_kwargs=kwargs,
+        **opts.actor_kwargs(),
+    )
+    out_light = light.map_batches(
+        RecognizeStage, batch_size=opts.light_batch_size, **common
+    )
+    out_heavy = heavy.map_batches(
+        RecognizeStage, batch_size=opts.heavy_batch_size, **common
+    )
+    return out_light.union(out_heavy)

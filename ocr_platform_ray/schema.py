@@ -1,0 +1,70 @@
+"""Arrow schemas for the engine's tables (pydantic-model analogue).
+
+Reference data model: /root/reference/libs/ocr_core/ocr_core/domain/
+models.py (OcrBlock/OcrPage/OcrResult) and the detect_result JSON contract
+(apps/worker/app/tasks/ocr_tasks.py:110-124). Here everything is typed
+Arrow instead of JSON-in-TEXT.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+# Input table (BASELINE.json input_hint).
+DOCUMENTS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+# Output table: extracted ordered span sequence + row-local metrics.
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans_out", pa.list_(SPAN_STRUCT)),
+        pa.field("n_spans_out", pa.int32()),
+        pa.field("n_blocks", pa.int32()),       # recognized image blocks
+        pa.field("min_conf", pa.float64()),
+    ]
+)
+
+BOX_STRUCT = pa.struct(
+    [
+        pa.field("x1", pa.int32()),
+        pa.field("y1", pa.int32()),
+        pa.field("x2", pa.int32()),
+        pa.field("y2", pa.int32()),
+    ]
+)
+
+# Detect-stage checkpoint (the reference's DETECT_DONE boundary:
+# detect_result TEXT column + results/{...}/detect.json).
+DETECT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("boxes", pa.list_(BOX_STRUCT)),
+    ]
+)
+
+# Override table (human-edit analogue, PATCH /jobs/{id}/detect).
+OVERRIDES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+        pa.field("boxes", pa.list_(BOX_STRUCT)),
+    ]
+)

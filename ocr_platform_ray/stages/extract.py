@@ -1,0 +1,205 @@
+"""Stateful actor stages: detect, recognize, fused extract.
+
+Mirrors the reference's per-process model singletons (``@lru_cache``
+detector/recognizer — /root/reference/libs/ocr_core/ocr_core/pipeline/
+detect.py:68-82, engines/vietocr_engine.py:47-53): state (config, glyph
+templates, broadcast override table) is built once per actor in
+``__init__``; ``__call__`` processes an Arrow batch of document rows.
+Deploy with ``ds.map_batches(Cls, concurrency=N, batch_size=B)``; in a GPU
+deployment these stages take ``num_gpus`` (the sandbox is CPU-only — the
+knob is plumbed through PipelineOptions).
+
+Per batch, the heavy work (render/detect/decode) is numpy-vectorized per
+image; row iteration is only orchestration. Overrides are the human-edit
+analogue (PATCH /jobs/{id}/detect): a small table broadcast once via
+``ray.put`` and resolved in ``__init__`` — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import font  # noqa: F401  (imported so templates build at actor init)
+from ..kernels.extract import ExtractConfig, detect_image, recognize_image
+from ..schema import BOX_STRUCT, EXTRACTED_SCHEMA, SPAN_STRUCT
+
+DETECT_ENTRY = pa.struct(
+    [
+        pa.field("span_idx", pa.int32()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("boxes", pa.list_(BOX_STRUCT)),
+    ]
+)
+
+
+def _resolve(obj):
+    """Resolve a broadcast ObjectRef (or pass through a plain value)."""
+    import ray
+
+    if isinstance(obj, ray.ObjectRef):
+        return ray.get(obj)
+    return obj
+
+
+def overrides_to_lookup(rows: list[dict]) -> dict[tuple[str, int], list[tuple]]:
+    """Override table rows -> {(doc_id, span_idx): [(x1,y1,x2,y2), ...]}."""
+    out: dict[tuple[str, int], list[tuple]] = {}
+    for r in rows or []:
+        out[(r["doc_id"], int(r["span_idx"]))] = [
+            (int(b["x1"]), int(b["y1"]), int(b["x2"]), int(b["y2"])) for b in r["boxes"]
+        ]
+    return out
+
+
+class DetectStage:
+    """Doc rows -> doc rows + ``detect`` column (one entry per image span,
+    boxes in original page coordinates, reading order). The embedded-row
+    analogue of the reference's detect_result TEXT column (DETECT_DONE)."""
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans").to_pylist()
+        detect_col = []
+        for spans in spans_col:
+            entries = []
+            for i, sp in enumerate(spans or []):
+                if sp["kind"] != "image":
+                    continue
+                boxes, w, h = detect_image(sp["media_ref"], self.cfg)
+                entries.append(
+                    {
+                        "span_idx": i,
+                        "width": w,
+                        "height": h,
+                        "boxes": [
+                            {"x1": b[0], "y1": b[1], "x2": b[2], "y2": b[3]}
+                            for b in boxes
+                        ],
+                    }
+                )
+            detect_col.append(entries)
+        out = batch
+        if "detect" in out.column_names:
+            out = out.drop_columns(["detect"])
+        return out.append_column(
+            "detect", pa.array(detect_col, type=pa.list_(DETECT_ENTRY))
+        )
+
+
+class RecognizeStage:
+    """Doc rows with ``detect`` column -> extracted span sequences.
+
+    Applies overrides (broadcast), recognizes each image span's boxes with
+    the exact reference arithmetic, drops empty normalized text spans, and
+    merges everything back in offset order — all row-local (no shuffle:
+    every span of a doc lives in its row)."""
+
+    def __init__(self, cfg: ExtractConfig | None = None, overrides_ref=None):
+        self.cfg = cfg or ExtractConfig()
+        self.overrides = overrides_to_lookup(_resolve(overrides_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        detect_col = batch.column("detect").to_pylist()
+        rows = []
+        for doc_id, spans, detect in zip(doc_ids, spans_col, detect_col):
+            det_by_idx = {e["span_idx"]: e for e in (detect or [])}
+            spans = spans or []
+            order = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
+            out_spans: list[dict] = []
+            n_blocks = 0
+            min_conf = 1.0
+            for i in order:
+                sp = spans[i]
+                if sp["kind"] == "text":
+                    if sp["text"] or not self.cfg.drop_empty_text_spans:
+                        out_spans.append(
+                            {
+                                "kind": "text",
+                                "text": sp["text"],
+                                "media_ref": "",
+                                "offset": len(out_spans),
+                            }
+                        )
+                elif sp["kind"] == "image":
+                    entry = det_by_idx.get(i)
+                    if entry is None:
+                        continue
+                    ov = self.overrides.get((doc_id, i))
+                    if ov is not None:
+                        boxes = ov
+                    else:
+                        boxes = [
+                            (b["x1"], b["y1"], b["x2"], b["y2"])
+                            for b in entry["boxes"]
+                        ]
+                    blocks = recognize_image(
+                        sp["media_ref"],
+                        boxes,
+                        entry["width"],
+                        entry["height"],
+                        self.cfg,
+                        span_idx=i,
+                    )
+                    for b in blocks:
+                        out_spans.append(
+                            {
+                                "kind": "image",
+                                "text": b.text,
+                                "media_ref": sp["media_ref"],
+                                "offset": len(out_spans),
+                            }
+                        )
+                        n_blocks += 1
+                        min_conf = min(min_conf, b.conf)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "spans_out": out_spans,
+                    "n_spans_out": len(out_spans),
+                    "n_blocks": n_blocks,
+                    "min_conf": min_conf,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+
+class ExtractStage:
+    """Fused detect+recognize (reference ``run_ocr`` analogue): one actor
+    stage, no intermediate detect materialization. Composes the same two
+    kernels, so fused == two-phase by construction."""
+
+    def __init__(self, cfg: ExtractConfig | None = None, overrides_ref=None):
+        self.detect = DetectStage(cfg)
+        self.recognize = RecognizeStage(cfg, overrides_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.recognize(self.detect(batch))
+
+
+def detect_rows_view(batch: pa.Table) -> pa.Table:
+    """Flatten the embedded ``detect`` column to the span-level DETECT
+    table (schema.DETECT_SCHEMA) for inspection / SQL-style checks."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    detect_col = batch.column("detect").to_pylist()
+    rows = []
+    for doc_id, spans, detect in zip(doc_ids, spans_col, detect_col):
+        for e in detect or []:
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "span_idx": e["span_idx"],
+                    "media_ref": spans[e["span_idx"]]["media_ref"],
+                    "width": e["width"],
+                    "height": e["height"],
+                    "boxes": e["boxes"],
+                }
+            )
+    from ..schema import DETECT_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=DETECT_SCHEMA)

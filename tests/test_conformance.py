@@ -1,0 +1,104 @@
+"""Conformance: Ray pipeline output == single-process oracle, 100% of rows.
+
+The invariant (BASELINE.json input_hint): per-row span-sequence equality
+on (kind, text, media_ref, order). Also: invariance under input
+partitioning, the two-phase (checkpointed) path equals the fused path, and
+the override table (human-edit analogue) takes effect.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ocr_platform_ray import corpus, oracle
+from ocr_platform_ray.kernels.extract import ExtractConfig
+from ocr_platform_ray.pipeline import (
+    PipelineOptions,
+    build_detect_pipeline,
+    build_extract_pipeline,
+    build_recognize_pipeline,
+)
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return corpus.generate_docs(N_DOCS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def expected(docs):
+    return oracle.oracle_extract_docs(docs, ExtractConfig())
+
+
+def _result_map(ds) -> dict:
+    out = {}
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            out[row["doc_id"]] = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in row["spans_out"]
+            ]
+    return out
+
+
+def _assert_equal(got: dict, expected: dict):
+    assert set(got) == set(expected)
+    bad = [d for d in expected if got[d] != expected[d]]
+    assert not bad, f"{len(bad)} mismatching docs, first: {bad[0]}: " \
+        f"got={got[bad[0]][:3]} want={expected[bad[0]][:3]}"
+
+
+def test_fused_pipeline_matches_oracle(docs, expected):
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 4)))
+    _assert_equal(_result_map(out), expected)
+
+
+def test_partitioning_invariance(docs, expected):
+    """Output must not depend on block layout (SURVEY §7.5.1)."""
+    tbl = corpus.docs_to_table(docs)
+    ds = rd.from_arrow(tbl).repartition(13)
+    out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
+    _assert_equal(_result_map(out), expected)
+
+
+def test_two_phase_equals_fused(docs, expected, tmp_path):
+    """Detect checkpoint -> recognize == fused (the reference's DETECT_DONE
+    two-phase resume property)."""
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    opts = PipelineOptions(concurrency=(1, 4))
+    detected = build_detect_pipeline(ds, opts=opts)
+    ckpt = str(tmp_path / "detect_ckpt")
+    detected.write_parquet(ckpt)
+    detected2 = rd.read_parquet(ckpt)
+    out = build_recognize_pipeline(detected2, opts=opts)
+    _assert_equal(_result_map(out), expected)
+
+
+def test_overrides_applied(docs):
+    """Override boxes replace detected boxes for their (doc, span)."""
+    ov = corpus.generate_overrides(docs, seed=7)
+    assert ov, "corpus should yield at least one override row"
+    expected_ov = oracle.oracle_extract_docs(docs, ExtractConfig(), overrides=ov)
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    out = build_extract_pipeline(
+        ds, opts=PipelineOptions(concurrency=(1, 2)), overrides=ov
+    )
+    got = _result_map(out)
+    _assert_equal(got, expected_ov)
+    # and the override must actually change at least one document
+    base = oracle.oracle_extract_docs(docs, ExtractConfig())
+    assert any(expected_ov[d] != base[d] for d in base)
+
+
+def test_schema(docs):
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
+    schema = out.schema()
+    assert schema.names == ["doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf"]
+    batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
+    assert isinstance(batch, pa.Table)
