@@ -1,0 +1,204 @@
+"""Per-partition checkpointing: atomic shard outputs + lineage manifests.
+
+The reference's resume property is its job state machine: DONE /
+DETECT_DONE rows are skipped on re-run (/root/reference/apps/worker/app/
+tasks/ocr_tasks.py:73-79), with persisted intermediates in Postgres/MinIO.
+Here (FIXTURES.md F4): the corpus is split into shards; each shard's
+output is written to a temp dir and atomically renamed, then a manifest
+row (lineage: doc range, counts, content hash — the reference's sha256
+upload checksum analogue, routes_jobs.py:66 — plus wall-time/throughput
+metrics) commits it. A shard is complete iff its manifest exists, so a
+partial write can never look finished. Resume = set-difference against
+committed manifests (a metadata-only anti-join).
+
+Shard planning: a multi-file input shards by file groups (lineage = the
+file list — no re-read amplification; this is the 100 TB path where one
+shard = one input partition directory). A single-file input falls back to
+hash-of-doc_id filtering (test-scale convenience).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .kernels.extract import ExtractConfig
+from .pipeline import PipelineOptions, build_extract_pipeline
+from .rng import hash_str
+
+
+@dataclass
+class ShardPlan:
+    shard_id: int
+    files: list[str] = field(default_factory=list)   # file-group shard
+    hash_mod: tuple[int, int] | None = None          # (i, n) doc_id-hash shard
+    input_path: str | None = None
+
+
+def plan_shards(input_path: str, n_shards: int) -> list[ShardPlan]:
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+        if len(files) >= n_shards:
+            plans = [ShardPlan(i, files=[]) for i in range(n_shards)]
+            for k, f in enumerate(files):
+                plans[k % n_shards].files.append(f)
+            return plans
+    return [
+        ShardPlan(i, hash_mod=(i, n_shards), input_path=input_path)
+        for i in range(n_shards)
+    ]
+
+
+def _shard_dataset(plan: ShardPlan) -> rd.Dataset:
+    if plan.files:
+        return rd.read_parquet(plan.files)
+    ds = rd.read_parquet(plan.input_path)
+    i, n = plan.hash_mod
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [hash_str(d) % n == i for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _manifest_path(out_dir: str, shard_id: int) -> str:
+    return os.path.join(out_dir, "manifest", f"part-{shard_id:05d}.json")
+
+
+def completed_shards(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            out.add(int(f[5:-5]))
+    return out
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    out = []
+    for sid in sorted(completed_shards(out_dir)):
+        with open(_manifest_path(out_dir, sid)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _content_sha256(part_dir: str) -> str:
+    h = hashlib.sha256()
+    for f in sorted(os.listdir(part_dir)):
+        with open(os.path.join(part_dir, f), "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
+
+
+def run_shard(
+    plan: ShardPlan,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    opts: PipelineOptions | None = None,
+    overrides: list[dict] | None = None,
+) -> dict:
+    """Run the extract pipeline for one shard; atomic write + manifest commit."""
+    t0 = time.perf_counter()
+    sid = plan.shard_id
+    part_dir = os.path.join(out_dir, f"part-{sid:05d}")
+    tmp_dir = os.path.join(out_dir, f".tmp-part-{sid:05d}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    ds = _shard_dataset(plan)
+    out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
+    out.write_parquet(tmp_dir)
+
+    # gather lineage stats from the written shard (cheap: metadata + one scan)
+    written = rd.read_parquet(tmp_dir)
+    agg = written.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "n_docs": [t.num_rows],
+                "n_spans_out": [int(pa.compute.sum(t.column("n_spans_out")).as_py() or 0)],
+                "n_blocks": [int(pa.compute.sum(t.column("n_blocks")).as_py() or 0)],
+                "doc_min": [min(t.column("doc_id").to_pylist(), default="")],
+                "doc_max": [max(t.column("doc_id").to_pylist(), default="")],
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    n_docs = sum(r["n_docs"] for r in agg)
+    wall = time.perf_counter() - t0
+
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)  # atomic data commit
+    manifest = {
+        "partition_id": sid,
+        "lineage": {
+            "files": plan.files,
+            "hash_mod": list(plan.hash_mod) if plan.hash_mod else None,
+            "input_path": plan.input_path,
+        },
+        "doc_id_min": min((r["doc_min"] for r in agg if r["doc_min"]), default=""),
+        "doc_id_max": max((r["doc_max"] for r in agg), default=""),
+        "n_docs": n_docs,
+        "n_spans_out": sum(r["n_spans_out"] for r in agg),
+        "n_blocks": sum(r["n_blocks"] for r in agg),
+        "content_sha256": _content_sha256(part_dir),
+        "wall_time_s": round(wall, 4),
+        "docs_per_s": round(n_docs / wall, 3) if wall > 0 else None,
+        "status": "DONE",
+    }
+    mpath = _manifest_path(out_dir, sid)
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    tmp_m = mpath + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp_m, mpath)  # manifest commit last
+    return manifest
+
+
+def run_job(
+    input_path: str,
+    out_dir: str,
+    n_shards: int = 8,
+    cfg: ExtractConfig | None = None,
+    opts: PipelineOptions | None = None,
+    overrides: list[dict] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full checkpointed job. Returns a summary incl. which shards ran vs
+    were skipped (resume anti-join against committed manifests)."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir) if resume else set()
+    plans = plan_shards(input_path, n_shards)
+    ran, skipped = [], []
+    t0 = time.perf_counter()
+    for plan in plans:
+        if plan.shard_id in done:
+            skipped.append(plan.shard_id)
+            continue
+        run_shard(plan, out_dir, cfg=cfg, opts=opts, overrides=overrides)
+        ran.append(plan.shard_id)
+    manifests = load_manifests(out_dir)
+    return {
+        "out_dir": out_dir,
+        "n_shards": n_shards,
+        "shards_ran": ran,
+        "shards_skipped": skipped,
+        "n_docs": sum(m["n_docs"] for m in manifests),
+        "n_blocks": sum(m["n_blocks"] for m in manifests),
+        "wall_time_s": round(time.perf_counter() - t0, 4),
+    }

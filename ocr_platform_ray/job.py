@@ -1,0 +1,68 @@
+"""Job driver: ``ray job submit -- python -m ocr_platform_ray.job ...``.
+
+Runs the checkpointed extraction job over an interleaved-document table
+(Lance/Parquet), resumable per partition, printing a one-line JSON summary.
+On a real cluster this is submitted with ``ray job submit --address ...``;
+in the sandbox it runs against a local session. Ray is only initialised
+when this module is executed as a script (the library never calls
+ray.init — driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Ray Data OCR-extraction job")
+    p.add_argument("--input", required=True, help="input table (parquet file or dir)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--overrides", help="optional override table (parquet)")
+    p.add_argument("--max-side", type=int, default=1200)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init(num_cpus=...) when starting a fresh local session")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .checkpoint import run_job
+    from .kernels.extract import ExtractConfig
+
+    overrides = None
+    if args.overrides:
+        import pyarrow.parquet as pq
+
+        overrides = pq.read_table(args.overrides).to_pylist()
+
+    summary = run_job(
+        args.input,
+        args.output,
+        n_shards=args.shards,
+        cfg=ExtractConfig(max_side=args.max_side),
+        overrides=overrides,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

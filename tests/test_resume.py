@@ -1,0 +1,107 @@
+"""Checkpoint/resume: resume-equals-fresh, only missing shards recompute,
+partial writes never look complete (FIXTURES.md F4)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ocr_platform_ray import corpus
+from ocr_platform_ray.checkpoint import (
+    completed_shards,
+    load_manifests,
+    plan_shards,
+    run_job,
+)
+from ocr_platform_ray.pipeline import PipelineOptions
+
+N_DOCS = 60
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def input_path(tmp_path_factory):
+    tbl = corpus.generate_corpus_table(N_DOCS, seed=11)
+    path = tmp_path_factory.mktemp("corpus") / "docs.parquet"
+    pq.write_table(tbl, path)
+    return str(path)
+
+
+def _read_all(out_dir):
+    rows = {}
+    for part in sorted(os.listdir(out_dir)):
+        if not part.startswith("part-"):
+            continue
+        for f in sorted(os.listdir(os.path.join(out_dir, part))):
+            t = pq.read_table(os.path.join(out_dir, part, f))
+            for r in t.to_pylist():
+                rows[r["doc_id"]] = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans_out"]
+                ]
+    return rows
+
+
+OPTS = PipelineOptions(concurrency=(1, 2))
+
+
+def test_fresh_run_commits_all_shards(input_path, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_job(input_path, out, n_shards=N_SHARDS, opts=OPTS)
+    assert summary["shards_ran"] == list(range(N_SHARDS))
+    assert completed_shards(out) == set(range(N_SHARDS))
+    ms = load_manifests(out)
+    assert sum(m["n_docs"] for m in ms) == N_DOCS
+    for m in ms:
+        assert m["status"] == "DONE"
+        assert m["content_sha256"]
+        assert m["wall_time_s"] > 0
+
+
+def test_resume_skips_done_and_equals_fresh(input_path, tmp_path):
+    fresh = str(tmp_path / "fresh")
+    run_job(input_path, fresh, n_shards=N_SHARDS, opts=OPTS)
+    fresh_rows = _read_all(fresh)
+
+    partial = str(tmp_path / "partial")
+    run_job(input_path, partial, n_shards=N_SHARDS, opts=OPTS)
+    # lose shard 2: data dir + manifest (simulates a failed partition)
+    shutil.rmtree(os.path.join(partial, "part-00002"))
+    os.remove(os.path.join(partial, "manifest", "part-00002.json"))
+
+    summary = run_job(input_path, partial, n_shards=N_SHARDS, opts=OPTS)
+    assert summary["shards_ran"] == [2]
+    assert sorted(summary["shards_skipped"]) == [0, 1, 3]
+    assert _read_all(partial) == fresh_rows
+
+
+def test_partial_write_not_committed(input_path, tmp_path):
+    """A data dir without a manifest is not 'complete' — it reruns."""
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=N_SHARDS, opts=OPTS)
+    os.remove(os.path.join(out, "manifest", "part-00001.json"))
+    # data dir still present (partial-commit state) -> must recompute
+    summary = run_job(input_path, out, n_shards=N_SHARDS, opts=OPTS)
+    assert summary["shards_ran"] == [1]
+
+
+def test_shard_plans_cover_input(input_path):
+    plans = plan_shards(input_path, N_SHARDS)
+    assert len(plans) == N_SHARDS
+    assert all(p.hash_mod is not None for p in plans)  # single file -> hash shards
+
+
+def test_file_group_sharding(tmp_path):
+    d = tmp_path / "many"
+    d.mkdir()
+    tbl = corpus.generate_corpus_table(20, seed=3)
+    for i in range(6):
+        pq.write_table(tbl.slice(i * 3, 3), d / f"f{i}.parquet")
+    plans = plan_shards(str(d), 3)
+    files = [f for p in plans for f in p.files]
+    assert len(files) == 6 and len(set(files)) == 6
+    assert all(p.files for p in plans)
