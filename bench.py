@@ -1,0 +1,173 @@
+"""Benchmark driver (driver contract + BASELINE.md protocol).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one local Ray session with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: run the headline extraction twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and print throughput at both
+plus scaling efficiency = (docs_s_32 / docs_s_8) / 4 (the sandbox evidence
+for the north_rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume_count(ds) -> int:
+    return ds.count()
+
+
+def run_headline(sf_dir: str) -> dict:
+    """Flagship interleaved extraction; returns timings + throughput."""
+    import pyarrow.compute as pc
+
+    from ocr_platform_ray.pipeline import (
+        PipelineOptions,
+        build_extract_pipeline,
+        corpus_from_documents,
+    )
+
+    # warm the page cache (untimed)
+    corpus_from_documents(sf_dir).count()
+
+    t0 = time.perf_counter()
+    out = build_extract_pipeline(corpus_from_documents(sf_dir), opts=PipelineOptions())
+    stats = {"n_docs": 0, "n_spans_out": 0, "n_blocks": 0}
+    for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        stats["n_docs"] += batch.num_rows
+        stats["n_spans_out"] += int(pc.sum(batch.column("n_spans_out")).as_py() or 0)
+        stats["n_blocks"] += int(pc.sum(batch.column("n_blocks")).as_py() or 0)
+    wall = time.perf_counter() - t0
+    return {
+        "extract_sec": round(wall, 3),
+        "docs_per_s": round(stats["n_docs"] / wall, 2),
+        "image_blocks_per_s": round(stats["n_blocks"] / wall, 2),
+        **stats,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Secondary pipelines (one pass each, seconds)."""
+    from ocr_platform_ray import queries as q
+
+    timings = {}
+    for name, fn in [
+        ("q_pricing", q.q_pricing),
+        ("q_window_counts", q.q_window_counts),
+        ("q_exact_dedup", q.q_exact_dedup),
+        ("q_minhash_pairs", q.q_minhash_pairs),
+        ("q_simhash_pairs", q.q_simhash_pairs),
+        ("q_ann_topk", q.q_ann_topk),
+        ("q_quality", q.q_quality),
+        ("q_sessions", q.q_sessions),
+    ]:
+        t0 = time.perf_counter()
+        _consume_count(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main_single() -> dict:
+    _init_ray(NUM_CPUS)
+    head = run_headline(SF_DIR)
+    qt = run_queries(SF_DIR)
+    result = {
+        "metric": "interleaved-extraction end-to-end sec (sf documents-derived corpus)",
+        "value": head["extract_sec"],
+        "unit": "sec",
+        "queries": {"extract": head["extract_sec"], **qt},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_s": head["docs_per_s"],
+        "image_blocks_per_s": head["image_blocks_per_s"],
+        "n_docs": head["n_docs"],
+        "n_blocks": head["n_blocks"],
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def _headline_subprocess(ncpu: int) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SF_DIR=SF_DIR,
+        GRAFT_BENCH_HEADLINE_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling() -> dict:
+    lo, hi = 8, 32
+    r_lo = _headline_subprocess(lo)
+    r_hi = _headline_subprocess(hi)
+    eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (docs/s, num_cpus 8 -> 32, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_s_{lo}": r_lo["docs_per_s"],
+        f"docs_per_s_{hi}": r_hi["docs_per_s"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        _init_ray(NUM_CPUS)
+        head = run_headline(SF_DIR)
+        result = {
+            "metric": "extract headline",
+            "value": head["extract_sec"],
+            "unit": "sec",
+            "num_cpus": NUM_CPUS,
+            **head,
+        }
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
+    else:
+        print(json.dumps(main_single()))

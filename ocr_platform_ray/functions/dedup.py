@@ -1,0 +1,290 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale pattern for every operator here: vectorized per-batch signature
+computation (combiner / partial aggregation) BEFORE the one unavoidable
+groupby, so the all-to-all shuffle moves signatures, not documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _text_hash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string column (polars/Rust)."""
+    import polars as pl
+
+    s = pl.Series("t", pa.chunked_array([texts]) if isinstance(texts, pa.Array) else texts)
+    return s.hash(seed=0).to_numpy().astype(np.uint64)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
+    """Keep min(doc_id) per distinct text -> (doc_id) rows.
+
+    Per-batch combiner (pandas groupby within the batch) shrinks the
+    shuffle; the global groupby runs over at most one row per distinct text
+    per batch. Equivalent SQL: SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY text.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text", as_index=False)["doc_id"].min()
+
+    partials = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+
+    return partials.groupby("text").map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# fixed affine coefficients (splitmix64 of 1..k — deterministic, no RNG state)
+def _coeffs(k: int) -> tuple[np.ndarray, np.ndarray]:
+    from ..rng import mix64
+
+    a = np.array([mix64(i * 2 + 1) | 1 for i in range(k)], dtype=np.uint64)
+    b = np.array([mix64(i * 2 + 2) for i in range(k)], dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _coeffs(N_HASHES)
+
+
+def shingles_of(text: str, n: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_band_rows(batch: pa.Table, n_shingle: int = 3) -> pa.Table:
+    """Docs -> exploded (doc_id, band, band_hash, sig) rows.
+
+    Signature math is numpy-vectorized over all shingles of the batch:
+    one 64-bit base hash per shingle (polars), k affine transforms, min
+    per doc via minimum.reduceat. Keep batch_size moderate (<=1024): the
+    intermediate is n_shingles x 64 u64.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    all_shingles: list[str] = []
+    starts = []
+    for t in texts:
+        starts.append(len(all_shingles))
+        all_shingles.extend(shingles_of(t, n_shingle))
+    n_docs = len(doc_ids)
+    sig = np.full((n_docs, N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if all_shingles:
+        base = _text_hash64(pa.array(all_shingles))
+        with np.errstate(over="ignore"):
+            tf = (base[:, None] * _A[None, :] + _B[None, :]) & _MASK64
+        # reduceat needs non-empty segments; docs with 0 shingles keep MAX
+        seg_starts = np.array(starts, dtype=np.int64)
+        nonempty = np.diff(np.append(seg_starts, len(all_shingles))) > 0
+        if nonempty.any():
+            red = np.minimum.reduceat(tf, seg_starts[nonempty], axis=0)
+            sig[nonempty] = red
+    # band hashes: chained multiply-xor over the band's rows (vectorized)
+    rows = {"doc_id": [], "band": [], "band_hash": [], "sig": []}
+    sig_bytes = [s.tobytes() for s in sig]
+    P = np.uint64(0x100000001B3)
+    for band in range(N_BANDS):
+        cols = sig[:, band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+        h = np.full(n_docs, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(ROWS_PER_BAND):
+                h = ((h ^ cols[:, j]) * P) & _MASK64
+        rows["doc_id"].extend(doc_ids)
+        rows["band"].extend([band] * n_docs)
+        rows["band_hash"].extend(h.astype(np.int64).tolist())
+        rows["sig"].extend(sig_bytes)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("band", pa.int32()),
+                ("band_hash", pa.int64()),
+                ("sig", pa.binary()),
+            ]
+        ),
+    )
+
+
+def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
+    """Near-dup candidate pairs with estimated Jaccard >= threshold.
+
+    docs -> band rows -> groupby(band, band_hash) -> pairwise signature
+    agreement within each (small) bucket -> distinct pairs. The shuffle
+    carries (doc_id, 512-byte sig), never the text. Hot buckets are capped
+    (cap=64 members) — a degenerate all-identical corpus would otherwise
+    produce O(n^2) pairs; the cap is logged in the row output by the
+    'truncated' flag on pairs from capped buckets.
+    """
+    bands = ds.select_columns(["doc_id", "text"]).map_batches(
+        minhash_band_rows, batch_format="pyarrow", batch_size=512
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
+        members = g.head(64)
+        truncated = len(g) > 64
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in members["sig"]]
+        ids = members["doc_id"].tolist()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["est_jaccard"].append(round(est, 6))
+                    out["truncated"].append(truncated)
+        return pd.DataFrame(out)
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Add simhash64 (int64 bit-pattern): sign-sum of token-hash bits."""
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    all_toks: list[str] = []
+    starts = []
+    for t in texts:
+        starts.append(len(all_toks))
+        all_toks.extend(t.split())
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if all_toks:
+        H = _text_hash64(pa.array(all_toks))
+        bits = ((H[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        ) * 2 - 1
+        seg = np.array(starts, dtype=np.int64)
+        nonempty = np.diff(np.append(seg, len(all_toks))) > 0
+        if nonempty.any():
+            sums = np.add.reduceat(bits, seg[nonempty], axis=0)
+            vals = (sums > 0).astype(np.uint64)
+            packed = np.zeros(vals.shape[0], dtype=np.uint64)
+            for b in range(64):
+                packed |= vals[:, b] << np.uint64(b)
+            out[nonempty] = packed
+    return pa.Table.from_arrays(
+        [doc_ids, pa.array(out.astype(np.int64))], names=["doc_id", "simhash64"]
+    )
+
+
+def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: 4 x 16-bit blocks — any pair within distance 3
+    shares at least one block; bucket-groupby per block, verify Hamming in
+    the bucket, distinct pairs."""
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = batch.column("simhash64").to_numpy().astype(np.uint64)
+        out = {"doc_id": [], "block": [], "block_val": [], "simhash64": []}
+        for blk in range(4):
+            out["doc_id"].extend(ids.tolist())
+            out["block"].extend([blk] * len(ids))
+            out["block_val"].extend(
+                ((h >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64).tolist()
+            )
+            out["simhash64"].extend(h.astype(np.int64).tolist())
+        return pa.Table.from_pydict(out)
+
+    blocks = sh.map_batches(explode_blocks, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(64)
+        ids = g["doc_id"].tolist()
+        hs = g["simhash64"].to_numpy().astype(np.uint64)
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(ids)):
+            d = np.bitwise_xor(hs[i], hs[i + 1 :])
+            cnt = np.array([bin(x).count("1") for x in d])
+            for j_off in np.nonzero(cnt <= max_hamming)[0]:
+                out["doc_a"].append(ids[i])
+                out["doc_b"].append(ids[i + 1 + j_off])
+                out["hamming"].append(int(cnt[j_off]))
+        return pd.DataFrame(out)
+
+    pairs = blocks.groupby(["block", "block_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# -------------------------------------------------------- exact n-gram Jaccard
+
+def verify_pairs_jaccard(
+    pairs: list[tuple[int, int]], ds: rd.Dataset, n_shingle: int = 3
+) -> rd.Dataset:
+    """Exact n-gram Jaccard for candidate pairs: the needed doc texts are a
+    small set -> broadcast {doc_id: shingle-set} via ray.put, score pairs
+    in a map_batches over the pair list (no shuffle)."""
+    import ray
+
+    needed = sorted({d for p in pairs for d in p})
+
+    def collect(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch.column("doc_id"), value_set=pa.array(needed))
+        return batch.filter(mask)
+
+    small = ds.select_columns(["doc_id", "text"]).map_batches(
+        collect, batch_format="pyarrow"
+    ).take_all()
+    lookup_ref = ray.put(
+        {r["doc_id"]: set(shingles_of(r["text"], n_shingle)) for r in small}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        ja = []
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            sa, sb = lk.get(a, set()), lk.get(b, set())
+            union = len(sa | sb)
+            ja.append(round(len(sa & sb) / union, 6) if union else 0.0)
+        return batch.append_column("jaccard", pa.array(ja, pa.float64()))
+
+    pair_tbl = pa.Table.from_pydict(
+        {
+            "doc_a": [a for a, _ in pairs],
+            "doc_b": [b for _, b in pairs],
+        }
+    )
+    return rd.from_arrow(pair_tbl).map_batches(score, batch_format="pyarrow")

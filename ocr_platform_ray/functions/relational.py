@@ -1,0 +1,117 @@
+"""Relational patterns: partial-aggregated groupby and broadcast map-side
+join + top-k, over the TPC-H-ish driver tables. These demonstrate the two
+shuffle-minimizing idioms every wide stage in this repo uses:
+pre-aggregate inside map_batches, broadcast the small side via ray.put."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from . import round_half_away
+
+
+def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """TPC-H Q1-shaped: filter by ship date, per-(returnflag, linestatus)
+    sums/counts. Vectorized per-batch partials -> tiny groupby."""
+    cutoff_ts = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff_ts))
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "sum_base_price": pa.array([], pa.float64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_pylist(),
+                "l_linestatus": batch.column("l_linestatus").to_pylist(),
+                "qty": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+                "price": batch.column("l_extendedprice").to_numpy(zero_copy_only=False),
+                "disc_price": disc_price.to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n_rows=("qty", "size"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [round_half_away(float(g["sum_qty"].sum()), 2)],
+                "sum_base_price": [round_half_away(float(g["sum_base_price"].sum()), 2)],
+                "sum_disc_price": [round_half_away(float(g["sum_disc_price"].sum()), 2)],
+                "n_rows": [int(g["n_rows"].sum())],
+            }
+        )
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def top_customers(
+    orders: rd.Dataset, customer_path: str, k: int = 10
+) -> rd.Dataset:
+    """Top-k customers by total order value: the customer dimension is
+    broadcast once via ray.put (map-side join — J1's cross-table
+    generalization, SURVEY §2.4); orders aggregate per batch first."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_name"])
+    lookup_ref = ray.put(
+        dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(),
+                "total": batch.column("o_totalprice").to_numpy(),
+            }
+        )
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            total_spent=("total", "sum"), n_orders=("total", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        key = int(g["o_custkey"].iloc[0])
+        return pd.DataFrame(
+            {
+                "c_custkey": [key],
+                "c_name": [lk.get(key, "")],
+                "total_spent": [round_half_away(float(g["total_spent"].sum()), 2)],
+                "n_orders": [int(g["n_orders"].sum())],
+            }
+        )
+
+    per_cust = partials.groupby("o_custkey").map_groups(final, batch_format="pandas")
+    return per_cust.sort("total_spent", descending=True).limit(k)

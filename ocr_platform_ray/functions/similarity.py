@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix + per-batch partial top-k, tiny global reduce (the exact
+  baseline);
+- LSH-bucketed variant (random signed hyperplanes): the scale path —
+  candidates come only from the query's bucket and Hamming-1 neighbours.
+Embedding near-duplicate pairs (cosine >= tau) use the same LSH blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..rng import mix64
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    norms = np.linalg.norm(mat, axis=1)
+    return (mat @ qn) / np.maximum(norms, 1e-30)
+
+
+def topk_cosine(ds: rd.Dataset, query: list[float], k: int = 10) -> rd.Dataset:
+    """Exact top-k by cosine similarity to ``query``.
+
+    Per-batch partial top-k (vectorized) -> global sort+limit over ~k rows
+    per batch — the full table is never collected or shuffled."""
+    import ray
+
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        sims = _cosine(_emb_matrix(batch), q)
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], int)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id").take(pa.array(idx)),
+                "cos_sim": pa.array(np.round(sims[idx], 6)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort("cos_sim", descending=True).limit(k)
+
+
+N_PLANES = 12
+
+
+def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform)."""
+    vals = np.array(
+        [mix64(i) / float(1 << 64) - 0.5 for i in range(dim * n_planes)]
+    )
+    return vals.reshape(n_planes, dim)
+
+
+def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.int64) << b
+    return out
+
+
+def topk_cosine_lsh(
+    ds: rd.Dataset, query: list[float], k: int = 10, n_planes: int = N_PLANES
+) -> rd.Dataset:
+    """Approximate top-k: only vectors whose LSH bucket is the query's
+    bucket or differs by one bit are scored (multi-probe). Same output
+    schema as topk_cosine; recall < 1 by design (scale path)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _planes(len(q), n_planes)
+    qb = int(lsh_bucket_ids(q[None, :], planes)[0])
+    probe = {qb} | {qb ^ (1 << b) for b in range(n_planes)}
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        mat = _emb_matrix(batch)
+        buckets = lsh_bucket_ids(mat, planes)
+        mask = np.isin(buckets, list(pr))
+        if not mask.any():
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        sims = _cosine(mat[mask], qv)
+        ids = batch.column("vec_id").to_numpy()[mask]
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids[idx]), "cos_sim": pa.array(np.round(sims[idx], 6))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort("cos_sim", descending=True).limit(k)
+
+
+def embedding_dup_pairs(
+    ds: rd.Dataset, tau: float = 0.95, n_planes: int = 8
+) -> rd.Dataset:
+    """Near-duplicate vector pairs (cosine >= tau) via LSH blocking:
+    bucket-groupby on the hyperplane signature, pairwise verify within
+    buckets (capped at 128 members), distinct pairs."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        planes = _planes(mat.shape[1] if mat.size else 1, n_planes)
+        b = lsh_bucket_ids(mat, planes) if mat.size else np.array([], np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(b),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id").head(128)
+        ids = g["vec_id"].tolist()
+        mat = np.stack(g["embedding"].to_numpy()) if len(g) else np.zeros((0, 1))
+        mat = mat.astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+        nm = mat / norms[:, None]
+        out = {"vec_id_a": [], "vec_id_b": [], "cos_sim": []}
+        sims = nm @ nm.T
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= tau:
+                    out["vec_id_a"].append(ids[i])
+                    out["vec_id_b"].append(ids[j])
+                    out["cos_sim"].append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(out)
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,347 @@
+"""Query registry: one entry per implemented operator/pipeline
+(SURVEY.md §2 + the training-data operators), each a callable(sf_dir) ->
+Dataset/Table, with a DuckDB oracle SQL string where the operator is
+SQL-expressible (driver correctness gate).
+
+Column names match between Ray results and oracle SQL exactly (the driver
+sorts columns by name and value-hashes). Float aggregates are rounded on
+BOTH sides so summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .functions import dedup, events, relational, similarity, textstats
+
+from .functions import round_half_away
+from .pipeline import PipelineOptions, build_extract_pipeline, corpus_from_documents
+from .stages.normalize import normalize_text_array
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- text / docs
+
+def q_normalize_docs(sf_dir: str) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": normalize_text_array(batch.column("text")),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def q_quality(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.quality_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "alpha_ratio", "quality_score"])
+    )
+
+
+def q_langid(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.langid_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "pred_lang", "lang_conf"])
+    )
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp64"])
+    )
+
+
+def q_lang_stats(sf_dir: str) -> rd.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "n_chars": batch.column("n_chars").to_numpy(),
+            }
+        )
+        agg = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), chars_sum=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_docs"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [n],
+                "avg_chars": [round_half_away(float(g["chars_sum"].sum()) / n, 4)],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_top_sources(sf_dir: str) -> rd.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch.column("source").to_pylist()})
+        agg = df.groupby("source", as_index=False).size().rename(columns={"size": "n_docs"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "n_docs": [int(g["n_docs"].sum())]}
+        )
+
+    return (
+        _docs(sf_dir, ["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+        .sort(["n_docs", "source"], descending=[True, False])
+        .limit(5)
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+def q_exact_dedup(sf_dir: str) -> rd.Dataset:
+    return dedup.exact_dedup_min_doc(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
+    out = dedup.minhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    return out.select_columns(["doc_a", "doc_b", "est_jaccard"])
+
+
+def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.simhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+# --------------------------------------------------------------- similarity
+
+def _query_vec(sf_dir: str) -> list[float]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t.column("vec_id").to_pylist().index(0)
+    return t.column("embedding").to_pylist()[idx]
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_topk(sf_dir: str) -> rd.Dataset:
+    out = similarity.topk_cosine(_emb(sf_dir), _query_vec(sf_dir), k=10)
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False])
+
+
+def q_ann_topk_lsh(sf_dir: str) -> rd.Dataset:
+    out = similarity.topk_cosine_lsh(_emb(sf_dir), _query_vec(sf_dir), k=10)
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False])
+
+
+def q_embedding_dups(sf_dir: str) -> rd.Dataset:
+    return similarity.embedding_dup_pairs(_emb(sf_dir), tau=0.9)
+
+
+# ------------------------------------------------------------------- events
+
+def q_window_counts(sf_dir: str) -> rd.Dataset:
+    return events.tumbling_window_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    )
+
+
+def q_sessions(sf_dir: str) -> rd.Dataset:
+    return events.sessions_per_user(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+# --------------------------------------------------------------- relational
+
+def q_pricing(sf_dir: str) -> rd.Dataset:
+    return relational.pricing_summary(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+    )
+
+
+def q_top_customers(sf_dir: str) -> rd.Dataset:
+    out = relational.top_customers(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ),
+        f"{sf_dir}/customer.parquet",
+        k=10,
+    )
+    return out.sort(["total_spent", "c_custkey"], descending=[True, False])
+
+
+# ------------------------------------------------- extraction (non-SQL ops)
+
+def q_extract_flagship(sf_dir: str) -> rd.Dataset:
+    """The flagship interleaved-extraction pipeline over the corpus derived
+    from the documents table (rows-only driver check; the real conformance
+    gate is the oracle suite in tests/)."""
+    ds = corpus_from_documents(sf_dir)
+    return build_extract_pipeline(ds, opts=PipelineOptions())
+
+
+def q_extract_summary(sf_dir: str) -> pa.Table:
+    """Corpus-level aggregate of the flagship output (deterministic single
+    row; rows-only check that pins totals across rounds)."""
+    out = q_extract_flagship(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "n_docs": [batch.num_rows],
+                "n_spans_out": [int(pc.sum(batch.column("n_spans_out")).as_py() or 0)],
+                "n_blocks": [int(pc.sum(batch.column("n_blocks")).as_py() or 0)],
+            }
+        )
+
+    parts = out.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.Table.from_pydict(
+        {
+            "n_docs": [sum(r["n_docs"] for r in parts)],
+            "n_spans_out": [sum(r["n_spans_out"] for r in parts)],
+            "n_blocks": [sum(r["n_blocks"] for r in parts)],
+        }
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+def queries() -> dict:
+    return {
+        "q_normalize_docs": q_normalize_docs,
+        "q_token_count": q_token_count,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_fingerprint": q_fingerprint,
+        "q_lang_stats": q_lang_stats,
+        "q_top_sources": q_top_sources,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_topk_lsh": q_ann_topk_lsh,
+        "q_embedding_dups": q_embedding_dups,
+        "q_window_counts": q_window_counts,
+        "q_sessions": q_sessions,
+        "q_pricing": q_pricing,
+        "q_top_customers": q_top_customers,
+        "q_extract_flagship": q_extract_flagship,
+        "q_extract_summary": q_extract_summary,
+    }
+
+
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(text,"
+    " '\\[\\[AD\\]\\].*?\\[\\[/AD\\]\\]', ' ', 'gs'),"
+    " '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))"
+)
+
+
+def oracle_sql() -> dict:
+    """DuckDB equivalents for the SQL-expressible queries. Non-SQL ops
+    (extraction, LSH/minhash/simhash, langid heuristic, LSH ANN) are
+    intentionally absent -> driver records rows-only checks."""
+    return {
+        "q_normalize_docs": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
+        "q_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens"
+            " FROM documents"
+        ),
+        "q_quality": (
+            "SELECT doc_id,"
+            " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,"
+            " round(len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "   / greatest(length(text), 1), 6) AS alpha_ratio,"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0, 1.0)"
+            "   * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "   / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents"
+        ),
+        "q_lang_stats": (
+            "SELECT lang, count(*) AS n_docs,"
+            " round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang"
+        ),
+        "q_top_sources": (
+            "SELECT source, count(*) AS n_docs FROM documents"
+            " GROUP BY source ORDER BY n_docs DESC, source LIMIT 5"
+        ),
+        "q_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_ann_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+            " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim"
+            " FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "q_window_counts": (
+            "SELECT event_type,"
+            " CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,"
+            " count(*) AS n_events, round(sum(value), 6) AS value_sum"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "q_sessions": (
+            "SELECT user_id, count(*) AS n_events,"
+            " CAST(sum(new_s) AS BIGINT) AS n_sessions FROM ("
+            "  SELECT user_id,"
+            "  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            "    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events)"
+            " GROUP BY user_id"
+        ),
+        "q_pricing": (
+            "SELECT l_returnflag, l_linestatus,"
+            " round(sum(l_quantity), 2) AS sum_qty,"
+            " round(sum(l_extendedprice), 2) AS sum_base_price,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+            " count(*) AS n_rows FROM lineitem"
+            " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_top_customers": (
+            "SELECT o.o_custkey AS c_custkey, any_value(c.c_name) AS c_name,"
+            " round(sum(o.o_totalprice), 2) AS total_spent,"
+            " count(*) AS n_orders"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " GROUP BY o.o_custkey ORDER BY total_spent DESC, c_custkey LIMIT 10"
+        ),
+    }

@@ -1,0 +1,163 @@
+"""Unit tests for the training-data operators: dedup (planted duplicates),
+similarity (LSH vs brute recall), text stats, events windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ocr_platform_ray.functions import dedup, events, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """Corpus with planted exact + near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while data pipelines "
+        "stream batches of arrow tables through ray actors and shuffles"
+    )
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document {i} " + " ".join(
+            f"w{i}{j}" for j in range(20))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})                      # exact dup
+    rows.append({"doc_id": 102, "text": base + " extra tail words"})  # near dup
+    rows.append({"doc_id": 103, "text": ""})                         # empty
+    return rows
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestExactDedup:
+    def test_keeps_min_doc_id(self, dup_docs):
+        out = dedup.exact_dedup_min_doc(_ds(dup_docs)).to_pandas()
+        kept = set(out["doc_id"])
+        assert 100 in kept and 101 not in kept
+        assert len(kept) == len(dup_docs) - 1  # one exact dup removed
+
+
+class TestMinHash:
+    def test_finds_planted_near_dups(self, dup_docs):
+        out = dedup.minhash_dup_pairs(_ds(dup_docs), threshold=0.5).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (100, 101) in pairs  # exact dup -> est 1.0
+        assert any(p in pairs for p in [(100, 102), (101, 102)])  # near dup
+        exact = out[(out.doc_a == 100) & (out.doc_b == 101)]
+        assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+    def test_deterministic(self, dup_docs):
+        a = dedup.minhash_dup_pairs(_ds(dup_docs), threshold=0.5).to_pandas()
+        b = dedup.minhash_dup_pairs(_ds(dup_docs), threshold=0.5).to_pandas()
+        key = ["doc_a", "doc_b"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True)
+        )
+
+    def test_verify_exact_jaccard(self, dup_docs):
+        out = dedup.verify_pairs_jaccard([(100, 101), (100, 102)], _ds(dup_docs))
+        df = out.to_pandas().set_index(["doc_a", "doc_b"])
+        assert df.loc[(100, 101), "jaccard"] == 1.0
+        assert 0.5 < df.loc[(100, 102), "jaccard"] < 1.0
+
+
+class TestSimHash:
+    def test_exact_dup_zero_hamming(self, dup_docs):
+        out = dedup.simhash_dup_pairs(_ds(dup_docs), max_hamming=3).to_pandas()
+        pairs = {(a, b): h for a, b, h in zip(out.doc_a, out.doc_b, out.hamming)}
+        assert pairs.get((100, 101)) == 0
+
+    def test_signature_stable(self, dup_docs):
+        t = pa.Table.from_pylist(dup_docs)
+        a = dedup.simhash_batch(t).column("simhash64").to_pylist()
+        b = dedup.simhash_batch(t).column("simhash64").to_pylist()
+        assert a == b
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_rows(self):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(200, 16))
+        rows = [
+            {"vec_id": i, "embedding": [float(x) for x in vecs[i]]}
+            for i in range(200)
+        ]
+        # planted near-identical pair
+        rows.append({"vec_id": 500, "embedding": rows[0]["embedding"]})
+        return rows
+
+    def test_brute_topk_matches_numpy(self, emb_rows):
+        q = emb_rows[0]["embedding"]
+        out = similarity.topk_cosine(_ds(emb_rows), q, k=5).to_pandas()
+        assert len(out) == 5
+        assert set(out.head(2)["vec_id"]) == {0, 500}  # both cos=1.0
+        mat = np.array([r["embedding"] for r in emb_rows])
+        sims = similarity._cosine(mat, np.array(q))
+        want_top5 = np.round(np.sort(sims)[::-1][:5], 6)
+        got = np.sort(out["cos_sim"].to_numpy())[::-1]
+        assert np.allclose(got, want_top5)
+
+    def test_lsh_subset_of_exact_score(self, emb_rows):
+        q = emb_rows[3]["embedding"]
+        out = similarity.topk_cosine_lsh(_ds(emb_rows), q, k=5).to_pandas()
+        assert len(out) >= 1
+        assert out["vec_id"].iloc[0] == 3  # query vector itself always in bucket
+
+    def test_embedding_dups(self, emb_rows):
+        out = similarity.embedding_dup_pairs(_ds(emb_rows), tau=0.99).to_pandas()
+        assert {(0, 500)} == set(zip(out.vec_id_a, out.vec_id_b))
+
+
+class TestTextStats:
+    def test_token_count(self):
+        t = pa.Table.from_pylist([{"doc_id": 1, "text": "a bb  ccc 12"}])
+        out = textstats.token_count_batch(t)
+        assert out.column("n_tokens").to_pylist() == [4]
+
+    def test_langid_en(self):
+        t = pa.Table.from_pylist(
+            [{"doc_id": 1, "text": "the cat and the dog of to a in"}]
+        )
+        out = textstats.langid_batch(t)
+        assert out.column("pred_lang").to_pylist() == ["en"]
+
+    def test_fingerprint_stable_and_distinct(self):
+        t = pa.Table.from_pylist(
+            [{"doc_id": 1, "text": "aaa"}, {"doc_id": 2, "text": "bbb"},
+             {"doc_id": 3, "text": "aaa"}]
+        )
+        fp = textstats.fingerprint_batch(t).column("fp64").to_pylist()
+        assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+class TestEvents:
+    def test_window_counts(self):
+        rows = [
+            {"ts": 10 * 10**6, "event_type": "a", "value": 1.0},
+            {"ts": 20 * 10**6, "event_type": "a", "value": 2.0},
+            {"ts": 3700 * 10**6, "event_type": "a", "value": 4.0},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+        out = events.tumbling_window_counts(rd.from_arrow(t)).to_pandas()
+        out = out.sort_values("window_id").reset_index(drop=True)
+        assert out["n_events"].tolist() == [2, 1]
+        assert out["value_sum"].tolist() == [3.0, 4.0]
+
+    def test_sessions(self):
+        us = 10**6
+        rows = [
+            {"user_id": 1, "ts": 0},
+            {"user_id": 1, "ts": 60 * us},            # same session
+            {"user_id": 1, "ts": 4000 * us},           # gap > 30min -> new
+            {"user_id": 2, "ts": 0},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp("us")))
+        out = events.sessions_per_user(rd.from_arrow(t)).to_pandas()
+        got = dict(zip(out.user_id, out.n_sessions))
+        assert got == {1: 2, 2: 1}
