@@ -15,6 +15,12 @@ import ray.data as rd
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Blocks to compact small intermediate tables into before a groupby shuffle:
+# Ray's sort-based shuffle costs O(input blocks x reduce tasks) scheduling, so
+# tiny exploded tables in many blocks pay seconds of pure overhead. At real
+# scale the intermediates are large and keep their natural partitioning.
+SHUFFLE_BLOCKS = 8
+
 
 def _text_hash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized stable 64-bit hash of a string column (polars/Rust)."""
@@ -22,6 +28,26 @@ def _text_hash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     s = pl.Series("t", pa.chunked_array([texts]) if isinstance(texts, pa.Array) else texts)
     return s.hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def distinct_pairs(pairs: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+    """Distinct rows by key pair, via ~256 coarse groups with a pandas
+    drop_duplicates inside each (cheaper than one Ray group per pair)."""
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        a = batch.column(key_cols[0]).to_numpy().astype(np.int64)
+        b = batch.column(key_cols[1]).to_numpy().astype(np.int64)
+        return batch.append_column("pb", pa.array((a * 31 + b) & 255))
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(key_cols).drop(columns=["pb"])
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .repartition(SHUFFLE_BLOCKS)
+        .groupby("pb")
+        .map_groups(dedupe, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -45,7 +71,11 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
 
-    return partials.groupby("text").map_groups(final, batch_format="pandas")
+    return (
+        partials.repartition(SHUFFLE_BLOCKS)
+        .groupby("text")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -141,31 +171,44 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
         minhash_band_rows, batch_format="pyarrow", batch_size=512
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    # One groupby over ~1024 coarse keys (bucket-of-buckets): per-LSH-bucket
+    # pair generation happens in a pandas sub-groupby INSIDE each coarse
+    # group — avoids Ray map_groups overhead on |bands|*|docs| tiny groups.
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        cb = np.bitwise_and(
+            batch.column("band_hash").to_numpy().astype(np.int64), 1023
+        )
+        return batch.append_column("cb", pa.array(cb))
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
-        members = g.head(64)
-        truncated = len(g) > 64
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in members["sig"]]
-        ids = members["doc_id"].tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["est_jaccard"].append(round(est, 6))
-                    out["truncated"].append(truncated)
+        for (_band, _bh), sub in g.groupby(["band", "band_hash"], sort=True):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(sub) < 2:
+                continue
+            members = sub.head(64)
+            truncated = len(sub) > 64
+            sigs = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in members["sig"]]
+            )
+            ids = members["doc_id"].tolist()
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = eq[ii, jj] >= threshold
+            for i, j in zip(ii[keep], jj[keep]):
+                out["doc_a"].append(ids[i])
+                out["doc_b"].append(ids[j])
+                out["est_jaccard"].append(round(float(eq[i, j]), 6))
+                out["truncated"].append(truncated)
         return pd.DataFrame(out)
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        bands.map_batches(add_coarse, batch_format="pyarrow")
+        .repartition(SHUFFLE_BLOCKS)
+        .groupby("cb")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return distinct_pairs(pairs, ["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------------- SimHash
@@ -225,26 +268,38 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 
     blocks = sh.map_batches(explode_blocks, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(64)
-        ids = g["doc_id"].tolist()
-        hs = g["simhash64"].to_numpy().astype(np.uint64)
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        blk = batch.column("block").to_numpy().astype(np.int64)
+        bv = batch.column("block_val").to_numpy().astype(np.int64)
+        return batch.append_column("cb", pa.array(blk * 256 + (bv & 255)))
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            d = np.bitwise_xor(hs[i], hs[i + 1 :])
-            cnt = np.array([bin(x).count("1") for x in d])
-            for j_off in np.nonzero(cnt <= max_hamming)[0]:
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[i + 1 + j_off])
-                out["hamming"].append(int(cnt[j_off]))
+        for (_blk, _bv), sub in g.groupby(["block", "block_val"], sort=True):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id").head(64)
+            if len(sub) < 2:
+                continue
+            ids = np.asarray(sub["doc_id"].tolist())
+            hs = sub["simhash64"].to_numpy().astype(np.uint64)
+            # vectorized pairwise Hamming: XOR -> bytes -> unpackbits -> sum
+            x = (hs[:, None] ^ hs[None, :]).copy()
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(
+                axis=2
+            )
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = ham[ii, jj] <= max_hamming
+            out["doc_a"].extend(ids[ii[keep]].tolist())
+            out["doc_b"].extend(ids[jj[keep]].tolist())
+            out["hamming"].extend(ham[ii[keep], jj[keep]].astype(int).tolist())
         return pd.DataFrame(out)
 
-    pairs = blocks.groupby(["block", "block_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        blocks.map_batches(add_coarse, batch_format="pyarrow")
+        .repartition(SHUFFLE_BLOCKS)
+        .groupby("cb")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct_pairs(pairs, ["doc_a", "doc_b"])
 
 
 # -------------------------------------------------------- exact n-gram Jaccard

@@ -152,7 +152,11 @@ def embedding_dup_pairs(
                     out["cos_sim"].append(round(float(sims[i, j]), 6))
         return pd.DataFrame(out)
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from .dedup import SHUFFLE_BLOCKS, distinct_pairs
+
+    pairs = (
+        bucketed.repartition(SHUFFLE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    return distinct_pairs(pairs, ["vec_id_a", "vec_id_b"])
