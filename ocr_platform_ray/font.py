@@ -110,6 +110,21 @@ def text_width(text: str, s: int) -> int:
     return w
 
 
+_SCALED_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _scaled_glyph(ch: str, s: int) -> np.ndarray:
+    """Scaled uint8 glyph (7s x 5s), cached — np.kron per call dominates
+    render cost otherwise (36 chars x few scales, tiny cache)."""
+    key = (ch, s)
+    got = _SCALED_CACHE.get(key)
+    if got is None:
+        g = GLYPHS[ch].astype(np.uint8)
+        got = np.repeat(np.repeat(g, s, axis=0), s, axis=1) * 255
+        _SCALED_CACHE[key] = got
+    return got
+
+
 def render_line(text: str, s: int) -> np.ndarray:
     """Render ``text`` -> uint8 array (7*s, width), values {0, 255}.
 
@@ -124,13 +139,11 @@ def render_line(text: str, s: int) -> np.ndarray:
             x += WORD_GAP * s
             prev_glyph = False
             continue
-        g = GLYPHS.get(ch)
-        if g is None:
+        if ch not in GLYPHS:
             continue
         if prev_glyph:
             x += CHAR_GAP * s
-        big = np.kron(g, np.ones((s, s), dtype=np.uint8)) * 255
-        out[:, x : x + GLYPH_W * s] = big
+        out[:, x : x + GLYPH_W * s] = _scaled_glyph(ch, s)
         x += GLYPH_W * s
         prev_glyph = True
     return out
@@ -165,12 +178,14 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
     # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols); word gap >= 4*s
     space_gap = 3 * max(1, s)
     rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
+    rows_grid = band[rr]  # (7, band_width) — gather rows once per band
     for (x0, x1) in glyph_runs:
         if prev_stop is not None and (x0 - prev_stop) > space_gap and chars:
             chars.append(" ")
         prev_stop = x1
         wrun = x1 - x0
-        best_sim = -1.0
+        best_hits = -1
+        best_cells = -1
         best_ch = "?"
         # Sample a cell grid per template width at cell centers (exact for
         # clean glyphs); best Hamming similarity wins, CHARSET-order ties.
@@ -179,12 +194,14 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
             cc = x0 + np.minimum(
                 (np.arange(width) * wrun + wrun // 2) // width, wrun - 1
             )
-            cells = band[np.ix_(rr, cc)]
-            sims = (tmats == cells[None, :, :]).reshape(len(tchars), -1).mean(axis=1)
-            k = int(np.argmax(sims))
-            if sims[k] > best_sim:
-                best_sim = float(sims[k])
+            cells = rows_grid[:, cc]
+            hits = (tmats == cells[None, :, :]).reshape(len(tchars), -1).sum(axis=1)
+            k = int(np.argmax(hits))
+            sim_num, sim_den = int(hits[k]), GLYPH_H * width
+            # exact ratio compare (sim = hits/den); first width wins ties
+            if best_cells < 0 or sim_num * best_cells > best_hits * sim_den:
+                best_hits, best_cells = sim_num, sim_den
                 best_ch = tchars[k]
         chars.append(best_ch)
-        confs.append(best_sim)
+        confs.append(best_hits / best_cells if best_cells > 0 else 0.0)
     return "".join(chars), (min(confs) if confs else 1.0)

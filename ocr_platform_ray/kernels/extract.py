@@ -42,10 +42,14 @@ class BlockResult:
     block_id: str
 
 
-def detect_image(ref: str, cfg: ExtractConfig) -> tuple[list[Box], int, int]:
+def detect_image(
+    ref: str, cfg: ExtractConfig, img: "object | None" = None
+) -> tuple[list[Box], int, int]:
     """Detect stage for one image span: original-coordinate boxes in
-    reading order, plus (width, height). The detect-stage checkpoint row."""
-    img = media.render(ref)
+    reading order, plus (width, height). The detect-stage checkpoint row.
+    ``img`` lets the fused path reuse an already-decoded raster."""
+    if img is None:
+        img = media.render(ref)
     h, w = img.shape[:2]
     boxes = detectk.detect_boxes(img, max_side=cfg.detect_max_side)
     idx = order.reading_order(boxes)
@@ -59,12 +63,16 @@ def recognize_image(
     page_h: int,
     cfg: ExtractConfig,
     span_idx: int = 0,
+    img: "object | None" = None,
 ) -> list[BlockResult]:
     """Recognize stage for one image span given original-coordinate boxes
     (detected or override). Exact ``run_ocr_with_boxes`` arithmetic."""
     if not boxes_orig:
         return []
-    img = media.render(ref)  # reference recomputes pages from source too (ocr_tasks.py:220-226)
+    if img is None:
+        # two-phase path recomputes pages from source, like the reference
+        # (ocr_tasks.py:220-226); the fused path passes the raster through
+        img = media.render(ref)
     img_prep = preprocess(img, cfg.max_side)
     h_prep, w_prep = img_prep.shape[:2]
     w_orig = page_w or img.shape[1]
@@ -104,13 +112,13 @@ def extract_image_span(
     ``override_boxes`` is the human-edit analogue (PATCH /jobs/{id}/detect,
     routes_jobs.py:230-249): array order preserved, no reading-order sort.
     """
+    img = media.render(ref)  # decode once; both stages share the raster
     if override_boxes is not None:
-        img = media.render(ref)
         h, w = img.shape[:2]
         boxes = [(int(x1), int(y1), int(x2), int(y2)) for (x1, y1, x2, y2) in override_boxes]
-        return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx)
-    boxes, w, h = detect_image(ref, cfg)
-    return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx)
+        return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx, img=img)
+    boxes, w, h = detect_image(ref, cfg, img=img)
+    return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx, img=img)
 
 
 def extract_document(

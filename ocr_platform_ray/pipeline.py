@@ -46,7 +46,12 @@ class PipelineOptions:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        return (1, max(2, int(ncpu / max(self.num_cpus, 0.25))))
+        slots = max(2, int(ncpu / max(self.num_cpus, 0.25)))
+        # min = slots/4 per pool: two bucket branches together pre-warm half
+        # the CPUs (autoscaling from 1 ramps too slowly) while never
+        # reserving them all — a fixed pool of ncpu actors across branches
+        # starves the upstream task stages and deadlocks the pipeline.
+        return (max(1, slots // 4), slots)
 
     def actor_kwargs(self) -> dict:
         kw: dict = {"num_cpus": self.num_cpus}

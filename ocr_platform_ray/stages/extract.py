@@ -20,7 +20,12 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .. import font  # noqa: F401  (imported so templates build at actor init)
-from ..kernels.extract import ExtractConfig, detect_image, recognize_image
+from ..kernels.extract import (
+    ExtractConfig,
+    detect_image,
+    extract_image_span,
+    recognize_image,
+)
 from ..schema import BOX_STRUCT, EXTRACTED_SCHEMA, SPAN_STRUCT
 
 DETECT_ENTRY = pa.struct(
@@ -108,77 +113,84 @@ class RecognizeStage:
         rows = []
         for doc_id, spans, detect in zip(doc_ids, spans_col, detect_col):
             det_by_idx = {e["span_idx"]: e for e in (detect or [])}
-            spans = spans or []
-            order = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
-            out_spans: list[dict] = []
-            n_blocks = 0
-            min_conf = 1.0
-            for i in order:
-                sp = spans[i]
-                if sp["kind"] == "text":
-                    if sp["text"] or not self.cfg.drop_empty_text_spans:
-                        out_spans.append(
-                            {
-                                "kind": "text",
-                                "text": sp["text"],
-                                "media_ref": "",
-                                "offset": len(out_spans),
-                            }
-                        )
-                elif sp["kind"] == "image":
-                    entry = det_by_idx.get(i)
-                    if entry is None:
-                        continue
-                    ov = self.overrides.get((doc_id, i))
-                    if ov is not None:
-                        boxes = ov
-                    else:
-                        boxes = [
-                            (b["x1"], b["y1"], b["x2"], b["y2"])
-                            for b in entry["boxes"]
-                        ]
-                    blocks = recognize_image(
-                        sp["media_ref"],
-                        boxes,
-                        entry["width"],
-                        entry["height"],
-                        self.cfg,
-                        span_idx=i,
-                    )
-                    for b in blocks:
-                        out_spans.append(
-                            {
-                                "kind": "image",
-                                "text": b.text,
-                                "media_ref": sp["media_ref"],
-                                "offset": len(out_spans),
-                            }
-                        )
-                        n_blocks += 1
-                        min_conf = min(min_conf, b.conf)
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "spans_out": out_spans,
-                    "n_spans_out": len(out_spans),
-                    "n_blocks": n_blocks,
-                    "min_conf": min_conf,
-                }
-            )
+
+            def block_fn(i, sp, _doc_id=doc_id, _det=det_by_idx):
+                entry = _det.get(i)
+                if entry is None:
+                    return []
+                ov = self.overrides.get((_doc_id, i))
+                if ov is not None:
+                    boxes = ov
+                else:
+                    boxes = [
+                        (b["x1"], b["y1"], b["x2"], b["y2"]) for b in entry["boxes"]
+                    ]
+                return recognize_image(
+                    sp["media_ref"], boxes, entry["width"], entry["height"],
+                    self.cfg, span_idx=i,
+                )
+
+            rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+
+def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
+    """Row-local merge: spans in (offset, index) order; text spans pass
+    through (already normalized upstream, empties dropped); image spans are
+    replaced by their recognized blocks; output offsets re-numbered."""
+    order = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
+    out_spans: list[dict] = []
+    n_blocks = 0
+    min_conf = 1.0
+    for i in order:
+        sp = spans[i]
+        if sp["kind"] == "text":
+            if sp["text"] or not cfg.drop_empty_text_spans:
+                out_spans.append(
+                    {"kind": "text", "text": sp["text"], "media_ref": "",
+                     "offset": len(out_spans)}
+                )
+        elif sp["kind"] == "image":
+            for b in block_fn(i, sp):
+                out_spans.append(
+                    {"kind": "image", "text": b.text,
+                     "media_ref": sp["media_ref"], "offset": len(out_spans)}
+                )
+                n_blocks += 1
+                min_conf = min(min_conf, b.conf)
+    return {
+        "doc_id": doc_id,
+        "spans_out": out_spans,
+        "n_spans_out": len(out_spans),
+        "n_blocks": n_blocks,
+        "min_conf": min_conf,
+    }
 
 
 class ExtractStage:
     """Fused detect+recognize (reference ``run_ocr`` analogue): one actor
-    stage, no intermediate detect materialization. Composes the same two
-    kernels, so fused == two-phase by construction."""
+    stage, no intermediate detect materialization, each raster decoded once
+    and shared by both kernels. Produces exactly what DetectStage ->
+    RecognizeStage produces (same kernels, deterministic)."""
 
     def __init__(self, cfg: ExtractConfig | None = None, overrides_ref=None):
-        self.detect = DetectStage(cfg)
-        self.recognize = RecognizeStage(cfg, overrides_ref)
+        self.cfg = cfg or ExtractConfig()
+        self.overrides = overrides_to_lookup(_resolve(overrides_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.recognize(self.detect(batch))
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        rows = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+
+            def block_fn(i, sp, _doc_id=doc_id):
+                return extract_image_span(
+                    sp["media_ref"], self.cfg, span_idx=i,
+                    override_boxes=self.overrides.get((_doc_id, i)),
+                )
+
+            rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
 
 def detect_rows_view(batch: pa.Table) -> pa.Table:
