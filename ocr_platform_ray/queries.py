@@ -210,6 +210,16 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     return out.sort(["total_spent", "c_custkey"], descending=[True, False])
 
 
+# ------------------------------------------------------------- multimodal
+
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    """Binary media column -> decode/resize/feature actor stage (npy codec
+    real end-to-end; image-lib codecs stubbed — rows-only check)."""
+    from .functions import multimodal
+
+    return multimodal.media_features(sf_dir)
+
+
 # ------------------------------------------------- extraction (non-SQL ops)
 
 def q_extract_flagship(sf_dir: str) -> rd.Dataset:
@@ -265,6 +275,7 @@ def queries() -> dict:
         "q_sessions": q_sessions,
         "q_pricing": q_pricing,
         "q_top_customers": q_top_customers,
+        "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
         "q_extract_summary": q_extract_summary,
     }
