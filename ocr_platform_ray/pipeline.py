@@ -71,25 +71,32 @@ def read_corpus(path: str, **kwargs) -> rd.Dataset:
         return rd.read_parquet(path, **kwargs)
 
 
-def corpus_from_documents(sf_dir: str) -> rd.Dataset:
+def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
     """Interleaved-span corpus derived deterministically from the driver's
-    ``documents`` table (doc_id, text) — the bench input (TESTDATA.md)."""
+    ``documents`` table (doc_id, text) — the bench input (TESTDATA.md).
+
+    ``replicate`` scales the corpus r-fold with distinct doc ids and
+    distinct image seeds per replica (used by the scaling benchmark so
+    compute, not fixed pipeline overhead, dominates the measurement)."""
+    replicate = max(1, replicate)
 
     def to_spans(batch: pa.Table) -> pa.Table:
-        rows = [
-            {
-                "doc_id": f"doc-{int(d):08d}",
-                "spans": spans_from_document(int(d), t),
-            }
-            for d, t in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            )
-        ]
+        rows = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for r in range(replicate):
+                rows.append(
+                    {
+                        "doc_id": f"doc-{r}-{int(d):08d}",
+                        "spans": spans_from_document(int(d) + r * 1_000_000, t),
+                    }
+                )
         return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(to_spans, batch_format="pyarrow")
+    ).map_batches(to_spans, batch_format="pyarrow", batch_size=256)
 
 
 def _prepared(ds: rd.Dataset) -> rd.Dataset:
