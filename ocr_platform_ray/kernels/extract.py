@@ -33,6 +33,23 @@ class ExtractConfig:
     detect_max_side: int = 0              # CRAFT max_side — shipped config leaves it off
     drop_empty_text_spans: bool = True    # normalize may empty a boilerplate-only span
 
+    @classmethod
+    def from_env(cls) -> "ExtractConfig":
+        """Env overrides, mirroring the reference's fallbacks
+        (OCR_MAX_SIDE — preprocess.py:7-8; CRAFT_MAX_SIDE — detect.py:49-54)."""
+        import os
+
+        def _int(name: str, default: int) -> int:
+            try:
+                return int(os.getenv(name, str(default)))
+            except ValueError:
+                return default
+
+        return cls(
+            max_side=_int("OCR_MAX_SIDE", DEFAULT_MAX_SIDE),
+            detect_max_side=_int("CRAFT_MAX_SIDE", 0),
+        )
+
 
 @dataclass
 class BlockResult:

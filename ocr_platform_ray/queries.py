@@ -230,6 +230,34 @@ def q_extract_flagship(sf_dir: str) -> rd.Dataset:
     return build_extract_pipeline(ds, opts=PipelineOptions())
 
 
+def q_detect_boxes(sf_dir: str) -> rd.Dataset:
+    """Two-phase detect stage output as the span-level DETECT view
+    (doc_id, span_idx, page dims, box count) — the reference's detect_result
+    checkpoint made queryable (rows-only check)."""
+    import pyarrow.compute as _pc
+
+    from .pipeline import build_detect_pipeline
+    from .stages.extract import detect_rows_view
+
+    ds = corpus_from_documents(sf_dir)
+    detected = build_detect_pipeline(ds, opts=PipelineOptions())
+    view = detected.map_batches(detect_rows_view, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_boxes = _pc.list_value_length(batch.column("boxes"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "n_boxes": _pc.cast(n_boxes, pa.int32()),
+            }
+        )
+
+    return view.map_batches(project, batch_format="pyarrow")
+
+
 def q_extract_summary(sf_dir: str) -> pa.Table:
     """Corpus-level aggregate of the flagship output (deterministic single
     row; rows-only check that pins totals across rounds)."""
@@ -277,6 +305,7 @@ def queries() -> dict:
         "q_top_customers": q_top_customers,
         "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
+        "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
     }
 

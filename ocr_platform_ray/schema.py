@@ -35,6 +35,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("n_spans_out", pa.int32()),
         pa.field("n_blocks", pa.int32()),       # recognized image blocks
         pa.field("min_conf", pa.float64()),
+        pa.field("mean_conf", pa.float64()),   # A2 analogue (orchestrator.py:96-99)
     ]
 )
 

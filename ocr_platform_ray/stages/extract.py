@@ -142,6 +142,7 @@ def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
     out_spans: list[dict] = []
     n_blocks = 0
     min_conf = 1.0
+    conf_sum = 0.0
     for i in order:
         sp = spans[i]
         if sp["kind"] == "text":
@@ -158,12 +159,14 @@ def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
                 )
                 n_blocks += 1
                 min_conf = min(min_conf, b.conf)
+                conf_sum += b.conf
     return {
         "doc_id": doc_id,
         "spans_out": out_spans,
         "n_spans_out": len(out_spans),
         "n_blocks": n_blocks,
         "min_conf": min_conf,
+        "mean_conf": (conf_sum / n_blocks) if n_blocks else 1.0,
     }
 
 

@@ -99,6 +99,6 @@ def test_schema(docs):
     ds = rd.from_arrow(corpus.docs_to_table(docs))
     out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
     schema = out.schema()
-    assert schema.names == ["doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf"]
+    assert schema.names == ["doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf", "mean_conf"]
     batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
     assert isinstance(batch, pa.Table)
