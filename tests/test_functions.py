@@ -161,3 +161,57 @@ class TestEvents:
         out = events.sessions_per_user(rd.from_arrow(t)).to_pandas()
         got = dict(zip(out.user_id, out.n_sessions))
         assert got == {1: 2, 2: 1}
+
+
+class TestJoins:
+    def test_hash_join_matches_bucketed(self):
+        import pyarrow as pa
+
+        from ocr_platform_ray.functions.joins import bucketed_merge_join, hash_join
+
+        left = _ds([{"k": i % 5, "lv": i} for i in range(40)])
+        right = _ds([{"rk": i, "rv": i * 10} for i in range(5)])
+        a = hash_join(left, right, on="k", right_on="rk", num_partitions=4).to_pandas()
+        b = bucketed_merge_join(left, right, on="k", right_on="rk").to_pandas()
+        key = ["k", "lv"]
+        a2 = a.sort_values(key).reset_index(drop=True)
+        b2 = b[a.columns].sort_values(key).reset_index(drop=True)
+        assert len(a2) == 40
+        assert a2["rv"].tolist() == b2["rv"].tolist()
+
+    def test_bucketed_join_no_match(self):
+        from ocr_platform_ray.functions.joins import bucketed_merge_join
+
+        left = _ds([{"k": 1, "lv": 1}])
+        right = _ds([{"rk": 2, "rv": 2}])
+        out = bucketed_merge_join(left, right, on="k", right_on="rk").to_pandas()
+        assert len(out) == 0
+
+
+class TestDedupKeep:
+    def test_clusters_keep_min(self, dup_docs):
+        from ocr_platform_ray.functions.dedup import minhash_dedup_keep
+
+        kept = set(
+            minhash_dedup_keep(_ds(dup_docs), threshold=0.5).to_pandas()["doc_id"]
+        )
+        assert 100 in kept
+        assert 101 not in kept          # exact dup clustered away
+        assert 102 not in kept          # near dup clustered away
+        assert all(i in kept for i in range(30))
+
+
+class TestSlidingWindows:
+    def test_event_lands_in_all_covering_windows(self):
+        import pyarrow as pa
+
+        from ocr_platform_ray.functions.events import sliding_window_counts
+
+        us = 10**6
+        rows = [{"ts": 3600 * us + 10, "event_type": "a", "value": 2.0}]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+        out = sliding_window_counts(rd.from_arrow(t)).to_pandas()
+        # hour window, 15-min slide: event at t=3600s is inside windows 1..4
+        assert sorted(out["window_id"]) == [1, 2, 3, 4]
+        assert (out["n_events"] == 1).all()
