@@ -94,9 +94,18 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
                 )
         return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(to_spans, batch_format="pyarrow", batch_size=256)
+    # A single small parquet file reads as ~16 blocks; downstream actor-pool
+    # parallelism equals block count, so split up front to ~2 blocks per CPU
+    # (real corpora arrive in many files and skip this).
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .repartition(max(64, 2 * ncpu))
+        .map_batches(to_spans, batch_format="pyarrow", batch_size=256)
+    )
 
 
 def _prepared(ds: rd.Dataset) -> rd.Dataset:
