@@ -106,12 +106,14 @@ def generate_docs(n_docs: int, seed: int = 42) -> list[dict]:
             image_frac = 0.0
         elif d % 97 == 31:
             image_frac = 1.0
-        docs.append(
-            {
-                "doc_id": f"doc-{d:08d}",
-                "spans": _make_spans(doc_seed, n_spans, image_frac, rng),
-            }
-        )
+        spans = _make_spans(doc_seed, n_spans, image_frac, rng)
+        if d % 97 == 45:
+            # dead-letter fixture: malformed media_ref (FIXTURES F1 degenerate)
+            spans.append(
+                {"kind": "image", "text": "", "media_ref": "img://malformed",
+                 "offset": (spans[-1]["offset"] + 1) if spans else 0}
+            )
+        docs.append({"doc_id": f"doc-{d:08d}", "spans": spans})
     return docs
 
 
@@ -166,7 +168,10 @@ def generate_overrides(docs: list[dict], seed: int = 7) -> list[dict]:
         for idx, sp in enumerate(doc["spans"]):
             if sp["kind"] != "image" or rng.random() > 0.02:
                 continue
-            _s, _i, w, h, _n = media.parse_ref(sp["media_ref"])
+            try:
+                _s, _i, w, h, _n = media.parse_ref(sp["media_ref"])
+            except ValueError:
+                continue  # dead-letter fixture rows carry malformed refs
             boxes = [
                 {"x1": 0, "y1": 0, "x2": max(2, w // 2), "y2": min(h, 57)},
                 {"x1": 1, "y1": 1, "x2": max(3, w - 1), "y2": min(h, 88)},

@@ -138,6 +138,22 @@ def extract_image_span(
     return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx, img=img)
 
 
+def safe_extract_image_span(
+    ref: str,
+    cfg: ExtractConfig,
+    span_idx: int = 0,
+    override_boxes: list[Box] | None = None,
+) -> tuple[list[BlockResult], bool]:
+    """Dead-letter wrapper (reference P16 analogue: malformed detect_result
+    -> job FAILED, ocr_tasks.py:204-212; at 10^12-doc scale a poison row
+    must not kill the partition): a span whose media_ref cannot be parsed
+    or rendered contributes zero blocks and is counted as an error."""
+    try:
+        return extract_image_span(ref, cfg, span_idx, override_boxes), False
+    except (ValueError, KeyError, IndexError, OverflowError):
+        return [], True
+
+
 def extract_document(
     spans: list[dict],
     cfg: ExtractConfig,
@@ -165,7 +181,9 @@ def extract_document(
                 out.append({"kind": "text", "text": t, "media_ref": "", "offset": len(out)})
         elif sp["kind"] == "image":
             ov = overrides.get(i) if overrides else None
-            blocks = extract_image_span(sp["media_ref"], cfg, span_idx=i, override_boxes=ov)
+            blocks, _err = safe_extract_image_span(
+                sp["media_ref"], cfg, span_idx=i, override_boxes=ov
+            )
             for b in blocks:
                 out.append(
                     {

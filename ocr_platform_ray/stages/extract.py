@@ -23,8 +23,8 @@ from .. import font  # noqa: F401  (imported so templates build at actor init)
 from ..kernels.extract import (
     ExtractConfig,
     detect_image,
-    extract_image_span,
     recognize_image,
+    safe_extract_image_span,
 )
 from ..schema import BOX_STRUCT, EXTRACTED_SCHEMA, SPAN_STRUCT
 
@@ -73,7 +73,12 @@ class DetectStage:
             for i, sp in enumerate(spans or []):
                 if sp["kind"] != "image":
                     continue
-                boxes, w, h = detect_image(sp["media_ref"], self.cfg)
+                try:
+                    boxes, w, h = detect_image(sp["media_ref"], self.cfg)
+                except (ValueError, KeyError, IndexError, OverflowError):
+                    # dead-letter: malformed media_ref -> no detect entry ->
+                    # recognize emits nothing for this span
+                    continue
                 entries.append(
                     {
                         "span_idx": i,
@@ -187,10 +192,11 @@ class ExtractStage:
         for doc_id, spans in zip(doc_ids, spans_col):
 
             def block_fn(i, sp, _doc_id=doc_id):
-                return extract_image_span(
+                blocks, _err = safe_extract_image_span(
                     sp["media_ref"], self.cfg, span_idx=i,
                     override_boxes=self.overrides.get((_doc_id, i)),
                 )
+                return blocks
 
             rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

@@ -102,3 +102,26 @@ def test_schema(docs):
     assert schema.names == ["doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf", "mean_conf"]
     batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
     assert isinstance(batch, pa.Table)
+
+
+def test_malformed_media_ref_dead_letter():
+    """A span whose media_ref cannot be parsed contributes nothing, the
+    rest of the document extracts normally (P16 dead-letter semantics)."""
+    docs = [
+        {
+            "doc_id": "doc-x",
+            "spans": [
+                {"kind": "text", "text": " hello world ", "media_ref": "", "offset": 0},
+                {"kind": "image", "text": "", "media_ref": "img://not-a-ref", "offset": 14},
+                {"kind": "text", "text": "tail", "media_ref": "", "offset": 15},
+            ],
+        }
+    ]
+    expected = oracle.oracle_extract_docs(docs, ExtractConfig())
+    assert expected["doc-x"] == [
+        ("text", "hello world", "", 0),
+        ("text", "tail", "", 1),
+    ]
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
+    _assert_equal(_result_map(out), expected)
