@@ -155,12 +155,17 @@ def _headline_subprocess(ncpu: int) -> dict:
 
 
 def main_scaling() -> dict:
-    lo, hi = 8, 32
+    # On a 32-core box the num_cpus=32 session contends with the driver,
+    # raylet and object-store threads while a small session has idle
+    # headroom, biasing the ratio. Default to 4 -> 16 (same 4x factor,
+    # headroom at BOTH levels); override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo = _headline_subprocess(lo)
     r_hi = _headline_subprocess(hi)
     eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (docs/s, num_cpus 8 -> 32, fresh sessions)",
+        "metric": f"scaling efficiency (docs/s, num_cpus {lo} -> {hi}, fresh sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": SF_DIR,
