@@ -53,6 +53,22 @@ class PipelineOptions:
         # starves the upstream task stages and deadlocks the pipeline.
         return (max(1, slots // 4), slots)
 
+    def slots(self) -> int:
+        if isinstance(self.concurrency, tuple):
+            return self.concurrency[1]
+        if isinstance(self.concurrency, int):
+            return self.concurrency
+        pool = self.pool()
+        return pool[1] if isinstance(pool, tuple) else pool
+
+    def use_buckets(self) -> bool:
+        """The two-branch bucket split needs >= 4 actor slots: each branch
+        pre-starts one actor, and the upstream task stages need CPUs too —
+        on a 2-CPU session the minimum actors alone reserve every CPU and
+        the pipeline deadlocks. Below that, run one stage (skew bucketing
+        is a scale feature; a 2-CPU session has no stragglers to balance)."""
+        return self.slots() >= 4
+
     def actor_kwargs(self) -> dict:
         kw: dict = {"num_cpus": self.num_cpus}
         if self.num_gpus:
@@ -120,14 +136,18 @@ def _bucketed(
     """Skew-handled actor stage: split by span-count bucket, per-bucket
     batch size, union. Every row passes the expensive stage exactly once."""
     prepared = _prepared(ds)
-    light = prepared.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
-    heavy = prepared.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
     common = dict(
         batch_format="pyarrow",
         concurrency=opts.pool(),
         fn_constructor_kwargs=fn_constructor_kwargs,
         **opts.actor_kwargs(),
     )
+    if not opts.use_buckets():
+        return prepared.map_batches(
+            stage_cls, batch_size=opts.heavy_batch_size, **common
+        )
+    light = prepared.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
+    heavy = prepared.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
     out_light = light.map_batches(stage_cls, batch_size=opts.light_batch_size, **common)
     out_heavy = heavy.map_batches(stage_cls, batch_size=opts.heavy_batch_size, **common)
     return out_light.union(out_heavy)
@@ -176,14 +196,18 @@ def build_recognize_pipeline(
     opts = opts or PipelineOptions()
     ov_ref = ray.put(overrides) if overrides else None
     kwargs = {"cfg": cfg, "overrides_ref": ov_ref}
-    light = detected.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
-    heavy = detected.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
     common = dict(
         batch_format="pyarrow",
         concurrency=opts.pool(),
         fn_constructor_kwargs=kwargs,
         **opts.actor_kwargs(),
     )
+    if not opts.use_buckets():
+        return detected.map_batches(
+            RecognizeStage, batch_size=opts.heavy_batch_size, **common
+        )
+    light = detected.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
+    heavy = detected.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
     out_light = light.map_batches(
         RecognizeStage, batch_size=opts.light_batch_size, **common
     )
