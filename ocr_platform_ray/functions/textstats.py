@@ -73,8 +73,9 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     best = scores.argmax(axis=1)  # first max -> language-code order ties
     pred = pa.array([_LANGS[i] for i in best])
     conf = scores.max(axis=1) / np.maximum(scores.sum(axis=1), 1)
+    conf = np.floor(conf * 1e6 + 0.5) / 1e6  # half away from zero, like DuckDB
     out = batch.append_column("pred_lang", pred)
-    return out.append_column("lang_conf", pa.array(np.round(conf, 6)))
+    return out.append_column("lang_conf", pa.array(conf))
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

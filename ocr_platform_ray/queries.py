@@ -460,6 +460,8 @@ def oracle_sql() -> dict:
     intentionally absent -> driver records rows-only checks."""
     return {
         "q_normalize_docs": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
+        "q_langid": "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c",
+
         "q_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens"
             " FROM documents"
