@@ -31,7 +31,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from .kernels.extract import ExtractConfig
-from .pipeline import PipelineOptions, build_extract_pipeline
+from .pipeline import (
+    PipelineOptions,
+    build_detect_pipeline,
+    build_extract_pipeline,
+    build_recognize_pipeline,
+)
 from .rng import hash_str
 
 
@@ -112,8 +117,14 @@ def run_shard(
     cfg: ExtractConfig | None = None,
     opts: PipelineOptions | None = None,
     overrides: list[dict] | None = None,
+    two_phase: bool = False,
 ) -> dict:
-    """Run the extract pipeline for one shard; atomic write + manifest commit."""
+    """Run the extract pipeline for one shard; atomic write + manifest commit.
+
+    ``two_phase`` mirrors the reference's E1/E2 flow (run_job ->
+    DETECT_DONE -> run_ocr_job): the detect output is persisted under
+    ``detect/part-NNNNN`` (the human-editable intermediate) and recognize
+    consumes that checkpoint; output is identical to the fused path."""
     t0 = time.perf_counter()
     sid = plan.shard_id
     part_dir = os.path.join(out_dir, f"part-{sid:05d}")
@@ -122,7 +133,20 @@ def run_shard(
     os.makedirs(tmp_dir, exist_ok=True)
 
     ds = _shard_dataset(plan)
-    out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
+    if two_phase:
+        det_dir = os.path.join(out_dir, "detect", f"part-{sid:05d}")
+        det_tmp = os.path.join(out_dir, "detect", f".tmp-part-{sid:05d}")
+        shutil.rmtree(det_tmp, ignore_errors=True)
+        os.makedirs(det_tmp, exist_ok=True)
+        build_detect_pipeline(ds, cfg=cfg, opts=opts).write_parquet(det_tmp)
+        shutil.rmtree(det_dir, ignore_errors=True)
+        os.replace(det_tmp, det_dir)  # DETECT_DONE boundary committed
+        detected = rd.read_parquet(det_dir)
+        out = build_recognize_pipeline(
+            detected, cfg=cfg, opts=opts, overrides=overrides
+        )
+    else:
+        out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
     out.write_parquet(tmp_dir)
 
     # gather lineage stats from the written shard (cheap: metadata + one scan)
@@ -159,6 +183,7 @@ def run_shard(
         "content_sha256": _content_sha256(part_dir),
         "wall_time_s": round(wall, 4),
         "docs_per_s": round(n_docs / wall, 3) if wall > 0 else None,
+        "two_phase": two_phase,
         "status": "DONE",
     }
     mpath = _manifest_path(out_dir, sid)
@@ -178,6 +203,7 @@ def run_job(
     opts: PipelineOptions | None = None,
     overrides: list[dict] | None = None,
     resume: bool = True,
+    two_phase: bool = False,
 ) -> dict:
     """Full checkpointed job. Returns a summary incl. which shards ran vs
     were skipped (resume anti-join against committed manifests)."""
@@ -190,7 +216,10 @@ def run_job(
         if plan.shard_id in done:
             skipped.append(plan.shard_id)
             continue
-        run_shard(plan, out_dir, cfg=cfg, opts=opts, overrides=overrides)
+        run_shard(
+            plan, out_dir, cfg=cfg, opts=opts, overrides=overrides,
+            two_phase=two_phase,
+        )
         ran.append(plan.shard_id)
     manifests = load_manifests(out_dir)
     return {

@@ -23,6 +23,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--overrides", help="optional override table (parquet)")
+    p.add_argument("--two-phase", action="store_true",
+                   help="persist the detect checkpoint (human-editable) and recognize from it")
     p.add_argument("--max-side", type=int, default=1200)
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init(num_cpus=...) when starting a fresh local session")
@@ -58,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg=ExtractConfig(max_side=args.max_side),
         overrides=overrides,
         resume=not args.no_resume,
+        two_phase=args.two_phase,
     )
     print(json.dumps(summary))
     ray.shutdown()

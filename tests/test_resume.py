@@ -105,3 +105,17 @@ def test_file_group_sharding(tmp_path):
     files = [f for p in plans for f in p.files]
     assert len(files) == 6 and len(set(files)) == 6
     assert all(p.files for p in plans)
+
+
+def test_two_phase_job_equals_fused(input_path, tmp_path):
+    """--two-phase (persisted detect checkpoint + recognize) produces the
+    same output as the fused job, and commits the detect intermediate."""
+    fused = str(tmp_path / "fused")
+    run_job(input_path, fused, n_shards=2, opts=OPTS)
+    twop = str(tmp_path / "twop")
+    summary = run_job(input_path, twop, n_shards=2, opts=OPTS, two_phase=True)
+    assert summary["shards_ran"] == [0, 1]
+    assert _read_all(twop) == _read_all(fused)
+    assert os.path.isdir(os.path.join(twop, "detect", "part-00000"))
+    ms = load_manifests(twop)
+    assert all(m["two_phase"] for m in ms)
