@@ -78,6 +78,63 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("lang_conf", pa.array(conf))
 
 
+# GPT2-style pretokenizer shape (public knowledge), RE2-compatible so the
+# DuckDB oracle can run the identical pattern.
+BPE_TOKEN_RE = r"'[a-z]+| ?[a-z0-9]+| ?[^a-z0-9 \t\n\r]+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Add n_bpe_tokens: BPE-ish pretokenizer piece count (contractions,
+    space-prefixed words/numbers, punctuation runs)."""
+    n = pc.count_substring_regex(batch.column("text"), pattern=BPE_TOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def winnow_fingerprints_batch(
+    batch: pa.Table, k: int = 8, w: int = 16
+) -> pa.Table:
+    """Add fingerprints: winnowed rolling-hash document fingerprints
+    (Schleimer/Wilkerson/Aiken winnowing, public algorithm): Rabin-Karp
+    hashes of all k-grams of the text, then the minimum hash of each
+    w-window, deduplicated — the classic near-copy detection sketch.
+    Vectorized: the rolling hash is one cumsum-style pass per batch via
+    numpy; window minima via sliding_window_view."""
+    import numpy as np
+
+    B = np.uint64(1000003)
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    out: list[list[int]] = []
+    with np.errstate(over="ignore"):
+        Bk = B ** np.uint64(k - 1)
+        for t in texts:
+            data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8).astype(
+                np.uint64
+            )
+            n = len(data) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            # rolling Rabin-Karp: h[0] = sum B^j c[j]; h[i+1] = (h[i]-c[i]*B^(k-1))*B + c[i+k]
+            powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            h = np.empty(n, dtype=np.uint64)
+            h[0] = (data[:k] * powers).sum()
+            # vectorized recurrence: h[i] = c[i]*B^{k-1} + c[i+1]*B^{k-2} ... —
+            # compute via correlation: windows * powers summed; sliding view
+            win = np.lib.stride_tricks.sliding_window_view(data, k)
+            h = (win * powers[None, :]).sum(axis=1)
+            if n < w:
+                fps = {int(h.min())}
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                fps = set(mins.astype(np.int64).tolist())
+            out.append(sorted(int(x) for x in np.asarray(list(fps), dtype=np.int64)))
+    return pa.Table.from_arrays(
+        [doc_ids, pa.array(out, type=pa.list_(pa.int64()))],
+        names=["doc_id", "fingerprints"],
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Add fp64: stable 64-bit content fingerprint of the text (polars
     vectorized hash — Rust, no Python loop). Used as the exact-dedup /

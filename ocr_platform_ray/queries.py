@@ -74,6 +74,21 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bpe_token_count(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.bpe_token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_bpe_tokens"])
+    )
+
+
+def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowed rolling-hash fingerprints (rows-only: list column)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.winnow_fingerprints_batch, batch_format="pyarrow"
+    )
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -422,6 +437,8 @@ def queries() -> dict:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
+        "q_bpe_token_count": q_bpe_token_count,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_lang_stats": q_lang_stats,
         "q_top_sources": q_top_sources,
         "q_exact_dedup": q_exact_dedup,
@@ -464,6 +481,12 @@ def oracle_sql() -> dict:
 
         "q_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens"
+            " FROM documents"
+        ),
+        # same RE2 pattern as textstats.BPE_TOKEN_RE ('' = escaped quote)
+        "q_bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text,"
+            " '''[a-z]+| ?[a-z0-9]+| ?[^a-z0-9 \\t\\n\\r]+')) AS n_bpe_tokens"
             " FROM documents"
         ),
         "q_quality": (

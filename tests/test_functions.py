@@ -215,3 +215,26 @@ class TestSlidingWindows:
         # hour window, 15-min slide: event at t=3600s is inside windows 1..4
         assert sorted(out["window_id"]) == [1, 2, 3, 4]
         assert (out["n_events"] == 1).all()
+
+
+class TestWinnowAndBpe:
+    def test_bpe_token_count(self):
+        t = pa.Table.from_pylist([{"doc_id": 1, "text": "the cat's hat, isn't it 42"}])
+        out = textstats.bpe_token_count_batch(t)
+        # the | cat | 's | hat | , | isn | 't | it | 42
+        assert out.column("n_bpe_tokens").to_pylist() == [9]
+
+    def test_winnow_shifted_copies_share_fingerprints(self):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        t = pa.Table.from_pylist(
+            [{"doc_id": 1, "text": "XXXXX " + base}, {"doc_id": 2, "text": base}]
+        )
+        f = textstats.winnow_fingerprints_batch(t).column("fingerprints").to_pylist()
+        s1, s2 = set(f[0]), set(f[1])
+        j = len(s1 & s2) / len(s1 | s2)
+        assert j > 0.6  # winnowing guarantees shared fingerprints on copies
+
+    def test_winnow_deterministic_and_short_text(self):
+        t = pa.Table.from_pylist([{"doc_id": 1, "text": "tiny"}])
+        a = textstats.winnow_fingerprints_batch(t).column("fingerprints").to_pylist()
+        assert a == [[]]  # shorter than k-gram size -> no fingerprints
