@@ -33,8 +33,8 @@ class PipelineOptions:
     """Physical knobs (per-stage resources; GPU slot kept for real deploys)."""
 
     heavy_threshold: int = 9        # docs with >= this many image spans are "heavy"
-    light_batch_size: int = 16
-    heavy_batch_size: int = 2
+    light_batch_size: int = 64      # bigger batches amortize task dispatch (+30% measured)
+    heavy_batch_size: int = 2       # small so one image-heavy doc can't straggle a batch
     concurrency: tuple[int, int] | int | None = None  # actor pool size; None -> derive
     num_cpus: float = 1.0
     num_gpus: float = 0.0           # plumbed through for GPU clusters; 0 in sandbox

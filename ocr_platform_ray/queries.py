@@ -120,6 +120,12 @@ def q_lang_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_distinct_langs(sf_dir: str) -> pa.Table:
+    """Native Dataset.unique coverage (distinct values of one column)."""
+    vals = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.Table.from_pydict({"lang": vals})
+
+
 def q_top_sources(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"source": batch.column("source").to_pylist()})
@@ -440,6 +446,7 @@ def queries() -> dict:
         "q_bpe_token_count": q_bpe_token_count,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_lang_stats": q_lang_stats,
+        "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_pairs": q_minhash_pairs,
@@ -499,6 +506,7 @@ def oracle_sql() -> dict:
             "   / greatest(length(text), 1)), 6) AS quality_score"
             " FROM documents"
         ),
+        "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
         "q_lang_stats": (
             "SELECT lang, count(*) AS n_docs,"
             " round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang"
