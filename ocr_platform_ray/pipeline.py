@@ -38,6 +38,10 @@ class PipelineOptions:
     concurrency: tuple[int, int] | int | None = None  # actor pool size; None -> derive
     num_cpus: float = 1.0
     num_gpus: float = 0.0           # plumbed through for GPU clusters; 0 in sandbox
+    # retry budget (reference: Celery autoretry <=3/<=2, ocr_tasks.py:58-65;
+    # here: Ray actor restarts + per-task retries, lineage re-executes blocks)
+    max_restarts: int = 2
+    max_task_retries: int = 3
 
     def pool(self) -> tuple[int, int] | int:
         if self.concurrency is not None:
@@ -70,7 +74,11 @@ class PipelineOptions:
         return self.slots() >= 4
 
     def actor_kwargs(self) -> dict:
-        kw: dict = {"num_cpus": self.num_cpus}
+        kw: dict = {
+            "num_cpus": self.num_cpus,
+            "max_restarts": self.max_restarts,
+            "max_task_retries": self.max_task_retries,
+        }
         if self.num_gpus:
             kw["num_gpus"] = self.num_gpus
         return kw
