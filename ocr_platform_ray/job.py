@@ -28,6 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-side", type=int, default=1200)
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init(num_cpus=...) when starting a fresh local session")
+    p.add_argument("--target-block-size-mb", type=int, default=None,
+                   help="DataContext.target_max_block_size for wide binary rows")
     args = p.parse_args(argv)
 
     import ray
@@ -42,7 +44,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if args.target_block_size_mb:
+        ctx.target_max_block_size = args.target_block_size_mb * 1024 * 1024
 
     from .checkpoint import run_job
     from .kernels.extract import ExtractConfig
