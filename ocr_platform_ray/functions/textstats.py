@@ -41,19 +41,16 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     n_chars = pc.cast(pc.utf8_length(text), pa.float64())
     n_alpha = pc.cast(pc.count_substring_regex(text, pattern=ALPHA_RE), pa.float64())
     n_tok = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_RE), pa.float64())
-    denom = pc.max_element_wise(n_chars, pa.scalar(1.0))
-    # DuckDB rounds half away from zero; association order mirrored in the SQL
-    alpha_ratio = pc.round(
-        pc.divide(n_alpha, denom), ndigits=6, round_mode="half_towards_infinity"
-    )
-    score = pc.round(
-        pc.multiply(
-            pc.min_element_wise(pc.divide(n_tok, pa.scalar(100.0)), pa.scalar(1.0)),
-            pc.divide(n_alpha, denom),
-        ),
-        ndigits=6,
-        round_mode="half_towards_infinity",
-    )
+    # numpy floor-based rounding (floor(x*1e6+0.5)/1e6) — produces the
+    # identical double DuckDB's round() does; pyarrow's pc.round can land on
+    # a different nearest-double for the same 6-decimal value
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    na = n_alpha.to_numpy(zero_copy_only=False)
+    nt = n_tok.to_numpy(zero_copy_only=False)
+    denom = np.maximum(nc, 1.0)
+    alpha_ratio = pa.array(np.floor(na / denom * 1e6 + 0.5) / 1e6)
+    raw_score = np.minimum(nt / 100.0, 1.0) * (na / denom)
+    score = pa.array(np.floor(raw_score * 1e6 + 0.5) / 1e6)
     out = batch.append_column("n_tokens", pc.cast(n_tok, pa.int64()))
     out = out.append_column("alpha_ratio", alpha_ratio)
     return out.append_column("quality_score", score)

@@ -541,8 +541,8 @@ def oracle_sql() -> dict:
         "q_pricing": (
             "SELECT l_returnflag, l_linestatus,"
             " round(sum(l_quantity), 2) AS sum_qty,"
-            " round(sum(l_extendedprice), 2) AS sum_base_price,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+            " round(sum(l_extendedprice), 0) AS sum_base_price,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,"
             " count(*) AS n_rows FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
