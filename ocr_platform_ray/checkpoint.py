@@ -133,21 +133,27 @@ def run_shard(
     os.makedirs(tmp_dir, exist_ok=True)
 
     ds = _shard_dataset(plan)
+    stage_times: dict[str, float] = {}
     if two_phase:
         det_dir = os.path.join(out_dir, "detect", f"part-{sid:05d}")
         det_tmp = os.path.join(out_dir, "detect", f".tmp-part-{sid:05d}")
         shutil.rmtree(det_tmp, ignore_errors=True)
         os.makedirs(det_tmp, exist_ok=True)
+        t_det = time.perf_counter()
         build_detect_pipeline(ds, cfg=cfg, opts=opts).write_parquet(det_tmp)
+        stage_times["detect_s"] = round(time.perf_counter() - t_det, 4)
         shutil.rmtree(det_dir, ignore_errors=True)
         os.replace(det_tmp, det_dir)  # DETECT_DONE boundary committed
         detected = rd.read_parquet(det_dir)
+        t_rec = time.perf_counter()
         out = build_recognize_pipeline(
             detected, cfg=cfg, opts=opts, overrides=overrides
         )
+        out.write_parquet(tmp_dir)
+        stage_times["recognize_s"] = round(time.perf_counter() - t_rec, 4)
     else:
         out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
-    out.write_parquet(tmp_dir)
+        out.write_parquet(tmp_dir)
 
     # gather lineage stats from the written shard (cheap: metadata + one scan)
     written = rd.read_parquet(tmp_dir)
@@ -184,6 +190,7 @@ def run_shard(
         "wall_time_s": round(wall, 4),
         "docs_per_s": round(n_docs / wall, 3) if wall > 0 else None,
         "two_phase": two_phase,
+        "stage_times": stage_times,
         "status": "DONE",
     }
     mpath = _manifest_path(out_dir, sid)
