@@ -10,7 +10,11 @@ is a per-row dict join; these are the cross-table generalizations a
   on the key, ``num_partitions`` sized to the cluster;
 - bucketed pandas merge fallback: explicit hash-bucket groupby + per-bucket
   ``pd.merge`` (portable to Ray versions without Dataset.join; also the
-  place to salt hot keys).
+  place to salt hot keys);
+- as-of join (Ray Data has no native one): per-key groupby + sorted
+  ``pd.merge_asof`` inside map_groups. Partitioning assumption: all rows
+  of one key fit one group (true for per-user event history; salt by time
+  range for pathological keys).
 """
 
 from __future__ import annotations
@@ -86,3 +90,54 @@ def bucketed_merge_join(
         return gl.merge(gr, left_on=on, right_on=right_on, how="inner")
 
     return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_matched",
+) -> rd.Dataset:
+    """For each left row, attach the most recent right row of the same
+    ``key`` with right.ts <= left.ts (DuckDB ASOF LEFT JOIN semantics).
+
+    Both sides are tagged, unioned (schemas padded), grouped by key, and
+    matched with ``pd.merge_asof`` over the sorted group — one shuffle on
+    the key, everything else row-local."""
+    lsch = left.schema()
+    lcols = list(lsch.names)
+    rcols = [key, ts] + value_cols
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in set(lcols) | set(rcols):
+                names.append(c)
+                if c in batch.column_names:
+                    arrays.append(batch.column(c))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, pa.int64()))
+            names.append("__side")
+            arrays.append(pa.array([side] * batch.num_rows))
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return fn
+
+    lb = left.map_batches(tag("l", lcols), batch_format="pyarrow")
+    rb = right.select_columns(rcols).map_batches(tag("r", rcols), batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == "l"][lcols].sort_values(ts)
+        gr = g[g["__side"] == "r"][rcols].sort_values(ts)
+        if gl.empty:
+            return pd.DataFrame(columns=lcols + [c + suffix for c in [ts] + value_cols])
+        renames = {c: c + suffix for c in [ts] + value_cols}
+        gr = gr.rename(columns=renames).drop(columns=[key])
+        out = pd.merge_asof(
+            gl, gr, left_on=ts, right_on=ts + suffix, direction="backward"
+        )
+        return out
+
+    return lb.union(rb).groupby(key).map_groups(match, batch_format="pandas")

@@ -202,6 +202,36 @@ def q_sessions(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
+    """As-of join: each click event matched to the user's most recent
+    prior (or simultaneous) view event."""
+    from .functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    views = ev.filter(expr="event_type == 'view'").select_columns(["user_id", "ts"])
+    out = asof_join(clicks, views, key="user_id", ts="ts", value_cols=[])
+
+    # rename via an arrow batch op (Dataset.rename_columns trips on
+    # pandas-format blocks emitted by map_groups in ray 2.49)
+    def project(batch: pa.Table) -> pa.Table:
+        # event_id picks up float64 from the padded union (NaN on the right
+        # side's rows) — cast back to the input's int64
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("event_id"), pa.int64()),
+                batch.column("ts_matched"),
+            ],
+            names=["event_id", "matched_ts"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- relational
 
 def q_pricing(sf_dir: str) -> rd.Dataset:
@@ -459,6 +489,7 @@ def queries() -> dict:
         "q_sessions": q_sessions,
         "q_pricing": q_pricing,
         "q_top_customers": q_top_customers,
+        "q_asof_view_before_click": q_asof_view_before_click,
         "q_sliding_windows": q_sliding_windows,
         "q_top_events": q_top_events,
         "q_lineitem_agg": q_lineitem_agg,
@@ -546,6 +577,12 @@ def oracle_sql() -> dict:
             " count(*) AS n_rows FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_asof_view_before_click": (
+            "SELECT c.event_id, v.ts AS matched_ts"
+            " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+            " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
+            " ON c.user_id = v.user_id AND c.ts >= v.ts"
         ),
         "q_sliding_windows": (
             "SELECT event_type, window_id, count(*) AS n_events,"

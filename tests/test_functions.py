@@ -238,3 +238,30 @@ class TestWinnowAndBpe:
         t = pa.Table.from_pylist([{"doc_id": 1, "text": "tiny"}])
         a = textstats.winnow_fingerprints_batch(t).column("fingerprints").to_pylist()
         assert a == [[]]  # shorter than k-gram size -> no fingerprints
+
+
+class TestAsofJoin:
+    def test_backward_match(self):
+        import pyarrow as pa
+
+        from ocr_platform_ray.functions.joins import asof_join
+
+        us = 10**6
+        left = _ds([
+            {"event_id": 1, "user_id": 1, "ts": 100 * us},
+            {"event_id": 2, "user_id": 1, "ts": 50 * us},
+            {"event_id": 3, "user_id": 2, "ts": 100 * us},   # user 2: no views
+        ])
+        right = _ds([
+            {"user_id": 1, "ts": 60 * us},
+            {"user_id": 1, "ts": 90 * us},
+            {"user_id": 1, "ts": 150 * us},  # after both clicks
+        ])
+        out = asof_join(left, right, key="user_id", ts="ts", value_cols=[]).to_pandas()
+        got = dict(zip(out["event_id"], out["ts_matched"]))
+        assert got[1.0] == 90 * us       # most recent at-or-before 100
+        assert pd.isna(got[2.0])         # nothing at-or-before 50
+        assert pd.isna(got[3.0])         # no right rows for user 2
+
+
+import pandas as pd  # noqa: E402  (used by TestAsofJoin)
