@@ -250,6 +250,26 @@ def q_pricing(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Percentile aggregates per group (exact, linear interpolation —
+    matches DuckDB quantile_cont)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["l_extendedprice"].quantile([0.5, 0.95], interpolation="linear")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_price": [round_half_away(float(q.loc[0.5]), 2)],
+                "p95_price": [round_half_away(float(q.loc[0.95]), 2)],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(per_flag, batch_format="pandas")
+
+
 def q_top_customers(sf_dir: str) -> rd.Dataset:
     out = relational.top_customers(
         rd.read_parquet(
@@ -488,6 +508,7 @@ def queries() -> dict:
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_pricing": q_pricing,
+        "q_price_quantiles": q_price_quantiles,
         "q_top_customers": q_top_customers,
         "q_asof_view_before_click": q_asof_view_before_click,
         "q_sliding_windows": q_sliding_windows,
@@ -568,6 +589,12 @@ def oracle_sql() -> dict:
             "    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
             "       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events)"
             " GROUP BY user_id"
+        ),
+        "q_price_quantiles": (
+            "SELECT l_returnflag,"
+            " round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,"
+            " round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "q_pricing": (
             "SELECT l_returnflag, l_linestatus,"
