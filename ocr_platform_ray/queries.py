@@ -202,6 +202,26 @@ def q_sessions(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_running_total(sf_dir: str) -> rd.Dataset:
+    """Window-function analogue: per-user running sum of value in ts order
+    (sorted cumulative sum inside map_groups)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        run = g["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "running_value": [round_half_away(float(x), 6) for x in run],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     """As-of join: each click event matched to the user's most recent
     prior (or simultaneous) view event."""
@@ -507,6 +527,7 @@ def queries() -> dict:
         "q_embedding_dups": q_embedding_dups,
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
+        "q_running_total": q_running_total,
         "q_pricing": q_pricing,
         "q_price_quantiles": q_price_quantiles,
         "q_top_customers": q_top_customers,
@@ -580,6 +601,11 @@ def oracle_sql() -> dict:
             " CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,"
             " count(*) AS n_events, round(sum(value), 6) AS value_sum"
             " FROM events GROUP BY 1, 2"
+        ),
+        "q_running_total": (
+            "SELECT event_id, round(sum(value) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value"
+            " FROM events"
         ),
         "q_sessions": (
             "SELECT user_id, count(*) AS n_events,"
