@@ -107,6 +107,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_ann_topk", q.q_ann_topk),
         ("q_quality", q.q_quality),
         ("q_sessions", q.q_sessions),
+        ("q_running_total", q.q_running_total),
+        ("q_asof_view_before_click", q.q_asof_view_before_click),
+        ("q_price_quantiles", q.q_price_quantiles),
+        ("q_lineitem_agg", q.q_lineitem_agg),
+        ("q_orders_by_nation", q.q_orders_by_nation),
+        ("q_sliding_windows", q.q_sliding_windows),
     ]:
         t0 = time.perf_counter()
         _consume_count(fn(sf_dir))
