@@ -202,6 +202,16 @@ def q_sessions(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_approx_distinct_users(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog approximate distinct users per event type (mergeable
+    sketch: per-batch partial registers -> elementwise-max merge; rows-only
+    — estimates deviate from exact counts by design, ~1.6% at p=12)."""
+    from .functions.sketches import approx_distinct_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_per_key(ds, "event_type", "user_id")
+
+
 def q_running_total(sf_dir: str) -> rd.Dataset:
     """Window-function analogue: per-user running sum of value in ts order
     (sorted cumulative sum inside map_groups)."""
@@ -528,6 +538,7 @@ def queries() -> dict:
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
+        "q_approx_distinct_users": q_approx_distinct_users,
         "q_pricing": q_pricing,
         "q_price_quantiles": q_price_quantiles,
         "q_top_customers": q_top_customers,

@@ -265,3 +265,40 @@ class TestAsofJoin:
 
 
 import pandas as pd  # noqa: E402  (used by TestAsofJoin)
+
+
+class TestHll:
+    def test_estimate_within_error(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_platform_ray.functions import sketches
+
+        vals = pa.array([f"user-{i}" for i in range(10000)])
+        est = sketches.estimate(sketches._registers(vals))
+        assert abs(est - 10000) / 10000 < 0.05
+
+    def test_merge_equals_union(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_platform_ray.functions import sketches
+
+        a = pa.array([f"u{i}" for i in range(0, 6000)])
+        b = pa.array([f"u{i}" for i in range(3000, 9000)])  # overlap 3000
+        merged = np.maximum(sketches._registers(a), sketches._registers(b))
+        both = pa.array([f"u{i}" for i in range(0, 9000)])
+        assert sketches.estimate(merged) == sketches.estimate(
+            sketches._registers(both)
+        )  # sketch merge is exact union of sketches
+
+    def test_distributed_per_key(self):
+        from ocr_platform_ray.functions.sketches import approx_distinct_per_key
+
+        rows = [
+            {"k": "a", "v": f"x{i % 500}"} for i in range(5000)
+        ] + [{"k": "b", "v": f"y{i}"} for i in range(2000)]
+        out = approx_distinct_per_key(_ds(rows), "k", "v").to_pandas()
+        got = dict(zip(out["k"], out["approx_distinct"]))
+        assert abs(got["a"] - 500) / 500 < 0.05
+        assert abs(got["b"] - 2000) / 2000 < 0.05
