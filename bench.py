@@ -39,6 +39,8 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE") == "hash":
+        ctx.shuffle_strategy = "hash_shuffle"
 
 
 def _consume_count(ds) -> int:

@@ -12,9 +12,13 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    import os
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE") == "hash":
+        ctx.shuffle_strategy = "hash_shuffle"
     yield
     ray.shutdown()

@@ -59,7 +59,10 @@ def main():
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE") == "hash":
+        ctx.shuffle_strategy = "hash_shuffle"
 
     import __ray_entry__ as entrymod
 
