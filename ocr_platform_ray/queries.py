@@ -232,6 +232,19 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
+    """Top-k-per-group (row_number window analogue): each user's first 3
+    events in (ts, event_id) order."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(3)[["user_id", "event_id"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     """As-of join: each click event matched to the user's most recent
     prior (or simultaneous) view event."""
@@ -538,6 +551,7 @@ def queries() -> dict:
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
+        "q_first_events_per_user": q_first_events_per_user,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_pricing": q_pricing,
         "q_price_quantiles": q_price_quantiles,
@@ -612,6 +626,11 @@ def oracle_sql() -> dict:
             " CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,"
             " count(*) AS n_events, round(sum(value), 6) AS value_sum"
             " FROM events GROUP BY 1, 2"
+        ),
+        "q_first_events_per_user": (
+            "SELECT user_id, event_id FROM events"
+            " QUALIFY row_number() OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id) <= 3"
         ),
         "q_running_total": (
             "SELECT event_id, round(sum(value) OVER ("
