@@ -19,7 +19,21 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 # Ray's sort-based shuffle costs O(input blocks x reduce tasks) scheduling, so
 # tiny exploded tables in many blocks pay seconds of pure overhead. At real
 # scale the intermediates are large and keep their natural partitioning.
-SHUFFLE_BLOCKS = 8
+SHUFFLE_BLOCKS = 8  # floor (measured sweet spot for tiny intermediates)
+
+
+def shuffle_blocks() -> int:
+    """Pre-groupby compaction width: floor of SHUFFLE_BLOCKS at test scale,
+    scaling with the cluster so reduce parallelism isn't hard-capped at 8
+    blocks on a 256-node cluster (half the CPUs: the map side of the
+    shuffle still needs slots while reducers run)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(SHUFFLE_BLOCKS, ncpu // 2)
 
 
 def _text_hash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -44,7 +58,7 @@ def distinct_pairs(pairs: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
 
     return (
         pairs.map_batches(add_pb, batch_format="pyarrow")
-        .repartition(SHUFFLE_BLOCKS)
+        .repartition(shuffle_blocks())
         .groupby("pb")
         .map_groups(dedupe, batch_format="pandas")
     )
@@ -72,7 +86,7 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
 
     return (
-        partials.repartition(SHUFFLE_BLOCKS)
+        partials.repartition(shuffle_blocks())
         .groupby("text")
         .map_groups(final, batch_format="pandas")
     )
@@ -204,7 +218,7 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
 
     pairs = (
         bands.map_batches(add_coarse, batch_format="pyarrow")
-        .repartition(SHUFFLE_BLOCKS)
+        .repartition(shuffle_blocks())
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
@@ -313,11 +327,13 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         return batch.append_column("cb", pa.array(blk * 256 + (bv & 255)))
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        out = {"doc_a": [], "doc_b": [], "hamming": [], "truncated": []}
         for (_blk, _bv), sub in g.groupby(["block", "block_val"], sort=True):
-            sub = sub.drop_duplicates("doc_id").sort_values("doc_id").head(64)
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
             if len(sub) < 2:
                 continue
+            truncated = len(sub) > 64  # capped hot bucket: pairs may be missed
+            sub = sub.head(64)
             ids = np.asarray(sub["doc_id"].tolist())
             hs = sub["simhash64"].to_numpy().astype(np.uint64)
             # vectorized pairwise Hamming: XOR -> bytes -> unpackbits -> sum
@@ -330,11 +346,12 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             out["doc_a"].extend(ids[ii[keep]].tolist())
             out["doc_b"].extend(ids[jj[keep]].tolist())
             out["hamming"].extend(ham[ii[keep], jj[keep]].astype(int).tolist())
+            out["truncated"].extend([truncated] * int(keep.sum()))
         return pd.DataFrame(out)
 
     pairs = (
         blocks.map_batches(add_coarse, batch_format="pyarrow")
-        .repartition(SHUFFLE_BLOCKS)
+        .repartition(shuffle_blocks())
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )

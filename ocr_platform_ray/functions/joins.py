@@ -106,38 +106,56 @@ def asof_join(
     Both sides are tagged, unioned (schemas padded), grouped by key, and
     matched with ``pd.merge_asof`` over the sorted group — one shuffle on
     the key, everything else row-local."""
-    lsch = left.schema()
+    lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
     rcols = [key, ts] + value_cols
+    # deterministic union column list + true types computed ONCE on the
+    # driver (per-worker set() iteration order varies with PYTHONHASHSEED,
+    # and padding everything as int64 breaks string/float value_cols)
+    types = {n: t for n, t in zip(lsch.names, lsch.types)}
+    types.update({n: t for n, t in zip(rsch.names, rsch.types)})
+    all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    def tag(side: str, cols: list[str]):
+    def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             arrays, names = [], []
-            for c in set(lcols) | set(rcols):
+            for c in all_cols:
                 names.append(c)
                 if c in batch.column_names:
                     arrays.append(batch.column(c))
                 else:
-                    arrays.append(pa.nulls(batch.num_rows, pa.int64()))
+                    arrays.append(pa.nulls(batch.num_rows, types[c]))
             names.append("__side")
             arrays.append(pa.array([side] * batch.num_rows))
             return pa.Table.from_arrays(arrays, names=names)
 
         return fn
 
-    lb = left.map_batches(tag("l", lcols), batch_format="pyarrow")
-    rb = right.select_columns(rcols).map_batches(tag("r", rcols), batch_format="pyarrow")
+    lb = left.map_batches(tag("l"), batch_format="pyarrow")
+    rb = right.select_columns(rcols).map_batches(tag("r"), batch_format="pyarrow")
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
+    # typed output schema (pandas promotes int cols with NaN/nulls to
+    # float64 inside the group — rebuild with the true Arrow types)
+    out_fields = [(c, types[c]) for c in lcols] + [
+        (c + suffix, types[c]) for c in [ts] + value_cols
+    ]
+
+    def match(g: pd.DataFrame):
         gl = g[g["__side"] == "l"][lcols].sort_values(ts)
         gr = g[g["__side"] == "r"][rcols].sort_values(ts)
         if gl.empty:
-            return pd.DataFrame(columns=lcols + [c + suffix for c in [ts] + value_cols])
+            return pa.Table.from_arrays(
+                [pa.array([], t) for _, t in out_fields],
+                names=[n for n, _ in out_fields],
+            )
         renames = {c: c + suffix for c in [ts] + value_cols}
         gr = gr.rename(columns=renames).drop(columns=[key])
         out = pd.merge_asof(
             gl, gr, left_on=ts, right_on=ts + suffix, direction="backward"
         )
-        return out
+        return pa.Table.from_arrays(
+            [pa.array(out[n], type=t, from_pandas=True) for n, t in out_fields],
+            names=[n for n, _ in out_fields],
+        )
 
     return lb.union(rb).groupby(key).map_groups(match, batch_format="pandas")

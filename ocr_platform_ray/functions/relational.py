@@ -116,4 +116,7 @@ def top_customers(
         )
 
     per_cust = partials.groupby("o_custkey").map_groups(final, batch_format="pandas")
-    return per_cust.sort("total_spent", descending=True).limit(k)
+    # tie-break matches the oracle's ORDER BY total_spent DESC, c_custkey
+    return per_cust.sort(
+        ["total_spent", "c_custkey"], descending=[True, False]
+    ).limit(k)

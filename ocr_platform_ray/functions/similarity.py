@@ -55,7 +55,9 @@ def topk_cosine(ds: rd.Dataset, query: list[float], k: int = 10) -> rd.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.sort("cos_sim", descending=True).limit(k)
+    # tie-break on vec_id so a cos_sim tie at the rank-k boundary picks the
+    # same rows as the oracle's ORDER BY cos_sim DESC, vec_id
+    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
 N_PLANES = 12
@@ -111,7 +113,7 @@ def topk_cosine_lsh(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.sort("cos_sim", descending=True).limit(k)
+    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
 def embedding_dup_pairs(
@@ -152,10 +154,10 @@ def embedding_dup_pairs(
                     out["cos_sim"].append(round(float(sims[i, j]), 6))
         return pd.DataFrame(out)
 
-    from .dedup import SHUFFLE_BLOCKS, distinct_pairs
+    from .dedup import distinct_pairs, shuffle_blocks
 
     pairs = (
-        bucketed.repartition(SHUFFLE_BLOCKS)
+        bucketed.repartition(shuffle_blocks())
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

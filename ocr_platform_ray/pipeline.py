@@ -3,11 +3,16 @@
 Physical design (SURVEY §4, §7.4):
 - the main path has ZERO shuffles — every span of a document lives in its
   row, so normalize / detect / recognize / merge are all row-local;
-- skew (north_rule): documents are bucketed by image-span count; the light
-  and heavy buckets run the extract actor pool with different batch sizes
-  (a heavy batch of 256-image docs would straggle a light-sized batch), and
-  the branches are unioned. Cost: the cheap count stage runs once per
-  branch; the expensive extract stage runs exactly once per row.
+- skew (north_rule): handled by batch-cost bounding. Measured on the bench
+  corpus (sf0.1): n_image_spans mean 3, p99 35, max 40 — a uniform 32-doc
+  batch's cost variance is small, and a uniform single stage matches the
+  round-1 two-branch bucket split while reading + normalizing the corpus
+  exactly ONCE and keeping full streaming overlap (the split re-executed
+  the shared prefix per branch = 2x read). For corpora with a true heavy
+  tail (docs with hundreds of images), ``skew_mode="bucketed"`` restores
+  per-bucket batch sizes over a materialized prepared boundary (still one
+  scan; costs the pipelining overlap — measured +4 s at sf0.1, which is
+  why it is opt-in).
 - stateful stages are actor pools (model state in ``__init__``);
   ``concurrency`` sized from the cluster so no stage starves the others.
 """
@@ -33,8 +38,10 @@ class PipelineOptions:
     """Physical knobs (per-stage resources; GPU slot kept for real deploys)."""
 
     heavy_threshold: int = 9        # docs with >= this many image spans are "heavy"
-    light_batch_size: int = 64      # bigger batches amortize task dispatch (+30% measured)
-    heavy_batch_size: int = 2       # small so one image-heavy doc can't straggle a batch
+    light_batch_size: int = 64      # bucketed mode: light-bucket batch size
+    heavy_batch_size: int = 2       # bucketed mode: one heavy doc can't straggle a batch
+    uniform_batch_size: int = 32    # uniform mode (measured best of 8/16/32/64 at sf0.1)
+    skew_mode: str = "uniform"      # "uniform" | "bucketed" (extreme heavy tails)
     concurrency: tuple[int, int] | int | None = None  # actor pool size; None -> derive
     num_cpus: float = 1.0
     num_gpus: float = 0.0           # plumbed through for GPU clusters; 0 in sandbox
@@ -51,11 +58,13 @@ class PipelineOptions:
         except Exception:
             ncpu = 8
         slots = max(2, int(ncpu / max(self.num_cpus, 0.25)))
-        # min = slots/4 per pool: two bucket branches together pre-warm half
-        # the CPUs (autoscaling from 1 ramps too slowly) while never
-        # reserving them all — a fixed pool of ncpu actors across branches
-        # starves the upstream task stages and deadlocks the pipeline.
-        return (max(1, slots // 4), slots)
+        # autoscaling (min, max): uniform mode runs ONE pool, so pre-warm
+        # half the CPUs (ramping from 1 is too slow); bucketed mode runs two
+        # pools, so a quarter each. Never reserve them all — a fixed pool of
+        # ncpu actors starves the upstream task stages and deadlocks the
+        # streaming executor.
+        div = 4 if self.skew_mode == "bucketed" else 2
+        return (max(1, slots // div), slots)
 
     def slots(self) -> int:
         if isinstance(self.concurrency, tuple):
@@ -66,12 +75,11 @@ class PipelineOptions:
         return pool[1] if isinstance(pool, tuple) else pool
 
     def use_buckets(self) -> bool:
-        """The two-branch bucket split needs >= 4 actor slots: each branch
-        pre-starts one actor, and the upstream task stages need CPUs too —
-        on a 2-CPU session the minimum actors alone reserve every CPU and
-        the pipeline deadlocks. Below that, run one stage (skew bucketing
-        is a scale feature; a 2-CPU session has no stragglers to balance)."""
-        return self.slots() >= 4
+        """Bucketed mode needs >= 4 actor slots: each branch pre-starts one
+        actor, and the upstream task stages need CPUs too — on a 2-CPU
+        session the minimum actors alone reserve every CPU and the pipeline
+        deadlocks. Uniform mode (default) never branches."""
+        return self.skew_mode == "bucketed" and self.slots() >= 4
 
     def actor_kwargs(self) -> dict:
         kw: dict = {
@@ -141,9 +149,25 @@ def _prepared(ds: rd.Dataset) -> rd.Dataset:
 def _bucketed(
     ds: rd.Dataset, stage_cls, opts: PipelineOptions, fn_constructor_kwargs: dict
 ) -> rd.Dataset:
-    """Skew-handled actor stage: split by span-count bucket, per-bucket
-    batch size, union. Every row passes the expensive stage exactly once."""
-    prepared = _prepared(ds)
+    """Skew-handled actor stage over already-prepared rows (must carry
+    ``n_image_spans``).
+
+    Default ("uniform"): ONE actor pool with a moderate uniform batch size.
+    Single scan, zero branches, full streaming overlap; batch-cost variance
+    is bounded because batch cost is a 32-doc sum (see module docstring).
+
+    "bucketed": materialize the cheap prepared boundary once, then split by
+    span-count bucket with per-bucket batch sizes and union. Branching a
+    lazy Dataset re-executes the shared prefix per branch (round 1 read +
+    normalized the corpus twice); materializing first pins the prepared
+    blocks in the object store (spilling to local disk beyond memory), at
+    the cost of the read/actor-startup overlap (~+4 s at sf0.1). Two other
+    designs were measured and rejected: the lazy two-branch split (2x read
+    at any scale) and a generator rebatch stage feeding a
+    ``batch_size=None`` actor stage (yielded chunks are re-coalesced by the
+    output block builder up to target_max_block_size, so the actors saw
+    giant mixed batches). Every row passes the expensive stage exactly
+    once in all modes."""
     common = dict(
         batch_format="pyarrow",
         concurrency=opts.pool(),
@@ -151,9 +175,10 @@ def _bucketed(
         **opts.actor_kwargs(),
     )
     if not opts.use_buckets():
-        return prepared.map_batches(
-            stage_cls, batch_size=opts.heavy_batch_size, **common
+        return ds.map_batches(
+            stage_cls, batch_size=opts.uniform_batch_size, **common
         )
+    prepared = ds.materialize()
     light = prepared.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
     heavy = prepared.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
     out_light = light.map_batches(stage_cls, batch_size=opts.light_batch_size, **common)
@@ -174,7 +199,7 @@ def build_extract_pipeline(
     opts = opts or PipelineOptions()
     ov_ref = ray.put(overrides) if overrides else None
     return _bucketed(
-        ds, ExtractStage, opts, {"cfg": cfg, "overrides_ref": ov_ref}
+        _prepared(ds), ExtractStage, opts, {"cfg": cfg, "overrides_ref": ov_ref}
     )
 
 
@@ -187,7 +212,7 @@ def build_detect_pipeline(
     with the embedded ``detect`` column. Checkpoint this to parquet."""
     cfg = cfg or ExtractConfig()
     opts = opts or PipelineOptions()
-    return _bucketed(ds, DetectStage, opts, {"cfg": cfg})
+    return _bucketed(_prepared(ds), DetectStage, opts, {"cfg": cfg})
 
 
 def build_recognize_pipeline(
@@ -203,23 +228,6 @@ def build_recognize_pipeline(
     cfg = cfg or ExtractConfig()
     opts = opts or PipelineOptions()
     ov_ref = ray.put(overrides) if overrides else None
-    kwargs = {"cfg": cfg, "overrides_ref": ov_ref}
-    common = dict(
-        batch_format="pyarrow",
-        concurrency=opts.pool(),
-        fn_constructor_kwargs=kwargs,
-        **opts.actor_kwargs(),
+    return _bucketed(
+        detected, RecognizeStage, opts, {"cfg": cfg, "overrides_ref": ov_ref}
     )
-    if not opts.use_buckets():
-        return detected.map_batches(
-            RecognizeStage, batch_size=opts.heavy_batch_size, **common
-        )
-    light = detected.filter(expr=f"n_image_spans < {opts.heavy_threshold}")
-    heavy = detected.filter(expr=f"n_image_spans >= {opts.heavy_threshold}")
-    out_light = light.map_batches(
-        RecognizeStage, batch_size=opts.light_batch_size, **common
-    )
-    out_heavy = heavy.map_batches(
-        RecognizeStage, batch_size=opts.heavy_batch_size, **common
-    )
-    return out_light.union(out_heavy)

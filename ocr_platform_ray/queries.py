@@ -262,13 +262,8 @@ def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     # rename via an arrow batch op (Dataset.rename_columns trips on
     # pandas-format blocks emitted by map_groups in ray 2.49)
     def project(batch: pa.Table) -> pa.Table:
-        # event_id picks up float64 from the padded union (NaN on the right
-        # side's rows) — cast back to the input's int64
         return pa.Table.from_arrays(
-            [
-                pc.cast(batch.column("event_id"), pa.int64()),
-                batch.column("ts_matched"),
-            ],
+            [batch.column("event_id"), batch.column("ts_matched")],
             names=["event_id", "matched_ts"],
         )
 

@@ -259,9 +259,33 @@ class TestAsofJoin:
         ])
         out = asof_join(left, right, key="user_id", ts="ts", value_cols=[]).to_pandas()
         got = dict(zip(out["event_id"], out["ts_matched"]))
-        assert got[1.0] == 90 * us       # most recent at-or-before 100
-        assert pd.isna(got[2.0])         # nothing at-or-before 50
-        assert pd.isna(got[3.0])         # no right rows for user 2
+        assert got[1] == 90 * us         # most recent at-or-before 100
+        assert pd.isna(got[2])           # nothing at-or-before 50
+        assert pd.isna(got[3])           # no right rows for user 2
+        # int columns keep their true dtype (typed padding; no float64 leak)
+        assert str(out["event_id"].dtype) == "int64"
+
+    def test_typed_value_cols(self):
+        """String + float value columns survive the padded union with their
+        true types (round-1 padded everything as int64 nulls)."""
+        from ocr_platform_ray.functions.joins import asof_join
+
+        left = _ds([
+            {"event_id": "a", "user_id": 1, "ts": 100},
+            {"event_id": "b", "user_id": 1, "ts": 10},
+        ])
+        right = _ds([
+            {"user_id": 1, "ts": 60, "label": "x", "score": 0.5},
+            {"user_id": 1, "ts": 90, "label": "y", "score": 1.5},
+        ])
+        out = asof_join(
+            left, right, key="user_id", ts="ts", value_cols=["label", "score"]
+        ).to_pandas()
+        got = {r["event_id"]: r for _, r in out.iterrows()}
+        assert got["a"]["label_matched"] == "y"
+        assert got["a"]["score_matched"] == 1.5
+        assert pd.isna(got["b"]["label_matched"])
+        assert str(out["event_id"].dtype) == "object"
 
 
 import pandas as pd  # noqa: E402  (used by TestAsofJoin)

@@ -70,3 +70,25 @@ def test_heavy_tail_extracts_correctly():
             ]
     assert got == expected
     assert len(got["doc-heavy"]) == 60  # one block per single-line image
+
+
+def test_bucketed_mode_matches_uniform():
+    """Opt-in skew_mode='bucketed' (materialized boundary + per-bucket
+    batch sizes) produces exactly the uniform-mode output."""
+    docs = _heavy_tail_docs()
+    expected = oracle.oracle_extract_docs(docs, ExtractConfig())
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    out = build_extract_pipeline(
+        ds,
+        opts=PipelineOptions(
+            skew_mode="bucketed", concurrency=(1, 4), heavy_batch_size=1
+        ),
+    )
+    got = {}
+    for batch in out.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            got[row["doc_id"]] = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in row["spans_out"]
+            ]
+    assert got == expected
