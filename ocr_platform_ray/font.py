@@ -172,36 +172,54 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
     glyph_runs = _runs(col_on)
     if not glyph_runs:
         return "", 1.0
-    chars: list[str] = []
-    confs: list[float] = []
-    prev_stop = None
     # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols); word gap >= 4*s
     space_gap = 3 * max(1, s)
     rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
     rows_grid = band[rr]  # (7, band_width) — gather rows once per band
-    for (x0, x1) in glyph_runs:
-        if prev_stop is not None and (x0 - prev_stop) > space_gap and chars:
+
+    # Vectorized over ALL glyph runs at once (a per-run Python loop of tiny
+    # numpy ops was the pipeline's hottest path — ~99k ndarray.sum calls per
+    # 512 docs). Semantics identical to the scalar loop: sample a cell grid
+    # per template width at cell centers, best Hamming similarity wins,
+    # CHARSET-order ties within a width, first width wins exact-ratio ties.
+    runs = np.asarray(glyph_runs, dtype=np.int64)
+    x0, x1 = runs[:, 0], runs[:, 1]
+    wrun = x1 - x0
+    n = len(runs)
+    best_hits = np.full(n, -1, dtype=np.int64)
+    best_cells = np.full(n, -1, dtype=np.int64)
+    best_k = np.zeros(n, dtype=np.int64)
+    best_group = np.zeros(n, dtype=np.int64)
+    widths = sorted(TPL_BY_WIDTH)
+    for gi, width in enumerate(widths):
+        tchars, tmats = TPL_BY_WIDTH[width]
+        j = np.arange(width)
+        cc = x0[:, None] + np.minimum(
+            (j[None, :] * wrun[:, None] + (wrun // 2)[:, None]) // width,
+            (wrun - 1)[:, None],
+        )  # (n, width) cell-center columns per run
+        cells = np.transpose(rows_grid[:, cc], (1, 0, 2))  # (n, 7, width)
+        hits = (
+            (tmats[None, :, :, :] == cells[:, None, :, :])
+            .reshape(n, len(tchars), -1)
+            .sum(axis=2)
+        )  # (n, n_templates)
+        k = np.argmax(hits, axis=1)  # first max = CHARSET-order tie-break
+        sim_num = hits[np.arange(n), k]
+        sim_den = GLYPH_H * width
+        better = (best_cells < 0) | (sim_num * best_cells > best_hits * sim_den)
+        best_hits = np.where(better, sim_num, best_hits)
+        best_cells = np.where(better, sim_den, best_cells)
+        best_k = np.where(better, k, best_k)
+        best_group = np.where(better, gi, best_group)
+    group_chars = [TPL_BY_WIDTH[w][0] for w in widths]
+    is_space = np.zeros(n, dtype=bool)
+    if n > 1:
+        is_space[1:] = (x0[1:] - x1[:-1]) > space_gap
+    chars: list[str] = []
+    for i in range(n):  # string assembly only — no numpy in this loop
+        if is_space[i]:
             chars.append(" ")
-        prev_stop = x1
-        wrun = x1 - x0
-        best_hits = -1
-        best_cells = -1
-        best_ch = "?"
-        # Sample a cell grid per template width at cell centers (exact for
-        # clean glyphs); best Hamming similarity wins, CHARSET-order ties.
-        for width in sorted(TPL_BY_WIDTH):
-            tchars, tmats = TPL_BY_WIDTH[width]
-            cc = x0 + np.minimum(
-                (np.arange(width) * wrun + wrun // 2) // width, wrun - 1
-            )
-            cells = rows_grid[:, cc]
-            hits = (tmats == cells[None, :, :]).reshape(len(tchars), -1).sum(axis=1)
-            k = int(np.argmax(hits))
-            sim_num, sim_den = int(hits[k]), GLYPH_H * width
-            # exact ratio compare (sim = hits/den); first width wins ties
-            if best_cells < 0 or sim_num * best_cells > best_hits * sim_den:
-                best_hits, best_cells = sim_num, sim_den
-                best_ch = tchars[k]
-        chars.append(best_ch)
-        confs.append(best_hits / best_cells if best_cells > 0 else 0.0)
-    return "".join(chars), (min(confs) if confs else 1.0)
+        chars.append(group_chars[best_group[i]][best_k[i]])
+    confs = best_hits / best_cells
+    return "".join(chars), float(confs.min())
