@@ -30,10 +30,25 @@ def hash_join(
     right: rd.Dataset,
     on: str,
     right_on: str | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     join_type: str = "inner",
 ) -> rd.Dataset:
-    """Native hash-partitioned join (Ray >= 2.46 Dataset.join)."""
+    """Native hash-partitioned join (Ray >= 2.46 Dataset.join).
+
+    ``num_partitions=None`` sizes partitions from the cluster: ncpu/4 with
+    a floor of 8. Measured at sf0.1 on one 32-CPU node: 8 partitions 2.5 s,
+    16 2.9 s, 32 14.5 s — each partition spawns a join-aggregator actor
+    that competes with the map side for CPUs, so partitions should be a
+    fraction of the cluster, not one per CPU; the floor keeps reduce
+    parallelism from collapsing on small sessions."""
+    if num_partitions is None:
+        import ray
+
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_partitions = max(8, ncpu // 4)
     return left.join(
         right,
         join_type=join_type,

@@ -116,6 +116,73 @@ def topk_cosine_lsh(
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def augment_with_planted(ds: rd.Dataset, id_offset: int = 100000) -> rd.Dataset:
+    """Deterministic near-dup augmentation (driver embeddings have no
+    natural near-dups — max off-diagonal cosine 0.51): for every even
+    vec_id, add a copy with the first half of the vector doubled (cosine
+    to its source lands in ~[0.94, 0.97], far above natural pairs). The
+    same derivation is SQL-expressible (list_concat/list_transform), so
+    the exact-dup operator gets a value-level DuckDB oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = _emb_matrix(batch)
+        sel = ids % 2 == 0
+        half = mat.shape[1] // 2
+        planted = mat[sel].copy()
+        planted[:, :half] *= 2.0
+        out_ids = np.concatenate([ids, ids[sel] + id_offset])
+        out_mat = np.concatenate([mat, planted])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_mat), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def embedding_dup_pairs_exact(ds: rd.Dataset, tau: float = 0.8) -> rd.Dataset:
+    """EXACT near-duplicate vector pairs (cosine >= tau): blocked brute
+    force — the normalized reference matrix is broadcast once via
+    ``ray.put`` and every batch matmuls against it, emitting pairs with
+    vec_id_a < vec_id_b. Quadratic compute distributed over batches; the
+    reference side must fit one node's memory (same contract as the
+    broadcast query matrix in ``topk_cosine``). This is the exact baseline
+    with full recall; ``embedding_dup_pairs`` (LSH blocking) is the scale
+    path when guaranteed recall isn't required."""
+    import ray
+
+    ref = ds.select_columns(["vec_id", "embedding"]).take_all()
+    ref.sort(key=lambda r: r["vec_id"])
+    ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
+    ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
+    ref_norm = ref_mat / np.maximum(
+        np.linalg.norm(ref_mat, axis=1), 1e-30
+    )[:, None]
+    ref_ref = ray.put((ref_ids, ref_norm))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        rids, rnorm = ray.get(ref_ref)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        mat = _emb_matrix(batch)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = nm @ rnorm.T
+        ii, jj = np.nonzero((sims >= tau) & (ids[:, None] < rids[None, :]))
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array(ids[ii], pa.int64()),
+                "vec_id_b": pa.array(rids[jj], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: rd.Dataset, tau: float = 0.95, n_planes: int = 8
 ) -> rd.Dataset:

@@ -185,7 +185,20 @@ def q_ann_topk_lsh(sf_dir: str) -> rd.Dataset:
 
 
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
-    return similarity.embedding_dup_pairs(_emb(sf_dir), tau=0.9)
+    """LSH-blocked near-dup pairs over the planted-augmented table (scale
+    path; recall < 1 by design -> rows-only driver check)."""
+    return similarity.embedding_dup_pairs(
+        similarity.augment_with_planted(_emb(sf_dir)), tau=0.8
+    )
+
+
+def q_embedding_dups_exact(sf_dir: str) -> rd.Dataset:
+    """Exact near-dup pairs (blocked brute force, full recall) over the
+    planted-augmented table — value-level DuckDB oracle."""
+    out = similarity.embedding_dup_pairs_exact(
+        similarity.augment_with_planted(_emb(sf_dir)), tau=0.8
+    )
+    return out.sort(["vec_id_a", "vec_id_b"])
 
 
 # ------------------------------------------------------------------- events
@@ -368,7 +381,9 @@ def q_lineitem_agg(sf_dir: str) -> rd.Dataset:
 
 def q_orders_by_nation(sf_dir: str) -> rd.Dataset:
     """Native hash join (Dataset.join) orders x customer -> per-nation
-    aggregate."""
+    aggregate. Orders are partial-aggregated per custkey INSIDE map_batches
+    before the join (the join is against a per-custkey dimension, so the
+    probe side shrinks ~10x and the shuffle moves partials, not rows)."""
     from .functions.joins import hash_join
 
     orders = rd.read_parquet(
@@ -377,18 +392,35 @@ def q_orders_by_nation(sf_dir: str) -> rd.Dataset:
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                       num_partitions=8)
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(),
+                "total": batch.column("o_totalprice").to_numpy(),
+            }
+        )
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("total", "size"), total=("total", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # large batches so in-batch custkey dedupe actually shrinks the shuffle
+    order_partials = orders.map_batches(
+        pre_agg, batch_format="pyarrow", batch_size=16384
+    )
+    joined = hash_join(order_partials, cust, on="o_custkey", right_on="c_custkey")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "nation": batch.column("c_nationkey").to_numpy(),
-                "total": batch.column("o_totalprice").to_numpy(),
+                "n_orders": batch.column("n_orders").to_numpy(),
+                "total": batch.column("total").to_numpy(),
             }
         )
         agg = df.groupby("nation", as_index=False).agg(
-            n_orders=("total", "size"), total_spent=("total", "sum")
+            n_orders=("n_orders", "sum"), total_spent=("total", "sum")
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
@@ -543,6 +575,7 @@ def queries() -> dict:
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
         "q_embedding_dups": q_embedding_dups,
+        "q_embedding_dups_exact": q_embedding_dups_exact,
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
@@ -610,6 +643,20 @@ def oracle_sql() -> dict:
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_embedding_dups_exact": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+            " FROM embeddings),"
+            " aug AS (SELECT vec_id, emb FROM base"
+            "  UNION ALL"
+            "  SELECT vec_id + 100000,"
+            "   list_concat(list_transform(emb[1:32], x -> x * 2), emb[33:64])"
+            "  FROM base WHERE vec_id % 2 = 0)"
+            " SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,"
+            " round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim"
+            " FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
+            " AND list_cosine_similarity(a.emb, b.emb) >= 0.8"
+            " ORDER BY 1, 2"
         ),
         "q_ann_topk": (
             "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"

@@ -111,6 +111,30 @@ class TestSimilarity:
         out = similarity.embedding_dup_pairs(_ds(emb_rows), tau=0.99).to_pandas()
         assert {(0, 500)} == set(zip(out.vec_id_a, out.vec_id_b))
 
+    def test_embedding_dups_exact_full_recall(self, emb_rows):
+        """Brute-force variant finds exactly the numpy ground-truth pairs."""
+        out = similarity.embedding_dup_pairs_exact(_ds(emb_rows), tau=0.9).to_pandas()
+        mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in emb_rows])
+        nm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = nm @ nm.T
+        ii, jj = np.nonzero((sims >= 0.9) & (ids[:, None] < ids[None, :]))
+        want = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+        assert set(zip(out.vec_id_a, out.vec_id_b)) == want
+        assert (0, 500) in want  # the planted identical pair is among them
+
+    def test_augment_with_planted(self, emb_rows):
+        aug = similarity.augment_with_planted(_ds(emb_rows)).to_pandas()
+        n_even = sum(1 for r in emb_rows if r["vec_id"] % 2 == 0)
+        assert len(aug) == len(emb_rows) + n_even
+        src = {r["vec_id"]: np.array(r["embedding"]) for r in emb_rows}
+        planted = aug[aug.vec_id >= 100000]
+        for _, row in planted.head(5).iterrows():
+            base = src[row.vec_id - 100000]
+            got = np.array(row.embedding)
+            h = len(base) // 2
+            assert np.allclose(got[:h], base[:h] * 2) and np.allclose(got[h:], base[h:])
+
 
 class TestTextStats:
     def test_token_count(self):
