@@ -33,6 +33,7 @@ import ray.data as rd
 from .kernels.extract import ExtractConfig
 from .pipeline import (
     PipelineOptions,
+    apply_result_overrides,
     build_detect_pipeline,
     build_extract_pipeline,
     build_recognize_pipeline,
@@ -111,6 +112,28 @@ def _content_sha256(part_dir: str) -> str:
     return h.hexdigest()
 
 
+def config_sig(
+    cfg: ExtractConfig | None,
+    overrides: list[dict] | None,
+    two_phase: bool,
+    result_overrides: list[dict] | None = None,
+) -> str:
+    """Fingerprint of everything that shapes a shard's output besides its
+    input rows. Recorded in the manifest; resume validates it so outputs
+    produced under a different config can't silently mix into a run."""
+    import dataclasses
+
+    payload = {
+        "cfg": dataclasses.asdict(cfg or ExtractConfig()),
+        "overrides": overrides or [],
+        "result_overrides": result_overrides or [],
+        "two_phase": bool(two_phase),
+    }
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
 def run_shard(
     plan: ShardPlan,
     out_dir: str,
@@ -118,13 +141,18 @@ def run_shard(
     opts: PipelineOptions | None = None,
     overrides: list[dict] | None = None,
     two_phase: bool = False,
+    n_shards: int | None = None,
+    sig: str | None = None,
+    result_overrides: list[dict] | None = None,
 ) -> dict:
     """Run the extract pipeline for one shard; atomic write + manifest commit.
 
     ``two_phase`` mirrors the reference's E1/E2 flow (run_job ->
     DETECT_DONE -> run_ocr_job): the detect output is persisted under
     ``detect/part-NNNNN`` (the human-editable intermediate) and recognize
-    consumes that checkpoint; output is identical to the fused path."""
+    consumes that checkpoint; output is identical to the fused path.
+    ``result_overrides`` (PATCH result analogue) replaces whole extracted
+    span sequences at merge, after either path."""
     t0 = time.perf_counter()
     sid = plan.shard_id
     part_dir = os.path.join(out_dir, f"part-{sid:05d}")
@@ -149,10 +177,12 @@ def run_shard(
         out = build_recognize_pipeline(
             detected, cfg=cfg, opts=opts, overrides=overrides
         )
+        out = apply_result_overrides(out, result_overrides)
         out.write_parquet(tmp_dir)
         stage_times["recognize_s"] = round(time.perf_counter() - t_rec, 4)
     else:
         out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
+        out = apply_result_overrides(out, result_overrides)
         out.write_parquet(tmp_dir)
 
     # gather lineage stats from the written shard (cheap: metadata + one scan)
@@ -163,6 +193,9 @@ def run_shard(
                 "n_docs": [t.num_rows],
                 "n_spans_out": [int(pa.compute.sum(t.column("n_spans_out")).as_py() or 0)],
                 "n_blocks": [int(pa.compute.sum(t.column("n_blocks")).as_py() or 0)],
+                "n_span_errors": [
+                    int(pa.compute.sum(t.column("n_span_errors")).as_py() or 0)
+                ],
                 "doc_min": [min(t.column("doc_id").to_pylist(), default="")],
                 "doc_max": [max(t.column("doc_id").to_pylist(), default="")],
             }
@@ -186,6 +219,13 @@ def run_shard(
         "n_docs": n_docs,
         "n_spans_out": sum(r["n_spans_out"] for r in agg),
         "n_blocks": sum(r["n_blocks"] for r in agg),
+        # dead-letter surfacing (reference FAILED-job analogue): spans whose
+        # media could not be parsed/rendered — 0 on a healthy corpus
+        "n_span_errors": sum(r["n_span_errors"] for r in agg),
+        "n_shards": n_shards,
+        "config_sig": sig
+        if sig is not None
+        else config_sig(cfg, overrides, two_phase, result_overrides),
         "content_sha256": _content_sha256(part_dir),
         "wall_time_s": round(wall, 4),
         "docs_per_s": round(n_docs / wall, 3) if wall > 0 else None,
@@ -202,6 +242,31 @@ def run_shard(
     return manifest
 
 
+def _manifest_valid(manifest: dict, plan: ShardPlan, n_shards: int, sig: str) -> bool:
+    """A committed manifest only counts for resume if its lineage (input
+    files / hash partition / path), shard count and config fingerprint all
+    match the freshly computed plan — re-running with a different --shards,
+    input directory or config must rerun the shard, not silently mix
+    incompatible outputs."""
+    lin = manifest.get("lineage") or {}
+    return (
+        lin.get("files") == plan.files
+        and lin.get("hash_mod") == (list(plan.hash_mod) if plan.hash_mod else None)
+        and lin.get("input_path") == plan.input_path
+        and manifest.get("n_shards") == n_shards
+        and manifest.get("config_sig") == sig
+    )
+
+
+def _retry_delay_s(shard_id: int, attempt: int, base_s: float) -> float:
+    """Exponential backoff with deterministic jitter, capped at 600 s —
+    the reference's Celery autoretry shape (retry_backoff=True,
+    retry_backoff_max=600, retry_jitter — ocr_tasks.py:58-65)."""
+    delay = base_s * (2**attempt)
+    jitter = (hash_str(f"{shard_id}:{attempt}") % 1000) / 1000.0
+    return min(600.0, delay * (0.5 + jitter))
+
+
 def run_job(
     input_path: str,
     out_dir: str,
@@ -211,22 +276,56 @@ def run_job(
     overrides: list[dict] | None = None,
     resume: bool = True,
     two_phase: bool = False,
+    shard_retries: int = 2,
+    retry_base_s: float = 1.0,
+    result_overrides: list[dict] | None = None,
 ) -> dict:
     """Full checkpointed job. Returns a summary incl. which shards ran vs
-    were skipped (resume anti-join against committed manifests)."""
+    were skipped (resume anti-join against committed manifests, each
+    validated against the current plan's lineage + config) and which
+    previously-committed shards were invalidated and rerun. Failed shards
+    retry with capped exponential backoff (reference Celery semantics)."""
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_shards(out_dir) if resume else set()
     plans = plan_shards(input_path, n_shards)
+    sig = config_sig(cfg, overrides, two_phase, result_overrides)
+    done: set[int] = set()
+    invalidated: list[int] = []
+    if resume:
+        for sid in completed_shards(out_dir):
+            if sid >= n_shards:
+                # stale shard from a wider plan: drop manifest AND data so
+                # a consumer globbing part-*/ can't read orphan outputs
+                invalidated.append(sid)
+                os.remove(_manifest_path(out_dir, sid))
+                shutil.rmtree(
+                    os.path.join(out_dir, f"part-{sid:05d}"), ignore_errors=True
+                )
+                continue
+            with open(_manifest_path(out_dir, sid)) as f:
+                manifest = json.load(f)
+            if _manifest_valid(manifest, plans[sid], n_shards, sig):
+                done.add(sid)
+            else:
+                invalidated.append(sid)
+                os.remove(_manifest_path(out_dir, sid))  # shard must rerun
     ran, skipped = [], []
     t0 = time.perf_counter()
     for plan in plans:
         if plan.shard_id in done:
             skipped.append(plan.shard_id)
             continue
-        run_shard(
-            plan, out_dir, cfg=cfg, opts=opts, overrides=overrides,
-            two_phase=two_phase,
-        )
+        for attempt in range(shard_retries + 1):
+            try:
+                run_shard(
+                    plan, out_dir, cfg=cfg, opts=opts, overrides=overrides,
+                    two_phase=two_phase, n_shards=n_shards, sig=sig,
+                    result_overrides=result_overrides,
+                )
+                break
+            except Exception:
+                if attempt == shard_retries:
+                    raise
+                time.sleep(_retry_delay_s(plan.shard_id, attempt, retry_base_s))
         ran.append(plan.shard_id)
     manifests = load_manifests(out_dir)
     return {
@@ -234,7 +333,9 @@ def run_job(
         "n_shards": n_shards,
         "shards_ran": ran,
         "shards_skipped": skipped,
+        "shards_invalidated": sorted(invalidated),
         "n_docs": sum(m["n_docs"] for m in manifests),
         "n_blocks": sum(m["n_blocks"] for m in manifests),
+        "n_span_errors": sum(m.get("n_span_errors", 0) for m in manifests),
         "wall_time_s": round(time.perf_counter() - t0, 4),
     }

@@ -225,36 +225,192 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
     return distinct_pairs(pairs, ["doc_a", "doc_b"])
 
 
-def minhash_dedup_keep(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
+def connected_components_labels(
+    pairs: rd.Dataset, max_iters: int = 50
+) -> rd.Dataset:
+    """Distributed connected components over an undirected edge list
+    (doc_a, doc_b) -> (doc_id, label) rows, label = min doc_id of the
+    component. Iterative min-label propagation: each round joins labels to
+    the (symmetric) edge list and takes the per-node min over
+    self + neighbor labels — edges and labels stay distributed, per-round
+    cost is two groupby shuffles over the EDGE set (orders of magnitude
+    smaller than the corpus). Converges in O(component diameter) rounds
+    (near-dup clusters are clique-like: typically 1-3); ``max_iters`` is a
+    pathological-chain backstop. The label sum strictly decreases until
+    fixpoint, so it doubles as the convergence test."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        node = np.concatenate([a, b])
+        neigh = np.concatenate([b, a])
+        return pa.Table.from_pydict(
+            {
+                "node": node,
+                "neigh": neigh,
+                "__lbl": pa.nulls(len(node), pa.int64()),
+                "cb": neigh & 1023,  # coarse shuffle key (bucket-of-neighs)
+            }
+        )
+
+    edges = (
+        pairs.select_columns(["doc_a", "doc_b"])
+        .map_batches(sym, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .materialize()  # reused every round; edge set, not corpus
+    )
+
+    # initial labels: label(node) = node, one row per distinct node
+    def init_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("node").to_numpy())
+        return pa.Table.from_pydict({"node": u, "cb": u & 1023})
+
+    def init_final(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["node"].drop_duplicates()
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = (
+        edges.map_batches(init_partial, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(init_final, batch_format="pandas")
+        .materialize()
+    )
+
+    def label_sum(lbl: rd.Dataset) -> int:
+        return int(lbl.sum("label") or 0)
+
+    def pad_labels(batch: pa.Table) -> pa.Table:
+        # label rows join the edge stream keyed by the node they label
+        n = batch.num_rows
+        node = batch.column("node")
+        return pa.Table.from_pydict(
+            {
+                "node": pa.nulls(n, pa.int64()),
+                "neigh": node,
+                "__lbl": batch.column("label"),
+                "cb": pa.array(
+                    node.to_numpy(zero_copy_only=False).astype(np.int64) & 1023
+                ),
+            }
+        )
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        # per neigh: min label among its label rows; emit it to every
+        # adjacent node (pandas sub-groupby inside the coarse group)
+        m = g.groupby("neigh")["__lbl"].min().rename("label")
+        nodes = g.loc[g["node"].notna(), ["neigh", "node"]]
+        out = nodes.join(m, on="neigh")
+        return pd.DataFrame(
+            {
+                "node": out["node"].astype(np.int64),
+                "label": out["label"].astype(np.int64),
+            }
+        )
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["label"].min()
+        return m[["node", "label"]]
+
+    def add_node_cb(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = batch
+        if "cb" in out.column_names:
+            out = out.drop_columns(["cb"])
+        return out.append_column("cb", pa.array(node & 1023))
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        both = edges.union(labels.map_batches(pad_labels, batch_format="pyarrow"))
+        neigh_labels = (
+            both.repartition(shuffle_blocks())
+            .groupby("cb")
+            .map_groups(spread, batch_format="pandas")
+        )
+        labels = (
+            neigh_labels.union(labels)
+            .map_batches(add_node_cb, batch_format="pyarrow")
+            .repartition(shuffle_blocks())
+            .groupby("cb")
+            .map_groups(take_min, batch_format="pandas")
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def to_doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("node"), "label": batch.column("label")}
+        )
+
+    return labels.map_batches(to_doc_rows, batch_format="pyarrow")
+
+
+# Pair counts below this resolve on the driver (exact union-find over a
+# take_all'd list — the standard trick while pairs fit one machine);
+# above it, or when cc_mode="distributed", label propagation runs instead.
+CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def minhash_dedup_keep(
+    ds: rd.Dataset, threshold: float = 0.7, cc_mode: str = "auto"
+) -> rd.Dataset:
     """Near-dup removal: cluster candidate pairs (connected components) and
     keep min(doc_id) per cluster -> (doc_id) rows of survivors.
 
     The pair set is orders of magnitude smaller than the corpus (LSH
-    candidates), so components are resolved with driver-side union-find
-    over the collected pairs; at extreme pair counts switch to iterative
-    min-label propagation (groupby rounds). The corpus itself is filtered
-    distributed with a broadcast drop-set — documents never leave workers.
-    """
+    candidates), so components resolve with driver-side union-find while
+    pairs fit the driver (<= CC_DRIVER_MAX_PAIRS); beyond that — a
+    pathological near-dup-heavy corpus — ``connected_components_labels``
+    runs distributed min-label propagation over the pair Dataset with no
+    driver materialization. ``cc_mode``: "auto" | "driver" | "distributed".
+    The corpus itself is always filtered distributed with a broadcast
+    drop-set — documents never leave workers."""
     import ray
 
-    pair_rows = minhash_dup_pairs(ds, threshold).select_columns(
-        ["doc_a", "doc_b"]
-    ).take_all()
-    parent: dict[int, int] = {}
+    pairs = minhash_dup_pairs(ds, threshold).select_columns(["doc_a", "doc_b"])
+    if cc_mode == "auto":
+        cc_mode = (
+            "driver" if pairs.count() <= CC_DRIVER_MAX_PAIRS else "distributed"
+        )
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    if cc_mode == "driver":
+        pair_rows = pairs.take_all()
+        parent: dict[int, int] = {}
 
-    for r in pair_rows:
-        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
-        if a != b:
-            lo, hi = (a, b) if a < b else (b, a)
-            parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
-    drop_ref = ray.put(drop)
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in pair_rows:
+            a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        drop = {x for x in parent if find(x) != x}
+        drop_ref = ray.put(drop)
+    else:
+        labels = connected_components_labels(pairs)
+
+        def non_roots(batch: pa.Table) -> pa.Table:
+            keep_mask = pa.compute.not_equal(
+                batch.column("doc_id"), batch.column("label")
+            )
+            return batch.filter(keep_mask).select(["doc_id"])
+
+        # the drop set is one int per duplicate doc — still broadcastable
+        # at any pair scale that fits the LSH caps; a corpus where even
+        # THIS overflows would anti-join labels against the corpus instead
+        drop = {
+            int(r["doc_id"])
+            for r in labels.map_batches(
+                non_roots, batch_format="pyarrow"
+            ).take_all()
+        }
+        drop_ref = ray.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
         dset = ray.get(drop_ref)

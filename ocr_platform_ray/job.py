@@ -22,7 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--overrides", help="optional override table (parquet)")
+    p.add_argument("--overrides", help="optional detect-override table (parquet)")
+    p.add_argument("--result-overrides",
+                   help="optional result-override table (parquet, "
+                        "RESULT_OVERRIDES_SCHEMA): per-doc replacement span "
+                        "sequences applied at merge (PATCH result analogue)")
     p.add_argument("--two-phase", action="store_true",
                    help="persist the detect checkpoint (human-editable) and recognize from it")
     p.add_argument("--max-side", type=int, default=1200)
@@ -53,10 +57,14 @@ def main(argv: list[str] | None = None) -> int:
     from .kernels.extract import ExtractConfig
 
     overrides = None
-    if args.overrides:
+    result_overrides = None
+    if args.overrides or args.result_overrides:
         import pyarrow.parquet as pq
 
-        overrides = pq.read_table(args.overrides).to_pylist()
+        if args.overrides:
+            overrides = pq.read_table(args.overrides).to_pylist()
+        if args.result_overrides:
+            result_overrides = pq.read_table(args.result_overrides).to_pylist()
 
     summary = run_job(
         args.input,
@@ -66,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         overrides=overrides,
         resume=not args.no_resume,
         two_phase=args.two_phase,
+        result_overrides=result_overrides,
     )
     print(json.dumps(summary))
     ray.shutdown()

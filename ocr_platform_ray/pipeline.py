@@ -203,6 +203,55 @@ def build_extract_pipeline(
     )
 
 
+def apply_result_overrides(
+    extracted: rd.Dataset, result_overrides: list[dict] | None
+) -> rd.Dataset:
+    """Human-edit analogue of PATCH /jobs/{id}/result
+    (/root/reference/apps/api/app/api/v1/routes_jobs.py:252-270 — the
+    job's whole result JSON is replaced): rows whose doc_id appears in the
+    override table get their span sequence replaced wholesale at merge
+    time. The table is broadcast once via ``ray.put`` (small side), never
+    re-shipped per batch. Aggregates are recomputed from the replacement
+    (confidences read 1.0 — the text is human-verified, the reference
+    stores no conf for edited results); ``n_span_errors`` is preserved
+    (the edit doesn't un-poison the source media)."""
+    if not result_overrides:
+        return extracted
+    ov_ref = ray.put(
+        {r["doc_id"]: list(r["spans_out"]) for r in result_overrides}
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ov = ray.get(ov_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        if not any(d in ov for d in doc_ids):
+            return batch
+        rows = batch.to_pylist()
+        for row in rows:
+            spans = ov.get(row["doc_id"])
+            if spans is None:
+                continue
+            spans = [
+                {
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s.get("media_ref", ""),
+                    "offset": i,
+                }
+                for i, s in enumerate(spans)
+            ]
+            row["spans_out"] = spans
+            row["n_spans_out"] = len(spans)
+            row["n_blocks"] = sum(1 for s in spans if s["kind"] == "image")
+            row["min_conf"] = 1.0
+            row["mean_conf"] = 1.0
+        from .schema import EXTRACTED_SCHEMA
+
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+    return extracted.map_batches(fn, batch_format="pyarrow")
+
+
 def build_detect_pipeline(
     ds: rd.Dataset,
     cfg: ExtractConfig | None = None,

@@ -36,6 +36,11 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("n_blocks", pa.int32()),       # recognized image blocks
         pa.field("min_conf", pa.float64()),
         pa.field("mean_conf", pa.float64()),   # A2 analogue (orchestrator.py:96-99)
+        # dead-letter count: image spans whose media could not be parsed /
+        # rendered (reference: malformed detect_result -> job FAILED,
+        # ocr_tasks.py:204-212; here the poison span contributes 0 blocks
+        # and is counted, surfacing in the shard manifest)
+        pa.field("n_span_errors", pa.int32()),
     ]
 )
 
@@ -67,5 +72,15 @@ OVERRIDES_SCHEMA = pa.schema(
         pa.field("doc_id", pa.string()),
         pa.field("span_idx", pa.int32()),
         pa.field("boxes", pa.list_(BOX_STRUCT)),
+    ]
+)
+
+# Result-override table (human-edit analogue of PATCH /jobs/{id}/result,
+# routes_jobs.py:252-270: the whole result JSON is replaced per job). The
+# batch analogue: per-doc replacement span sequences, applied at merge.
+RESULT_OVERRIDES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans_out", pa.list_(SPAN_STRUCT)),
     ]
 )

@@ -68,8 +68,10 @@ class DetectStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans").to_pylist()
         detect_col = []
+        err_col = []
         for spans in spans_col:
             entries = []
+            n_err = 0
             for i, sp in enumerate(spans or []):
                 if sp["kind"] != "image":
                     continue
@@ -77,7 +79,9 @@ class DetectStage:
                     boxes, w, h = detect_image(sp["media_ref"], self.cfg)
                 except (ValueError, KeyError, IndexError, OverflowError):
                     # dead-letter: malformed media_ref -> no detect entry ->
-                    # recognize emits nothing for this span
+                    # recognize emits nothing for this span; counted so the
+                    # shard manifest surfaces it
+                    n_err += 1
                     continue
                 entries.append(
                     {
@@ -91,12 +95,15 @@ class DetectStage:
                     }
                 )
             detect_col.append(entries)
+            err_col.append(n_err)
         out = batch
-        if "detect" in out.column_names:
-            out = out.drop_columns(["detect"])
-        return out.append_column(
+        for name in ("detect", "n_detect_errors"):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+        out = out.append_column(
             "detect", pa.array(detect_col, type=pa.list_(DETECT_ENTRY))
         )
+        return out.append_column("n_detect_errors", pa.array(err_col, pa.int32()))
 
 
 class RecognizeStage:
@@ -115,14 +122,21 @@ class RecognizeStage:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         detect_col = batch.column("detect").to_pylist()
+        det_errs = (
+            batch.column("n_detect_errors").to_pylist()
+            if "n_detect_errors" in batch.column_names
+            else [0] * batch.num_rows
+        )
         rows = []
-        for doc_id, spans, detect in zip(doc_ids, spans_col, detect_col):
+        for doc_id, spans, detect, base_err in zip(
+            doc_ids, spans_col, detect_col, det_errs
+        ):
             det_by_idx = {e["span_idx"]: e for e in (detect or [])}
 
             def block_fn(i, sp, _doc_id=doc_id, _det=det_by_idx):
                 entry = _det.get(i)
                 if entry is None:
-                    return []
+                    return [], 0  # dead-lettered at detect (already counted)
                 ov = self.overrides.get((_doc_id, i))
                 if ov is not None:
                     boxes = ov
@@ -133,19 +147,33 @@ class RecognizeStage:
                 return recognize_image(
                     sp["media_ref"], boxes, entry["width"], entry["height"],
                     self.cfg, span_idx=i,
-                )
+                ), 0
 
-            rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
+            rows.append(
+                _assemble_row(
+                    doc_id, spans or [], self.cfg, block_fn,
+                    base_errors=int(base_err or 0),
+                )
+            )
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
 
-def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
+def _assemble_row(
+    doc_id: str,
+    spans: list[dict],
+    cfg: ExtractConfig,
+    block_fn,
+    base_errors: int = 0,
+):
     """Row-local merge: spans in (offset, index) order; text spans pass
     through (already normalized upstream, empties dropped); image spans are
-    replaced by their recognized blocks; output offsets re-numbered."""
+    replaced by their recognized blocks; output offsets re-numbered.
+    ``block_fn(i, span) -> (blocks, err)``; errs accumulate into
+    ``n_span_errors`` on top of ``base_errors`` (detect-phase count)."""
     order = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
     out_spans: list[dict] = []
     n_blocks = 0
+    n_errors = base_errors
     min_conf = 1.0
     conf_sum = 0.0
     for i in order:
@@ -157,7 +185,9 @@ def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
                      "offset": len(out_spans)}
                 )
         elif sp["kind"] == "image":
-            for b in block_fn(i, sp):
+            blocks, err = block_fn(i, sp)
+            n_errors += err
+            for b in blocks:
                 out_spans.append(
                     {"kind": "image", "text": b.text,
                      "media_ref": sp["media_ref"], "offset": len(out_spans)}
@@ -172,6 +202,7 @@ def _assemble_row(doc_id: str, spans: list[dict], cfg: ExtractConfig, block_fn):
         "n_blocks": n_blocks,
         "min_conf": min_conf,
         "mean_conf": (conf_sum / n_blocks) if n_blocks else 1.0,
+        "n_span_errors": n_errors,
     }
 
 
@@ -192,11 +223,11 @@ class ExtractStage:
         for doc_id, spans in zip(doc_ids, spans_col):
 
             def block_fn(i, sp, _doc_id=doc_id):
-                blocks, _err = safe_extract_image_span(
+                blocks, err = safe_extract_image_span(
                     sp["media_ref"], self.cfg, span_idx=i,
                     override_boxes=self.overrides.get((_doc_id, i)),
                 )
-                return blocks
+                return blocks, int(err)
 
             rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

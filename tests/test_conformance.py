@@ -95,11 +95,48 @@ def test_overrides_applied(docs):
     assert any(expected_ov[d] != base[d] for d in base)
 
 
+def test_result_overrides_applied(docs):
+    """Result-override table (PATCH /jobs/{id}/result analogue) replaces a
+    doc's whole extracted span sequence at merge; untouched docs unchanged."""
+    from ocr_platform_ray.pipeline import apply_result_overrides
+
+    ds = rd.from_arrow(corpus.docs_to_table(docs))
+    base = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
+    target = docs[0]["doc_id"]
+    replacement = [
+        {"kind": "text", "text": "HUMAN EDITED", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "FIXED BLOCK", "media_ref": "m", "offset": 1},
+    ]
+    out = apply_result_overrides(
+        base, [{"doc_id": target, "spans_out": replacement}]
+    )
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    got = rows[target]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in got["spans_out"]
+    ] == [("text", "HUMAN EDITED", "", 0), ("image", "FIXED BLOCK", "m", 1)]
+    assert got["n_spans_out"] == 2 and got["n_blocks"] == 1
+    assert got["min_conf"] == 1.0 and got["mean_conf"] == 1.0
+    # other docs keep the pipeline output
+    expected = oracle.oracle_extract_docs(docs, ExtractConfig())
+    for d, spans in expected.items():
+        if d == target:
+            continue
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in rows[d]["spans_out"]
+        ] == spans
+
+
 def test_schema(docs):
     ds = rd.from_arrow(corpus.docs_to_table(docs))
     out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
     schema = out.schema()
-    assert schema.names == ["doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf", "mean_conf"]
+    assert schema.names == [
+        "doc_id", "spans_out", "n_spans_out", "n_blocks",
+        "min_conf", "mean_conf", "n_span_errors",
+    ]
     batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
     assert isinstance(batch, pa.Table)
 
@@ -124,4 +161,7 @@ def test_malformed_media_ref_dead_letter():
     ]
     ds = rd.from_arrow(corpus.docs_to_table(docs))
     out = build_extract_pipeline(ds, opts=PipelineOptions(concurrency=(1, 2)))
+    rows = out.take_all()
     _assert_equal(_result_map(out), expected)
+    # the poison span is counted, not just dropped (manifest surfacing)
+    assert [r["n_span_errors"] for r in rows] == [1]

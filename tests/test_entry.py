@@ -20,7 +20,8 @@ def test_entry_smoke():
     df = out.to_pandas()
     assert len(df) >= 1
     assert list(df.columns) == [
-        "doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf", "mean_conf",
+        "doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf",
+        "mean_conf", "n_span_errors",
     ]
 
 

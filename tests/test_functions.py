@@ -224,6 +224,46 @@ class TestDedupKeep:
         assert 102 not in kept          # near dup clustered away
         assert all(i in kept for i in range(30))
 
+    def test_distributed_cc_matches_driver(self, dup_docs):
+        """Min-label propagation (no driver union-find) keeps the same
+        survivors as the driver path."""
+        from ocr_platform_ray.functions.dedup import minhash_dedup_keep
+
+        a = set(
+            minhash_dedup_keep(
+                _ds(dup_docs), threshold=0.5, cc_mode="driver"
+            ).to_pandas()["doc_id"]
+        )
+        b = set(
+            minhash_dedup_keep(
+                _ds(dup_docs), threshold=0.5, cc_mode="distributed"
+            ).to_pandas()["doc_id"]
+        )
+        assert a == b
+
+    def test_cc_labels_on_chain_and_cliques(self):
+        """Pure CC check on a synthetic edge list: a 6-node chain (worst
+        case for propagation rounds), a 4-clique, and an isolated pair."""
+        import ray.data as rd2
+
+        from ocr_platform_ray.functions.dedup import connected_components_labels
+
+        edges = (
+            [{"doc_a": i, "doc_b": i + 1} for i in range(10, 15)]      # chain 10..15
+            + [
+                {"doc_a": a, "doc_b": b}
+                for a in (20, 21, 22, 23)
+                for b in (20, 21, 22, 23)
+                if a < b
+            ]                                                           # 4-clique
+            + [{"doc_a": 30, "doc_b": 31}]                              # pair
+        )
+        labels = connected_components_labels(rd2.from_items(edges)).to_pandas()
+        got = dict(zip(labels["doc_id"], labels["label"]))
+        assert all(got[i] == 10 for i in range(10, 16))
+        assert all(got[i] == 20 for i in (20, 21, 22, 23))
+        assert got[30] == 30 and got[31] == 30
+
 
 class TestSlidingWindows:
     def test_event_lands_in_all_covering_windows(self):

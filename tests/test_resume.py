@@ -119,3 +119,91 @@ def test_two_phase_job_equals_fused(input_path, tmp_path):
     assert os.path.isdir(os.path.join(twop, "detect", "part-00000"))
     ms = load_manifests(twop)
     assert all(m["two_phase"] for m in ms)
+
+
+def test_resume_invalidates_changed_plan(input_path, tmp_path):
+    """Manifests from a different --shards plan or config don't count as
+    done: resume validates lineage + n_shards + config_sig and reruns."""
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=2, opts=OPTS)
+    # same output dir, different shard count -> every old manifest invalid
+    summary = run_job(input_path, out, n_shards=3, opts=OPTS)
+    assert summary["shards_ran"] == [0, 1, 2]
+    assert summary["shards_skipped"] == []
+    assert summary["shards_invalidated"] == [0, 1]
+    # rerun with the now-matching plan resumes cleanly
+    summary2 = run_job(input_path, out, n_shards=3, opts=OPTS)
+    assert summary2["shards_ran"] == []
+    assert sorted(summary2["shards_skipped"]) == [0, 1, 2]
+
+
+def test_resume_invalidates_changed_config(input_path, tmp_path):
+    from ocr_platform_ray.kernels.extract import ExtractConfig
+
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=2, opts=OPTS)
+    summary = run_job(
+        input_path, out, n_shards=2, opts=OPTS,
+        cfg=ExtractConfig(max_side=600),
+    )
+    assert summary["shards_ran"] == [0, 1]          # config changed -> rerun
+    assert summary["shards_invalidated"] == [0, 1]
+
+
+def test_shard_retry_backoff(input_path, tmp_path, monkeypatch):
+    """A shard that fails transiently is retried with backoff and the job
+    completes; a permanently failing shard raises after the budget."""
+    import ocr_platform_ray.checkpoint as cp
+
+    real = cp.run_shard
+    calls = {"n": 0}
+
+    def flaky(plan, *a, **kw):
+        calls["n"] += 1
+        if plan.shard_id == 1 and calls["n"] <= 2:
+            raise RuntimeError("transient")
+        return real(plan, *a, **kw)
+
+    monkeypatch.setattr(cp, "run_shard", flaky)
+    delays = []
+    real_delay = cp._retry_delay_s
+
+    def spy_delay(sid, attempt, base):
+        delays.append(real_delay(sid, attempt, base))
+        return 0.0  # don't actually sleep in tests
+
+    monkeypatch.setattr(cp, "_retry_delay_s", spy_delay)
+    out = str(tmp_path / "out")
+    summary = cp.run_job(input_path, out, n_shards=2, opts=OPTS, shard_retries=2)
+    assert summary["shards_ran"] == [0, 1]
+    # shard 1 failed once (its first call is global call #2), so exactly
+    # one backoff delay was computed
+    assert len(delays) == 1 and all(0.4 <= d <= 600.0 for d in delays)
+
+    def always_fail(plan, *a, **kw):
+        raise RuntimeError("poison")
+
+    monkeypatch.setattr(cp, "run_shard", always_fail)
+    with pytest.raises(RuntimeError):
+        cp.run_job(input_path, str(tmp_path / "out2"), n_shards=1,
+                   opts=OPTS, shard_retries=1)
+
+
+def test_manifest_surfaces_span_errors(tmp_path):
+    """A poison media_ref ends up as n_span_errors in the shard manifest."""
+    docs = [
+        {
+            "doc_id": f"doc-{i:04d}",
+            "spans": [
+                {"kind": "text", "text": f"doc {i}", "media_ref": "", "offset": 0},
+                {"kind": "image", "text": "", "media_ref": "img://broken", "offset": 7},
+            ],
+        }
+        for i in range(6)
+    ]
+    path = str(tmp_path / "poison.parquet")
+    pq.write_table(corpus.docs_to_table(docs), path)
+    out = str(tmp_path / "out")
+    summary = run_job(path, out, n_shards=2, opts=OPTS)
+    assert summary["n_span_errors"] == 6
+    assert sum(m["n_span_errors"] for m in load_manifests(out)) == 6
