@@ -70,24 +70,32 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
     """Keep min(doc_id) per distinct text -> (doc_id) rows.
 
     Per-batch combiner (pandas groupby within the batch) shrinks the
-    shuffle; the global groupby runs over at most one row per distinct text
-    per batch. Equivalent SQL: SELECT min(doc_id) AS doc_id FROM documents
-    GROUP BY text.
+    shuffle to at most one row per distinct text per batch; the global
+    groupby is KEYED on the 64-bit text hash (``fp64``) so the shuffle's
+    sort/partition comparisons run on int64, not multi-KB strings — the
+    text column still travels as payload and equality is verified exactly
+    inside each hash group (a collision merely co-locates two texts).
+    Equivalent SQL: SELECT min(doc_id) AS doc_id FROM documents GROUP BY
+    text.
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("text", as_index=False)["doc_id"].min()
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("text", as_index=False)["doc_id"].min()
+        fp = _text_hash64(pa.array(df["text"].tolist())).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"fp64": fp, "text": df["text"], "doc_id": df["doc_id"]}
+        )
 
     partials = ds.select_columns(["doc_id", "text"]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+        return g.groupby("text", as_index=False)["doc_id"].min()[["doc_id"]]
 
     return (
         partials.repartition(shuffle_blocks())
-        .groupby("text")
+        .groupby("fp64")
         .map_groups(final, batch_format="pandas")
     )
 

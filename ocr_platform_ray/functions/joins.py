@@ -64,10 +64,17 @@ def bucketed_merge_join(
     on: str,
     right_on: str | None = None,
     n_buckets: int = 64,
+    how: str = "inner",
 ) -> rd.Dataset:
     """Explicit partitioned hash join: both sides get bucket = key % B,
     matching buckets merge pairwise in map_groups (pandas). Portable and
-    explicit about skew: salt hot keys by widening B."""
+    explicit about skew: salt hot keys by widening B.
+
+    ``how``: "inner" | "left" (unmatched left rows keep nulls in right
+    columns) | "semi" (left rows WITH a match, left columns only) |
+    "anti" (left rows WITHOUT a match, left columns only)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
@@ -75,6 +82,8 @@ def bucketed_merge_join(
     types = {n: t for n, t in zip(lsch.names, lsch.types)}
     types.update({n: t for n, t in zip(rsch.names, rsch.types)})
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    out_cols = lcols if how in ("semi", "anti") else all_cols
+    out_fields = [(c, types[c]) for c in out_cols]
 
     def prep(side: str, key: str, own_cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -97,14 +106,101 @@ def bucketed_merge_join(
     lb = left.map_batches(prep("l", on, lcols), batch_format="pyarrow")
     rb = right.map_batches(prep("r", right_on, rcols), batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def _typed(out: pd.DataFrame):
+        return pa.Table.from_arrays(
+            [pa.array(out[c], type=t, from_pandas=True) for c, t in out_fields],
+            names=[c for c, _ in out_fields],
+        )
+
+    def merge(g: pd.DataFrame):
         gl = g[g["__side"] == "l"][lcols]
         gr = g[g["__side"] == "r"][rcols]
-        if gl.empty or gr.empty:
-            return pd.DataFrame(columns=all_cols)
-        return gl.merge(gr, left_on=on, right_on=right_on, how="inner")
+        if how == "inner":
+            if gl.empty or gr.empty:
+                return _typed(pd.DataFrame(columns=out_cols))
+            return _typed(gl.merge(gr, left_on=on, right_on=right_on, how="inner"))
+        matched = gl[on].isin(set(gr[right_on]))
+        if how == "semi":
+            return _typed(gl[matched])
+        if how == "anti":
+            return _typed(gl[~matched])
+        # left outer: matched rows merge; unmatched keep nulls on the right
+        if gr.empty:
+            return _typed(gl.reindex(columns=out_cols))
+        out = gl.merge(gr, left_on=on, right_on=right_on, how="left")
+        return _typed(out.reindex(columns=out_cols))
 
     return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts: str,
+    lo_offset: int,
+    hi_offset: int,
+    count_name: str = "n_in_range",
+) -> rd.Dataset:
+    """For each left row, count right rows of the same ``key`` with
+    right.ts in [left.ts + lo_offset, left.ts + hi_offset) — the
+    interval/range-join aggregate (e.g. "views in the hour before each
+    click"). One shuffle on the key; inside each group the count is two
+    ``np.searchsorted`` probes against the sorted right timestamps
+    (O((nl+nr) log nr) per key, no pairwise expansion). Partitioning
+    assumption: one key's rows fit one group (same as asof_join; salt by
+    time range for pathological keys)."""
+    import numpy as np
+
+    lsch = left.schema()
+    lcols = list(lsch.names)
+    types = {n: t for n, t in zip(lsch.names, lsch.types)}
+    out_fields = [(c, types[c]) for c in lcols] + [(count_name, pa.int64())]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in lcols:
+                names.append(c)
+                if c in batch.column_names:
+                    arrays.append(batch.column(c))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, types[c]))
+            names.append("__side")
+            arrays.append(pa.array([side] * batch.num_rows))
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return fn
+
+    lb = left.map_batches(tag("l"), batch_format="pyarrow")
+    rb = right.select_columns([key, ts]).map_batches(
+        tag("r"), batch_format="pyarrow"
+    )
+
+    def count(g: pd.DataFrame):
+        gl = g[g["__side"] == "l"]
+        if gl.empty:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for _, t in out_fields],
+                names=[n for n, _ in out_fields],
+            )
+        rts = np.sort(g.loc[g["__side"] == "r", ts].to_numpy())
+        lts = gl[ts].to_numpy()
+        if np.issubdtype(lts.dtype, np.datetime64):
+            # offsets are in the timestamp's storage unit (us for
+            # timestamp[us] parquet columns)
+            lts = lts.astype("datetime64[us]").astype(np.int64)
+            rts = rts.astype("datetime64[us]").astype(np.int64)
+        n = np.searchsorted(rts, lts + hi_offset, side="left") - np.searchsorted(
+            rts, lts + lo_offset, side="left"
+        )
+        arrays = [
+            pa.array(gl[c], type=t, from_pandas=True) for c, t in out_fields[:-1]
+        ]
+        arrays.append(pa.array(n.astype(np.int64)))
+        return pa.Table.from_arrays(arrays, names=[c for c, _ in out_fields])
+
+    return lb.union(rb).groupby(key).map_groups(count, batch_format="pandas")
 
 
 def asof_join(

@@ -283,6 +283,55 @@ def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_views_before_click(sf_dir: str) -> rd.Dataset:
+    """Range join: for each click, how many views by the same user landed
+    in the preceding hour [ts-1h, ts). One key shuffle + per-user sorted
+    searchsorted counts (no pairwise expansion)."""
+    from .functions.joins import range_join_count
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    views = ev.filter(expr="event_type == 'view'").select_columns(["user_id", "ts"])
+    out = range_join_count(
+        clicks, views, key="user_id", ts="ts",
+        lo_offset=-3_600_000_000, hi_offset=0,  # us: [-1h, 0)
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "n_in_range"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_customers_no_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join (bucketed): customers that never placed a big order
+    (> 300k — the synthetic data gives every customer SOME order, so the
+    unrestricted anti join would be empty and exercise nothing)."""
+    from .functions.joins import bucketed_merge_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 300000")
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = np.unique(batch.column("o_custkey").to_numpy())
+        return pa.Table.from_pydict({"o_custkey": u})
+
+    order_keys = orders.map_batches(
+        distinct_keys, batch_format="pyarrow", batch_size=16384
+    )
+    return bucketed_merge_join(
+        cust, order_keys, on="c_custkey", right_on="o_custkey", how="anti"
+    )
+
+
 # --------------------------------------------------------------- relational
 
 def q_pricing(sf_dir: str) -> rd.Dataset:
@@ -585,6 +634,8 @@ def queries() -> dict:
         "q_price_quantiles": q_price_quantiles,
         "q_top_customers": q_top_customers,
         "q_asof_view_before_click": q_asof_view_before_click,
+        "q_views_before_click": q_views_before_click,
+        "q_customers_no_orders": q_customers_no_orders,
         "q_sliding_windows": q_sliding_windows,
         "q_top_events": q_top_events,
         "q_lineitem_agg": q_lineitem_agg,
@@ -708,6 +759,20 @@ def oracle_sql() -> dict:
             " FROM (SELECT * FROM events WHERE event_type = 'click') c"
             " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
             " ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
+        "q_views_before_click": (
+            "SELECT c.event_id, count(v.ts) AS n_in_range"
+            " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+            " LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v"
+            " ON c.user_id = v.user_id"
+            " AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts < c.ts"
+            " GROUP BY c.event_id"
+        ),
+        "q_customers_no_orders": (
+            "SELECT c.c_custkey FROM customer c"
+            " LEFT JOIN (SELECT DISTINCT o_custkey FROM orders"
+            "  WHERE o_totalprice > 300000) o"
+            " ON c.c_custkey = o.o_custkey WHERE o.o_custkey IS NULL"
         ),
         "q_sliding_windows": (
             "SELECT event_type, window_id, count(*) AS n_events,"

@@ -203,6 +203,49 @@ class TestJoins:
         assert len(a2) == 40
         assert a2["rv"].tolist() == b2["rv"].tolist()
 
+    def test_join_modes_left_semi_anti(self):
+        from ocr_platform_ray.functions.joins import bucketed_merge_join
+
+        left = _ds([{"k": i, "lv": i * 2} for i in range(6)])
+        right = _ds([{"rk": i, "rv": i * 10} for i in (1, 3, 5, 7)])
+        l_out = bucketed_merge_join(
+            left, right, on="k", right_on="rk", how="left"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert len(l_out) == 6
+        assert l_out.loc[l_out.k == 3, "rv"].iloc[0] == 30
+        assert pd.isna(l_out.loc[l_out.k == 2, "rv"].iloc[0])
+        semi = bucketed_merge_join(
+            left, right, on="k", right_on="rk", how="semi"
+        ).to_pandas()
+        assert sorted(semi["k"]) == [1, 3, 5]
+        assert list(semi.columns) == ["k", "lv"]
+        anti = bucketed_merge_join(
+            left, right, on="k", right_on="rk", how="anti"
+        ).to_pandas()
+        assert sorted(anti["k"]) == [0, 2, 4]
+
+    def test_range_join_count(self):
+        from ocr_platform_ray.functions.joins import range_join_count
+
+        left = _ds([
+            {"event_id": 1, "user_id": 1, "ts": 100},
+            {"event_id": 2, "user_id": 1, "ts": 10},
+            {"event_id": 3, "user_id": 2, "ts": 100},
+        ])
+        right = _ds([
+            {"user_id": 1, "ts": 50},
+            {"user_id": 1, "ts": 99},
+            {"user_id": 1, "ts": 100},   # not < ts (half-open)
+            {"user_id": 1, "ts": 5},     # in event 2's window only
+        ])
+        out = range_join_count(
+            left, right, key="user_id", ts="ts", lo_offset=-60, hi_offset=0
+        ).to_pandas()
+        got = dict(zip(out["event_id"], out["n_in_range"]))
+        assert got[1] == 2     # 50, 99 in [40, 100); 100 excluded (half-open)
+        assert got[2] == 1     # 5 in [-50, 10)
+        assert got[3] == 0     # user 2 has no right rows
+
     def test_bucketed_join_no_match(self):
         from ocr_platform_ray.functions.joins import bucketed_merge_join
 
