@@ -116,6 +116,85 @@ def topk_cosine_lsh(
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def _train_centroids(
+    sample: np.ndarray, n_centroids: int, n_iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means on a sample: init = first K sample
+    rows (caller passes them vec_id-sorted), Lloyd iterations with
+    normalized means; an emptied cluster keeps its previous centroid."""
+    nm = sample / np.maximum(np.linalg.norm(sample, axis=1), 1e-30)[:, None]
+    cent = nm[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(nm @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = nm[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cent
+
+
+def topk_cosine_ivf(
+    ds: rd.Dataset,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 4,
+) -> rd.Dataset:
+    """IVF-style approximate top-k: vectors partition into inverted lists
+    by nearest spherical-k-means centroid; only the query's ``n_probe``
+    nearest lists are scored. Centroids train on a deterministic sample
+    (vec_id % sample_mod == 0) on the driver — standard IVF practice (the
+    sample, not the corpus, must fit one node; at 100 TB sample a fixed
+    count per block instead). Assignment + scoring are one vectorized
+    map_batches over the corpus; recall < 1 by design (scale path next to
+    ``topk_cosine``'s exact baseline)."""
+    import ray
+
+    def pick_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    sample_rows = sorted(
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(pick_sample, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent = _train_centroids(sample, min(n_centroids, len(sample)))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = np.argsort(-(cent @ qn))[:n_probe]
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(set(int(p) for p in probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        pr = ray.get(probe_ref)
+        mat = _emb_matrix(batch)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        assign = np.argmax(nm @ c.T, axis=1)
+        mask = np.isin(assign, list(pr))
+        if not mask.any():
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        sims = nm[mask] @ qn  # cosine vs normalized query
+        ids = batch.column("vec_id").to_numpy()[mask]
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids[idx]),
+             "cos_sim": pa.array(np.round(sims[idx], 6))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
 def augment_with_planted(ds: rd.Dataset, id_offset: int = 100000) -> rd.Dataset:
     """Deterministic near-dup augmentation (driver embeddings have no
     natural near-dups — max off-diagonal cosine 0.51): for every even

@@ -104,3 +104,71 @@ def approx_distinct_per_key(
         )
 
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------- mergeable quantile sketch
+
+SKETCH_POINTS = 256   # stride-sample size per (batch, key); rank error <= N/(2*S)
+
+
+def _stride_sample(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Equi-depth summary of one batch: S order statistics at stride
+    centers, each carrying weight n/S (all points, weight 1, when n <= S).
+    Deterministic; merging summaries keeps total rank error <= N/(2S)."""
+    v = np.sort(vals.astype(np.float64))
+    n = len(v)
+    if n <= SKETCH_POINTS:
+        return v, np.ones(n)
+    idx = ((np.arange(SKETCH_POINTS) + 0.5) * n / SKETCH_POINTS).astype(np.int64)
+    return v[np.minimum(idx, n - 1)], np.full(SKETCH_POINTS, n / SKETCH_POINTS)
+
+
+def quantile_sketch_per_key(
+    ds: rd.Dataset, key: str, value: str, quantiles: dict[str, float]
+) -> rd.Dataset:
+    """Approximate per-key quantiles via a mergeable equi-depth summary:
+    each batch emits one (points, weights) summary per key (<= 4 KB), the
+    groupby merges summaries by weighted concatenation — the shuffle moves
+    summaries, never values. ``quantiles``: {output_col: q}. Deterministic;
+    rank error bounded by 1/(2*SKETCH_POINTS) of the key's row count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key: batch.column(key).to_pylist(),
+                value: batch.column(value).to_numpy(zero_copy_only=False),
+            }
+        )
+        out_k, out_p, out_w = [], [], []
+        for kv, sub in df.groupby(key, sort=True):
+            pts, wts = _stride_sample(sub[value].to_numpy())
+            out_k.append(kv)
+            out_p.append(pts.tobytes())
+            out_w.append(wts.tobytes())
+        return pa.Table.from_pydict(
+            {key: out_k, "points": out_p, "weights": out_w},
+            schema=pa.schema(
+                [(key, batch.column(key).type),
+                 ("points", pa.binary()), ("weights", pa.binary())]
+            ),
+        )
+
+    partials = ds.select_columns([key, value]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pts = np.concatenate([np.frombuffer(p, dtype=np.float64) for p in g["points"]])
+        wts = np.concatenate([np.frombuffer(w, dtype=np.float64) for w in g["weights"]])
+        order = np.argsort(pts, kind="mergesort")
+        pts, wts = pts[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        row = {key: [g[key].iloc[0]]}
+        for name, q in quantiles.items():
+            # smallest point whose cumulative weight reaches q*total
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            row[name] = [round(float(pts[min(i, len(pts) - 1)]), 6)]
+        return pd.DataFrame(row)
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

@@ -184,6 +184,14 @@ def q_ann_topk_lsh(sf_dir: str) -> rd.Dataset:
     return out.sort(["cos_sim", "vec_id"], descending=[True, False])
 
 
+def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF-partitioned approximate top-k (spherical k-means inverted
+    lists, n_probe nearest lists scored) — the third ANN tier next to the
+    exact brute force and the LSH multiprobe (rows-only: recall < 1)."""
+    out = similarity.topk_cosine_ivf(_emb(sf_dir), _query_vec(sf_dir), k=10)
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False])
+
+
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     """LSH-blocked near-dup pairs over the planted-augmented table (scale
     path; recall < 1 by design -> rows-only driver check)."""
@@ -347,6 +355,22 @@ def q_pricing(sf_dir: str) -> rd.Dataset:
                 "l_shipdate",
             ],
         )
+    )
+
+
+def q_price_quantiles_sketch(sf_dir: str) -> rd.Dataset:
+    """Approximate per-flag price quantiles via the mergeable equi-depth
+    sketch (the shuffle carries <=4 KB summaries, never rows) — the
+    scale path next to q_price_quantiles' exact map_groups (rows-only:
+    approximate by design; accuracy pinned by unit test + golden)."""
+    from .functions.sketches import quantile_sketch_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return quantile_sketch_per_key(
+        ds, "l_returnflag", "l_extendedprice",
+        {"median_price": 0.5, "p95_price": 0.95},
     )
 
 
@@ -623,6 +647,7 @@ def queries() -> dict:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
         "q_window_counts": q_window_counts,
@@ -632,6 +657,7 @@ def queries() -> dict:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_pricing": q_pricing,
         "q_price_quantiles": q_price_quantiles,
+        "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_top_customers": q_top_customers,
         "q_asof_view_before_click": q_asof_view_before_click,
         "q_views_before_click": q_views_before_click,

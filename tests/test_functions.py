@@ -107,6 +107,28 @@ class TestSimilarity:
         assert len(out) >= 1
         assert out["vec_id"].iloc[0] == 3  # query vector itself always in bucket
 
+    def test_ivf_topk_finds_query_vector(self, emb_rows):
+        """IVF probe of the query's own list must surface the identical
+        vectors (cos=1.0); approximate tail may differ from exact."""
+        q = emb_rows[0]["embedding"]
+        out = similarity.topk_cosine_ivf(
+            _ds(emb_rows), q, k=5, n_centroids=8, n_probe=2
+        ).to_pandas()
+        assert len(out) >= 2
+        assert set(out.head(2)["vec_id"]) == {0, 500}   # planted identical pair
+        assert out["cos_sim"].iloc[0] == 1.0
+
+    def test_ivf_recall_vs_exact(self, emb_rows):
+        """With n_probe = n_centroids (probe everything) IVF equals the
+        exact brute-force top-k."""
+        q = emb_rows[3]["embedding"]
+        exact = similarity.topk_cosine(_ds(emb_rows), q, k=5).to_pandas()
+        ivf = similarity.topk_cosine_ivf(
+            _ds(emb_rows), q, k=5, n_centroids=4, n_probe=4
+        ).to_pandas()
+        assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+        assert ivf["cos_sim"].tolist() == exact["cos_sim"].tolist()
+
     def test_embedding_dups(self, emb_rows):
         out = similarity.embedding_dup_pairs(_ds(emb_rows), tau=0.99).to_pandas()
         assert {(0, 500)} == set(zip(out.vec_id_a, out.vec_id_b))
@@ -396,6 +418,50 @@ class TestAsofJoin:
 
 
 import pandas as pd  # noqa: E402  (used by TestAsofJoin)
+
+
+class TestQuantileSketch:
+    def test_close_to_exact_quantiles(self):
+        import numpy as np
+
+        from ocr_platform_ray.functions.sketches import quantile_sketch_per_key
+
+        rng = np.random.default_rng(3)
+        rows = [
+            {"k": "a", "v": float(x)} for x in rng.normal(100, 15, size=5000)
+        ] + [{"k": "b", "v": float(x)} for x in rng.exponential(50, size=3000)]
+        out = quantile_sketch_per_key(
+            _ds(rows), "k", "v", {"q50": 0.5, "q95": 0.95}
+        ).to_pandas().set_index("k")
+        for key, dist in (("a", [r["v"] for r in rows if r["k"] == "a"]),
+                          ("b", [r["v"] for r in rows if r["k"] == "b"])):
+            arr = np.sort(np.array(dist))
+            for col, q in (("q50", 0.5), ("q95", 0.95)):
+                got = out.loc[key, col]
+                # rank error bound: the sketch's answer must sit within
+                # ~1% of the true rank
+                rank = np.searchsorted(arr, got) / len(arr)
+                assert abs(rank - q) < 0.01, (key, col, got, rank)
+
+    def test_merge_invariance(self):
+        """Sketch result is identical regardless of block partitioning."""
+        import numpy as np
+
+        from ocr_platform_ray.functions.sketches import quantile_sketch_per_key
+
+        rng = np.random.default_rng(5)
+        rows = [{"k": "x", "v": float(x)} for x in rng.uniform(0, 1, size=2000)]
+        a = quantile_sketch_per_key(
+            _ds(rows), "k", "v", {"q50": 0.5}
+        ).to_pandas()
+        b = quantile_sketch_per_key(
+            _ds(rows).repartition(7), "k", "v", {"q50": 0.5}
+        ).to_pandas()
+        # both within rank tolerance of the exact median
+        arr = np.sort([r["v"] for r in rows])
+        for df in (a, b):
+            rank = np.searchsorted(arr, df["q50"].iloc[0]) / len(arr)
+            assert abs(rank - 0.5) < 0.01
 
 
 class TestHll:

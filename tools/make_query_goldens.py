@@ -26,7 +26,12 @@ GOLDEN_QUERIES = [
     "q_media_features",
     "q_detect_boxes",
     "q_ann_topk_lsh",
+    "q_ann_topk_ivf",
     "q_embedding_dups",
+    # q_price_quantiles_sketch is deliberately NOT pinned: the equi-depth
+    # summary is rank-accurate but its exact sample points depend on block
+    # boundaries (which vary with num_cpus), so a byte-exact golden would
+    # flake; its accuracy bound is pinned by TestQuantileSketch instead.
     "q_minhash_dedup_docs",
     "q_approx_distinct_users",
     "q_extract_summary",
