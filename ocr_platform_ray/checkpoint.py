@@ -290,24 +290,27 @@ def run_job(
     sig = config_sig(cfg, overrides, two_phase, result_overrides)
     done: set[int] = set()
     invalidated: list[int] = []
-    if resume:
-        for sid in completed_shards(out_dir):
-            if sid >= n_shards:
-                # stale shard from a wider plan: drop manifest AND data so
-                # a consumer globbing part-*/ can't read orphan outputs
-                invalidated.append(sid)
-                os.remove(_manifest_path(out_dir, sid))
-                shutil.rmtree(
-                    os.path.join(out_dir, f"part-{sid:05d}"), ignore_errors=True
-                )
-                continue
-            with open(_manifest_path(out_dir, sid)) as f:
-                manifest = json.load(f)
-            if _manifest_valid(manifest, plans[sid], n_shards, sig):
-                done.add(sid)
-            else:
-                invalidated.append(sid)
-                os.remove(_manifest_path(out_dir, sid))  # shard must rerun
+    for sid in completed_shards(out_dir):
+        if sid >= n_shards:
+            # stale shard from a wider plan: drop manifest AND data so a
+            # consumer globbing part-*/ can't read orphan outputs and the
+            # final summary can't double-count — applies with or without
+            # resume (resume=False still writes under the narrower plan)
+            invalidated.append(sid)
+            os.remove(_manifest_path(out_dir, sid))
+            shutil.rmtree(
+                os.path.join(out_dir, f"part-{sid:05d}"), ignore_errors=True
+            )
+            continue
+        if not resume:
+            continue  # shard reruns anyway; manifest will be overwritten
+        with open(_manifest_path(out_dir, sid)) as f:
+            manifest = json.load(f)
+        if _manifest_valid(manifest, plans[sid], n_shards, sig):
+            done.add(sid)
+        else:
+            invalidated.append(sid)
+            os.remove(_manifest_path(out_dir, sid))  # shard must rerun
     ran, skipped = [], []
     t0 = time.perf_counter()
     for plan in plans:

@@ -54,7 +54,13 @@ def distinct_pairs(pairs: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
         return batch.append_column("pb", pa.array((a * 31 + b) & 255))
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(key_cols).drop(columns=["pb"])
+        # deterministic winner per pair: sort by every column and keep the
+        # LAST duplicate, so a bool 'truncated' flag resolves to OR
+        # (True sorts after False) instead of shuffle-arrival order —
+        # a pair found in both a capped and an uncapped bucket must
+        # consistently read truncated=True
+        g = g.sort_values(list(g.columns), kind="mergesort")
+        return g.drop_duplicates(key_cols, keep="last").drop(columns=["pb"])
 
     return (
         pairs.map_batches(add_pb, batch_format="pyarrow")
@@ -81,7 +87,7 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("text", as_index=False)["doc_id"].min()
-        fp = _text_hash64(pa.array(df["text"].tolist())).astype(np.int64)
+        fp = _text_hash64(pa.array(df["text"])).astype(np.int64)
         return pa.Table.from_pydict(
             {"fp64": fp, "text": df["text"], "doc_id": df["doc_id"]}
         )
@@ -247,6 +253,12 @@ def connected_components_labels(
     pathological-chain backstop. The label sum strictly decreases until
     fixpoint, so it doubles as the convergence test."""
 
+    # int64 sentinels instead of nulls: a null in an int column makes
+    # pandas materialize the whole group as float64, silently corrupting
+    # ids above 2^53 (exactly the hashed-id regime this path serves)
+    NO_NODE = np.int64(np.iinfo(np.int64).min)  # ids are arbitrary int64
+    NO_LBL = np.int64(np.iinfo(np.int64).max)
+
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
         b = batch.column("doc_b").to_numpy().astype(np.int64)
@@ -256,7 +268,7 @@ def connected_components_labels(
             {
                 "node": node,
                 "neigh": neigh,
-                "__lbl": pa.nulls(len(node), pa.int64()),
+                "__lbl": np.full(len(node), NO_LBL),
                 "cb": neigh & 1023,  # coarse shuffle key (bucket-of-neighs)
             }
         )
@@ -293,7 +305,7 @@ def connected_components_labels(
         node = batch.column("node")
         return pa.Table.from_pydict(
             {
-                "node": pa.nulls(n, pa.int64()),
+                "node": np.full(n, NO_NODE),
                 "neigh": node,
                 "__lbl": batch.column("label"),
                 "cb": pa.array(
@@ -303,10 +315,11 @@ def connected_components_labels(
         )
 
     def spread(g: pd.DataFrame) -> pd.DataFrame:
-        # per neigh: min label among its label rows; emit it to every
-        # adjacent node (pandas sub-groupby inside the coarse group)
+        # per neigh: min label among its label rows (edge rows carry the
+        # NO_LBL sentinel, which never wins the min — every neigh has a
+        # real label row); emit it to every adjacent node
         m = g.groupby("neigh")["__lbl"].min().rename("label")
-        nodes = g.loc[g["node"].notna(), ["neigh", "node"]]
+        nodes = g.loc[g["node"] != NO_NODE, ["neigh", "node"]]
         out = nodes.join(m, on="neigh")
         return pd.DataFrame(
             {
@@ -377,7 +390,14 @@ def minhash_dedup_keep(
     drop-set — documents never leave workers."""
     import ray
 
-    pairs = minhash_dup_pairs(ds, threshold).select_columns(["doc_a", "doc_b"])
+    # materialize the (LSH-capped, corpus-much-smaller) pair set once:
+    # count() for the mode choice and the CC pass would otherwise each
+    # re-execute the whole minhash pipeline
+    pairs = (
+        minhash_dup_pairs(ds, threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
     if cc_mode == "auto":
         cc_mode = (
             "driver" if pairs.count() <= CC_DRIVER_MAX_PAIRS else "distributed"

@@ -119,11 +119,9 @@ def bucketed_merge_join(
             if gl.empty or gr.empty:
                 return _typed(pd.DataFrame(columns=out_cols))
             return _typed(gl.merge(gr, left_on=on, right_on=right_on, how="inner"))
-        matched = gl[on].isin(set(gr[right_on]))
-        if how == "semi":
-            return _typed(gl[matched])
-        if how == "anti":
-            return _typed(gl[~matched])
+        if how in ("semi", "anti"):
+            matched = gl[on].isin(set(gr[right_on]))
+            return _typed(gl[matched] if how == "semi" else gl[~matched])
         # left outer: matched rows merge; unmatched keep nulls on the right
         if gr.empty:
             return _typed(gl.reindex(columns=out_cols))

@@ -144,10 +144,16 @@ class RecognizeStage:
                     boxes = [
                         (b["x1"], b["y1"], b["x2"], b["y2"]) for b in entry["boxes"]
                     ]
-                return recognize_image(
-                    sp["media_ref"], boxes, entry["width"], entry["height"],
-                    self.cfg, span_idx=i,
-                ), 0
+                try:
+                    return recognize_image(
+                        sp["media_ref"], boxes, entry["width"], entry["height"],
+                        self.cfg, span_idx=i,
+                    ), 0
+                except (ValueError, KeyError, IndexError, OverflowError):
+                    # recognize-phase poison (e.g. an invalid override box):
+                    # count it like the fused path's safe_extract wrapper
+                    # instead of crashing the shard
+                    return [], 1
 
             rows.append(
                 _assemble_row(

@@ -165,3 +165,31 @@ def test_malformed_media_ref_dead_letter():
     _assert_equal(_result_map(out), expected)
     # the poison span is counted, not just dropped (manifest surfacing)
     assert [r["n_span_errors"] for r in rows] == [1]
+
+
+def test_recognize_phase_poison_counted_not_fatal():
+    """A recognize-phase failure (detect entry present but media
+    unrenderable at recognize time) is dead-lettered like the fused path,
+    not a shard-killing exception."""
+    import pyarrow as pa
+
+    from ocr_platform_ray.stages.extract import RecognizeStage
+
+    batch = pa.Table.from_pylist([
+        {
+            "doc_id": "d0",
+            "spans": [
+                {"kind": "text", "text": "ok", "media_ref": "", "offset": 0},
+                {"kind": "image", "text": "", "media_ref": "img://gone", "offset": 3},
+            ],
+            "detect": [
+                {"span_idx": 1, "width": 100, "height": 30,
+                 "boxes": [{"x1": 0, "y1": 0, "x2": 50, "y2": 20}]},
+            ],
+            "n_detect_errors": 0,
+        }
+    ])
+    out = RecognizeStage()(batch).to_pylist()
+    assert len(out) == 1
+    assert out[0]["n_span_errors"] == 1
+    assert [s["kind"] for s in out[0]["spans_out"]] == ["text"]

@@ -207,3 +207,16 @@ def test_manifest_surfaces_span_errors(tmp_path):
     summary = run_job(path, out, n_shards=2, opts=OPTS)
     assert summary["n_span_errors"] == 6
     assert sum(m["n_span_errors"] for m in load_manifests(out)) == 6
+
+
+def test_no_resume_still_clears_stale_wider_plan(input_path, tmp_path):
+    """resume=False must still remove out-of-range shards from a wider
+    previous plan, or the summary double-counts and part-*/ has orphans."""
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=3, opts=OPTS)
+    summary = run_job(input_path, out, n_shards=2, opts=OPTS, resume=False)
+    assert summary["shards_ran"] == [0, 1]
+    assert summary["shards_invalidated"] == [2]
+    assert summary["n_docs"] == N_DOCS          # no double count
+    assert not os.path.isdir(os.path.join(out, "part-00002"))
+    assert completed_shards(out) == {0, 1}
