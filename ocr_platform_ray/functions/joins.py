@@ -131,6 +131,27 @@ def bucketed_merge_join(
     return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def _add_key_bucket(key: str, n_buckets: int = 256):
+    """Coarse key-hash bucket column: the shuffle moves ~n_buckets groups
+    instead of one Ray group per key (per-group overhead dominates with
+    many small keys); per-key semantics are restored inside the bucket
+    with vectorized pandas (merge_asof by=, groupby)."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            kb = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(
+                np.int64
+            ) % n_buckets
+        out = batch
+        if "__kb" in out.column_names:
+            out = out.drop_columns(["__kb"])
+        return out.append_column("__kb", pa.array(kb))
+
+    return fn
+
+
 def range_join_count(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -176,29 +197,46 @@ def range_join_count(
     )
 
     def count(g: pd.DataFrame):
-        gl = g[g["__side"] == "l"]
-        if gl.empty:
+        # coarse group of many keys: in-process loop per key (two
+        # searchsorted probes each) instead of one Ray group per key
+        parts: list[tuple[pd.DataFrame, np.ndarray]] = []
+        for _kv, sub in g.groupby(key, sort=False):
+            gl = sub[sub["__side"] == "l"]
+            if gl.empty:
+                continue
+            rts = np.sort(sub.loc[sub["__side"] == "r", ts].to_numpy())
+            lts = gl[ts].to_numpy()
+            if np.issubdtype(lts.dtype, np.datetime64):
+                # offsets are in the timestamp's storage unit (us for
+                # timestamp[us] parquet columns)
+                lts = lts.astype("datetime64[us]").astype(np.int64)
+                rts = rts.astype("datetime64[us]").astype(np.int64)
+            n = np.searchsorted(rts, lts + hi_offset, side="left") - (
+                np.searchsorted(rts, lts + lo_offset, side="left")
+            )
+            parts.append((gl, n.astype(np.int64)))
+        if not parts:
             return pa.Table.from_arrays(
                 [pa.array([], t) for _, t in out_fields],
                 names=[n for n, _ in out_fields],
             )
-        rts = np.sort(g.loc[g["__side"] == "r", ts].to_numpy())
-        lts = gl[ts].to_numpy()
-        if np.issubdtype(lts.dtype, np.datetime64):
-            # offsets are in the timestamp's storage unit (us for
-            # timestamp[us] parquet columns)
-            lts = lts.astype("datetime64[us]").astype(np.int64)
-            rts = rts.astype("datetime64[us]").astype(np.int64)
-        n = np.searchsorted(rts, lts + hi_offset, side="left") - np.searchsorted(
-            rts, lts + lo_offset, side="left"
-        )
+        gl_all = pd.concat([p[0] for p in parts])
+        n_all = np.concatenate([p[1] for p in parts])
         arrays = [
-            pa.array(gl[c], type=t, from_pandas=True) for c, t in out_fields[:-1]
+            pa.array(gl_all[c], type=t, from_pandas=True)
+            for c, t in out_fields[:-1]
         ]
-        arrays.append(pa.array(n.astype(np.int64)))
+        arrays.append(pa.array(n_all))
         return pa.Table.from_arrays(arrays, names=[c for c, _ in out_fields])
 
-    return lb.union(rb).groupby(key).map_groups(count, batch_format="pandas")
+    both = lb.union(rb).map_batches(_add_key_bucket(key), batch_format="pyarrow")
+    from .dedup import shuffle_blocks
+
+    return (
+        both.repartition(shuffle_blocks())
+        .groupby("__kb")
+        .map_groups(count, batch_format="pandas")
+    )
 
 
 def asof_join(
@@ -250,21 +288,34 @@ def asof_join(
     ]
 
     def match(g: pd.DataFrame):
-        gl = g[g["__side"] == "l"][lcols].sort_values(ts)
-        gr = g[g["__side"] == "r"][rcols].sort_values(ts)
+        # coarse group of ~many keys: ONE pandas merge_asof with by=key
+        # handles them all vectorized (one Ray group per key costs ~100us
+        # of per-group overhead x |keys| — measured ~2x slower)
+        gl = g[g["__side"] == "l"][lcols].sort_values(ts, kind="mergesort")
+        gr = g[g["__side"] == "r"][rcols].sort_values(ts, kind="mergesort")
         if gl.empty:
             return pa.Table.from_arrays(
                 [pa.array([], t) for _, t in out_fields],
                 names=[n for n, _ in out_fields],
             )
         renames = {c: c + suffix for c in [ts] + value_cols}
-        gr = gr.rename(columns=renames).drop(columns=[key])
+        gr = gr.rename(columns=renames)
         out = pd.merge_asof(
-            gl, gr, left_on=ts, right_on=ts + suffix, direction="backward"
+            gl, gr, left_on=ts, right_on=ts + suffix, by=key,
+            direction="backward",
         )
         return pa.Table.from_arrays(
             [pa.array(out[n], type=t, from_pandas=True) for n, t in out_fields],
             names=[n for n, _ in out_fields],
         )
 
-    return lb.union(rb).groupby(key).map_groups(match, batch_format="pandas")
+    both = lb.union(rb).map_batches(
+        _add_key_bucket(key), batch_format="pyarrow"
+    )
+    from .dedup import shuffle_blocks
+
+    return (
+        both.repartition(shuffle_blocks())
+        .groupby("__kb")
+        .map_groups(match, batch_format="pandas")
+    )
