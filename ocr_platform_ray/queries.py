@@ -271,13 +271,16 @@ def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     prior (or simultaneous) view event."""
     from .functions.joins import asof_join
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    # row filter pushed to the parquet read (row-group pruning): only
+    # click/view rows leave storage, and only the needed columns
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        filter=(pc.field("event_type") == "click"),
     )
-    clicks = ev.filter(expr="event_type == 'click'").select_columns(
-        ["event_id", "user_id", "ts"]
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        filter=(pc.field("event_type") == "view"),
     )
-    views = ev.filter(expr="event_type == 'view'").select_columns(["user_id", "ts"])
     out = asof_join(clicks, views, key="user_id", ts="ts", value_cols=[])
 
     # rename via an arrow batch op (Dataset.rename_columns trips on
@@ -297,13 +300,14 @@ def q_views_before_click(sf_dir: str) -> rd.Dataset:
     searchsorted counts (no pairwise expansion)."""
     from .functions.joins import range_join_count
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        filter=(pc.field("event_type") == "click"),
     )
-    clicks = ev.filter(expr="event_type == 'click'").select_columns(
-        ["event_id", "user_id", "ts"]
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        filter=(pc.field("event_type") == "view"),
     )
-    views = ev.filter(expr="event_type == 'view'").select_columns(["user_id", "ts"])
     out = range_join_count(
         clicks, views, key="user_id", ts="ts",
         lo_offset=-3_600_000_000, hi_offset=0,  # us: [-1h, 0)
@@ -343,6 +347,9 @@ def q_customers_no_orders(sf_dir: str) -> rd.Dataset:
 # --------------------------------------------------------------- relational
 
 def q_pricing(sf_dir: str) -> rd.Dataset:
+    # ship-date predicate pushed into the parquet read (row-group pruning);
+    # pricing_summary's own filter stays as a correctness guard for direct
+    # callers and is a no-op on the pre-filtered rows
     return relational.pricing_summary(
         rd.read_parquet(
             f"{sf_dir}/lineitem.parquet",
@@ -354,6 +361,10 @@ def q_pricing(sf_dir: str) -> rd.Dataset:
                 "l_discount",
                 "l_shipdate",
             ],
+            filter=(
+                pc.field("l_shipdate")
+                <= pa.scalar("1998-09-02").cast(pa.timestamp("us"))
+            ),
         )
     )
 
