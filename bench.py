@@ -111,7 +111,11 @@ def run_queries(sf_dir: str) -> dict:
         ("q_sessions", q.q_sessions),
         ("q_running_total", q.q_running_total),
         ("q_asof_view_before_click", q.q_asof_view_before_click),
+        ("q_views_before_click", q.q_views_before_click),
         ("q_price_quantiles", q.q_price_quantiles),
+        ("q_price_quantiles_sketch", q.q_price_quantiles_sketch),
+        ("q_embedding_dups_exact", q.q_embedding_dups_exact),
+        ("q_customers_no_orders", q.q_customers_no_orders),
         ("q_lineitem_agg", q.q_lineitem_agg),
         ("q_orders_by_nation", q.q_orders_by_nation),
         ("q_sliding_windows", q.q_sliding_windows),
