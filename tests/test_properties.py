@@ -3,7 +3,9 @@ strip arithmetic invariants, normalize idempotence, reading-order totality,
 clamp/crop safety — over much wider input ranges than the example tests."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
+import pytest
 from hypothesis import strategies as st
 
 from ocr_platform_ray import font
@@ -122,3 +124,144 @@ class TestFontProperties:
         got, conf = font.decode_band(img > 127)
         assert got == text
         assert conf == 1.0
+
+
+class TestJoinProperties:
+    """Randomized ground-truth checks: Ray join operators vs brute-force
+    pandas/python references on small random inputs (fixed seeds — each
+    Ray pipeline run costs ~1 s, so a few seeds, not hypothesis sweeps)."""
+
+    def _rand_tables(self, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        left = [
+            {"event_id": int(i), "user_id": int(rng.integers(0, 8)),
+             "ts": int(rng.integers(0, 1000))}
+            for i in range(60)
+        ]
+        right = [
+            {"user_id": int(rng.integers(0, 8)), "ts": int(rng.integers(0, 1000))}
+            for _ in range(80)
+        ]
+        return left, right
+
+    @pytest.mark.parametrize("seed", [1, 7, 23])
+    def test_range_join_count_vs_bruteforce(self, seed):
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.joins import range_join_count
+
+        left, right = self._rand_tables(seed)
+        lo, hi = -100, 50
+        out = range_join_count(
+            rd.from_items(left), rd.from_items(right),
+            key="user_id", ts="ts", lo_offset=lo, hi_offset=hi,
+        ).to_pandas()
+        got = dict(zip(out["event_id"], out["n_in_range"]))
+        for l in left:
+            want = sum(
+                1 for r in right
+                if r["user_id"] == l["user_id"]
+                and l["ts"] + lo <= r["ts"] < l["ts"] + hi
+            )
+            assert got[l["event_id"]] == want, (seed, l)
+
+    @pytest.mark.parametrize("seed", [2, 11])
+    def test_asof_join_vs_bruteforce(self, seed):
+        import pandas as pd
+
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.joins import asof_join
+
+        left, right = self._rand_tables(seed)
+        out = asof_join(
+            rd.from_items(left), rd.from_items(right),
+            key="user_id", ts="ts", value_cols=[],
+        ).to_pandas()
+        got = dict(zip(out["event_id"], out["ts_matched"]))
+        assert len(out) == len(left)
+        for l in left:
+            cands = [r["ts"] for r in right
+                     if r["user_id"] == l["user_id"] and r["ts"] <= l["ts"]]
+            want = max(cands) if cands else None
+            g = got[l["event_id"]]
+            if want is None:
+                assert pd.isna(g), (seed, l)
+            else:
+                assert g == want, (seed, l, want)
+
+    @pytest.mark.parametrize("seed", [3, 13])
+    def test_join_modes_vs_pandas(self, seed):
+        import numpy as np
+        import pandas as pd
+
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.joins import bucketed_merge_join
+
+        rng = np.random.default_rng(seed)
+        left = [{"k": int(rng.integers(0, 10)), "lv": int(i)} for i in range(40)]
+        right = [{"rk": int(rng.integers(0, 10)), "rv": int(i * 10)}
+                 for i in range(12)]
+        ldf = pd.DataFrame(left)
+        rdf = pd.DataFrame(right)
+        rkeys = set(rdf["rk"])
+        for how in ("semi", "anti"):
+            out = bucketed_merge_join(
+                rd.from_items(left), rd.from_items(right),
+                on="k", right_on="rk", how=how,
+            ).to_pandas()
+            mask = ldf["k"].isin(rkeys)
+            want = ldf[mask if how == "semi" else ~mask]
+            assert sorted(out["lv"]) == sorted(want["lv"]), (seed, how)
+        out = bucketed_merge_join(
+            rd.from_items(left), rd.from_items(right),
+            on="k", right_on="rk", how="left",
+        ).to_pandas()
+        want = ldf.merge(rdf, left_on="k", right_on="rk", how="left")
+        assert len(out) == len(want)
+        got_rv = sorted(out["rv"].fillna(-1))
+        assert got_rv == sorted(want["rv"].fillna(-1))
+
+
+class TestCcProperties:
+    @pytest.mark.parametrize("seed", [5, 17])
+    def test_cc_labels_vs_union_find(self, seed):
+        import numpy as np
+
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.dedup import connected_components_labels
+
+        rng = np.random.default_rng(seed)
+        n = 40
+        edges = [
+            {"doc_a": int(rng.integers(0, n)), "doc_b": int(rng.integers(0, n))}
+            for _ in range(30)
+        ]
+        edges = [e for e in edges if e["doc_a"] != e["doc_b"]]
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for e in edges:
+            a, b = find(e["doc_a"]), find(e["doc_b"])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = {e["doc_a"] for e in edges} | {e["doc_b"] for e in edges}
+        # canonical min-id per component
+        comp_min = {}
+        for v in nodes:
+            root = find(v)
+            comp_min[root] = min(comp_min.get(root, v), v)
+        want = {v: comp_min[find(v)] for v in nodes}
+        labels = connected_components_labels(rd.from_items(edges)).to_pandas()
+        got = dict(zip(labels["doc_id"], labels["label"]))
+        assert got == want, seed
