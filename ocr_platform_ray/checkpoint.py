@@ -117,6 +117,7 @@ def config_sig(
     overrides: list[dict] | None,
     two_phase: bool,
     result_overrides: list[dict] | None = None,
+    dedup: str = "none",
 ) -> str:
     """Fingerprint of everything that shapes a shard's output besides its
     input rows. Recorded in the manifest; resume validates it so outputs
@@ -128,6 +129,7 @@ def config_sig(
         "overrides": overrides or [],
         "result_overrides": result_overrides or [],
         "two_phase": bool(two_phase),
+        "dedup": dedup,
     }
     return hashlib.sha256(
         json.dumps(payload, sort_keys=True, default=str).encode()
@@ -144,6 +146,7 @@ def run_shard(
     n_shards: int | None = None,
     sig: str | None = None,
     result_overrides: list[dict] | None = None,
+    survivors_ref=None,
 ) -> dict:
     """Run the extract pipeline for one shard; atomic write + manifest commit.
 
@@ -161,6 +164,19 @@ def run_shard(
     os.makedirs(tmp_dir, exist_ok=True)
 
     ds = _shard_dataset(plan)
+    if survivors_ref is not None:
+        # dedup pre-pass survivors (broadcast once): non-survivor docs are
+        # dropped before any extraction compute. At a scale where even the
+        # id set outgrows a node, replace with a semi-join against the
+        # survivors parquet instead of a broadcast set.
+        import ray as _ray
+
+        def keep_survivors(batch: pa.Table) -> pa.Table:
+            surv = _ray.get(survivors_ref)
+            mask = [d in surv for d in batch.column("doc_id").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(keep_survivors, batch_format="pyarrow")
     stage_times: dict[str, float] = {}
     if two_phase:
         det_dir = os.path.join(out_dir, "detect", f"part-{sid:05d}")
@@ -279,15 +295,62 @@ def run_job(
     shard_retries: int = 2,
     retry_base_s: float = 1.0,
     result_overrides: list[dict] | None = None,
+    dedup: str = "none",
 ) -> dict:
     """Full checkpointed job. Returns a summary incl. which shards ran vs
     were skipped (resume anti-join against committed manifests, each
     validated against the current plan's lineage + config) and which
     previously-committed shards were invalidated and rerun. Failed shards
-    retry with capped exponential backoff (reference Celery semantics)."""
+    retry with capped exponential backoff (reference Celery semantics).
+
+    ``dedup="exact"`` runs a whole-document exact-dedup pre-pass over the
+    full input (vectorized span-signature hash; the shuffle carries only
+    16-byte signatures), commits the survivor doc_id list under
+    ``out_dir/dedup/`` (atomic, reused on resume), and every shard drops
+    non-survivors before extraction — the training-data composition
+    read -> dedup -> extract."""
     os.makedirs(out_dir, exist_ok=True)
     plans = plan_shards(input_path, n_shards)
-    sig = config_sig(cfg, overrides, two_phase, result_overrides)
+    sig = config_sig(cfg, overrides, two_phase, result_overrides, dedup)
+
+    survivors_ref = None
+    if dedup == "exact":
+        import ray
+
+        import pyarrow.parquet as pq
+
+        from .functions.dedup import dedup_survivor_doc_ids
+
+        surv_dir = os.path.join(out_dir, "dedup")
+        surv_sig_path = os.path.join(surv_dir, "config_sig.txt")
+        have = (
+            resume
+            and os.path.isdir(surv_dir)
+            and os.path.isfile(surv_sig_path)
+            and open(surv_sig_path).read() == sig
+        )
+        if not have:
+            tmp = os.path.join(out_dir, ".tmp-dedup")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            full = rd.read_parquet(
+                sorted({f for p in plans for f in p.files})
+                or plans[0].input_path
+            )
+            dedup_survivor_doc_ids(full).write_parquet(tmp)
+            with open(os.path.join(tmp, "config_sig.txt"), "w") as f:
+                f.write(sig)
+            shutil.rmtree(surv_dir, ignore_errors=True)
+            os.replace(tmp, surv_dir)
+        surv = set()
+        for f in sorted(os.listdir(surv_dir)):
+            if f.endswith(".parquet"):
+                surv.update(
+                    pq.read_table(
+                        os.path.join(surv_dir, f), columns=["doc_id"]
+                    ).column("doc_id").to_pylist()
+                )
+        survivors_ref = ray.put(surv)
     done: set[int] = set()
     invalidated: list[int] = []
     for sid in completed_shards(out_dir):
@@ -323,6 +386,7 @@ def run_job(
                     plan, out_dir, cfg=cfg, opts=opts, overrides=overrides,
                     two_phase=two_phase, n_shards=n_shards, sig=sig,
                     result_overrides=result_overrides,
+                    survivors_ref=survivors_ref,
                 )
                 break
             except Exception:

@@ -583,3 +583,45 @@ def verify_pairs_jaccard(
         }
     )
     return rd.from_arrow(pair_tbl).map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------- whole-document exact dedup
+
+def doc_signature_batch(batch: pa.Table) -> pa.Table:
+    """Doc rows -> (doc_id, doc_h64): a 64-bit signature of the FULL span
+    sequence (kind, text, media_ref, offset — polars hashes the nested
+    list<struct> column natively, vectorized). Two docs share doc_h64 iff
+    they are byte-identical documents (modulo a ~2^-64 collision, the
+    standard exact-dedup-by-hash contract)."""
+    import polars as pl
+
+    col = batch.column("spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.int64)
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "doc_h64": h}
+    )
+
+
+def dedup_survivor_doc_ids(ds: rd.Dataset) -> rd.Dataset:
+    """Exact whole-document dedup pre-pass: keep min(doc_id) per distinct
+    document -> (doc_id) survivor rows. The shuffle carries only
+    (doc_h64, doc_id) pairs (16 bytes + id), never spans; per-batch
+    combiner first, like exact_dedup_min_doc."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sig = doc_signature_batch(batch)
+        df = sig.to_pandas().groupby("doc_h64", as_index=False)["doc_id"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_h64", as_index=False)["doc_id"].min()[["doc_id"]]
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("doc_h64")
+        .map_groups(final, batch_format="pandas")
+    )

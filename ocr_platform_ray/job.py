@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
                         "sequences applied at merge (PATCH result analogue)")
     p.add_argument("--two-phase", action="store_true",
                    help="persist the detect checkpoint (human-editable) and recognize from it")
+    p.add_argument("--dedup", choices=["none", "exact"], default="none",
+                   help="whole-document exact-dedup pre-pass before "
+                        "extraction (survivors committed under out/dedup)")
     p.add_argument("--max-side", type=int, default=1200)
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init(num_cpus=...) when starting a fresh local session")
@@ -75,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         two_phase=args.two_phase,
         result_overrides=result_overrides,
+        dedup=args.dedup,
     )
     print(json.dumps(summary))
     ray.shutdown()

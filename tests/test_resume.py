@@ -220,3 +220,28 @@ def test_no_resume_still_clears_stale_wider_plan(input_path, tmp_path):
     assert summary["n_docs"] == N_DOCS          # no double count
     assert not os.path.isdir(os.path.join(out, "part-00002"))
     assert completed_shards(out) == {0, 1}
+
+
+def test_dedup_prepass_drops_duplicates(tmp_path):
+    """--dedup exact: whole-document duplicates extract once (min doc_id
+    survivor), survivors list is committed and reused on resume."""
+    docs = corpus.generate_docs(12, seed=21)
+    # plant two exact duplicates of doc 0 with higher ids
+    for dup_id in ("zz-dup-1", "zz-dup-2"):
+        docs.append(dict(docs[0], doc_id=dup_id))
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus.docs_to_table(docs), path)
+    out = str(tmp_path / "out")
+    summary = run_job(path, out, n_shards=2, opts=OPTS, dedup="exact")
+    rows = _read_all(out)
+    assert summary["n_docs"] == 12            # 14 input docs, 2 dropped
+    assert docs[0]["doc_id"] in rows
+    assert "zz-dup-1" not in rows and "zz-dup-2" not in rows
+    assert os.path.isdir(os.path.join(out, "dedup"))
+    # resume: nothing reruns, survivors reused
+    summary2 = run_job(path, out, n_shards=2, opts=OPTS, dedup="exact")
+    assert summary2["shards_ran"] == []
+    # changing dedup mode invalidates (config_sig covers it)
+    summary3 = run_job(path, out, n_shards=2, opts=OPTS, dedup="none")
+    assert summary3["shards_ran"] == [0, 1]
+    assert _read_all(out).keys() >= {"zz-dup-1", "zz-dup-2"}
