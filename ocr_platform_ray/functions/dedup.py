@@ -209,6 +209,9 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
         return batch.append_column("cb", pa.array(cb))
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # most LSH buckets are singletons: drop them in one vectorized
+        # pass so the python loop only visits buckets that can pair
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
         out = {"doc_a": [], "doc_b": [], "est_jaccard": [], "truncated": []}
         for (_band, _bh), sub in g.groupby(["band", "band_hash"], sort=True):
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
@@ -511,6 +514,7 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         return batch.append_column("cb", pa.array(blk * 256 + (bv & 255)))
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["block", "block_val"], keep=False)]  # singleton buckets can't pair
         out = {"doc_a": [], "doc_b": [], "hamming": [], "truncated": []}
         for (_blk, _bv), sub in g.groupby(["block", "block_val"], sort=True):
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
