@@ -23,6 +23,7 @@ import hashlib
 import json
 import os
 import shutil
+import sys
 import time
 from dataclasses import dataclass, field
 
@@ -200,6 +201,14 @@ def run_shard(
         out = build_extract_pipeline(ds, cfg=cfg, opts=opts, overrides=overrides)
         out = apply_result_overrides(out, result_overrides)
         out.write_parquet(tmp_dir)
+    if os.environ.get("GRAFT_STATS"):
+        # per-stage wall/cpu breakdown (reference's per-stage INFO timing
+        # analogue, orchestrator.py:38-72) — stderr so the one-line JSON
+        # summary on stdout stays machine-readable
+        print(
+            f"--- shard {sid} stats ---\n{out.stats()}",
+            file=sys.stderr,
+        )
 
     # gather lineage stats from the written shard (cheap: metadata + one scan)
     written = rd.read_parquet(tmp_dir)
