@@ -171,7 +171,9 @@ def _query_vec(sf_dir: str) -> list[float]:
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 def q_ann_topk(sf_dir: str) -> rd.Dataset:
