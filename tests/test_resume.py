@@ -245,3 +245,19 @@ def test_dedup_prepass_drops_duplicates(tmp_path):
     summary3 = run_job(path, out, n_shards=2, opts=OPTS, dedup="none")
     assert summary3["shards_ran"] == [0, 1]
     assert _read_all(out).keys() >= {"zz-dup-1", "zz-dup-2"}
+
+
+def test_two_phase_resume_after_recognize_crash(input_path, tmp_path):
+    """Crash between detect-checkpoint commit and output commit: the
+    shard reruns wholesale on resume and the result equals a fresh run
+    (the detect dir is overwritten, never half-trusted)."""
+    fresh = str(tmp_path / "fresh")
+    run_job(input_path, fresh, n_shards=2, opts=OPTS, two_phase=True)
+    crashed = str(tmp_path / "crashed")
+    run_job(input_path, crashed, n_shards=2, opts=OPTS, two_phase=True)
+    # simulate dying after DETECT_DONE but before the output manifest
+    os.remove(os.path.join(crashed, "manifest", "part-00001.json"))
+    shutil.rmtree(os.path.join(crashed, "part-00001"))
+    summary = run_job(input_path, crashed, n_shards=2, opts=OPTS, two_phase=True)
+    assert summary["shards_ran"] == [1]
+    assert _read_all(crashed) == _read_all(fresh)
