@@ -137,6 +137,25 @@ def config_sig(
     ).hexdigest()[:16]
 
 
+# per-worker memo: ray.get re-deserializes the whole survivor set on every
+# call otherwise (O(|survivors|) per BATCH instead of per worker)
+_SURV_CACHE: dict = {}
+
+
+def _keep_survivors(survivors_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        surv_arr = _SURV_CACHE.get(survivors_ref)
+        if surv_arr is None:
+            surv_arr = pa.array(sorted(_ray.get(survivors_ref)))
+            _SURV_CACHE[survivors_ref] = surv_arr
+        mask = pa.compute.is_in(batch.column("doc_id"), value_set=surv_arr)
+        return batch.filter(mask)
+
+    return fn
+
+
 def run_shard(
     plan: ShardPlan,
     out_dir: str,
@@ -170,14 +189,9 @@ def run_shard(
         # dropped before any extraction compute. At a scale where even the
         # id set outgrows a node, replace with a semi-join against the
         # survivors parquet instead of a broadcast set.
-        import ray as _ray
-
-        def keep_survivors(batch: pa.Table) -> pa.Table:
-            surv = _ray.get(survivors_ref)
-            mask = [d in surv for d in batch.column("doc_id").to_pylist()]
-            return batch.filter(pa.array(mask))
-
-        ds = ds.map_batches(keep_survivors, batch_format="pyarrow")
+        ds = ds.map_batches(
+            _keep_survivors(survivors_ref), batch_format="pyarrow"
+        )
     stage_times: dict[str, float] = {}
     if two_phase:
         det_dir = os.path.join(out_dir, "detect", f"part-{sid:05d}")
@@ -185,8 +199,14 @@ def run_shard(
         shutil.rmtree(det_tmp, ignore_errors=True)
         os.makedirs(det_tmp, exist_ok=True)
         t_det = time.perf_counter()
-        build_detect_pipeline(ds, cfg=cfg, opts=opts).write_parquet(det_tmp)
+        det = build_detect_pipeline(ds, cfg=cfg, opts=opts)
+        det.write_parquet(det_tmp)
         stage_times["detect_s"] = round(time.perf_counter() - t_det, 4)
+        if os.environ.get("GRAFT_STATS"):
+            print(
+                f"--- shard {sid} detect stats ---\n{det.stats()}",
+                file=sys.stderr,
+            )
         shutil.rmtree(det_dir, ignore_errors=True)
         os.replace(det_tmp, det_dir)  # DETECT_DONE boundary committed
         detected = rd.read_parquet(det_dir)
@@ -331,24 +351,29 @@ def run_job(
         from .functions.dedup import dedup_survivor_doc_ids
 
         surv_dir = os.path.join(out_dir, "dedup")
-        surv_sig_path = os.path.join(surv_dir, "config_sig.txt")
-        have = (
-            resume
-            and os.path.isdir(surv_dir)
-            and os.path.isfile(surv_sig_path)
-            and open(surv_sig_path).read() == sig
-        )
+        surv_meta_path = os.path.join(surv_dir, "meta.json")
+        # the survivors list depends on BOTH the config AND the input —
+        # validate input lineage like _manifest_valid does, else adding an
+        # input file on resume would reuse a stale list and silently drop
+        # every new document
+        inputs = sorted({f for p in plans for f in p.files}) or [
+            plans[0].input_path
+        ]
+        meta = {"config_sig": sig, "inputs": inputs}
+        have = False
+        if resume and os.path.isfile(surv_meta_path):
+            with open(surv_meta_path) as f:
+                have = json.load(f) == meta
         if not have:
             tmp = os.path.join(out_dir, ".tmp-dedup")
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp, exist_ok=True)
             full = rd.read_parquet(
-                sorted({f for p in plans for f in p.files})
-                or plans[0].input_path
+                inputs if plans[0].files else plans[0].input_path
             )
             dedup_survivor_doc_ids(full).write_parquet(tmp)
-            with open(os.path.join(tmp, "config_sig.txt"), "w") as f:
-                f.write(sig)
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
             shutil.rmtree(surv_dir, ignore_errors=True)
             os.replace(tmp, surv_dir)
         surv = set()

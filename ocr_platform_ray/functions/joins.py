@@ -135,15 +135,18 @@ def _add_key_bucket(key: str, n_buckets: int = 256):
     """Coarse key-hash bucket column: the shuffle moves ~n_buckets groups
     instead of one Ray group per key (per-group overhead dominates with
     many small keys); per-key semantics are restored inside the bucket
-    with vectorized pandas (merge_asof by=, groupby)."""
+    with vectorized pandas (merge_asof by=, groupby). Key-type generic
+    (int/string/null — polars hashes any Arrow column; null keys hash
+    deterministically and are handled by the per-bucket logic)."""
     import numpy as np
+    import polars as pl
 
     def fn(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            kb = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(
-                np.int64
-            ) % n_buckets
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
+        kb = (h % np.uint64(n_buckets)).astype(np.int64)
         out = batch
         if "__kb" in out.column_names:
             out = out.drop_columns(["__kb"])
@@ -200,6 +203,10 @@ def range_join_count(
         # coarse group of many keys: in-process loop per key (two
         # searchsorted probes each) instead of one Ray group per key
         parts: list[tuple[pd.DataFrame, np.ndarray]] = []
+        # null keys match nothing (SQL equality): count 0, row preserved
+        null_l = g[(g["__side"] == "l") & g[key].isna()]
+        if not null_l.empty:
+            parts.append((null_l, np.zeros(len(null_l), dtype=np.int64)))
         for _kv, sub in g.groupby(key, sort=False):
             gl = sub[sub["__side"] == "l"]
             if gl.empty:
@@ -298,12 +305,26 @@ def asof_join(
                 [pa.array([], t) for _, t in out_fields],
                 names=[n for n, _ in out_fields],
             )
+        # SQL equality semantics: a null key matches nothing — split those
+        # left rows out (merge_asof raises on null by-keys) and emit them
+        # with null matched columns
+        null_l = gl[gl[key].isna()]
+        gl_k = gl[gl[key].notna()]
+        gr_k = gr[gr[key].notna()]
         renames = {c: c + suffix for c in [ts] + value_cols}
-        gr = gr.rename(columns=renames)
-        out = pd.merge_asof(
-            gl, gr, left_on=ts, right_on=ts + suffix, by=key,
-            direction="backward",
-        )
+        gr_k = gr_k.rename(columns=renames)
+        matched_cols = [c + suffix for c in [ts] + value_cols]
+        if gl_k.empty:
+            out = pd.DataFrame(columns=lcols + matched_cols)
+        elif gr_k.empty:
+            out = gl_k.reindex(columns=lcols + matched_cols)
+        else:
+            out = pd.merge_asof(
+                gl_k, gr_k, left_on=ts, right_on=ts + suffix, by=key,
+                direction="backward",
+            )
+        if not null_l.empty:
+            out = pd.concat([out, null_l.reindex(columns=lcols + matched_cols)])
         return pa.Table.from_arrays(
             [pa.array(out[n], type=t, from_pandas=True) for n, t in out_fields],
             names=[n for n, _ in out_fields],

@@ -499,3 +499,43 @@ class TestHll:
         got = dict(zip(out["k"], out["approx_distinct"]))
         assert abs(got["a"] - 500) / 500 < 0.05
         assert abs(got["b"] - 2000) / 2000 < 0.05
+
+
+class TestJoinKeyTypes:
+    def test_asof_string_key_and_null_keys(self):
+        """Coarse key bucketing must accept string keys, and null keys
+        match nothing (SQL equality) while keeping the left row."""
+        from ocr_platform_ray.functions.joins import asof_join
+
+        left = _ds([
+            {"event_id": 1, "user_id": "u1", "ts": 100},
+            {"event_id": 2, "user_id": None, "ts": 100},
+        ])
+        right = _ds([
+            {"user_id": "u1", "ts": 50},
+            {"user_id": None, "ts": 60},
+        ])
+        out = asof_join(
+            left, right, key="user_id", ts="ts", value_cols=[]
+        ).to_pandas()
+        got = dict(zip(out["event_id"], out["ts_matched"]))
+        assert len(out) == 2
+        assert got[1] == 50
+        assert pd.isna(got[2])          # null key matches nothing
+
+    def test_range_join_null_key_counts_zero(self):
+        from ocr_platform_ray.functions.joins import range_join_count
+
+        left = _ds([
+            {"event_id": 1, "user_id": 5, "ts": 100},
+            {"event_id": 2, "user_id": None, "ts": 100},
+        ])
+        right = _ds([
+            {"user_id": 5, "ts": 80},
+            {"user_id": None, "ts": 80},
+        ])
+        out = range_join_count(
+            left, right, key="user_id", ts="ts", lo_offset=-50, hi_offset=0
+        ).to_pandas()
+        got = dict(zip(out["event_id"], out["n_in_range"]))
+        assert got[1] == 1 and got[2] == 0

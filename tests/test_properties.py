@@ -5,7 +5,6 @@ clamp/crop safety — over much wider input ranges than the example tests."""
 import numpy as np
 import pytest
 from hypothesis import given, settings
-import pytest
 from hypothesis import strategies as st
 
 from ocr_platform_ray import font

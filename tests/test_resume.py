@@ -261,3 +261,23 @@ def test_two_phase_resume_after_recognize_crash(input_path, tmp_path):
     summary = run_job(input_path, crashed, n_shards=2, opts=OPTS, two_phase=True)
     assert summary["shards_ran"] == [1]
     assert _read_all(crashed) == _read_all(fresh)
+
+
+def test_dedup_survivors_invalidate_on_new_input(tmp_path):
+    """Adding an input file on resume must recompute the survivors list —
+    a stale list would silently drop every new document."""
+    d = tmp_path / "many"
+    d.mkdir()
+    docs = corpus.generate_docs(8, seed=31)
+    pq.write_table(corpus.docs_to_table(docs[:4]), d / "a.parquet")
+    pq.write_table(corpus.docs_to_table(docs[4:]), d / "b.parquet")
+    out = str(tmp_path / "out")
+    s1 = run_job(str(d), out, n_shards=2, opts=OPTS, dedup="exact")
+    assert s1["n_docs"] == 8
+    # new input file appears; manifests invalidate AND survivors recompute
+    more = corpus.generate_docs(12, seed=32)[8:]
+    pq.write_table(corpus.docs_to_table(more), d / "c.parquet")
+    s2 = run_job(str(d), out, n_shards=2, opts=OPTS, dedup="exact")
+    assert s2["n_docs"] == 12          # the 4 new docs are NOT dropped
+    rows = _read_all(out)
+    assert all(m["doc_id"] in rows for m in more)
