@@ -100,6 +100,7 @@ def run_queries(sf_dir: str) -> dict:
     from ocr_platform_ray import queries as q
 
     timings = {}
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     for name, fn in [
         ("q_pricing", q.q_pricing),
         ("q_window_counts", q.q_window_counts),
@@ -120,15 +121,24 @@ def run_queries(sf_dir: str) -> dict:
         ("q_orders_by_nation", q.q_orders_by_nation),
         ("q_sliding_windows", q.q_sliding_windows),
     ]:
-        t0 = time.perf_counter()
-        _consume_count(fn(sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # BASELINE.md protocol: exclude cold-start noise — report the best
+        # of N runs (first run pays actor-pool/join-aggregator startup)
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            _consume_count(fn(sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     return timings
 
 
 def main_single() -> dict:
     _init_ray(NUM_CPUS)
     head = run_headline(SF_DIR)
+    head2 = run_headline(SF_DIR)  # best-of-2 (protocol: warm-up excluded)
+    if head2["extract_sec"] < head["extract_sec"]:
+        head = head2
     qt = run_queries(SF_DIR)
     result = {
         "metric": "interleaved-extraction end-to-end sec (sf documents-derived corpus)",
