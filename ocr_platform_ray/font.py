@@ -162,30 +162,62 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
 
     conf = min over glyphs of template-match similarity (fraction of the 35
     cells agreeing with the best template); 1.0 when the band has no glyphs.
-    Deterministic: ties broken by CHARSET order.
-    """
-    h = band.shape[0]
-    if h < GLYPH_H or band.shape[1] == 0 or not band.any():
-        return "", 1.0
-    s = h // GLYPH_H  # integer scale estimate; exact for clean bands
-    col_on = band.any(axis=0)
-    glyph_runs = _runs(col_on)
-    if not glyph_runs:
-        return "", 1.0
-    # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols); word gap >= 4*s
-    space_gap = 3 * max(1, s)
-    rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
-    rows_grid = band[rr]  # (7, band_width) — gather rows once per band
+    Deterministic: ties broken by CHARSET order. Thin wrapper over
+    ``decode_bands`` (the batched core) so every caller — oracle and
+    pipeline — shares one implementation."""
+    return decode_bands([band])[0]
 
-    # Vectorized over ALL glyph runs at once (a per-run Python loop of tiny
-    # numpy ops was the pipeline's hottest path — ~99k ndarray.sum calls per
-    # 512 docs). Semantics identical to the scalar loop: sample a cell grid
-    # per template width at cell centers, best Hamming similarity wins,
-    # CHARSET-order ties within a width, first width wins exact-ratio ties.
-    runs = np.asarray(glyph_runs, dtype=np.int64)
-    x0, x1 = runs[:, 0], runs[:, 1]
+
+def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
+    """Decode MANY binarized bands in one vectorized pass.
+
+    Per-band prep (runs, row grid) stays per band; the template matching —
+    the bulk of the numpy dispatch overhead — runs ONCE over the
+    concatenated run list of all bands (per-run math is independent, so
+    batching is exactly equivalent to per-band decoding; the conformance
+    suite and the render/decode hypothesis roundtrip hold both equal).
+    Semantics per run: sample a cell grid per template width at cell
+    centers, best Hamming similarity wins, CHARSET-order ties within a
+    width, first width wins exact-ratio ties; spaces where the inter-run
+    gap exceeds 3*s of the run's band."""
+    results: list[tuple[str, float] | None] = [None] * len(bands)
+    grids: list[np.ndarray] = []
+    run_x0: list[int] = []
+    run_x1: list[int] = []
+    run_band: list[int] = []
+    band_runs: dict[int, int] = {}   # band index -> number of runs
+    band_gap: dict[int, int] = {}    # band index -> space_gap
+    col_off = 0
+    for bi, band in enumerate(bands):
+        h = band.shape[0]
+        if h < GLYPH_H or band.shape[1] == 0 or not band.any():
+            results[bi] = ("", 1.0)
+            continue
+        s = h // GLYPH_H  # integer scale estimate; exact for clean bands
+        col_on = band.any(axis=0)
+        glyph_runs = _runs(col_on)
+        if not glyph_runs:
+            results[bi] = ("", 1.0)
+            continue
+        rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
+        grids.append(band[rr])  # (7, band_width)
+        for (x0, x1) in glyph_runs:
+            run_x0.append(col_off + x0)
+            run_x1.append(col_off + x1)
+            run_band.append(bi)
+        band_runs[bi] = len(glyph_runs)
+        # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols);
+        # word gap >= 4*s
+        band_gap[bi] = 3 * max(1, s)
+        col_off += band.shape[1]
+    if not run_x0:
+        return [r if r is not None else ("", 1.0) for r in results]
+
+    rows_grid = np.hstack(grids)  # (7, total_width) — all bands side by side
+    x0 = np.asarray(run_x0, dtype=np.int64)
+    x1 = np.asarray(run_x1, dtype=np.int64)
     wrun = x1 - x0
-    n = len(runs)
+    n = len(x0)
     best_hits = np.full(n, -1, dtype=np.int64)
     best_cells = np.full(n, -1, dtype=np.int64)
     best_k = np.zeros(n, dtype=np.int64)
@@ -197,7 +229,7 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
         cc = x0[:, None] + np.minimum(
             (j[None, :] * wrun[:, None] + (wrun // 2)[:, None]) // width,
             (wrun - 1)[:, None],
-        )  # (n, width) cell-center columns per run
+        )  # (n, width) cell-center columns per run (offsets stay in-band)
         cells = np.transpose(rows_grid[:, cc], (1, 0, 2))  # (n, 7, width)
         hits = (
             (tmats[None, :, :, :] == cells[:, None, :, :])
@@ -213,13 +245,19 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
         best_k = np.where(better, k, best_k)
         best_group = np.where(better, gi, best_group)
     group_chars = [TPL_BY_WIDTH[w][0] for w in widths]
-    is_space = np.zeros(n, dtype=bool)
-    if n > 1:
-        is_space[1:] = (x0[1:] - x1[:-1]) > space_gap
-    chars: list[str] = []
-    for i in range(n):  # string assembly only — no numpy in this loop
-        if is_space[i]:
-            chars.append(" ")
-        chars.append(group_chars[best_group[i]][best_k[i]])
     confs = best_hits / best_cells
-    return "".join(chars), float(confs.min())
+
+    # assemble per band (runs were appended in band order, so slices are
+    # contiguous; gap math uses in-band coordinates — shared offsets cancel)
+    pos = 0
+    for bi, n_runs in band_runs.items():
+        lo, hi = pos, pos + n_runs
+        pos = hi
+        gap = band_gap[bi]
+        chars: list[str] = []
+        for i in range(lo, hi):  # string assembly only — no numpy here
+            if i > lo and (x0[i] - x1[i - 1]) > gap:
+                chars.append(" ")
+            chars.append(group_chars[best_group[i]][best_k[i]])
+        results[bi] = ("".join(chars), float(confs[lo:hi].min()))
+    return [r if r is not None else ("", 1.0) for r in results]

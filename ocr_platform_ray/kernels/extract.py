@@ -96,14 +96,40 @@ def recognize_image(
     h_orig = page_h or img.shape[0]
     scale_x = w_prep / w_orig if w_orig else 1.0
     scale_y = h_prep / h_orig if h_orig else 1.0
-    raw: list[str] = []
-    confs: list[float] = []
+    # Collect every strip of every box, decode them in ONE batched
+    # template-matching pass (recognizek.decode_strips), then reassemble
+    # per box — semantics identical to per-crop recognize_crop (single
+    # strip -> predict on the FULL crop, reference vietocr_engine.py:
+    # 103-127; multi-strip -> "\n" join, conf = min).
+    all_strips: list = []
+    strip_counts: list[int] = []
     for (x1, y1, x2, y2) in boxes_orig:
         box_crop = (int(x1 * scale_x), int(y1 * scale_y), int(x2 * scale_x), int(y2 * scale_y))
         crop_img = recognizek.crop(img_prep, box_crop)
-        t, c = recognizek.recognize_crop(crop_img, original_height_px=y2 - y1)
+        bounds = recognizek.strip_bounds(
+            crop_img.shape[0], original_height_px=y2 - y1
+        )
+        if not bounds or len(bounds) == 1:
+            all_strips.append(crop_img)  # single strip: the FULL crop
+            strip_counts.append(1)
+        else:
+            for (sy1, sy2) in bounds:
+                all_strips.append(crop_img[sy1:sy2])
+            strip_counts.append(len(bounds))
+    decoded = recognizek.decode_strips(all_strips)
+    raw: list[str] = []
+    confs: list[float] = []
+    k = 0
+    for c in strip_counts:
+        seg = decoded[k : k + c]
+        k += c
+        if c == 1:
+            t, p = seg[0]
+        else:
+            t = "\n".join(x[0] for x in seg)
+            p = min(x[1] for x in seg)
         raw.append(t)
-        confs.append(c)
+        confs.append(p)
     texts = recognizek.postprocess_texts(raw)
     n = min(len(boxes_orig), len(texts))  # reference zip-align guard (orchestrator.py:75-80)
     return [
