@@ -195,6 +195,53 @@ def topk_cosine_ivf(
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def label_centroids(ds: rd.Dataset) -> rd.Dataset:
+    """Per-label embedding centroid (class prototype) summary: (label,
+    n_vecs, centroid_norm) where centroid = elementwise mean of the
+    label's vectors. Mergeable partial aggregation: each batch emits one
+    (sum-vector, count) per label — the shuffle moves one d-dim float64
+    vector per label per batch, never the embeddings. The standard
+    class-prototype / centroid-init computation for a training corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1] if mat.size else 0))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(counts),
+                "vec_sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            }
+        )
+
+    partials = ds.select_columns(["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = None
+        for b in g["vec_sum"]:
+            v = np.frombuffer(b, dtype=np.float64)
+            total = v.copy() if total is None else total + v
+        n = int(g["n"].sum())
+        mean = total / n
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "n_vecs": [n],
+                "centroid_norm": [round(float(np.sqrt((mean * mean).sum())), 6)],
+            }
+        )
+
+    return partials.groupby("label").map_groups(merge, batch_format="pandas")
+
+
 def augment_with_planted(ds: rd.Dataset, id_offset: int = 100000) -> rd.Dataset:
     """Deterministic near-dup augmentation (driver embeddings have no
     natural near-dups — max off-diagonal cosine 0.51): for every even

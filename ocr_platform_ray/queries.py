@@ -194,6 +194,16 @@ def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
     return out.sort(["cos_sim", "vec_id"], descending=[True, False])
 
 
+def q_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroid summary (class prototypes): mergeable
+    per-batch sum-vectors, one d-dim float64 per label per batch through
+    the shuffle — exact DuckDB oracle via unnest + per-dim avg."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return similarity.label_centroids(ds).sort("label")
+
+
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     """LSH-blocked near-dup pairs over the planted-augmented table (scale
     path; recall < 1 by design -> rows-only driver check)."""
@@ -661,6 +671,7 @@ def queries() -> dict:
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
         "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_label_centroids": q_label_centroids,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
         "q_window_counts": q_window_counts,
@@ -733,6 +744,16 @@ def oracle_sql() -> dict:
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_label_centroids": (
+            "WITH ex AS (SELECT label,"
+            " unnest(CAST(embedding AS DOUBLE[])) AS val,"
+            " unnest(range(len(embedding))) AS dim FROM embeddings),"
+            " m AS (SELECT label, dim, avg(val) AS mv, count(*) AS n"
+            "  FROM ex GROUP BY 1, 2)"
+            " SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,"
+            " round(sqrt(sum(mv * mv)), 6) AS centroid_norm"
+            " FROM m GROUP BY label ORDER BY label"
         ),
         "q_embedding_dups_exact": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"

@@ -129,6 +129,17 @@ class TestSimilarity:
         assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
         assert ivf["cos_sim"].tolist() == exact["cos_sim"].tolist()
 
+    def test_label_centroids_match_numpy(self, emb_rows):
+        rows = [dict(r, label=r["vec_id"] % 3) for r in emb_rows]
+        out = similarity.label_centroids(_ds(rows)).to_pandas().set_index("label")
+        mat = np.array([r["embedding"] for r in rows])
+        labels = np.array([r["label"] for r in rows])
+        for lbl in (0, 1, 2):
+            sub = mat[labels == lbl]
+            want = float(np.linalg.norm(sub.mean(axis=0)))
+            assert out.loc[lbl, "n_vecs"] == len(sub)
+            assert abs(out.loc[lbl, "centroid_norm"] - want) < 1e-5
+
     def test_embedding_dups(self, emb_rows):
         out = similarity.embedding_dup_pairs(_ds(emb_rows), tau=0.99).to_pandas()
         assert {(0, 500)} == set(zip(out.vec_id_a, out.vec_id_b))
