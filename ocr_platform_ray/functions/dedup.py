@@ -637,3 +637,41 @@ def dedup_survivor_doc_ids(ds: rd.Dataset) -> rd.Dataset:
         .groupby("cb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------- stratified sample
+
+def stratified_sample(
+    ds: rd.Dataset, group_col: str, k: int, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Deterministic stratified sample: the k rows per group with the
+    smallest md5(id) — a keyed pseudo-random order both this engine and
+    any SQL engine can reproduce (ORDER BY md5(CAST(id AS VARCHAR))), so
+    the sample is stable across runs, partitionings and systems.
+
+    Per-batch combiner keeps only k candidates per group per batch, so the
+    groupby shuffle moves O(k x groups x batches) rows, never the corpus.
+    The standard per-stratum downsampling step of a training-data mix."""
+    import hashlib
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        return batch.append_column("__sk", pa.array(keys, pa.string()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["__sk", id_col], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    partials = ds.map_batches(add_key, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__sk", id_col], kind="mergesort").head(k)
+        return g.drop(columns=["__sk"])
+
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")

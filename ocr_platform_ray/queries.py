@@ -149,6 +149,19 @@ def q_top_sources(sf_dir: str) -> rd.Dataset:
 
 # -------------------------------------------------------------------- dedup
 
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified sample: 5 docs per language, chosen by
+    smallest md5(doc_id) — a keyed pseudo-random order reproducible in
+    SQL (ORDER BY md5(...)), so the sample is an exact-oracle query."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = dedup.stratified_sample(ds, group_col="lang", k=5)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "lang"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_exact_dedup(sf_dir: str) -> rd.Dataset:
     return dedup.exact_dedup_min_doc(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -665,6 +678,7 @@ def queries() -> dict:
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
         "q_exact_dedup": q_exact_dedup,
+        "q_stratified_sample": q_stratified_sample,
         "q_minhash_pairs": q_minhash_pairs,
         "q_minhash_dedup_docs": q_minhash_dedup_docs,
         "q_simhash_pairs": q_simhash_pairs,
@@ -744,6 +758,11 @@ def oracle_sql() -> dict:
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_stratified_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " QUALIFY row_number() OVER (PARTITION BY lang"
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
         ),
         "q_label_centroids": (
             "WITH ex AS (SELECT label,"

@@ -550,3 +550,31 @@ class TestJoinKeyTypes:
         ).to_pandas()
         got = dict(zip(out["event_id"], out["n_in_range"]))
         assert got[1] == 1 and got[2] == 0
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_k_per_group(self):
+        import hashlib
+
+        from ocr_platform_ray.functions.dedup import stratified_sample
+
+        rows = [
+            {"doc_id": i, "grp": "abc"[i % 3], "v": i * 2} for i in range(90)
+        ]
+        out = stratified_sample(_ds(rows), group_col="grp", k=4).to_pandas()
+        assert len(out) == 12
+        assert set(out["grp"].value_counts()) == {4}
+        # matches the brute-force md5 ordering per group
+        for g in "abc":
+            want = sorted(
+                (r["doc_id"] for r in rows if r["grp"] == g),
+                key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+            )[:4]
+            assert sorted(out[out.grp == g]["doc_id"]) == sorted(want)
+        # partitioning-invariant
+        out2 = stratified_sample(
+            _ds(rows).repartition(7), group_col="grp", k=4
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+        # non-key columns survive
+        assert set(out.columns) == {"doc_id", "grp", "v"}
