@@ -143,3 +143,47 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         s = s.to_series()
     fp = s.hash(seed=0).cast(pl.Int64, wrap_numerical=True)
     return batch.append_column("fp64", fp.to_arrow())
+
+
+def top_tokens(ds, k: int = 20):
+    """Corpus-wide top-k tokens by occurrence count (the vocabulary /
+    frequency pass of a training-data pipeline). Per-batch combiner: one
+    (token, count) row per distinct token per batch (polars extract_all +
+    explode, vectorized); the groupby merges counts and a tiny sort picks
+    top-k with (count DESC, token ASC) oracle tie-break. The shuffle
+    carries token partials, never text."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col)
+        counts = (
+            pl.DataFrame({"t": s})
+            .select(pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+        )
+        return counts.rename({"tok": "token", "len": "n"}).to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"token": [g["token"].iloc[0]], "n": [int(g["n"].sum())]}
+        )
+
+    from .dedup import shuffle_blocks
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("token")
+        .map_groups(final, batch_format="pandas")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

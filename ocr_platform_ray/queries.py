@@ -89,6 +89,11 @@ def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-20 token frequencies (vocabulary pass)."""
+    return textstats.top_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -674,6 +679,7 @@ def queries() -> dict:
         "q_fingerprint": q_fingerprint,
         "q_bpe_token_count": q_bpe_token_count,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_top_tokens": q_top_tokens,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -748,6 +754,12 @@ def oracle_sql() -> dict:
             " FROM documents"
         ),
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_top_tokens": (
+            "SELECT token, count(*) AS n FROM ("
+            " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
+            " FROM documents)"
+            " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
         "q_lang_stats": (
             "SELECT lang, count(*) AS n_docs,"
             " round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang"

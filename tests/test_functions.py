@@ -578,3 +578,23 @@ class TestStratifiedSample:
         assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
         # non-key columns survive
         assert set(out.columns) == {"doc_id", "grp", "v"}
+
+
+class TestTopTokens:
+    def test_counts_match_bruteforce(self):
+        import collections
+        import re
+
+        from ocr_platform_ray.functions.textstats import top_tokens
+
+        rows = [
+            {"text": "alpha beta alpha gamma"},
+            {"text": "beta beta delta alpha 42"},
+            {"text": ""},
+        ]
+        out = top_tokens(_ds(rows), k=3).to_pandas()
+        cnt = collections.Counter(
+            t for r in rows for t in re.findall("[a-z0-9]+", r["text"])
+        )
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert list(zip(out["token"], out["n"])) == want
