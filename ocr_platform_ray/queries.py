@@ -296,6 +296,36 @@ def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Binned aggregate (histogram) of event values: bucket = floor(v/10),
+    per-batch bincount partials -> tiny groupby merge."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / 10.0).astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.Table.from_pydict(
+            {"bucket": uniq, "n_events": counts.astype(np.int64)}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "n_events": [int(g["n_events"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
     """As-of join: each click event matched to the user's most recent
     prior (or simultaneous) view event."""
@@ -697,6 +727,7 @@ def queries() -> dict:
         "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
+        "q_value_histogram": q_value_histogram,
         "q_first_events_per_user": q_first_events_per_user,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_pricing": q_pricing,
@@ -815,6 +846,10 @@ def oracle_sql() -> dict:
             "SELECT user_id, event_id FROM events"
             " QUALIFY row_number() OVER ("
             " PARTITION BY user_id ORDER BY ts, event_id) <= 3"
+        ),
+        "q_value_histogram": (
+            "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,"
+            " count(*) AS n_events FROM events GROUP BY 1"
         ),
         "q_running_total": (
             "SELECT event_id, round(sum(value) OVER ("
