@@ -187,3 +187,48 @@ def top_tokens(ds, k: int = 20):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def top_bigrams(ds, k: int = 20):
+    """Corpus-wide top-k token bigrams (adjacent-pair counts — the n-gram
+    statistics pass). Same combiner shape as ``top_tokens``: polars
+    extract_all, zip each token list with its own shift via paired list
+    slices, explode, per-batch counts, merge, (n DESC, bigram ASC) top-k."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pl.DataFrame({"t": pl.from_arrow(col)}).select(
+            pl.col("t").str.extract_all(TOKEN_RE).alias("t")
+        )
+        pairs = toks.select(
+            pl.col("t").list.slice(0, pl.col("t").list.len() - 1).alias("a"),
+            pl.col("t").list.slice(1).alias("b"),
+        ).explode(["a", "b"]).drop_nulls()
+        counts = (
+            pairs.select((pl.col("a") + " " + pl.col("b")).alias("bigram"))
+            .group_by("bigram")
+            .len()
+        )
+        return counts.rename({"len": "n"}).to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bigram": [g["bigram"].iloc[0]], "n": [int(g["n"].sum())]}
+        )
+
+    from .dedup import shuffle_blocks
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("bigram")
+        .map_groups(final, batch_format="pandas")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )

@@ -94,6 +94,11 @@ def q_top_tokens(sf_dir: str) -> rd.Dataset:
     return textstats.top_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_top_bigrams(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-20 token-bigram frequencies (n-gram statistics)."""
+    return textstats.top_bigrams(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -710,6 +715,7 @@ def queries() -> dict:
         "q_bpe_token_count": q_bpe_token_count,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_top_tokens": q_top_tokens,
+        "q_top_bigrams": q_top_bigrams,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -790,6 +796,15 @@ def oracle_sql() -> dict:
             " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
             " FROM documents)"
             " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "q_top_bigrams": (
+            "WITH toks AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS t"
+            " FROM documents),"
+            " bi AS (SELECT unnest(list_transform(range(1, len(t)),"
+            "  i -> t[i] || ' ' || t[i+1])) AS bigram"
+            "  FROM toks WHERE len(t) >= 2)"
+            " SELECT bigram, count(*) AS n FROM bi"
+            " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
         ),
         "q_lang_stats": (
             "SELECT lang, count(*) AS n_docs,"

@@ -598,3 +598,23 @@ class TestTopTokens:
         )
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert list(zip(out["token"], out["n"])) == want
+
+    def test_bigrams_match_bruteforce(self):
+        import collections
+        import re
+
+        from ocr_platform_ray.functions.textstats import top_bigrams
+
+        rows = [
+            {"text": "a b a b c"},
+            {"text": "b c d"},
+            {"text": "solo"},
+            {"text": ""},
+        ]
+        out = top_bigrams(_ds(rows), k=4).to_pandas()
+        cnt = collections.Counter()
+        for r in rows:
+            t = re.findall("[a-z0-9]+", r["text"])
+            cnt.update(f"{x} {y}" for x, y in zip(t, t[1:]))
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert list(zip(out["bigram"], out["n"])) == want
