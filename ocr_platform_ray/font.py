@@ -184,7 +184,6 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
     grids: list[np.ndarray] = []
     run_x0: list[int] = []
     run_x1: list[int] = []
-    run_band: list[int] = []
     band_runs: dict[int, int] = {}   # band index -> number of runs
     band_gap: dict[int, int] = {}    # band index -> space_gap
     col_off = 0
@@ -204,7 +203,6 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
         for (x0, x1) in glyph_runs:
             run_x0.append(col_off + x0)
             run_x1.append(col_off + x1)
-            run_band.append(bi)
         band_runs[bi] = len(glyph_runs)
         # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols);
         # word gap >= 4*s

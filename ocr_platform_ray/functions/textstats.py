@@ -145,24 +145,41 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("fp64", fp.to_arrow())
 
 
+def _topk_counts(partials, key_col: str, k: int):
+    """Shared merge/top-k tail for corpus-wide frequency passes: merge the
+    per-batch (key, n) partials in a groupby, then (n DESC, key ASC) —
+    the oracle ORDER BY tie-break — and limit(k)."""
+    import pandas as pd
+
+    from .dedup import shuffle_blocks
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], "n": [int(g["n"].sum())]}
+        )
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+        .sort(["n", key_col], descending=[True, False])
+        .limit(k)
+    )
+
+
 def top_tokens(ds, k: int = 20):
     """Corpus-wide top-k tokens by occurrence count (the vocabulary /
     frequency pass of a training-data pipeline). Per-batch combiner: one
     (token, count) row per distinct token per batch (polars extract_all +
-    explode, vectorized); the groupby merges counts and a tiny sort picks
-    top-k with (count DESC, token ASC) oracle tie-break. The shuffle
-    carries token partials, never text."""
-    import pandas as pd
+    explode, vectorized); the shuffle carries token partials, never text."""
     import polars as pl
-    import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        s = pl.from_arrow(col)
         counts = (
-            pl.DataFrame({"t": s})
+            pl.DataFrame({"t": pl.from_arrow(col)})
             .select(pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
             .explode("tok")
             .drop_nulls()
@@ -171,21 +188,8 @@ def top_tokens(ds, k: int = 20):
         )
         return counts.rename({"tok": "token", "len": "n"}).to_arrow()
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"token": [g["token"].iloc[0]], "n": [int(g["n"].sum())]}
-        )
-
-    from .dedup import shuffle_blocks
-
-    return (
-        partials.repartition(shuffle_blocks())
-        .groupby("token")
-        .map_groups(final, batch_format="pandas")
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
+    return _topk_counts(
+        ds.map_batches(partial, batch_format="pyarrow"), "token", k
     )
 
 
@@ -193,10 +197,8 @@ def top_bigrams(ds, k: int = 20):
     """Corpus-wide top-k token bigrams (adjacent-pair counts — the n-gram
     statistics pass). Same combiner shape as ``top_tokens``: polars
     extract_all, zip each token list with its own shift via paired list
-    slices, explode, per-batch counts, merge, (n DESC, bigram ASC) top-k."""
-    import pandas as pd
+    slices, explode, per-batch counts, shared merge/top-k tail."""
     import polars as pl
-    import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column("text")
@@ -216,19 +218,6 @@ def top_bigrams(ds, k: int = 20):
         )
         return counts.rename({"len": "n"}).to_arrow()
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"bigram": [g["bigram"].iloc[0]], "n": [int(g["n"].sum())]}
-        )
-
-    from .dedup import shuffle_blocks
-
-    return (
-        partials.repartition(shuffle_blocks())
-        .groupby("bigram")
-        .map_groups(final, batch_format="pandas")
-        .sort(["n", "bigram"], descending=[True, False])
-        .limit(k)
+    return _topk_counts(
+        ds.map_batches(partial, batch_format="pyarrow"), "bigram", k
     )
