@@ -281,3 +281,31 @@ def test_dedup_survivors_invalidate_on_new_input(tmp_path):
     assert s2["n_docs"] == 12          # the 4 new docs are NOT dropped
     rows = _read_all(out)
     assert all(m["doc_id"] in rows for m in more)
+
+
+def test_all_flags_combined(tmp_path):
+    """--two-phase + dedup='exact' + result_overrides compose: duplicates
+    drop before detect, the detect checkpoint commits, and the surviving
+    target doc's result is replaced at merge."""
+    docs = corpus.generate_docs(10, seed=41)
+    docs.append(dict(docs[0], doc_id="zz-dup"))
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus.docs_to_table(docs), path)
+    out = str(tmp_path / "out")
+    target = docs[1]["doc_id"]
+    rov = [{"doc_id": target, "spans_out": [
+        {"kind": "text", "text": "EDITED", "media_ref": "", "offset": 0}]}]
+    summary = run_job(
+        path, out, n_shards=2, opts=OPTS, two_phase=True,
+        dedup="exact", result_overrides=rov,
+    )
+    rows = _read_all(out)
+    assert summary["n_docs"] == 10                      # dup dropped
+    assert "zz-dup" not in rows
+    assert rows[target] == [("text", "EDITED", "", 0)]  # override applied
+    assert os.path.isdir(os.path.join(out, "detect", "part-00000"))
+    assert os.path.isdir(os.path.join(out, "dedup"))
+    # resume with identical flags: nothing reruns
+    s2 = run_job(path, out, n_shards=2, opts=OPTS, two_phase=True,
+                 dedup="exact", result_overrides=rov)
+    assert s2["shards_ran"] == []
