@@ -131,6 +131,44 @@ def shingles_of(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _shingle_hashes3(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 3-token shingle hashes for a text column: polars token
+    split (\\S+ == str.split()), shingles from three aligned list slices
+    (byte-identical to ' '.join(toks[i:i+3])), rows with 1-2 tokens fall
+    back to the whole-join shingle like ``shingles_of``. Returns
+    (hashes in row-major shingle order, shingle count per row)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pl.from_arrow(col).str.extract_all(r"\S+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    counts = np.where(lens >= 3, lens - 2, (lens > 0).astype(np.int64))
+    d = pl.DataFrame({"i": np.arange(len(lens)), "t": toks})
+    tri = (
+        d.filter(pl.col("t").list.len() >= 3)
+        .select(
+            "i",
+            a=pl.col("t").list.slice(0, pl.col("t").list.len() - 2),
+            b=pl.col("t").list.slice(1, pl.col("t").list.len() - 2),
+            c=pl.col("t").list.slice(2),
+        )
+        .explode(["a", "b", "c"])
+        .select("i", s=pl.col("a") + " " + pl.col("b") + " " + pl.col("c"))
+    )
+    short = (
+        d.filter(
+            (pl.col("t").list.len() > 0) & (pl.col("t").list.len() < 3)
+        )
+        .select("i", s=pl.col("t").list.join(" "))
+    )
+    allsh = pl.concat([tri, short]).sort("i", maintain_order=True)
+    h = allsh.select(pl.col("s").hash(seed=0)).to_series().to_numpy().astype(
+        np.uint64
+    )
+    return h, counts
+
+
 def minhash_band_rows(batch: pa.Table, n_shingle: int = 3) -> pa.Table:
     """Docs -> exploded (doc_id, band, band_hash, sig) rows.
 
@@ -140,21 +178,31 @@ def minhash_band_rows(batch: pa.Table, n_shingle: int = 3) -> pa.Table:
     intermediate is n_shingles x 64 u64.
     """
     doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    all_shingles: list[str] = []
-    starts = []
-    for t in texts:
-        starts.append(len(all_shingles))
-        all_shingles.extend(shingles_of(t, n_shingle))
-    n_docs = len(doc_ids)
+    n_docs = batch.num_rows
+    if n_shingle == 3:
+        base, counts = _shingle_hashes3(batch.column("text"))
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        n_shingles_total = int(counts.sum())
+    else:  # generality fallback (scalar path; production uses n=3)
+        texts = batch.column("text").to_pylist()
+        all_shingles: list[str] = []
+        starts_l = []
+        for t in texts:
+            starts_l.append(len(all_shingles))
+            all_shingles.extend(shingles_of(t, n_shingle))
+        starts = np.array(starts_l, dtype=np.int64)
+        n_shingles_total = len(all_shingles)
+        base = (
+            _text_hash64(pa.array(all_shingles)) if all_shingles else None
+        )
     sig = np.full((n_docs, N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
-    if all_shingles:
-        base = _text_hash64(pa.array(all_shingles))
+    if n_shingles_total:
         with np.errstate(over="ignore"):
             tf = (base[:, None] * _A[None, :] + _B[None, :]) & _MASK64
         # reduceat needs non-empty segments; docs with 0 shingles keep MAX
-        seg_starts = np.array(starts, dtype=np.int64)
-        nonempty = np.diff(np.append(seg_starts, len(all_shingles))) > 0
+        seg_starts = np.asarray(starts, dtype=np.int64)
+        nonempty = np.diff(np.append(seg_starts, n_shingles_total)) > 0
         if nonempty.any():
             red = np.minimum.reduceat(tf, seg_starts[nonempty], axis=0)
             sig[nonempty] = red
