@@ -502,23 +502,37 @@ def minhash_dedup_keep(
 # ------------------------------------------------------------------- SimHash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """Add simhash64 (int64 bit-pattern): sign-sum of token-hash bits."""
+    """Add simhash64 (int64 bit-pattern): sign-sum of token-hash bits.
+    Token split + hash fully vectorized (polars \\S+ extract == str.split,
+    explode, hash in one pass)."""
+    import polars as pl
+
     doc_ids = batch.column("doc_id")
-    texts = batch.column("text").to_pylist()
-    all_toks: list[str] = []
-    starts = []
-    for t in texts:
-        starts.append(len(all_toks))
-        all_toks.extend(t.split())
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pl.from_arrow(col).str.extract_all(r"\S+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    n_toks = int(lens.sum())
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
-    if all_toks:
-        H = _text_hash64(pa.array(all_toks))
+    if n_toks:
+        H = (
+            pl.DataFrame({"t": toks})
+            .explode("t")
+            .drop_nulls()
+            .select(pl.col("t").hash(seed=0))
+            .to_series()
+            .to_numpy()
+            .astype(np.uint64)
+        )
         bits = ((H[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         ) * 2 - 1
-        seg = np.array(starts, dtype=np.int64)
-        nonempty = np.diff(np.append(seg, len(all_toks))) > 0
+        seg = np.asarray(starts, dtype=np.int64)
+        nonempty = np.diff(np.append(seg, n_toks)) > 0
         if nonempty.any():
             sums = np.add.reduceat(bits, seg[nonempty], axis=0)
             vals = (sums > 0).astype(np.uint64)
