@@ -231,9 +231,16 @@ def run_shard(
         )
 
     # gather lineage stats from the written shard (cheap: metadata + one scan)
-    written = rd.read_parquet(tmp_dir)
-    agg = written.map_batches(
-        lambda t: pa.Table.from_pydict(
+    def _stats_batch(t: pa.Table) -> pa.Table:
+        # per-tenant doc counts (reference tenant scoping made auditable:
+        # the manifest shows whose documents a shard holds)
+        tenants: dict[str, int] = {}
+        if "tenant_id" in t.column_names:
+            vc = pa.compute.value_counts(t.column("tenant_id"))
+            tenants = {
+                str(v["values"]): int(v["counts"]) for v in vc.to_pylist()
+            }
+        return pa.Table.from_pydict(
             {
                 "n_docs": [t.num_rows],
                 "n_spans_out": [int(pa.compute.sum(t.column("n_spans_out")).as_py() or 0)],
@@ -243,11 +250,17 @@ def run_shard(
                 ],
                 "doc_min": [min(t.column("doc_id").to_pylist(), default="")],
                 "doc_max": [max(t.column("doc_id").to_pylist(), default="")],
+                "tenants": [json.dumps(tenants, sort_keys=True)],
             }
-        ),
-        batch_format="pyarrow",
-    ).take_all()
+        )
+
+    written = rd.read_parquet(tmp_dir)
+    agg = written.map_batches(_stats_batch, batch_format="pyarrow").take_all()
     n_docs = sum(r["n_docs"] for r in agg)
+    tenant_counts: dict[str, int] = {}
+    for r in agg:
+        for t_id, n in json.loads(r.get("tenants") or "{}").items():
+            tenant_counts[t_id] = tenant_counts.get(t_id, 0) + n
     wall = time.perf_counter() - t0
 
     shutil.rmtree(part_dir, ignore_errors=True)
@@ -267,6 +280,8 @@ def run_shard(
         # dead-letter surfacing (reference FAILED-job analogue): spans whose
         # media could not be parsed/rendered — 0 on a healthy corpus
         "n_span_errors": sum(r["n_span_errors"] for r in agg),
+        # per-tenant doc counts ({} when the corpus carries no tenant column)
+        "n_docs_by_tenant": dict(sorted(tenant_counts.items())),
         "n_shards": n_shards,
         "config_sig": sig
         if sig is not None
@@ -303,6 +318,24 @@ def _manifest_valid(manifest: dict, plan: ShardPlan, n_shards: int, sig: str) ->
     )
 
 
+def _shard_owns_docs(plan: ShardPlan, doc_ids: set[str]) -> bool:
+    """Whether any of ``doc_ids`` belongs to this shard's INPUT — the hash
+    rule for hash shards (metadata-only); the doc_id column of the shard's
+    files otherwise (a pruned single-column read of just this shard's
+    files). Input-side on purpose: a doc dropped from the output by the
+    dedup pre-pass still maps to its owning shard."""
+    if plan.hash_mod is not None:
+        i, n = plan.hash_mod
+        return any(hash_str(d) % n == i for d in doc_ids)
+    import pyarrow.parquet as pq
+
+    for f in plan.files:
+        col = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        if any(str(v) in doc_ids for v in col):
+            return True
+    return False
+
+
 def _retry_delay_s(shard_id: int, attempt: int, base_s: float) -> float:
     """Exponential backoff with deterministic jitter, capped at 600 s —
     the reference's Celery autoretry shape (retry_backoff=True,
@@ -325,12 +358,20 @@ def run_job(
     retry_base_s: float = 1.0,
     result_overrides: list[dict] | None = None,
     dedup: str = "none",
+    invalidate_doc_ids: list[str] | None = None,
 ) -> dict:
     """Full checkpointed job. Returns a summary incl. which shards ran vs
     were skipped (resume anti-join against committed manifests, each
     validated against the current plan's lineage + config) and which
     previously-committed shards were invalidated and rerun. Failed shards
     retry with capped exponential backoff (reference Celery semantics).
+
+    ``invalidate_doc_ids`` is the per-document requeue/rerun hook
+    (reference POST /jobs/{id}/rerun forces one job's re-processing,
+    routes_jobs.py:119-175): committed shards owning any listed doc_id are
+    invalidated and rerun; every other shard's checkpoint is reused.
+    Granularity is the shard (the checkpoint unit), so one rerun doc
+    recomputes only its shard, never the corpus.
 
     ``dedup="exact"`` runs a whole-document exact-dedup pre-pass over the
     full input (vectorized span-signature hash; the shuffle carries only
@@ -408,6 +449,13 @@ def run_job(
         else:
             invalidated.append(sid)
             os.remove(_manifest_path(out_dir, sid))  # shard must rerun
+    if invalidate_doc_ids:
+        targets = {str(d) for d in invalidate_doc_ids}
+        for sid in sorted(done):
+            if _shard_owns_docs(plans[sid], targets):
+                done.discard(sid)
+                invalidated.append(sid)
+                os.remove(_manifest_path(out_dir, sid))
     ran, skipped = [], []
     t0 = time.perf_counter()
     for plan in plans:

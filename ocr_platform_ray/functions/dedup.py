@@ -714,12 +714,12 @@ def stratified_sample(
     Per-batch combiner keeps only k candidates per group per batch, so the
     groupby shuffle moves O(k x groups x batches) rows, never the corpus.
     The standard per-stratum downsampling step of a training-data mix."""
-    import hashlib
+    from ..md5np import md5_hex
 
     def add_key(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        keys = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
-        return batch.append_column("__sk", pa.array(keys, pa.string()))
+        # vectorized MD5 (md5np) — same digests as hashlib/SQL md5(), no
+        # per-row Python loop over the corpus
+        return batch.append_column("__sk", md5_hex(batch.column(id_col)))
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -66,9 +66,11 @@ def bucketed_merge_join(
     n_buckets: int = 64,
     how: str = "inner",
 ) -> rd.Dataset:
-    """Explicit partitioned hash join: both sides get bucket = key % B,
-    matching buckets merge pairwise in map_groups (pandas). Portable and
-    explicit about skew: salt hot keys by widening B.
+    """Explicit partitioned hash join: both sides get bucket =
+    hash(key) % B (polars/Rust hash — key-type generic: int, string, date,
+    null), matching buckets merge pairwise in map_groups (pandas).
+    Portable and explicit about skew: salt hot keys by widening B. NULL
+    join keys follow SQL equality (match nothing; preserved by left/anti).
 
     ``how``: "inner" | "left" (unmatched left rows keep nulls in right
     columns) | "semi" (left rows WITH a match, left columns only) |
@@ -87,6 +89,9 @@ def bucketed_merge_join(
 
     def prep(side: str, key: str, own_cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import polars as pl
+
             n = batch.num_rows
             arrays, names = [], []
             for c in all_cols:  # pad to the common schema so union is sound
@@ -94,9 +99,15 @@ def bucketed_merge_join(
                 arrays.append(
                     batch.column(c) if c in own_cols else pa.nulls(n, types[c])
                 )
+            # key-type-generic bucket (int/string/date/null): polars hashes
+            # any Arrow column; both sides hash the same value identically
+            kc = batch.column(key)
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            h = pl.from_arrow(kc).hash(seed=0).to_numpy().astype(np.uint64)
             names += ["__bucket", "__side"]
             arrays += [
-                pa.array(batch.column(key).to_numpy() % n_buckets),
+                pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
                 pa.array([side] * n),
             ]
             return pa.Table.from_arrays(arrays, names=names)
@@ -115,17 +126,30 @@ def bucketed_merge_join(
     def merge(g: pd.DataFrame):
         gl = g[g["__side"] == "l"][lcols]
         gr = g[g["__side"] == "r"][rcols]
+        # SQL equality semantics: a NULL key matches nothing (pandas merge
+        # would happily pair NaN with NaN) — split null-key left rows out
+        # and drop null-key right rows before matching
+        null_l = gl[gl[on].isna()]
+        gl = gl[gl[on].notna()]
+        gr = gr[gr[right_on].notna()]
         if how == "inner":
             if gl.empty or gr.empty:
                 return _typed(pd.DataFrame(columns=out_cols))
             return _typed(gl.merge(gr, left_on=on, right_on=right_on, how="inner"))
         if how in ("semi", "anti"):
             matched = gl[on].isin(set(gr[right_on]))
-            return _typed(gl[matched] if how == "semi" else gl[~matched])
+            out = gl[matched] if how == "semi" else gl[~matched]
+            if how == "anti" and not null_l.empty:
+                out = pd.concat([out, null_l])
+            return _typed(out)
         # left outer: matched rows merge; unmatched keep nulls on the right
         if gr.empty:
-            return _typed(gl.reindex(columns=out_cols))
-        out = gl.merge(gr, left_on=on, right_on=right_on, how="left")
+            out = gl.reindex(columns=out_cols)
+        else:
+            out = gl.merge(gr, left_on=on, right_on=right_on, how="left")
+        if not null_l.empty:
+            out = pd.concat([out.reindex(columns=out_cols),
+                             null_l.reindex(columns=out_cols)])
         return _typed(out.reindex(columns=out_cols))
 
     return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")

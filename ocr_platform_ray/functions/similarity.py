@@ -141,24 +141,39 @@ def topk_cosine_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     sample_mod: int = 4,
+    sample_cap_per_centroid: int = 64,
 ) -> rd.Dataset:
     """IVF-style approximate top-k: vectors partition into inverted lists
     by nearest spherical-k-means centroid; only the query's ``n_probe``
-    nearest lists are scored. Centroids train on a deterministic sample
-    (vec_id % sample_mod == 0) on the driver — standard IVF practice (the
-    sample, not the corpus, must fit one node; at 100 TB sample a fixed
-    count per block instead). Assignment + scoring are one vectorized
-    map_batches over the corpus; recall < 1 by design (scale path next to
-    ``topk_cosine``'s exact baseline)."""
+    nearest lists are scored. Centroid training collects a BOUNDED sample
+    (at most ``sample_cap_per_centroid * n_centroids`` rows): each batch
+    keeps its candidates with the smallest mix64(vec_id), a tiny
+    sort+limit picks the global smallest — deterministic and
+    partitioning-invariant (every global winner survives its own batch's
+    cut), and the driver never holds more than the cap regardless of
+    corpus size. Assignment + scoring are one vectorized map_batches over
+    the corpus; recall < 1 by design (scale path next to ``topk_cosine``'s
+    exact baseline)."""
     import ray
+
+    from ..rng import mix64_np
+
+    cap = sample_cap_per_centroid * n_centroids
 
     def pick_sample(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        return batch.filter(pa.array(ids % sample_mod == 0))
+        sub = batch.filter(pa.array(ids % sample_mod == 0))
+        sk = mix64_np(sub.column("vec_id").to_numpy().astype(np.uint64))
+        if sub.num_rows > cap:
+            keep = np.argpartition(sk, cap - 1)[:cap]
+            sub, sk = sub.take(pa.array(keep)), sk[keep]
+        return sub.append_column("__sk", pa.array(sk, pa.uint64()))
 
     sample_rows = sorted(
         ds.select_columns(["vec_id", "embedding"])
         .map_batches(pick_sample, batch_format="pyarrow")
+        .sort("__sk")
+        .limit(cap)
         .take_all(),
         key=lambda r: r["vec_id"],
     )
@@ -271,18 +286,31 @@ def augment_with_planted(ds: rd.Dataset, id_offset: int = 100000) -> rd.Dataset:
     )
 
 
-def embedding_dup_pairs_exact(ds: rd.Dataset, tau: float = 0.8) -> rd.Dataset:
+def embedding_dup_pairs_exact(
+    ds: rd.Dataset, tau: float = 0.8, max_rows: int = 200_000
+) -> rd.Dataset:
     """EXACT near-duplicate vector pairs (cosine >= tau): blocked brute
     force — the normalized reference matrix is broadcast once via
     ``ray.put`` and every batch matmuls against it, emitting pairs with
     vec_id_a < vec_id_b. Quadratic compute distributed over batches; the
     reference side must fit one node's memory (same contract as the
-    broadcast query matrix in ``topk_cosine``). This is the exact baseline
-    with full recall; ``embedding_dup_pairs`` (LSH blocking) is the scale
-    path when guaranteed recall isn't required."""
+    broadcast query matrix in ``topk_cosine``), ENFORCED by ``max_rows``:
+    collection stops at max_rows + 1 and raises instead of OOMing the
+    driver — a mis-aimed call at corpus scale degrades loudly. This is the
+    exact baseline with full recall; ``embedding_dup_pairs`` (LSH
+    blocking) is the scale path when guaranteed recall isn't required."""
     import ray
 
-    ref = ds.select_columns(["vec_id", "embedding"]).take_all()
+    # limit() bounds how much the driver ever materializes: on overflow we
+    # see exactly max_rows + 1 rows and fail fast, never the full corpus
+    ref = ds.select_columns(["vec_id", "embedding"]).limit(max_rows + 1).take_all()
+    if len(ref) > max_rows:
+        raise ValueError(
+            f"embedding_dup_pairs_exact: input exceeds max_rows={max_rows} "
+            "(the exact baseline broadcasts the whole table); use "
+            "embedding_dup_pairs (LSH) for corpus-scale inputs or raise "
+            "max_rows explicitly if the table fits one node"
+        )
     ref.sort(key=lambda r: r["vec_id"])
     ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
     ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)

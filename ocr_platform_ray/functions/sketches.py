@@ -27,21 +27,17 @@ def _hash64(values: pa.Array) -> np.ndarray:
     return s.hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def _registers(values: pa.Array) -> np.ndarray:
-    """Vectorized register array for one batch of values."""
-    regs = np.zeros(M, dtype=np.uint8)
-    if len(values) == 0:
-        return regs
+def _hash_rank(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (register index, rank) per value."""
     h = _hash64(values)
     idx = (h & np.uint64(M - 1)).astype(np.int64)
     rest = h >> np.uint64(P)
-    # rank = number of leading... position of first set bit in the remaining
-    # 64-p bits, 1-based; rest==0 -> max rank
+    # rank = position of first set bit in the remaining 64-p bits, 1-based;
+    # rest==0 -> max rank
     nz = rest != 0
     rank = np.full(len(h), 64 - P + 1, dtype=np.uint8)
-    # bit_length via log2 on uint64->float is unsafe for high bits; use
-    # np.frexp on float64 conversion of values < 2^53 is risky: do it with
-    # a 4-step binary search on integers (vectorized, exact)
+    # bit_length via log2 on uint64->float is unsafe for high bits; do it
+    # with a binary search on integers (vectorized, exact)
     r = rest[nz]
     bl = np.zeros(r.shape, dtype=np.uint8)  # bit_length of r
     for shift in (32, 16, 8, 4, 2, 1):
@@ -50,8 +46,41 @@ def _registers(values: pa.Array) -> np.ndarray:
         r = np.where(m, r >> np.uint64(shift), r)
     bl += 1  # bit_length: highest set bit position (1-based)
     rank[nz] = ((64 - P) - bl + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _registers(values: pa.Array) -> np.ndarray:
+    """Vectorized register array for one batch of values."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    idx, rank = _hash_rank(values)
     np.maximum.at(regs, idx, rank)
     return regs
+
+
+# Sparse partial encoding: a key with few distinct values in a batch emits
+# (idx: u2, rank: u1) pairs instead of a dense 2^p-byte register block, so
+# high-cardinality keys (many keys x few rows each) don't turn the partials
+# into the big table. Format byte 'S' = sparse pairs, 'D' = dense registers;
+# sparse wins whenever 3 bytes/pair < M bytes.
+
+def _encode_regs(idxs: np.ndarray, ranks: np.ndarray) -> bytes:
+    if 3 * len(idxs) < M:
+        return b"S" + idxs.astype("<u2").tobytes() + ranks.astype(np.uint8).tobytes()
+    regs = np.zeros(M, dtype=np.uint8)
+    np.maximum.at(regs, idxs, ranks)
+    return b"D" + regs.tobytes()
+
+
+def _merge_sketch_into(regs: np.ndarray, blob: bytes) -> None:
+    if blob[:1] == b"D":
+        np.maximum(regs, np.frombuffer(blob, dtype=np.uint8, offset=1), out=regs)
+    else:
+        n = (len(blob) - 1) // 3
+        idxs = np.frombuffer(blob, dtype="<u2", count=n, offset=1).astype(np.int64)
+        ranks = np.frombuffer(blob, dtype=np.uint8, count=n, offset=1 + 2 * n)
+        np.maximum.at(regs, idxs, ranks)
 
 
 def estimate(regs: np.ndarray) -> float:
@@ -65,37 +94,67 @@ def estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def sketch_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
+    """One (key, encoded sketch) row per key of the batch — the mergeable
+    HLL partial. Fully vectorized: factorize keys (nulls are their own
+    group, matching SQL GROUP BY on a nullable key), lexsort (key, idx),
+    one reduceat for max rank per (key, idx); sketches sparse-encode below
+    the density threshold so high-cardinality keys (many keys x few rows
+    each) emit bytes proportional to their distinct values, not 2^p."""
+    keys = batch.column(key)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict(
+            {key: pa.array([], keys.type), "sketch": pa.array([], pa.binary())}
+        )
+    codes, _ = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
+    vcol = batch.column(value)
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    idx, rank = _hash_rank(vcol)
+    order = np.lexsort((idx, codes))
+    c_s, i_s, r_s = codes[order], idx[order], rank[order]
+    new_pair = np.ones(len(c_s), dtype=bool)
+    new_pair[1:] = (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])
+    starts = np.nonzero(new_pair)[0]
+    pair_rank = np.maximum.reduceat(r_s, starts)
+    pair_code, pair_idx = c_s[starts], i_s[starts]
+    key_change = np.ones(len(starts), dtype=bool)
+    key_change[1:] = pair_code[1:] != pair_code[:-1]
+    key_starts = np.nonzero(key_change)[0]
+    bounds = np.append(key_starts, len(starts))
+    out_s = [
+        _encode_regs(pair_idx[a:b], pair_rank[a:b])
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    # first occurrence of each code keeps the true Arrow key values
+    # (incl. nulls) without going to Python; emitted codes are sorted
+    # (lexsort) and every code appears, so np.unique aligns exactly
+    first_pos = np.unique(codes, return_index=True)[1]
+    return pa.Table.from_pydict(
+        {
+            key: keys.take(pa.array(first_pos)),
+            "sketch": pa.array(out_s, pa.binary()),
+        }
+    )
+
+
 def approx_distinct_per_key(
     ds: rd.Dataset, key: str, value: str
 ) -> rd.Dataset:
     """Approximate distinct ``value`` count per ``key``: per-batch partial
-    sketches -> groupby merge (elementwise max) -> estimate."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key)
-        out_k, out_s = [], []
-        df_idx = pd.Series(range(batch.num_rows))
-        kvals = keys.to_pylist()
-        groups: dict = {}
-        for i, kv in enumerate(kvals):
-            groups.setdefault(kv, []).append(i)
-        vcol = batch.column(value)
-        for kv, rows in groups.items():
-            out_k.append(kv)
-            out_s.append(_registers(vcol.take(pa.array(rows))).tobytes())
-        return pa.Table.from_pydict(
-            {key: out_k, "sketch": out_s},
-            schema=pa.schema([(key, keys.type), ("sketch", pa.binary())]),
-        )
+    sketches (sparse- or dense-encoded, see ``sketch_partials``) ->
+    groupby merge (elementwise max) -> estimate."""
 
     partials = ds.select_columns([key, value]).map_batches(
-        partial, batch_format="pyarrow"
+        lambda b: sketch_partials(b, key, value), batch_format="pyarrow"
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(M, dtype=np.uint8)
         for s in g["sketch"]:
-            regs = np.maximum(regs, np.frombuffer(s, dtype=np.uint8))
+            _merge_sketch_into(regs, s)
         return pd.DataFrame(
             {
                 key: [g[key].iloc[0]],

@@ -1,0 +1,121 @@
+"""Vectorized MD5 over short strings (numpy, RFC 1321).
+
+``stratified_sample``'s contract is "order by md5(CAST(id AS VARCHAR))" —
+reproducible by any SQL engine — so the digest itself is the API and must
+stay exactly MD5. Per-row ``hashlib.md5`` is an O(n) Python loop over the
+full corpus; here the whole 64-round compression runs as numpy uint32
+kernels across all rows of a batch at once. Messages <= 55 bytes fit one
+512-bit block (every decimal/uuid-ish id does); longer rows fall back to
+hashlib (correctness over speed on the rare long key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# Round constants K[i] = floor(abs(sin(i+1)) * 2^32) and per-round left
+# rotations, straight from RFC 1321.
+_K = np.floor(np.abs(np.sin(np.arange(1, 65))) * (2.0**32)).astype(np.uint64).astype(np.uint32)
+_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_G = np.concatenate(
+    [
+        np.arange(16),
+        (5 * np.arange(16, 32) + 1) % 16,
+        (3 * np.arange(32, 48) + 5) % 16,
+        (7 * np.arange(48, 64)) % 16,
+    ]
+).astype(np.int64)
+_HEX = np.frombuffer(b"0123456789abcdef", dtype="S1")
+
+
+def _rotl(x: np.ndarray, s: int) -> np.ndarray:
+    return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+
+def _compress(W: np.ndarray) -> np.ndarray:
+    """One MD5 compression over n single-block messages.
+
+    W: (n, 16) uint32 little-endian words -> (n, 16) uint8 digests."""
+    n = W.shape[0]
+    A = np.full(n, 0x67452301, np.uint32)
+    B = np.full(n, 0xEFCDAB89, np.uint32)
+    C = np.full(n, 0x98BADCFE, np.uint32)
+    D = np.full(n, 0x10325476, np.uint32)
+    a0, b0, c0, d0 = A.copy(), B.copy(), C.copy(), D.copy()
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            if i < 16:
+                F = (B & C) | (~B & D)
+            elif i < 32:
+                F = (D & B) | (~D & C)
+            elif i < 48:
+                F = B ^ C ^ D
+            else:
+                F = C ^ (B | ~D)
+            F = F + A + _K[i] + W[:, _G[i]]
+            A, D, C = D, C, B
+            B = C + _rotl(F, int(_S[i]))  # C here is the pre-shift B
+        a0 += A
+        b0 += B
+        c0 += C
+        d0 += D
+    out = np.empty((n, 4), dtype="<u4")
+    out[:, 0], out[:, 1], out[:, 2], out[:, 3] = a0, b0, c0, d0
+    return out.view(np.uint8).reshape(n, 16)
+
+
+def _digests_to_hex(digest: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 digests -> (n,) unicode hex strings, vectorized."""
+    n = digest.shape[0]
+    hexs = np.empty((n, 32), dtype="S1")
+    hexs[:, 0::2] = _HEX[digest >> 4]
+    hexs[:, 1::2] = _HEX[digest & 15]
+    return hexs.view("S32").ravel().astype(str)
+
+
+def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """md5 hex digest of each value of an Arrow column (values are cast to
+    string first, matching SQL ``md5(CAST(x AS VARCHAR))`` / Python
+    ``hashlib.md5(str(x).encode())``). Zero-copy offsets/data extraction;
+    the compression is one vectorized pass."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(col, pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    if n == 0:
+        return pa.array([], pa.string())
+    offsets = np.frombuffer(s.buffers()[1], dtype=np.int32)[
+        s.offset : s.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(s.buffers()[2], dtype=np.uint8) if s.buffers()[2] else np.empty(0, np.uint8)
+    lens = np.diff(offsets)
+    short = lens <= 55
+    out = np.empty(n, dtype=object)
+    if short.any():
+        sl = lens[short]
+        m = int(short.sum())
+        buf = np.zeros((m, 64), dtype=np.uint8)
+        starts = offsets[:-1][short]
+        total = int(sl.sum())
+        if total:
+            rows = np.repeat(np.arange(m), sl)
+            cols = np.arange(total) - np.repeat(np.cumsum(sl) - sl, sl)
+            flat = data[np.repeat(starts, sl) + cols]
+            buf[rows, cols] = flat
+        buf[np.arange(m), sl] = 0x80
+        buf[:, 56:64] = (sl * 8).astype("<u8").view(np.uint8).reshape(m, 8)
+        out[short] = _digests_to_hex(_compress(buf.view("<u4").reshape(m, 16)))
+    if not short.all():
+        for i in np.nonzero(~short)[0]:
+            raw = data[offsets[i] : offsets[i + 1]].tobytes()
+            out[i] = hashlib.md5(raw).hexdigest()
+    return pa.array(out, pa.string())

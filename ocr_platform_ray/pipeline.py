@@ -28,7 +28,6 @@ import ray.data as rd
 
 from .corpus import spans_from_document
 from .kernels.extract import ExtractConfig
-from .schema import DOCUMENTS_SCHEMA
 from .stages.extract import DetectStage, ExtractStage, RecognizeStage
 from .stages.normalize import count_spans_batch, normalize_spans_batch
 
@@ -113,6 +112,8 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
     replicate = max(1, replicate)
 
     def to_spans(batch: pa.Table) -> pa.Table:
+        from .schema import DOCUMENTS_TENANT_SCHEMA
+
         rows = []
         for d, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -122,9 +123,12 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
                     {
                         "doc_id": f"doc-{r}-{int(d):08d}",
                         "spans": spans_from_document(int(d) + r * 1_000_000, t),
+                        # tenant scoping column (reference multi-tenancy):
+                        # same derivation as the q_tenant_stats oracle SQL
+                        "tenant_id": f"t{int(d) % 4}",
                     }
                 )
-        return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+        return pa.Table.from_pylist(rows, schema=DOCUMENTS_TENANT_SCHEMA)
 
     # A single small parquet file reads as ~16 blocks; downstream actor-pool
     # parallelism equals block count, so split up front to ~2 blocks per CPU
@@ -138,6 +142,13 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
         .repartition(max(64, 2 * ncpu))
         .map_batches(to_spans, batch_format="pyarrow", batch_size=256)
     )
+
+
+def scope_tenant(ds: rd.Dataset, tenant_id: str) -> rd.Dataset:
+    """Tenant-scoping filter (reference J3: every job/listing is filtered
+    by tenant_id, routes_jobs.py:52-63). A cheap row filter — at scale,
+    tenant-partitioned input directories make this a pruned read instead."""
+    return ds.filter(expr=f"tenant_id == '{tenant_id}'")
 
 
 def _prepared(ds: rd.Dataset) -> rd.Dataset:
@@ -246,8 +257,11 @@ def apply_result_overrides(
             row["min_conf"] = 1.0
             row["mean_conf"] = 1.0
         from .schema import EXTRACTED_SCHEMA
+        from .stages.extract import _with_passthrough
 
-        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        return _with_passthrough(
+            pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA), batch
+        )
 
     return extracted.map_batches(fn, batch_format="pyarrow")
 

@@ -157,6 +157,54 @@ def q_top_sources(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_tenant_stats(sf_dir: str) -> rd.Dataset:
+    """Tenant-scoped aggregate (reference multi-tenancy, J3): derive the
+    tenant column (same rule as corpus_from_documents), scope to one
+    tenant with the filter helper, aggregate per source — exact
+    WHERE-clause DuckDB oracle."""
+    from .pipeline import scope_tenant
+
+    def add_tenant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.append_column(
+            "tenant_id", pa.array([f"t{int(d) % 4}" for d in ids], pa.string())
+        )
+
+    ds = scope_tenant(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+            add_tenant, batch_format="pyarrow"
+        ),
+        "t1",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pylist(),
+                "n_chars": batch.column("n_chars").to_numpy(),
+            }
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "sum_chars": [int(g["sum_chars"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------------------- dedup
 
 def q_stratified_sample(sf_dir: str) -> rd.Dataset:
@@ -719,6 +767,7 @@ def queries() -> dict:
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
+        "q_tenant_stats": q_tenant_stats,
         "q_exact_dedup": q_exact_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_minhash_pairs": q_minhash_pairs,
@@ -813,6 +862,13 @@ def oracle_sql() -> dict:
         "q_top_sources": (
             "SELECT source, count(*) AS n_docs FROM documents"
             " GROUP BY source ORDER BY n_docs DESC, source LIMIT 5"
+        ),
+        "q_tenant_stats": (
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM (SELECT *, 't' || CAST(doc_id % 4 AS VARCHAR) AS tenant_id"
+            "  FROM documents)"
+            " WHERE tenant_id = 't1' GROUP BY source"
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

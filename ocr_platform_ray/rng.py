@@ -19,6 +19,18 @@ def mix64(x: int) -> int:
     return (z ^ (z >> 31)) & _MASK
 
 
+def mix64_np(x):
+    """Vectorized ``mix64`` over a numpy uint64 array (bit-identical to the
+    scalar version; uint64 arithmetic wraps mod 2^64 like the masked ints)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def hash_str(s: str) -> int:
     """Deterministic 64-bit FNV-1a hash of a string."""
     h = 0xCBF29CE484222325

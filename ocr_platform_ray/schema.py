@@ -27,6 +27,16 @@ DOCUMENTS_SCHEMA = pa.schema(
     ]
 )
 
+# Multi-tenant corpus variant: the reference scopes every operation by
+# tenant (MinIO keys ``inputs/{tenant}/...``, job rows filtered by
+# tenant_id — /root/reference/apps/api/app/api/v1/routes_jobs.py:52-63).
+# Here tenant is a data-model column: present on the corpus, passed
+# through extraction untouched (stages forward unknown columns), counted
+# per shard in the manifest, and filterable with ``pipeline.scope_tenant``.
+DOCUMENTS_TENANT_SCHEMA = DOCUMENTS_SCHEMA.append(
+    pa.field("tenant_id", pa.string())
+)
+
 # Output table: extracted ordered span sequence + row-local metrics.
 EXTRACTED_SCHEMA = pa.schema(
     [

@@ -38,6 +38,22 @@ DETECT_ENTRY = pa.struct(
 )
 
 
+# Input columns the extract stages consume; anything else (e.g. tenant_id,
+# provenance tags) is forwarded to the output untouched, in input row order.
+_CONSUMED_COLS = {"spans", "n_spans", "n_image_spans", "detect", "n_detect_errors"}
+
+
+def _with_passthrough(out: pa.Table, batch: pa.Table) -> pa.Table:
+    """Forward non-consumed input columns (tenant scoping / metadata) onto
+    the stage output — valid because stages emit exactly one output row per
+    input row, in order."""
+    for name in batch.column_names:
+        if name in _CONSUMED_COLS or name in out.column_names:
+            continue
+        out = out.append_column(name, batch.column(name))
+    return out
+
+
 def _resolve(obj):
     """Resolve a broadcast ObjectRef (or pass through a plain value)."""
     import ray
@@ -161,7 +177,9 @@ class RecognizeStage:
                     base_errors=int(base_err or 0),
                 )
             )
-        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        return _with_passthrough(
+            pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA), batch
+        )
 
 
 def _assemble_row(
@@ -236,7 +254,9 @@ class ExtractStage:
                 return blocks, int(err)
 
             rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
-        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        return _with_passthrough(
+            pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA), batch
+        )
 
 
 def detect_rows_view(batch: pa.Table) -> pa.Table:

@@ -618,3 +618,113 @@ class TestTopTokens:
             cnt.update(f"{x} {y}" for x, y in zip(t, t[1:]))
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
         assert list(zip(out["bigram"], out["n"])) == want
+
+
+class TestRound3Hardening:
+    """Round-3 scale-hardening: vectorized md5, sparse HLL partials,
+    generic bucketed-join keys, IVF sample cap, exact-baseline size guard."""
+
+    def test_md5np_matches_hashlib(self):
+        import hashlib
+
+        from ocr_platform_ray.md5np import md5_hex
+
+        vals = ["", "a", "doc-0-00000042", "x" * 55, "y" * 200] + [
+            f"id{i}" for i in range(100)
+        ]
+        got = md5_hex(pa.array(vals)).to_pylist()
+        assert got == [hashlib.md5(v.encode()).hexdigest() for v in vals]
+        # int columns hash their decimal string (SQL CAST semantics)
+        got_i = md5_hex(pa.array([7, -3], pa.int64())).to_pylist()
+        assert got_i == [hashlib.md5(str(v).encode()).hexdigest() for v in (7, -3)]
+
+    def test_hll_sparse_partials_budget_high_cardinality(self):
+        """>=10k distinct keys, ~1 value each: partials must stay sparse
+        (bytes ~ distinct values), not 4 KB dense registers per key."""
+        from ocr_platform_ray.functions import sketches
+
+        t = pa.table(
+            {
+                "k": [f"key{i}" for i in range(10000)],
+                "v": [f"val{i}" for i in range(10000)],
+            }
+        )
+        part = sketches.sketch_partials(t, "k", "v")
+        assert part.num_rows == 10000
+        total = sum(len(s) for s in part.column("sketch").to_pylist())
+        assert total < 10000 * 16  # vs 10000 * 4096 dense
+        # and the estimates still merge correctly through the public op
+        rows = [{"k": f"key{i % 50}", "v": f"val{i}"} for i in range(5000)]
+        out = sketches.approx_distinct_per_key(_ds(rows), "k", "v").to_pandas()
+        assert len(out) == 50
+        assert all(abs(n - 100) / 100 < 0.1 for n in out["approx_distinct"])
+
+    def test_hll_dense_encoding_roundtrip(self):
+        import numpy as np
+
+        from ocr_platform_ray.functions import sketches
+
+        vals = pa.array([f"u{i}" for i in range(20000)])  # forces dense
+        idx, rank = sketches._hash_rank(vals)
+        blob = sketches._encode_regs(idx, rank)
+        assert blob[:1] == b"D"
+        regs = np.zeros(sketches.M, dtype=np.uint8)
+        sketches._merge_sketch_into(regs, blob)
+        assert (regs == sketches._registers(vals)).all()
+
+    def test_bucketed_join_string_keys(self):
+        from ocr_platform_ray.functions.joins import bucketed_merge_join
+
+        left = _ds([
+            {"name": "alice", "x": 1},
+            {"name": "bob", "x": 2},
+            {"name": None, "x": 3},
+            {"name": "carol", "x": 4},
+        ])
+        right = _ds([
+            {"name": "alice", "y": 10},
+            {"name": "carol", "y": 40},
+            {"name": None, "y": 99},
+        ])
+        inner = bucketed_merge_join(left, right, on="name").to_pandas()
+        assert sorted(zip(inner["name"], inner["y"])) == [
+            ("alice", 10), ("carol", 40)
+        ]  # null key matches nothing
+        anti = bucketed_merge_join(left, right, on="name", how="anti").to_pandas()
+        assert sorted(anti["x"]) == [2, 3]  # bob unmatched; null-key row kept
+        lo = bucketed_merge_join(left, right, on="name", how="left").to_pandas()
+        got = dict(zip(lo["x"], lo["y"]))
+        assert got[1] == 10 and pd.isna(got[2]) and pd.isna(got[3])
+
+    def test_ivf_sample_cap_partitioning_invariant(self):
+        """With the per-block cap active (cap < candidate count), the
+        trained centroids — hence the result — must not depend on block
+        boundaries: every global winner survives its own batch's cut."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            {"vec_id": i, "embedding": [float(x) for x in rng.normal(size=8)]}
+            for i in range(400)
+        ]
+        q = rows[5]["embedding"]
+        outs = []
+        for parts in (2, 13):
+            out = similarity.topk_cosine_ivf(
+                _ds(rows).repartition(parts), q, k=5, n_centroids=4,
+                n_probe=2, sample_mod=1, sample_cap_per_centroid=8,  # cap 32 << 400
+            ).to_pandas()
+            outs.append(list(zip(out["vec_id"], out["cos_sim"])))
+        assert outs[0] == outs[1]
+
+    def test_embedding_dups_exact_size_guard(self):
+        rows = [
+            {"vec_id": i, "embedding": [float(i), 1.0]} for i in range(30)
+        ]
+        with pytest.raises(ValueError, match="max_rows"):
+            similarity.embedding_dup_pairs_exact(_ds(rows), max_rows=10).count()
+        # under the cap it still works
+        out = similarity.embedding_dup_pairs_exact(
+            _ds(rows), tau=0.999, max_rows=100
+        ).to_pandas()
+        assert len(out) > 0

@@ -309,3 +309,60 @@ def test_all_flags_combined(tmp_path):
     s2 = run_job(path, out, n_shards=2, opts=OPTS, two_phase=True,
                  dedup="exact", result_overrides=rov)
     assert s2["shards_ran"] == []
+
+
+def test_invalidate_doc_ids_reruns_owning_shard_only(input_path, tmp_path):
+    """Per-document rerun hook (reference requeue/rerun): only the shard
+    owning the doc recomputes; every other checkpoint is reused byte-same."""
+    from ocr_platform_ray.rng import hash_str
+
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=N_SHARDS, opts=OPTS)
+    before = _read_all(out)
+    target = "doc-00000005"
+    own = hash_str(target) % N_SHARDS
+    summary = run_job(
+        input_path, out, n_shards=N_SHARDS, opts=OPTS,
+        invalidate_doc_ids=[target],
+    )
+    assert summary["shards_ran"] == [own]
+    assert summary["shards_invalidated"] == [own]
+    assert sorted(summary["shards_skipped"]) == sorted(
+        set(range(N_SHARDS)) - {own}
+    )
+    assert _read_all(out) == before  # deterministic recompute
+
+
+def test_invalidate_doc_ids_file_shards(tmp_path):
+    """File-group shards resolve ownership from the files' doc_id column."""
+    import pyarrow as pa
+
+    from ocr_platform_ray import corpus as _corpus
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs = _corpus.generate_docs(24, seed=3)
+    for k in range(4):
+        pq.write_table(
+            _corpus.docs_to_table(docs[k * 6 : (k + 1) * 6]),
+            in_dir / f"f{k}.parquet",
+        )
+    out = str(tmp_path / "out")
+    run_job(str(in_dir), out, n_shards=4, opts=OPTS)
+    target = docs[13]["doc_id"]  # lives in f2.parquet -> shard 2
+    summary = run_job(
+        str(in_dir), out, n_shards=4, opts=OPTS, invalidate_doc_ids=[target]
+    )
+    assert summary["shards_ran"] == [2]
+    assert sorted(summary["shards_skipped"]) == [0, 1, 3]
+
+
+def test_invalidate_unknown_doc_is_noop(input_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_job(input_path, out, n_shards=N_SHARDS, opts=OPTS)
+    summary = run_job(
+        input_path, out, n_shards=N_SHARDS, opts=OPTS,
+        invalidate_doc_ids=[],
+    )
+    assert summary["shards_ran"] == []
+    assert sorted(summary["shards_skipped"]) == list(range(N_SHARDS))
