@@ -168,25 +168,30 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
     return decode_bands([band])[0]
 
 
+# Max total band columns per matching group. Bounds every temporary in the
+# vectorized match to well under a MB: fresh multi-MB numpy allocations pay
+# first-touch page faults that are brutally slow in sandboxed kernels
+# (measured: one (n,34,7,5) bool compare over a 48k-run batch = 5-7 s cold
+# vs 44 ms warm), and short-lived actors never amortize them. Small
+# temporaries come straight off the reused heap.
+_GROUP_COLS = 1 << 16
+
+
 def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
-    """Decode MANY binarized bands in one vectorized pass.
+    """Decode MANY binarized bands in vectorized passes.
 
     Per-band prep (runs, row grid) stays per band; the template matching —
-    the bulk of the numpy dispatch overhead — runs ONCE over the
-    concatenated run list of all bands (per-run math is independent, so
-    batching is exactly equivalent to per-band decoding; the conformance
+    the bulk of the numpy dispatch overhead — runs over groups of bands
+    totalling ~_GROUP_COLS columns (per-run math is independent, so any
+    grouping is exactly equivalent to per-band decoding; the conformance
     suite and the render/decode hypothesis roundtrip hold both equal).
     Semantics per run: sample a cell grid per template width at cell
     centers, best Hamming similarity wins, CHARSET-order ties within a
     width, first width wins exact-ratio ties; spaces where the inter-run
     gap exceeds 3*s of the run's band."""
     results: list[tuple[str, float] | None] = [None] * len(bands)
-    grids: list[np.ndarray] = []
-    run_x0: list[int] = []
-    run_x1: list[int] = []
-    band_runs: dict[int, int] = {}   # band index -> number of runs
-    band_gap: dict[int, int] = {}    # band index -> space_gap
-    col_off = 0
+    pend: list[tuple[int, np.ndarray, list[tuple[int, int]], int]] = []
+    pend_cols = 0
     for bi, band in enumerate(bands):
         h = band.shape[0]
         if h < GLYPH_H or band.shape[1] == 0 or not band.any():
@@ -199,19 +204,36 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
             results[bi] = ("", 1.0)
             continue
         rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
-        grids.append(band[rr])  # (7, band_width)
-        for (x0, x1) in glyph_runs:
-            run_x0.append(col_off + x0)
-            run_x1.append(col_off + x1)
-        band_runs[bi] = len(glyph_runs)
         # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols);
         # word gap >= 4*s
-        band_gap[bi] = 3 * max(1, s)
-        col_off += band.shape[1]
-    if not run_x0:
-        return [r if r is not None else ("", 1.0) for r in results]
+        pend.append((bi, band[rr], glyph_runs, 3 * max(1, s)))
+        pend_cols += band.shape[1]
+        if pend_cols >= _GROUP_COLS:
+            _decode_group(pend, results)
+            pend, pend_cols = [], 0
+    if pend:
+        _decode_group(pend, results)
+    return [r if r is not None else ("", 1.0) for r in results]
 
-    rows_grid = np.hstack(grids)  # (7, total_width) — all bands side by side
+
+def _decode_group(
+    pend: list[tuple[int, np.ndarray, list[tuple[int, int]], int]],
+    results: list,
+) -> None:
+    """Vectorized template matching over one group of prepared bands.
+
+    ``pend`` entries are (band index, (7, w) row grid, in-band glyph runs,
+    space gap); decoded (text, conf) land in ``results`` per band."""
+    grids = [g for (_bi, g, _runs_, _gap) in pend]
+    rows_grid = grids[0] if len(grids) == 1 else np.hstack(grids)
+    run_x0: list[int] = []
+    run_x1: list[int] = []
+    col_off = 0
+    for (_bi, g, glyph_runs, _gap) in pend:
+        for (x0_, x1_) in glyph_runs:
+            run_x0.append(col_off + x0_)
+            run_x1.append(col_off + x1_)
+        col_off += g.shape[1]
     x0 = np.asarray(run_x0, dtype=np.int64)
     x1 = np.asarray(run_x1, dtype=np.int64)
     wrun = x1 - x0
@@ -228,7 +250,12 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
             (j[None, :] * wrun[:, None] + (wrun // 2)[:, None]) // width,
             (wrun - 1)[:, None],
         )  # (n, width) cell-center columns per run (offsets stay in-band)
-        cells = np.transpose(rows_grid[:, cc], (1, 0, 2))  # (n, 7, width)
+        # contiguous copy: the transposed gather view strides the whole
+        # grid per glyph row, which makes the broadcast compare cache-miss
+        # per element
+        cells = np.ascontiguousarray(
+            np.transpose(rows_grid[:, cc], (1, 0, 2))
+        )  # (n, 7, width)
         hits = (
             (tmats[None, :, :, :] == cells[:, None, :, :])
             .reshape(n, len(tchars), -1)
@@ -248,14 +275,12 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
     # assemble per band (runs were appended in band order, so slices are
     # contiguous; gap math uses in-band coordinates — shared offsets cancel)
     pos = 0
-    for bi, n_runs in band_runs.items():
-        lo, hi = pos, pos + n_runs
+    for (bi, _g, glyph_runs, gap) in pend:
+        lo, hi = pos, pos + len(glyph_runs)
         pos = hi
-        gap = band_gap[bi]
         chars: list[str] = []
         for i in range(lo, hi):  # string assembly only — no numpy here
             if i > lo and (x0[i] - x1[i - 1]) > gap:
                 chars.append(" ")
             chars.append(group_chars[best_group[i]][best_k[i]])
         results[bi] = ("".join(chars), float(confs[lo:hi].min()))
-    return [r if r is not None else ("", 1.0) for r in results]

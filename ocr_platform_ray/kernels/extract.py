@@ -73,19 +73,23 @@ def detect_image(
     return [boxes[i] for i in idx], w, h
 
 
-def recognize_image(
+def prepare_recognize(
     ref: str,
     boxes_orig: list[Box],
     page_w: int,
     page_h: int,
     cfg: ExtractConfig,
-    span_idx: int = 0,
     img: "object | None" = None,
-) -> list[BlockResult]:
-    """Recognize stage for one image span given original-coordinate boxes
-    (detected or override). Exact ``run_ocr_with_boxes`` arithmetic."""
+) -> tuple[list, list[int]]:
+    """Phase 1 of recognize: decode the raster, preprocess, crop each box,
+    split tall crops — everything except the glyph decode. Returns
+    ``(strips, strip_counts)`` with one count per box. Exact
+    ``run_ocr_with_boxes`` arithmetic; phase 2 = ``decode_strips`` +
+    ``finish_recognize``. Split out so actor stages can decode the strips
+    of a WHOLE Arrow batch in one vectorized pass (per-strip decoding is
+    independent, so batching is semantics-preserving)."""
     if not boxes_orig:
-        return []
+        return [], []
     if img is None:
         # two-phase path recomputes pages from source, like the reference
         # (ocr_tasks.py:220-226); the fused path passes the raster through
@@ -96,11 +100,9 @@ def recognize_image(
     h_orig = page_h or img.shape[0]
     scale_x = w_prep / w_orig if w_orig else 1.0
     scale_y = h_prep / h_orig if h_orig else 1.0
-    # Collect every strip of every box, decode them in ONE batched
-    # template-matching pass (recognizek.decode_strips), then reassemble
-    # per box — semantics identical to per-crop recognize_crop (single
-    # strip -> predict on the FULL crop, reference vietocr_engine.py:
-    # 103-127; multi-strip -> "\n" join, conf = min).
+    # Collect every strip of every box — semantics identical to per-crop
+    # recognize_crop (single strip -> predict on the FULL crop, reference
+    # vietocr_engine.py:103-127; multi-strip -> "\n" join, conf = min).
     all_strips: list = []
     strip_counts: list[int] = []
     for (x1, y1, x2, y2) in boxes_orig:
@@ -116,7 +118,18 @@ def recognize_image(
             for (sy1, sy2) in bounds:
                 all_strips.append(crop_img[sy1:sy2])
             strip_counts.append(len(bounds))
-    decoded = recognizek.decode_strips(all_strips)
+    return all_strips, strip_counts
+
+
+def finish_recognize(
+    boxes_orig: list[Box],
+    strip_counts: list[int],
+    decoded: list[tuple[str, float]],
+    span_idx: int = 0,
+) -> list[BlockResult]:
+    """Phase 2 of recognize: reassemble decoded strips per box (multi-strip
+    "\\n" join, conf = min — vietocr_engine.py:103-127), postprocess, and
+    zip-align against the boxes (orchestrator.py:75-80)."""
     raw: list[str] = []
     confs: list[float] = []
     k = 0
@@ -143,6 +156,24 @@ def recognize_image(
     ]
 
 
+def recognize_image(
+    ref: str,
+    boxes_orig: list[Box],
+    page_w: int,
+    page_h: int,
+    cfg: ExtractConfig,
+    span_idx: int = 0,
+    img: "object | None" = None,
+) -> list[BlockResult]:
+    """Recognize stage for one image span given original-coordinate boxes
+    (detected or override). Exact ``run_ocr_with_boxes`` arithmetic."""
+    if not boxes_orig:
+        return []
+    strips, counts = prepare_recognize(ref, boxes_orig, page_w, page_h, cfg, img=img)
+    decoded = recognizek.decode_strips(strips)
+    return finish_recognize(boxes_orig, counts, decoded, span_idx=span_idx)
+
+
 def extract_image_span(
     ref: str,
     cfg: ExtractConfig,
@@ -155,13 +186,29 @@ def extract_image_span(
     ``override_boxes`` is the human-edit analogue (PATCH /jobs/{id}/detect,
     routes_jobs.py:230-249): array order preserved, no reading-order sort.
     """
+    boxes, counts, strips = prepare_image_span(ref, cfg, override_boxes)
+    decoded = recognizek.decode_strips(strips)
+    return finish_recognize(boxes, counts, decoded, span_idx=span_idx)
+
+
+def prepare_image_span(
+    ref: str,
+    cfg: ExtractConfig,
+    override_boxes: list[Box] | None = None,
+) -> tuple[list[Box], list[int], list]:
+    """Phase 1 of the fused extract for one image span: render once, detect
+    (or apply override boxes — array order preserved, no reading-order
+    sort), prepare strips. Returns ``(boxes, strip_counts, strips)``; phase
+    2 = ``decode_strips`` + ``finish_recognize``. Raises on poison refs —
+    callers wrap like ``safe_extract_image_span`` does."""
     img = media.render(ref)  # decode once; both stages share the raster
     if override_boxes is not None:
         h, w = img.shape[:2]
         boxes = [(int(x1), int(y1), int(x2), int(y2)) for (x1, y1, x2, y2) in override_boxes]
-        return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx, img=img)
-    boxes, w, h = detect_image(ref, cfg, img=img)
-    return recognize_image(ref, boxes, w, h, cfg, span_idx=span_idx, img=img)
+    else:
+        boxes, w, h = detect_image(ref, cfg, img=img)
+    strips, counts = prepare_recognize(ref, boxes, w, h, cfg, img=img)
+    return boxes, counts, strips
 
 
 def safe_extract_image_span(

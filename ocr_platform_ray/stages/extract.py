@@ -20,11 +20,14 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .. import font  # noqa: F401  (imported so templates build at actor init)
+from ..kernels import recognizek
 from ..kernels.extract import (
     ExtractConfig,
     detect_image,
-    recognize_image,
-    safe_extract_image_span,
+    finish_recognize,
+    prepare_image_span,
+    prepare_recognize,
+    safe_extract_image_span,  # noqa: F401  (re-exported; oracle/test surface)
 )
 from ..schema import BOX_STRUCT, EXTRACTED_SCHEMA, SPAN_STRUCT
 
@@ -41,6 +44,8 @@ DETECT_ENTRY = pa.struct(
 # Input columns the extract stages consume; anything else (e.g. tenant_id,
 # provenance tags) is forwarded to the output untouched, in input row order.
 _CONSUMED_COLS = {"spans", "n_spans", "n_image_spans", "detect", "n_detect_errors"}
+
+_MISSING = object()  # sentinel: span had no prepared entry at all
 
 
 def _with_passthrough(out: pa.Table, batch: pa.Table) -> pa.Table:
@@ -143,17 +148,25 @@ class RecognizeStage:
             if "n_detect_errors" in batch.column_names
             else [0] * batch.num_rows
         )
-        rows = []
-        for doc_id, spans, detect, base_err in zip(
-            doc_ids, spans_col, detect_col, det_errs
+        # Phase 1 (per image span): render + preprocess + crop + strip-split.
+        # Strips from the WHOLE batch are decoded in ONE vectorized
+        # template-matching pass below — per-strip decoding is independent,
+        # so this is exactly equivalent to per-image decode (profiling: the
+        # per-image decode dispatch, not the pylist boundary, dominated
+        # actor wall time).
+        all_strips: list = []
+        prepared: dict[tuple[int, int], tuple | None] = {}
+        for r, (doc_id, spans, detect) in enumerate(
+            zip(doc_ids, spans_col, detect_col)
         ):
             det_by_idx = {e["span_idx"]: e for e in (detect or [])}
-
-            def block_fn(i, sp, _doc_id=doc_id, _det=det_by_idx):
-                entry = _det.get(i)
+            for i, sp in enumerate(spans or []):
+                if sp["kind"] != "image":
+                    continue
+                entry = det_by_idx.get(i)
                 if entry is None:
-                    return [], 0  # dead-lettered at detect (already counted)
-                ov = self.overrides.get((_doc_id, i))
+                    continue  # dead-lettered at detect (already counted)
+                ov = self.overrides.get((doc_id, i))
                 if ov is not None:
                     boxes = ov
                 else:
@@ -161,15 +174,35 @@ class RecognizeStage:
                         (b["x1"], b["y1"], b["x2"], b["y2"]) for b in entry["boxes"]
                     ]
                 try:
-                    return recognize_image(
+                    strips, counts = prepare_recognize(
                         sp["media_ref"], boxes, entry["width"], entry["height"],
-                        self.cfg, span_idx=i,
-                    ), 0
+                        self.cfg,
+                    )
                 except (ValueError, KeyError, IndexError, OverflowError):
                     # recognize-phase poison (e.g. an invalid override box):
                     # count it like the fused path's safe_extract wrapper
                     # instead of crashing the shard
-                    return [], 1
+                    prepared[(r, i)] = None
+                    continue
+                prepared[(r, i)] = (boxes, counts, len(all_strips))
+                all_strips.extend(strips)
+        decoded = recognizek.decode_strips(all_strips)
+
+        rows = []
+        for r, (doc_id, spans, base_err) in enumerate(
+            zip(doc_ids, spans_col, det_errs)
+        ):
+
+            def block_fn(i, sp, _r=r):
+                p = prepared.get((_r, i), _MISSING)
+                if p is _MISSING:
+                    return [], 0  # dead-lettered at detect (already counted)
+                if p is None:
+                    return [], 1  # recognize-phase poison
+                boxes, counts, start = p
+                return finish_recognize(
+                    boxes, counts, decoded[start : start + sum(counts)], span_idx=i
+                ), 0
 
             rows.append(
                 _assemble_row(
@@ -243,15 +276,38 @@ class ExtractStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        rows = []
-        for doc_id, spans in zip(doc_ids, spans_col):
+        # Phase 1 (per image span): render once, detect (or override),
+        # preprocess/crop/strip-split; ONE batch-wide decode pass below
+        # (see RecognizeStage.__call__ for the rationale).
+        all_strips: list = []
+        prepared: dict[tuple[int, int], tuple | None] = {}
+        for r, (doc_id, spans) in enumerate(zip(doc_ids, spans_col)):
+            for i, sp in enumerate(spans or []):
+                if sp["kind"] != "image":
+                    continue
+                try:
+                    boxes, counts, strips = prepare_image_span(
+                        sp["media_ref"], self.cfg,
+                        override_boxes=self.overrides.get((doc_id, i)),
+                    )
+                except (ValueError, KeyError, IndexError, OverflowError):
+                    prepared[(r, i)] = None  # dead-letter: counted below
+                    continue
+                prepared[(r, i)] = (boxes, counts, len(all_strips))
+                all_strips.extend(strips)
+        decoded = recognizek.decode_strips(all_strips)
 
-            def block_fn(i, sp, _doc_id=doc_id):
-                blocks, err = safe_extract_image_span(
-                    sp["media_ref"], self.cfg, span_idx=i,
-                    override_boxes=self.overrides.get((_doc_id, i)),
-                )
-                return blocks, int(err)
+        rows = []
+        for r, (doc_id, spans) in enumerate(zip(doc_ids, spans_col)):
+
+            def block_fn(i, sp, _r=r):
+                p = prepared.get((_r, i))
+                if p is None:
+                    return [], 1
+                boxes, counts, start = p
+                return finish_recognize(
+                    boxes, counts, decoded[start : start + sum(counts)], span_idx=i
+                ), 0
 
             rows.append(_assemble_row(doc_id, spans or [], self.cfg, block_fn))
         return _with_passthrough(

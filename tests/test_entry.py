@@ -21,7 +21,7 @@ def test_entry_smoke():
     assert len(df) >= 1
     assert list(df.columns) == [
         "doc_id", "spans_out", "n_spans_out", "n_blocks", "min_conf",
-        "mean_conf", "n_span_errors",
+        "mean_conf", "n_span_errors", "tenant_id",
     ]
 
 
