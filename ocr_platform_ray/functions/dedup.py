@@ -737,3 +737,90 @@ def stratified_sample(
         return g.drop(columns=["__sk"])
 
     return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------------- deterministic data split
+
+def train_test_split(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+) -> rd.Dataset:
+    """Assign every row a deterministic train/valid/test split label.
+
+    The label is a pure function of ``md5(id)`` — the same keyed
+    pseudo-random contract as :func:`stratified_sample`, so the assignment
+    is stable across runs, partitionings, cluster sizes AND reproducible
+    by any SQL engine: the first byte of the md5 digest (two hex chars)
+    lands in 0..255 and is cut at ``floor(f_train*256)`` /
+    ``floor((f_train+f_valid)*256)``. Embarrassingly parallel — a
+    row-local map, no shuffle; the standard corpus-split step of a
+    training-data pipeline."""
+    from ..md5np import md5_hex
+
+    cut1 = int(fractions[0] * 256)
+    cut2 = int((fractions[0] + fractions[1]) * 256)
+    hex1, hex2 = format(cut1, "02x"), format(cut2, "02x")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h2 = pc.utf8_slice_codeunits(md5_hex(batch.column(id_col)), 0, 2)
+        split = pc.if_else(
+            pc.less(h2, hex1),
+            pa.scalar("train"),
+            pc.if_else(pc.less(h2, hex2), pa.scalar("valid"), pa.scalar("test")),
+        )
+        return batch.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------ LSH candidates + exact n-gram Jaccard
+
+def ngram_jaccard_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.8,
+    candidate_threshold: float = 0.5,
+    n_shingle: int = 3,
+    max_candidate_docs: int = 200_000,
+) -> rd.Dataset:
+    """Near-dup pairs by EXACT character n-gram Jaccard, with MinHash+LSH
+    candidate generation so no all-pairs pass ever runs.
+
+    Two stages: (1) :func:`minhash_dup_pairs` at a deliberately lower
+    ``candidate_threshold`` (recall knob — LSH + signature agreement at
+    0.5 keeps essentially every true >=0.8 pair as a candidate while the
+    banded LSH prunes the quadratic space); (2) exact shingle-set Jaccard
+    on just the candidate pairs (:func:`verify_pairs_jaccard`), keeping
+    only ``jaccard >= threshold``. The verify step broadcasts shingle sets
+    for the candidate doc set only — ``max_candidate_docs`` makes a
+    degenerate corpus (everything near-identical) fail loudly instead of
+    OOMing the driver; raise it only if the candidate set fits one node.
+    """
+    cand = minhash_dup_pairs(ds, threshold=candidate_threshold)
+    pair_rows = (
+        cand.select_columns(["doc_a", "doc_b"])
+        .limit(max_candidate_docs + 1)
+        .take_all()
+    )
+    if len(pair_rows) > max_candidate_docs:
+        raise ValueError(
+            f"ngram_jaccard_dup_pairs: more than {max_candidate_docs} "
+            "candidate pairs — lower candidate recall (raise "
+            "candidate_threshold) or raise max_candidate_docs if the "
+            "candidate set fits one node"
+        )
+    pairs = sorted((r["doc_a"], r["doc_b"]) for r in pair_rows)
+    if not pairs:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    scored = verify_pairs_jaccard(pairs, ds, n_shingle=n_shingle)
+    return scored.filter(expr=f"jaccard >= {threshold}")

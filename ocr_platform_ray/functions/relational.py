@@ -120,3 +120,86 @@ def top_customers(
     return per_cust.sort(
         ["total_spent", "c_custkey"], descending=[True, False]
     ).limit(k)
+
+
+def revenue_by_customer(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer_path: str,
+    k: int = 20,
+) -> rd.Dataset:
+    """Top-k customers by returned-item revenue (TPC-H Q10-shaped):
+    lineitem(R) ⋈ orders ⋈ customer, grouped per customer.
+
+    The three-table composition of this repo's join idioms: the big⋈big
+    edge (lineitem ⋈ orders) goes through ONE native hash join, but only
+    after lineitem is pre-aggregated per l_orderkey inside map_batches
+    (~4 lineitems/order -> the shuffle moves one row per order, not one
+    per lineitem); the result is pre-aggregated again per o_custkey
+    before the final groupby; and the customer dimension (names for the
+    k winners) is broadcast once via ray.put, never shuffled."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .joins import hash_join
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_name"])
+    lookup_ref = ray.put(
+        dict(
+            zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+        )
+    )
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "rev": rev.to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    per_order_rev = lineitem.map_batches(per_order, batch_format="pyarrow")
+    joined = hash_join(
+        per_order_rev,
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(),
+                "rev": batch.column("rev").to_numpy(),
+            }
+        )
+        agg = df.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = joined.map_batches(per_cust, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        key = int(g["o_custkey"].iloc[0])
+        return pd.DataFrame(
+            {
+                "c_custkey": [key],
+                "c_name": [lk.get(key, "")],
+                "revenue": [round_half_away(float(g["rev"].sum()), 0)],
+            }
+        )
+
+    per_customer = partials.groupby("o_custkey").map_groups(
+        final, batch_format="pandas"
+    )
+    # tie-break matches the oracle's ORDER BY revenue DESC, c_custkey
+    return per_customer.sort(
+        ["revenue", "c_custkey"], descending=[True, False]
+    ).limit(k)

@@ -233,6 +233,36 @@ def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.simhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def q_jaccard_dups(sf_dir: str) -> rd.Dataset:
+    """Exact n-gram Jaccard near-dups over MinHash+LSH candidates (the
+    two-stage recall/precision composition — no all-pairs pass)."""
+    out = dedup.ngram_jaccard_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8, candidate_threshold=0.5
+    )
+    return out.select_columns(["doc_a", "doc_b", "jaccard"])
+
+
+def q_train_test_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 corpus split keyed on md5(doc_id) — exact
+    DuckDB oracle (same two-hex-char cut on both sides)."""
+    return dedup.train_test_split(_docs(sf_dir, ["doc_id"])).select_columns(
+        ["doc_id", "split"]
+    )
+
+
+def q_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Pack docs into 512-token training sequences (hash-bucketed greedy
+    fill, deterministic across partitionings)."""
+    from .functions import packing
+
+    docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    return packing.pack_sequences(docs, max_tokens=512)
+
+
 # --------------------------------------------------------------- similarity
 
 def _query_vec(sf_dir: str) -> list[float]:
@@ -674,6 +704,24 @@ def q_orders_by_nation_bucketed(sf_dir: str) -> rd.Dataset:
     ).map_groups(final, batch_format="pandas")
 
 
+def q_revenue_by_customer(sf_dir: str) -> rd.Dataset:
+    """Three-table join (TPC-H Q10-shaped): lineitem(returnflag=R) ⋈
+    orders ⋈ customer, top-20 customers by revenue. The returnflag filter
+    is pushed into the parquet read; see relational.revenue_by_customer
+    for the per-stage shuffle-minimization."""
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return relational.revenue_by_customer(
+        lineitem, orders, f"{sf_dir}/customer.parquet", k=20
+    )
+
+
 def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Near-dup removal survivors (connected components over LSH pairs)."""
     return dedup.minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), threshold=0.85)
@@ -773,6 +821,9 @@ def queries() -> dict:
         "q_minhash_pairs": q_minhash_pairs,
         "q_minhash_dedup_docs": q_minhash_dedup_docs,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_jaccard_dups": q_jaccard_dups,
+        "q_train_test_split": q_train_test_split,
+        "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
         "q_ann_topk_ivf": q_ann_topk_ivf,
@@ -797,6 +848,7 @@ def queries() -> dict:
         "q_lineitem_agg": q_lineitem_agg,
         "q_orders_by_nation": q_orders_by_nation,
         "q_orders_by_nation_bucketed": q_orders_by_nation_bucketed,
+        "q_revenue_by_customer": q_revenue_by_customer,
         "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
         "q_detect_boxes": q_detect_boxes,
@@ -872,6 +924,12 @@ def oracle_sql() -> dict:
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_train_test_split": (
+            "SELECT doc_id, CASE"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'"
+            " ELSE 'test' END AS split FROM documents"
         ),
         "q_stratified_sample": (
             "SELECT doc_id, lang FROM documents"
@@ -1008,5 +1066,14 @@ def oracle_sql() -> dict:
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
             " GROUP BY o.o_custkey ORDER BY total_spent DESC, c_custkey LIMIT 10"
+        ),
+        "q_revenue_by_customer": (
+            "SELECT c.c_custkey, any_value(c.c_name) AS c_name,"
+            " round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue"
+            " FROM customer c"
+            " JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+            " WHERE l.l_returnflag = 'R'"
+            " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
     }

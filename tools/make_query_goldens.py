@@ -35,6 +35,8 @@ GOLDEN_QUERIES = [
     "q_minhash_dedup_docs",
     "q_approx_distinct_users",
     "q_extract_summary",
+    "q_jaccard_dups",
+    "q_pack_sequences",
 ]
 
 
