@@ -93,6 +93,17 @@ def _cropped_templates() -> dict[int, tuple[list[str], np.ndarray]]:
 
 TPL_BY_WIDTH: dict[int, tuple[list[str], np.ndarray]] = _cropped_templates()
 
+# Flattened float32 templates + per-template ink counts for the matmul
+# match in _decode_group: hits = 7w - |cells| - |tpl| + 2*(cells @ tpl.T).
+# Float32 is exact here (every term is an integer <= 35 << 2^24).
+_TPL_MATMUL: dict[int, tuple[np.ndarray, np.ndarray]] = {
+    w: (
+        mats.reshape(len(chars), -1).astype(np.float32),
+        mats.reshape(len(chars), -1).sum(axis=1).astype(np.float32),
+    )
+    for w, (chars, mats) in TPL_BY_WIDTH.items()
+}
+
 
 def text_width(text: str, s: int) -> int:
     """Pixel width of ``text`` rendered at scale ``s`` (no trailing gap)."""
@@ -170,10 +181,11 @@ def decode_band(band: np.ndarray) -> tuple[str, float]:
 
 # Max total band columns per matching group. Bounds every temporary in the
 # vectorized match to well under a MB: fresh multi-MB numpy allocations pay
-# first-touch page faults that are brutally slow in sandboxed kernels
-# (measured: one (n,34,7,5) bool compare over a 48k-run batch = 5-7 s cold
-# vs 44 ms warm), and short-lived actors never amortize them. Small
-# temporaries come straight off the reused heap.
+# first-touch page faults that are brutally slow in sandboxed kernels, and
+# short-lived actors never amortize them. Small temporaries come straight
+# off the reused heap. Re-measured after the matmul rewrite of
+# _decode_group (interleaved in-process A/B, median of 7): 64k and 1M-col
+# groups are within noise of each other, so the cache-safe 64k stays.
 _GROUP_COLS = 1 << 16
 
 
@@ -244,23 +256,28 @@ def _decode_group(
     best_group = np.zeros(n, dtype=np.int64)
     widths = sorted(TPL_BY_WIDTH)
     for gi, width in enumerate(widths):
-        tchars, tmats = TPL_BY_WIDTH[width]
+        tchars, _tmats = TPL_BY_WIDTH[width]
+        tflat, tpop = _TPL_MATMUL[width]
         j = np.arange(width)
         cc = x0[:, None] + np.minimum(
             (j[None, :] * wrun[:, None] + (wrun // 2)[:, None]) // width,
             (wrun - 1)[:, None],
         )  # (n, width) cell-center columns per run (offsets stay in-band)
-        # contiguous copy: the transposed gather view strides the whole
-        # grid per glyph row, which makes the broadcast compare cache-miss
-        # per element
-        cells = np.ascontiguousarray(
+        # agreement count via BLAS instead of an (n, t, 7w) broadcast
+        # compare: hits = 7w - |cells| - |tpl| + 2*(cells @ tpl.T); every
+        # term is an integer <= 35, exact in float32, so argmax/tie-break
+        # behavior is bit-identical to the elementwise compare
+        cells = (
             np.transpose(rows_grid[:, cc], (1, 0, 2))
-        )  # (n, 7, width)
+            .reshape(n, GLYPH_H * width)
+            .astype(np.float32)
+        )
+        cpop = cells.sum(axis=1)
         hits = (
-            (tmats[None, :, :, :] == cells[:, None, :, :])
-            .reshape(n, len(tchars), -1)
-            .sum(axis=2)
-        )  # (n, n_templates)
+            2.0 * (cells @ tflat.T)
+            - cpop[:, None]
+            + (np.float32(GLYPH_H * width) - tpop)[None, :]
+        ).astype(np.int64)  # (n, n_templates), exact integers
         k = np.argmax(hits, axis=1)  # first max = CHARSET-order tie-break
         sim_num = hits[np.arange(n), k]
         sim_den = GLYPH_H * width
