@@ -202,23 +202,22 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
     width, first width wins exact-ratio ties; spaces where the inter-run
     gap exceeds 3*s of the run's band."""
     results: list[tuple[str, float] | None] = [None] * len(bands)
-    pend: list[tuple[int, np.ndarray, list[tuple[int, int]], int]] = []
+    pend: list[tuple[int, np.ndarray, np.ndarray, int]] = []
     pend_cols = 0
     for bi, band in enumerate(bands):
         h = band.shape[0]
-        if h < GLYPH_H or band.shape[1] == 0 or not band.any():
+        if h < GLYPH_H or band.shape[1] == 0:
+            results[bi] = ("", 1.0)
+            continue
+        col_on = band.any(axis=0)
+        if not col_on.any():
             results[bi] = ("", 1.0)
             continue
         s = h // GLYPH_H  # integer scale estimate; exact for clean bands
-        col_on = band.any(axis=0)
-        glyph_runs = _runs(col_on)
-        if not glyph_runs:
-            results[bi] = ("", 1.0)
-            continue
         rr = np.minimum((np.arange(GLYPH_H) * h + h // 2) // GLYPH_H, h - 1)
         # inter-char ink gap can reach 3*s ('1'/'I' have blank edge cols);
         # word gap >= 4*s
-        pend.append((bi, band[rr], glyph_runs, 3 * max(1, s)))
+        pend.append((bi, band[rr], col_on, 3 * max(1, s)))
         pend_cols += band.shape[1]
         if pend_cols >= _GROUP_COLS:
             _decode_group(pend, results)
@@ -229,25 +228,45 @@ def decode_bands(bands: list[np.ndarray]) -> list[tuple[str, float]]:
 
 
 def _decode_group(
-    pend: list[tuple[int, np.ndarray, list[tuple[int, int]], int]],
+    pend: list[tuple[int, np.ndarray, np.ndarray, int]],
     results: list,
 ) -> None:
     """Vectorized template matching over one group of prepared bands.
 
-    ``pend`` entries are (band index, (7, w) row grid, in-band glyph runs,
-    space gap); decoded (text, conf) land in ``results`` per band."""
-    grids = [g for (_bi, g, _runs_, _gap) in pend]
+    ``pend`` entries are (band index, (7, w) row grid, per-column ink
+    mask, space gap); decoded (text, conf) land in ``results`` per band.
+
+    Glyph-run extraction happens here in ONE diff/flatnonzero pass over
+    the whole group: the per-band ink masks are concatenated with a False
+    separator column between bands, so no run can cross a band boundary —
+    exactly equivalent to running ``_runs`` per band (the conformance
+    suite and render/decode roundtrip pin this), without 2 numpy
+    dispatches per band."""
+    grids = [g for (_bi, g, _col_on, _gap) in pend]
     rows_grid = grids[0] if len(grids) == 1 else np.hstack(grids)
-    run_x0: list[int] = []
-    run_x1: list[int] = []
-    col_off = 0
-    for (_bi, g, glyph_runs, _gap) in pend:
-        for (x0_, x1_) in glyph_runs:
-            run_x0.append(col_off + x0_)
-            run_x1.append(col_off + x1_)
-        col_off += g.shape[1]
-    x0 = np.asarray(run_x0, dtype=np.int64)
-    x1 = np.asarray(run_x1, dtype=np.int64)
+    widths_arr = np.asarray([g.shape[1] for g in grids], dtype=np.int64)
+    # grid-column offset of each band, and its offset in the padded mask
+    # (one separator col per preceding band)
+    grid_off = np.concatenate(([0], np.cumsum(widths_arr)))
+    pad_off = grid_off[:-1] + np.arange(len(pend))
+    masks: list[np.ndarray] = []
+    sep = np.zeros(1, dtype=bool)
+    for (_bi, _g, col_on, _gap) in pend:
+        masks.append(col_on)
+        masks.append(sep)
+    mask_all = np.concatenate(masks[:-1]) if len(masks) > 1 else masks[0]
+    idx = np.flatnonzero(
+        np.diff(np.concatenate(([0], mask_all.view(np.int8), [0])))
+    )
+    px0, px1 = idx[0::2], idx[1::2]  # run bounds in padded coordinates
+    # assign each run to its band, then shift to grid coordinates
+    band_of = np.searchsorted(pad_off, px0, side="right") - 1
+    shift = pad_off[band_of] - grid_off[:-1][band_of]
+    x0 = px0 - shift
+    x1 = px1 - shift
+    # runs per band, in band order (runs come out sorted by position)
+    run_lo = np.searchsorted(band_of, np.arange(len(pend)), side="left")
+    run_hi = np.searchsorted(band_of, np.arange(len(pend)), side="right")
     wrun = x1 - x0
     n = len(x0)
     best_hits = np.full(n, -1, dtype=np.int64)
@@ -289,12 +308,10 @@ def _decode_group(
     group_chars = [TPL_BY_WIDTH[w][0] for w in widths]
     confs = best_hits / best_cells
 
-    # assemble per band (runs were appended in band order, so slices are
-    # contiguous; gap math uses in-band coordinates — shared offsets cancel)
-    pos = 0
-    for (bi, _g, glyph_runs, gap) in pend:
-        lo, hi = pos, pos + len(glyph_runs)
-        pos = hi
+    # assemble per band (runs are sorted by position so per-band slices
+    # are contiguous; gap math uses grid coordinates — band offsets cancel)
+    for b, (bi, _g, _col_on, gap) in enumerate(pend):
+        lo, hi = int(run_lo[b]), int(run_hi[b])
         chars: list[str] = []
         for i in range(lo, hi):  # string assembly only — no numpy here
             if i > lo and (x0[i] - x1[i - 1]) > gap:

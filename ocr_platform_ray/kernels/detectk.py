@@ -41,37 +41,55 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
 
 
 def propose_polygons(img: np.ndarray) -> np.ndarray:
-    """Grayscale (h, w) -> float32 polygons (N, 4, 2) in x,y corner order."""
+    """Grayscale (h, w) -> float32 polygons (N, 4, 2) in x,y corner order.
+
+    Per row-band, the ink column-runs and the gap-merge are computed with
+    array ops (run bounds from one diff pass, merge points from one
+    vectorized gap compare) — identical output to the scalar
+    run-walk/merge loop this replaces (pinned by TestDetect and the
+    conformance suite), without per-glyph Python tuples."""
     binar = img > 127
-    polys: list[list[list[float]]] = []
+    seg_parts: list[np.ndarray] = []
     row_any = binar.any(axis=1)
     for r0, r1 in _runs(row_any):
         band = binar[r0:r1]
         h = r1 - r0
         col_any = band.any(axis=0)
-        col_runs = _runs(col_any)
-        if not col_runs:
+        idx = np.flatnonzero(
+            np.diff(np.concatenate(([0], col_any.view(np.int8), [0])))
+        )
+        if idx.size == 0:
             continue
+        c0s, c1s = idx[0::2], idx[1::2]
         if h > MAX_SINGLE_LINE_HEIGHT:
-            segs = [(col_runs[0][0], col_runs[-1][1])]
+            s0 = c0s[:1]
+            s1 = c1s[-1:]
         else:
-            # merge ink column-runs separated by gaps <= band height
-            segs = []
-            cur0, cur1 = col_runs[0]
-            for c0, c1 in col_runs[1:]:
-                if c0 - cur1 > h:
-                    segs.append((cur0, cur1))
-                    cur0, cur1 = c0, c1
-                else:
-                    cur1 = c1
-            segs.append((cur0, cur1))
-        for c0, c1 in segs:
-            polys.append(
-                [[c0, r0], [c1, r0], [c1, r1], [c0, r1]]
-            )
-    if not polys:
+            # merge ink column-runs separated by gaps <= band height:
+            # a new segment starts exactly where the gap exceeds h
+            brk = (c0s[1:] - c1s[:-1]) > h
+            s0 = c0s[np.concatenate(([True], brk))]
+            s1 = c1s[np.concatenate((brk, [True]))]
+        part = np.empty((len(s0), 4), dtype=np.int64)
+        part[:, 0] = s0
+        part[:, 1] = s1
+        part[:, 2] = r0
+        part[:, 3] = r1
+        seg_parts.append(part)
+    if not seg_parts:
         return np.zeros((0, 4, 2), dtype=np.float32)
-    return np.asarray(polys, dtype=np.float32)
+    segs = np.concatenate(seg_parts)
+    c0, c1, r0s, r1s = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    polys = np.empty((len(segs), 4, 2), dtype=np.float32)
+    polys[:, 0, 0] = c0
+    polys[:, 0, 1] = r0s
+    polys[:, 1, 0] = c1
+    polys[:, 1, 1] = r0s
+    polys[:, 2, 0] = c1
+    polys[:, 2, 1] = r1s
+    polys[:, 3, 0] = c0
+    polys[:, 3, 1] = r1s
+    return polys
 
 
 def reduce_polygons(raw: np.ndarray | None, scale: float) -> list[Box]:
