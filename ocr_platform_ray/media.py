@@ -47,6 +47,19 @@ def parse_ref(ref: str) -> tuple[int, int, int, int, int]:
     return int(seed), int(span_idx), int(w), int(h), int(n_lines)
 
 
+_WORD_WIDTH_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _word_width(word: str, s: int) -> int:
+    """Cached font.text_width for single vocab words (small key space)."""
+    key = (word, s)
+    got = _WORD_WIDTH_CACHE.get(key)
+    if got is None:
+        got = font.text_width(word, s)
+        _WORD_WIDTH_CACHE[key] = got
+    return got
+
+
 def _layout(ref: str):
     """Deterministic layout plan for a ref.
 
@@ -71,18 +84,24 @@ def _layout(ref: str):
     for i in range(n_lines):
         y = MARGIN_Y + i * pitch
         words: list[str] = []
+        # incremental width: joining with " " adds exactly WORD_GAP*s plus
+        # the word's own width (the space resets the inter-glyph gap), so
+        # this equals font.text_width(" ".join(words), s) at every step
+        width = 0
         while True:
             cand_word = rng.choice(VOCAB)
-            cand_text = " ".join(words + [cand_word])
-            if font.text_width(cand_text, s) > budget:
+            ww = _word_width(cand_word, s)
+            cand_w = ww if not words else width + font.WORD_GAP * s + ww
+            if cand_w > budget:
                 break
             words.append(cand_word)
+            width = cand_w
             if len(words) >= 12:
                 break
         if not words:
             # canvas narrower than the widest vocab word: use the narrowest fit
             for wd in sorted(VOCAB, key=len):
-                if font.text_width(wd, s) <= budget:
+                if _word_width(wd, s) <= budget:
                     words = [wd]
                     break
         if not words:
