@@ -222,7 +222,14 @@ if __name__ == "__main__":
         # compute rather than session startup — the criterion is about
         # scaling behavior, and startup is per-SESSION, not per-byte.
         run_headline(SF_DIR, replicate=1)
-        head = run_headline(SF_DIR, replicate=int(os.environ.get("GRAFT_BENCH_REPLICATE", "1")))
+        # best-of-GRAFT_BENCH_RUNS, same as every other measurement (min,
+        # not median: ambient load on a shared box only biases upward)
+        rep = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1"))
+        head = None
+        for _ in range(int(os.environ.get("GRAFT_BENCH_RUNS", "2"))):
+            h = run_headline(SF_DIR, replicate=rep)
+            if head is None or h["extract_sec"] < head["extract_sec"]:
+                head = h
         result = {
             "metric": "extract headline",
             "value": head["extract_sec"],

@@ -824,3 +824,74 @@ def ngram_jaccard_dup_pairs(
         )
     scored = verify_pairs_jaccard(pairs, ds, n_shingle=n_shingle)
     return scored.filter(expr=f"jaccard >= {threshold}")
+
+
+# ------------------------------------- seeded global shuffle (rank order)
+
+def seeded_shuffle_rank(
+    ds: rd.Dataset, id_col: str = "doc_id", seed: int = 0, bucket_chars: int = 2
+) -> rd.Dataset:
+    """Assign every row its position in a deterministic seeded global
+    shuffle — the reproducible training-order pass of a data pipeline.
+
+    Order key = ``md5(CAST(id AS VARCHAR) || ':<seed>')``, the same keyed
+    pseudo-random contract as :func:`stratified_sample`, so any SQL engine
+    reproduces the order (``row_number() OVER (ORDER BY md5(...), id)``).
+
+    Distributed rank without a global sort: the key's first
+    ``bucket_chars`` hex chars split rows into 16^bucket_chars
+    range-ordered buckets (hex prefix order == md5 key order). Pass 1
+    counts rows per bucket (one tiny count table per batch, merged on the
+    driver — bounded by 16^bucket_chars ints, never rows); pass 2 ranks
+    within each bucket (groupby + local sort) and adds the bucket's
+    exclusive prefix offset. Raise ``bucket_chars`` to 3-4 at corpus
+    scale so each bucket's (id, key) pairs fit a worker."""
+    from ..md5np import md5_hex
+
+    n_buckets = 16 ** bucket_chars
+    salt = f":{seed}"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids_str = pc.cast(batch.column(id_col), pa.string())
+        keyed = pc.binary_join_element_wise(ids_str, salt, "")
+        sk = md5_hex(keyed)
+        bucket = pc.utf8_slice_codeunits(sk, 0, bucket_chars)
+        t = pa.table({id_col: batch.column(id_col)})
+        return t.append_column("__sk", sk).append_column("__bucket", bucket)
+
+    keyed = ds.select_columns([id_col]).map_batches(add_key, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select(["__bucket"]))
+            .group_by("__bucket")
+            .len()
+            .rename({"len": "n"})
+            .to_arrow()
+        )
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for part in keyed.map_batches(count_partial, batch_format="pyarrow").take_all():
+        counts[int(part["__bucket"], 16)] += part["n"]
+    offsets = {format(b, f"0{bucket_chars}x"): int(o)
+               for b, o in enumerate(np.cumsum(counts) - counts)}
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__sk", id_col], kind="mergesort")
+        base = offsets[g["__bucket"].iloc[0]]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shuffle_pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        keyed.repartition(shuffle_blocks())
+        .groupby("__bucket")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -383,3 +383,149 @@ def embedding_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return distinct_pairs(pairs, ["vec_id_a", "vec_id_b"])
+
+
+def kmeans_clusters(
+    ds: rd.Dataset,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Distributed spherical k-means (Lloyd) over the embedding column —
+    the semantic-clustering pass of a training-data pipeline (domain
+    mixing, cluster-balanced sampling, near-dup triage).
+
+    Fully distributed: initial centroids are the ``n_clusters`` vectors
+    with the smallest ``mix64(id)`` (deterministic and
+    partitioning-invariant — per-batch partial top-k, tiny global
+    sort+limit, like the IVF sampler). Each Lloyd iteration is ONE
+    vectorized ``map_batches`` pass: assign rows to the argmax-cosine
+    centroid and emit per-(batch, cluster) partial sums — K rows of one
+    d-dim float64 vector each, so the driver collects at most
+    K x n_batches tiny rows per iteration, never embeddings. Partials are
+    merged in a fixed order (cluster, batch-min id) so the result does
+    not depend on task completion order; an emptied cluster keeps its
+    centroid. The final pass emits (id, cluster, cos_to_centroid) —
+    iterative and not SQL-expressible, so the query pins a per-cluster
+    summary golden instead of an oracle."""
+    import ray
+
+    from ..rng import mix64_np
+
+    emb = ds.select_columns([id_col, "embedding"])
+
+    def pick_init(batch: pa.Table) -> pa.Table:
+        sk = mix64_np(batch.column(id_col).to_numpy().astype(np.uint64))
+        if batch.num_rows > n_clusters:
+            keep = np.argpartition(sk, n_clusters - 1)[:n_clusters]
+            batch, sk = batch.take(pa.array(keep)), sk[keep]
+        return batch.append_column("__sk", pa.array(sk, pa.uint64()))
+
+    init_rows = sorted(
+        emb.map_batches(pick_init, batch_format="pyarrow")
+        .sort("__sk")
+        .limit(n_clusters)
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    cent = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1), 1e-30)[:, None]
+    k = len(cent)
+
+    def make_partial(cent_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _emb_matrix(batch)
+            nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+            assign = np.argmax(nm @ c.T, axis=1)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), nm.shape[1]))
+            np.add.at(sums, inv, nm)
+            counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            tag = int(batch.column(id_col).to_numpy().min()) if batch.num_rows else 0
+            return pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(uniq.astype(np.int64)),
+                    "n": pa.array(counts),
+                    "vec_sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+                    "tag": pa.array(np.full(len(uniq), tag, np.int64)),
+                }
+            )
+
+        return partial
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+        parts = sorted(
+            emb.map_batches(make_partial(cent_ref), batch_format="pyarrow").take_all(),
+            key=lambda r: (r["cluster"], r["tag"]),
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.frombuffer(r["vec_sum"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        mean = sums[nonempty] / counts[nonempty][:, None]
+        cent[nonempty] = mean / np.maximum(
+            np.linalg.norm(mean, axis=1), 1e-30
+        )[:, None]
+
+    cent_ref = ray.put(cent)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _emb_matrix(batch)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = nm @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = np.round(sims[np.arange(len(assign)), assign], 6)
+        return pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "cos_to_centroid": pa.array(best, pa.float64()),
+            }
+        )
+
+    return emb.map_batches(assign_final, batch_format="pyarrow")
+
+
+def kmeans_summary(ds: rd.Dataset, n_clusters: int = 8, n_iters: int = 5) -> rd.Dataset:
+    """Per-cluster summary of :func:`kmeans_clusters`: (cluster, n_vecs,
+    mean_sim) via mergeable per-batch partial sums — the compact
+    cluster-quality table a curation pipeline reports."""
+    import pandas as pd
+
+    assigned = kmeans_clusters(ds, n_clusters=n_clusters, n_iters=n_iters)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("cluster")
+            .agg(
+                pl.len().alias("n_vecs"),
+                pl.col("cos_to_centroid").sum().alias("sim_sum"),
+            )
+            .to_arrow()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_vecs"].sum())
+        s = float(g["sim_sum"].sum())
+        return pd.DataFrame(
+            {
+                "cluster": [int(g["cluster"].iloc[0])],
+                "n_vecs": [n],
+                "mean_sim": [round(s / n, 6)],
+            }
+        )
+
+    return (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(final, batch_format="pandas")
+        .sort("cluster")
+    )

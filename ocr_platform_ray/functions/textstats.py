@@ -221,3 +221,70 @@ def top_bigrams(ds, k: int = 20):
     return _topk_counts(
         ds.map_batches(partial, batch_format="pyarrow"), "bigram", k
     )
+
+
+def top_tfidf_terms(ds, k: int = 20):
+    """Corpus-wide top-k terms by total TF-IDF — the term-weighting pass of
+    a training-data / retrieval pipeline (tfidf = n * ln(N / df), the
+    classic unsmoothed formulation).
+
+    Per-batch combiner emits one (token, n, df) row per distinct token per
+    batch — total occurrences plus the number of the batch's DOCUMENTS
+    containing the token (each document is exactly one row, so per-batch
+    doc counts sum to the true corpus df). The shuffle carries those tiny
+    partials, never text; N comes from ``ds.count()`` (parquet metadata).
+    Rounded via the floor(x*1e6+0.5)/1e6 DuckDB-round contract so the SQL
+    oracle value-hashes identically."""
+    import pandas as pd
+    import polars as pl
+
+    from .dedup import shuffle_blocks
+
+    n_corpus = ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pl.DataFrame({"t": pl.from_arrow(col)}).select(
+            pl.col("t").str.extract_all(TOKEN_RE).alias("tok")
+        )
+        n_part = (
+            toks.explode("tok").drop_nulls().group_by("tok").len().rename({"len": "n"})
+        )
+        df_part = (
+            toks.select(pl.col("tok").list.unique())
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+            .rename({"len": "df"})
+        )
+        return (
+            n_part.join(df_part, on="tok", how="inner")
+            .rename({"tok": "token"})
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        df = int(g["df"].sum())
+        tfidf = float(np.floor(n * np.log(n_corpus / df) * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "n": [n],
+                "df": [df],
+                "tfidf": [tfidf],
+            }
+        )
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("token")
+        .map_groups(final, batch_format="pandas")
+        .sort(["tfidf", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -99,6 +99,12 @@ def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     return textstats.top_bigrams(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_top_tfidf(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-20 terms by total TF-IDF (term-weighting pass) —
+    exact DuckDB oracle (same unsmoothed n*ln(N/df) on both sides)."""
+    return textstats.top_tfidf_terms(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -250,6 +256,14 @@ def q_train_test_split(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_shuffle_rank(sf_dir: str) -> rd.Dataset:
+    """Seeded global training-shuffle order: every doc's position under
+    ORDER BY md5(id || ':7') — distributed rank via 256 hex-prefix range
+    buckets + prefix offsets, no global sort. Exact DuckDB oracle
+    (row_number() OVER the same key)."""
+    return dedup.seeded_shuffle_rank(_docs(sf_dir, ["doc_id"]), seed=7)
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Pack docs into 512-token training sequences (hash-bucketed greedy
     fill, deterministic across partitionings)."""
@@ -303,6 +317,13 @@ def q_label_centroids(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
     return similarity.label_centroids(ds).sort("label")
+
+
+def q_kmeans_summary(sf_dir: str) -> rd.Dataset:
+    """Distributed spherical k-means (5 Lloyd iterations, deterministic
+    mix64 init) cluster summary — iterative, not SQL-expressible; pinned
+    by a sf0.001 golden + partitioning-invariance test."""
+    return similarity.kmeans_summary(_emb(sf_dir), n_clusters=8)
 
 
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
@@ -812,6 +833,7 @@ def queries() -> dict:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_top_tokens": q_top_tokens,
         "q_top_bigrams": q_top_bigrams,
+        "q_top_tfidf": q_top_tfidf,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -823,11 +845,13 @@ def queries() -> dict:
         "q_simhash_pairs": q_simhash_pairs,
         "q_jaccard_dups": q_jaccard_dups,
         "q_train_test_split": q_train_test_split,
+        "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_label_centroids": q_label_centroids,
+        "q_kmeans_summary": q_kmeans_summary,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
         "q_window_counts": q_window_counts,
@@ -906,6 +930,21 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_top_tfidf": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
+            " FROM documents),"
+            " st AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df"
+            "  FROM tok GROUP BY token)"
+            " SELECT token, n, df,"
+            " round(n * ln((SELECT count(*) FROM documents) * 1.0 / df), 6)"
+            " AS tfidf FROM st ORDER BY tfidf DESC, token LIMIT 20"
+        ),
+        "q_shuffle_rank": (
+            "SELECT doc_id, row_number() OVER"
+            " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
+            " AS shuffle_pos FROM documents"
         ),
         "q_lang_stats": (
             "SELECT lang, count(*) AS n_docs,"

@@ -728,3 +728,61 @@ class TestRound3Hardening:
             _ds(rows), tau=0.999, max_rows=100
         ).to_pandas()
         assert len(out) > 0
+
+
+class TestRound3Operators:
+    """TF-IDF, seeded shuffle rank, distributed k-means."""
+
+    def test_tfidf_matches_bruteforce(self, ray_session):
+        rows = [
+            {"doc_id": 0, "text": "apple banana apple"},
+            {"doc_id": 1, "text": "banana cherry"},
+            {"doc_id": 2, "text": "apple cherry cherry date"},
+        ]
+        out = textstats.top_tfidf_terms(_ds(rows), k=10).to_pandas()
+        got = {r.token: (r.n, r.df, r.tfidf) for r in out.itertuples()}
+        # apple: n=3 df=2; banana: n=2 df=2; cherry: n=3 df=2; date: n=1 df=1
+        assert got["apple"] == (3, 2, round(float(3 * np.log(3 / 2)), 6))
+        assert got["date"] == (1, 1, round(float(np.log(3.0)), 6))
+        # order: tfidf DESC, token ASC — apple/cherry tie broken by name
+        assert list(out["token"][:2]) == ["apple", "cherry"]
+
+    def test_shuffle_rank_is_permutation_and_invariant(self, ray_session):
+        rows = [{"doc_id": i} for i in range(97)]
+        a = dedup.seeded_shuffle_rank(_ds(rows), seed=3).to_pandas()
+        assert sorted(a["shuffle_pos"]) == list(range(97))
+        b = dedup.seeded_shuffle_rank(
+            _ds(rows).repartition(7), seed=3
+        ).to_pandas()
+        am = dict(zip(a["doc_id"], a["shuffle_pos"]))
+        bm = dict(zip(b["doc_id"], b["shuffle_pos"]))
+        assert am == bm
+        # a different seed gives a different permutation
+        c = dedup.seeded_shuffle_rank(_ds(rows), seed=4).to_pandas()
+        cm = dict(zip(c["doc_id"], c["shuffle_pos"]))
+        assert cm != am
+
+    def test_kmeans_partitions_and_is_invariant(self, ray_session):
+        rng = np.random.default_rng(5)
+        # three well-separated direction clusters
+        centers = np.eye(3)
+        rows = []
+        for i in range(120):
+            v = centers[i % 3] * 5 + rng.normal(size=3) * 0.1
+            rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+        out = similarity.kmeans_clusters(_ds(rows), n_clusters=3).to_pandas()
+        assert len(out) == 120
+        # members of the same planted cluster agree on the learned label
+        lbl = dict(zip(out["vec_id"], out["cluster"]))
+        for planted in range(3):
+            ids = [i for i in range(120) if i % 3 == planted]
+            assert len({lbl[i] for i in ids}) == 1
+        # the three planted clusters map to three distinct labels
+        assert len({lbl[0], lbl[1], lbl[2]}) == 3
+        # partitioning invariance
+        out2 = similarity.kmeans_clusters(
+            _ds(rows).repartition(11), n_clusters=3
+        ).to_pandas()
+        m1 = sorted(zip(out["vec_id"], out["cluster"], out["cos_to_centroid"]))
+        m2 = sorted(zip(out2["vec_id"], out2["cluster"], out2["cos_to_centroid"]))
+        assert m1 == m2

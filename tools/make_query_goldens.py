@@ -37,6 +37,7 @@ GOLDEN_QUERIES = [
     "q_extract_summary",
     "q_jaccard_dups",
     "q_pack_sequences",
+    "q_kmeans_summary",
 ]
 
 
