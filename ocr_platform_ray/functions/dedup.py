@@ -895,3 +895,100 @@ def seeded_shuffle_rank(
         .groupby("__bucket")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+# ------------------------------------- benchmark / eval decontamination
+
+def decontaminate_against_eval(
+    ds: rd.Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    max_eval_ngrams: int = 2_000_000,
+) -> rd.Dataset:
+    """Benchmark-decontamination pass: flag TRAIN-split documents sharing
+    any token ``n``-gram with the TEST split (the eval set). Splits come
+    from :func:`train_test_split`'s md5 contract, so the whole operation
+    is reproducible by any SQL engine.
+
+    Scale shape: the eval side of a decontamination job is a benchmark —
+    tiny next to the corpus — so its distinct n-gram set is collected
+    once (LOUDLY guarded by ``max_eval_ngrams``; past that cap you want a
+    distributed semi-join on exploded n-grams instead) and broadcast via
+    ``ray.put``. The train side streams: a small actor pool holds the
+    sorted n-gram array (built once per actor in ``__init__``) and each
+    batch resolves membership via ``np.searchsorted`` — vectorized, no
+    per-batch index rebuild, no shuffle at all. Returns (id, n_overlap)
+    for contaminated train docs only."""
+    import polars as pl
+    import ray
+
+    labeled = train_test_split(ds.select_columns([id_col, "text"]), id_col=id_col)
+
+    from .textstats import TOKEN_RE
+
+    def batch_ngrams(batch: pa.Table, keep_id: bool) -> pl.DataFrame:
+        cols = {"t": pl.from_arrow(batch.column("text"))}
+        if keep_id:
+            cols[id_col] = pl.from_arrow(batch.column(id_col))
+        toks = pl.DataFrame(cols).with_columns(
+            pl.col("t").str.extract_all(TOKEN_RE).alias("t")
+        )
+        # n-grams from n aligned list slices (same zip trick as top_bigrams)
+        parts = [
+            pl.col("t").list.slice(j, pl.col("t").list.len() - (n - 1)).alias(f"__g{j}")
+            for j in range(n)
+        ]
+        out = toks.select([c for c in cols if c != "t"] + parts).explode(
+            [f"__g{j}" for j in range(n)]
+        ).drop_nulls()
+        expr = pl.col("__g0")
+        for j in range(1, n):
+            expr = expr + " " + pl.col(f"__g{j}")
+        return out.select(
+            ([pl.col(id_col)] if keep_id else []) + [expr.alias("g")]
+        )
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch_ngrams(batch, keep_id=False).unique().to_arrow()
+        )
+
+    eval_grams: set[str] = set()
+    for row in (
+        labeled.filter(expr="split == 'test'")
+        .map_batches(eval_partial, batch_format="pyarrow")
+        .take_all()
+    ):
+        eval_grams.add(row["g"])
+        if len(eval_grams) > max_eval_ngrams:
+            raise ValueError(
+                f"decontaminate_against_eval: eval n-gram set exceeds "
+                f"max_eval_ngrams={max_eval_ngrams}; use a distributed "
+                "semi-join on exploded n-grams for a corpus-scale eval side"
+            )
+    grams_ref = ray.put(np.sort(np.array(sorted(eval_grams), dtype=object).astype(str)))
+
+    class ContaminationCheck:
+        def __init__(self):
+            self.grams = ray.get(grams_ref)  # sorted once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            per_doc = batch_ngrams(batch, keep_id=True).unique()
+            if not len(per_doc):
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()),
+                     "n_overlap": pa.array([], pa.int64())}
+                )
+            g = per_doc["g"].to_numpy().astype(str)
+            pos = np.searchsorted(self.grams, g)
+            hit = (pos < len(self.grams)) & (self.grams[np.minimum(pos, len(self.grams) - 1)] == g)
+            hits = per_doc.filter(pl.Series(hit)).group_by(id_col).len()
+            return (
+                hits.rename({"len": "n_overlap"})
+                .cast({"n_overlap": pl.Int64})
+                .to_arrow()
+            )
+
+    return labeled.filter(expr="split == 'train'").map_batches(
+        ContaminationCheck, batch_format="pyarrow", concurrency=(1, 8)
+    )

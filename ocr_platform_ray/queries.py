@@ -264,6 +264,14 @@ def q_shuffle_rank(sf_dir: str) -> rd.Dataset:
     return dedup.seeded_shuffle_rank(_docs(sf_dir, ["doc_id"]), seed=7)
 
 
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: train-split docs sharing any token
+    3-gram with the test split. Eval n-gram set broadcast once (loud size
+    guard), train side streams through an actor-pool membership index —
+    exact DuckDB oracle over the same md5 split cuts."""
+    return dedup.decontaminate_against_eval(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Pack docs into 512-token training sequences (hash-bucketed greedy
     fill, deterministic across partitionings)."""
@@ -846,6 +854,7 @@ def queries() -> dict:
         "q_jaccard_dups": q_jaccard_dups,
         "q_train_test_split": q_train_test_split,
         "q_shuffle_rank": q_shuffle_rank,
+        "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
@@ -945,6 +954,24 @@ def oracle_sql() -> dict:
             "SELECT doc_id, row_number() OVER"
             " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
             " AS shuffle_pos FROM documents"
+        ),
+        # split cuts = train_test_split fractions (0.8, 0.1): hex 'cc'/'e6'
+        "q_decontaminate": (
+            "WITH sp AS (SELECT doc_id, text,"
+            " CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc'"
+            "  THEN 'train'"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6'"
+            "  THEN 'valid' ELSE 'test' END AS split FROM documents),"
+            " toks AS (SELECT doc_id, split,"
+            "  regexp_extract_all(text, '[a-z0-9]+') AS t FROM sp),"
+            " grams AS (SELECT doc_id, split,"
+            "  unnest(list_transform(range(1, len(t) - 1),"
+            "   i -> array_to_string(t[i:i+2], ' '))) AS g"
+            "  FROM toks WHERE len(t) >= 3),"
+            " ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test')"
+            " SELECT doc_id, count(DISTINCT g) AS n_overlap FROM grams"
+            " WHERE split = 'train' AND g IN (SELECT g FROM ev)"
+            " GROUP BY doc_id"
         ),
         "q_lang_stats": (
             "SELECT lang, count(*) AS n_docs,"

@@ -786,3 +786,36 @@ class TestRound3Operators:
         m1 = sorted(zip(out["vec_id"], out["cluster"], out["cos_to_centroid"]))
         m2 = sorted(zip(out2["vec_id"], out2["cluster"], out2["cos_to_centroid"]))
         assert m1 == m2
+
+    def test_decontaminate_flags_overlap(self, ray_session):
+        # pick ids by their (deterministic) md5 split so the shared text
+        # lands in BOTH a test doc and train docs
+        import hashlib
+
+        def split_of(i):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            return "train" if h < "cc" else ("valid" if h < "e6" else "test")
+
+        ids = list(range(200))
+        by = {i: split_of(i) for i in ids}
+        test_ids = [i for i in ids if by[i] == "test"][:2]
+        train_shared = [i for i in ids if by[i] == "train"][:4]
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = []
+        for i in ids[:60] + test_ids:
+            rows.append({
+                "doc_id": i,
+                "text": shared if (i in test_ids or i in train_shared)
+                else f"doc {i} " + " ".join(f"u{i}x{j}" for j in range(8)),
+            })
+        out = dedup.decontaminate_against_eval(_ds(rows), n=3).to_pandas()
+        got = set(out["doc_id"])
+        # every train doc with the shared text is flagged; unique ones not
+        assert set(train_shared) <= got
+        assert all(by[d] == "train" for d in got)
+
+    def test_decontaminate_eval_cap_guard(self, ray_session):
+        rows = [{"doc_id": i, "text": " ".join(f"w{i}g{j}" for j in range(30))}
+                for i in range(60)]
+        with pytest.raises(ValueError, match="max_eval_ngrams"):
+            dedup.decontaminate_against_eval(_ds(rows), n=3, max_eval_ngrams=5)
