@@ -133,27 +133,46 @@ def _scaled_glyph(ch: str, s: int) -> np.ndarray:
     return got
 
 
+_WORD_RASTER_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _word_raster(word: str, s: int) -> np.ndarray:
+    """Rendered raster of one space-free word of KNOWN glyphs, cached —
+    the corpus draws from a small vocab, so per-word pasting replaces
+    per-char pasting on the render hot path."""
+    key = (word, s)
+    got = _WORD_RASTER_CACHE.get(key)
+    if got is None:
+        got = np.zeros((GLYPH_H * s, text_width(word, s)), dtype=np.uint8)
+        x = 0
+        for i, ch in enumerate(word):
+            if i:
+                x += CHAR_GAP * s
+            got[:, x : x + GLYPH_W * s] = _scaled_glyph(ch, s)
+            x += GLYPH_W * s
+        _WORD_RASTER_CACHE[key] = got
+    return got
+
+
 def render_line(text: str, s: int) -> np.ndarray:
     """Render ``text`` -> uint8 array (7*s, width), values {0, 255}.
 
-    Unknown characters are skipped. Empty/blank text -> (7*s, 0) array.
-    """
+    Unknown characters are skipped (no advance, no inter-glyph gap — the
+    word renders as if the character were removed). Empty/blank text ->
+    (7*s, 0) array. Per-word rasters are cached; the pasted layout is
+    exactly the per-char walk this replaces (each space advances
+    WORD_GAP*s, known glyphs 5s plus s between adjacent glyphs)."""
     cols = max(0, text_width(text, s))
     out = np.zeros((GLYPH_H * s, cols), dtype=np.uint8)
     x = 0
-    prev_glyph = False
-    for ch in text:
-        if ch == " ":
+    for i, word in enumerate(text.split(" ")):
+        if i:
             x += WORD_GAP * s
-            prev_glyph = False
-            continue
-        if ch not in GLYPHS:
-            continue
-        if prev_glyph:
-            x += CHAR_GAP * s
-        out[:, x : x + GLYPH_W * s] = _scaled_glyph(ch, s)
-        x += GLYPH_W * s
-        prev_glyph = True
+        clean = "".join(ch for ch in word if ch in GLYPHS)
+        if clean:
+            r = _word_raster(clean, s)
+            out[:, x : x + r.shape[1]] = r
+            x += r.shape[1]
     return out
 
 

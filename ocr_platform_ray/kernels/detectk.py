@@ -43,42 +43,63 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
 def propose_polygons(img: np.ndarray) -> np.ndarray:
     """Grayscale (h, w) -> float32 polygons (N, 4, 2) in x,y corner order.
 
-    Per row-band, the ink column-runs and the gap-merge are computed with
-    array ops (run bounds from one diff pass, merge points from one
-    vectorized gap compare) — identical output to the scalar
-    run-walk/merge loop this replaces (pinned by TestDetect and the
-    conformance suite), without per-glyph Python tuples."""
+    One pass, no per-band Python loop: per-band column profiles come from
+    a single ``logical_or.reduceat`` over the rows (interleaved band/gap
+    segment indices, gap rows discarded), ink column-runs for ALL bands
+    from one diff over the zero-padded profile matrix (per-row padding
+    keeps runs from crossing band boundaries in the flattened view), and
+    the gap-merge from one vectorized compare with band-change breaks.
+    Identical output to the per-band run-walk this replaces — bands in
+    row order, segments in column order (pinned by TestDetect and the
+    conformance suite)."""
     binar = img > 127
-    seg_parts: list[np.ndarray] = []
+    h_img, w = binar.shape
     row_any = binar.any(axis=1)
-    for r0, r1 in _runs(row_any):
-        band = binar[r0:r1]
-        h = r1 - r0
-        col_any = band.any(axis=0)
-        idx = np.flatnonzero(
-            np.diff(np.concatenate(([0], col_any.view(np.int8), [0])))
-        )
-        if idx.size == 0:
-            continue
-        c0s, c1s = idx[0::2], idx[1::2]
-        if h > MAX_SINGLE_LINE_HEIGHT:
-            s0 = c0s[:1]
-            s1 = c1s[-1:]
-        else:
-            # merge ink column-runs separated by gaps <= band height:
-            # a new segment starts exactly where the gap exceeds h
-            brk = (c0s[1:] - c1s[:-1]) > h
-            s0 = c0s[np.concatenate(([True], brk))]
-            s1 = c1s[np.concatenate((brk, [True]))]
-        part = np.empty((len(s0), 4), dtype=np.int64)
-        part[:, 0] = s0
-        part[:, 1] = s1
-        part[:, 2] = r0
-        part[:, 3] = r1
-        seg_parts.append(part)
-    if not seg_parts:
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], row_any.view(np.int8), [0]))))
+    if idx.size == 0:
         return np.zeros((0, 4, 2), dtype=np.float32)
-    segs = np.concatenate(seg_parts)
+    r0s, r1s = idx[0::2], idx[1::2]
+    # segments [r0_i, r1_i) are bands, [r1_i, r0_i+1) gaps; a trailing
+    # r1 == h_img is not a valid reduceat index and the final segment
+    # runs to the end anyway
+    inds = np.empty(2 * len(r0s), dtype=np.int64)
+    inds[0::2] = r0s
+    inds[1::2] = r1s
+    if inds[-1] == h_img:
+        inds = inds[:-1]
+    profiles = np.logical_or.reduceat(binar, inds, axis=0)[0 : 2 * len(r0s) : 2]
+    # ink column-runs of every band in one diff over the padded profiles
+    padded = np.zeros((len(r0s), w + 2), dtype=np.int8)
+    padded[:, 1:-1] = profiles
+    d = np.diff(padded.ravel())
+    run_idx = np.flatnonzero(d)
+    starts, ends = run_idx[0::2] + 1, run_idx[1::2] + 1
+    if starts.size == 0:
+        return np.zeros((0, 4, 2), dtype=np.float32)
+    band_of = starts // (w + 2)
+    rc0 = starts % (w + 2) - 1
+    rc1 = ends % (w + 2) - 1
+    # segment starts: band changes always break; within a single-line
+    # band a gap wider than the band height breaks; paragraph bands
+    # (taller than one line) merge every run
+    h_band = (r1s - r0s)[band_of]
+    is_start = np.empty(len(starts), dtype=bool)
+    is_start[0] = True
+    same = band_of[1:] == band_of[:-1]
+    gap_break = (rc0[1:] - rc1[:-1]) > h_band[1:]
+    para = h_band[1:] > MAX_SINGLE_LINE_HEIGHT
+    is_start[1:] = ~same | (gap_break & ~para)
+    seg_i = np.flatnonzero(is_start)
+    seg_j = np.append(seg_i[1:], len(starts)) - 1
+    c0 = rc0[seg_i]
+    c1 = rc1[seg_j]
+    r0b = r0s[band_of[seg_i]]
+    r1b = r1s[band_of[seg_i]]
+    segs = np.empty((len(seg_i), 4), dtype=np.int64)
+    segs[:, 0] = c0
+    segs[:, 1] = c1
+    segs[:, 2] = r0b
+    segs[:, 3] = r1b
     c0, c1, r0s, r1s = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     polys = np.empty((len(segs), 4, 2), dtype=np.float32)
     polys[:, 0, 0] = c0
