@@ -264,6 +264,15 @@ def q_shuffle_rank(sf_dir: str) -> rd.Dataset:
     return dedup.seeded_shuffle_rank(_docs(sf_dir, ["doc_id"]), seed=7)
 
 
+def q_curation_summary(sf_dir: str) -> rd.Dataset:
+    """Composed curation pipeline: quality gate -> exact dedup -> hash
+    join back -> md5 split -> per-split doc/token budget. Exact DuckDB
+    oracle over the identical composition."""
+    from .functions.curation import curation_summary
+
+    return curation_summary(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination: train-split docs sharing any token
     3-gram with the test split. Eval n-gram set broadcast once (loud size
@@ -855,6 +864,7 @@ def queries() -> dict:
         "q_train_test_split": q_train_test_split,
         "q_shuffle_rank": q_shuffle_rank,
         "q_decontaminate": q_decontaminate,
+        "q_curation_summary": q_curation_summary,
         "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
@@ -954,6 +964,26 @@ def oracle_sql() -> dict:
             "SELECT doc_id, row_number() OVER"
             " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
             " AS shuffle_pos FROM documents"
+        ),
+        # same quality formula as q_quality; split cuts 'cc'/'e6'
+        "q_curation_summary": (
+            "WITH q AS (SELECT doc_id, text,"
+            " len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0,"
+            "  1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "  / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents),"
+            " f AS (SELECT * FROM q WHERE quality_score >= 0.5),"
+            " d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),"
+            " s AS (SELECT f.doc_id, f.n_tokens,"
+            "  CASE WHEN substr(md5(CAST(f.doc_id AS VARCHAR)),1,2) < 'cc'"
+            "   THEN 'train'"
+            "  WHEN substr(md5(CAST(f.doc_id AS VARCHAR)),1,2) < 'e6'"
+            "   THEN 'valid' ELSE 'test' END AS split"
+            "  FROM f JOIN d USING(doc_id))"
+            " SELECT split, count(*) AS n_docs,"
+            " CAST(sum(n_tokens) AS BIGINT) AS tokens"
+            " FROM s GROUP BY split"
         ),
         # split cuts = train_test_split fractions (0.8, 0.1): hex 'cc'/'e6'
         "q_decontaminate": (
