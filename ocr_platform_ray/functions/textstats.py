@@ -288,3 +288,37 @@ def top_tfidf_terms(ds, k: int = 20):
         .sort(["tfidf", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Add dup_bigram_ratio: 1 - distinct/total token bigrams — the
+    Gopher-family repetition filter signal (Rae et al. 2021, "Scaling
+    Language Models", repetition heuristics; public knowledge). Rows with
+    < 2 tokens score 0. Vectorized: polars bigram explode + two grouped
+    counts, no Python loop; round via the DuckDB floor contract."""
+    import polars as pl
+
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pl.DataFrame({"t": pl.from_arrow(col)}).select(
+        pl.col("t").str.extract_all(TOKEN_RE).alias("t")
+    )
+    bi = (
+        toks.with_row_index("i")
+        .select(
+            "i",
+            a=pl.col("t").list.slice(0, pl.col("t").list.len() - 1),
+            b=pl.col("t").list.slice(1),
+        )
+        .explode(["a", "b"])
+        .drop_nulls()
+        .select("i", g=pl.col("a") + " " + pl.col("b"))
+        .group_by("i")
+        .agg(total=pl.len(), uniq=pl.col("g").n_unique())
+    )
+    ratio = np.zeros(batch.num_rows)
+    idx = bi["i"].to_numpy()
+    ratio[idx] = 1.0 - bi["uniq"].to_numpy() / bi["total"].to_numpy()
+    ratio = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return batch.append_column("dup_bigram_ratio", pa.array(ratio))

@@ -99,6 +99,14 @@ def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     return textstats.top_bigrams(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-family repetition signal: duplicate-bigram ratio per doc
+    (row-local, vectorized) — exact DuckDB oracle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.repetition_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "dup_bigram_ratio"])
+
+
 def q_top_tfidf(sf_dir: str) -> rd.Dataset:
     """Corpus-wide top-20 terms by total TF-IDF (term-weighting pass) —
     exact DuckDB oracle (same unsmoothed n*ln(N/df) on both sides)."""
@@ -851,6 +859,7 @@ def queries() -> dict:
         "q_top_tokens": q_top_tokens,
         "q_top_bigrams": q_top_bigrams,
         "q_top_tfidf": q_top_tfidf,
+        "q_repetition": q_repetition,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -949,6 +958,18 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_repetition": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),"
+            "  i -> t[i] || ' ' || t[i+1])) AS g"
+            "  FROM toks WHERE len(t) >= 2),"
+            " st AS (SELECT doc_id, count(*) AS total,"
+            "  count(DISTINCT g) AS uniq FROM bi GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " round(coalesce(1.0 - uniq * 1.0 / total, 0), 6)"
+            " AS dup_bigram_ratio FROM documents d LEFT JOIN st USING(doc_id)"
         ),
         "q_top_tfidf": (
             "WITH tok AS (SELECT doc_id,"

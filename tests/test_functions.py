@@ -819,3 +819,19 @@ class TestRound3Operators:
                 for i in range(60)]
         with pytest.raises(ValueError, match="max_eval_ngrams"):
             dedup.decontaminate_against_eval(_ds(rows), n=3, max_eval_ngrams=5)
+
+    def test_repetition_ratio(self, ray_session):
+        rows = [
+            {"doc_id": 0, "text": "a b a b a b"},   # 5 bigrams, 2 distinct
+            {"doc_id": 1, "text": "x y z"},
+            {"doc_id": 2, "text": "one"},
+            {"doc_id": 3, "text": ""},
+        ]
+        out = (
+            _ds(rows)
+            .map_batches(textstats.repetition_batch, batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")["dup_bigram_ratio"]
+        )
+        assert out[0] == 0.6
+        assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
