@@ -231,3 +231,92 @@ def quantile_sketch_per_key(
         return pd.DataFrame(row)
 
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------- distributed EXACT quantile (selection)
+
+def exact_quantile(
+    ds: rd.Dataset,
+    col: str,
+    q: float,
+    n_bins: int = 8192,
+    collect_cap: int = 4_000_000,
+) -> float:
+    """EXACT global quantile_cont of a numeric column by distributed
+    selection — no global sort, no full-column materialization.
+
+    Three streaming passes over the single projected column:
+    1. per-batch (count, min, max) partials -> global range (driver merges
+       a few ints per batch);
+    2. per-batch fixed-bin histograms -> one (n_bins,) count vector on
+       the driver; the cumulative counts locate the buckets holding order
+       statistics k = floor((n-1)q) and k+1;
+    3. only the values whose bin index lands in those buckets are
+       collected (guarded by ``collect_cap`` — a pathological all-ties
+       bucket degrades loudly, not by OOM) and the two order statistics
+       picked locally.
+    Returns ``x_k + frac * (x_{k+1} - x_k)`` — DuckDB/pandas
+    ``quantile_cont`` linear interpolation, exactly."""
+    proj = ds.select_columns([col])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = batch.column(col)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    parts = proj.map_batches(minmax, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        raise ValueError("exact_quantile: empty input")
+    lo = min(p["lo"] for p in parts)
+    hi = max(p["hi"] for p in parts)
+    if lo == hi:
+        return float(lo)
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        counts, _ = np.histogram(v, bins=edges)
+        return pa.Table.from_pydict(
+            {"counts": pa.array([counts.tobytes()], pa.binary())}
+        )
+
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for p in proj.map_batches(hist, batch_format="pyarrow").take_all():
+        counts += np.frombuffer(p["counts"], dtype=np.int64)
+    h = (n - 1) * q
+    k = int(np.floor(h))
+    frac = h - k
+    cum = np.cumsum(counts)
+    b_k = int(np.searchsorted(cum, k + 1))
+    b_k1 = int(np.searchsorted(cum, k + 2)) if k + 1 < n else b_k
+    want = {b_k, b_k1}
+    if sum(int(counts[b]) for b in want) > collect_cap:
+        raise ValueError(
+            "exact_quantile: candidate bucket exceeds collect_cap "
+            f"({collect_cap}); raise n_bins or the cap for this distribution"
+        )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # same binning rule as np.histogram: right-closed last bin
+        idx = np.minimum(np.searchsorted(edges, v, side="right") - 1, n_bins - 1)
+        keep = np.isin(idx, list(want))
+        return pa.Table.from_pydict({col: pa.array(v[keep], pa.float64())})
+
+    vals = np.sort(
+        np.array(
+            [r[col] for r in proj.map_batches(pick, batch_format="pyarrow").take_all()]
+        )
+    )
+    before = int(cum[b_k - 1]) if b_k > 0 else 0
+    x_k = vals[k - before]
+    x_k1 = vals[k + 1 - before] if k + 1 < n else x_k
+    return float(x_k + frac * (x_k1 - x_k))

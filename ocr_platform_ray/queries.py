@@ -272,6 +272,36 @@ def q_shuffle_rank(sf_dir: str) -> rd.Dataset:
     return dedup.seeded_shuffle_rank(_docs(sf_dir, ["doc_id"]), seed=7)
 
 
+def q_quality_gate(sf_dir: str) -> rd.Dataset:
+    """Median-gated quality filter: docs at/above the EXACT corpus median
+    quality score, via distributed selection (histogram refinement — no
+    global sort, no full-column collect). Exact DuckDB quantile_cont
+    oracle."""
+    from .functions.sketches import exact_quantile
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    )
+    med = exact_quantile(scored, "quality_score", 0.5)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        qs = batch.column("quality_score").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_total": pa.array([batch.num_rows], pa.int64()),
+                "n_kept": pa.array([int((qs >= med).sum())], pa.int64()),
+            }
+        )
+
+    partials = scored.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pydict(
+        {
+            "n_total": pa.array([int(partials["n_total"].sum())], pa.int64()),
+            "n_kept": pa.array([int(partials["n_kept"].sum())], pa.int64()),
+        }
+    )
+
+
 def q_curation_summary(sf_dir: str) -> rd.Dataset:
     """Composed curation pipeline: quality gate -> exact dedup -> hash
     join back -> md5 split -> per-split doc/token budget. Exact DuckDB
@@ -874,6 +904,7 @@ def queries() -> dict:
         "q_shuffle_rank": q_shuffle_rank,
         "q_decontaminate": q_decontaminate,
         "q_curation_summary": q_curation_summary,
+        "q_quality_gate": q_quality_gate,
         "q_pack_sequences": q_pack_sequences,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
@@ -985,6 +1016,18 @@ def oracle_sql() -> dict:
             "SELECT doc_id, row_number() OVER"
             " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
             " AS shuffle_pos FROM documents"
+        ),
+        # same quality formula as q_quality; threshold = exact median
+        "q_quality_gate": (
+            "WITH q AS (SELECT"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0,"
+            "  1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "  / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents)"
+            " SELECT count(*) AS n_total,"
+            " CAST(sum(CASE WHEN quality_score >="
+            "  (SELECT quantile_cont(quality_score, 0.5) FROM q)"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM q"
         ),
         # same quality formula as q_quality; split cuts 'cc'/'e6'
         "q_curation_summary": (

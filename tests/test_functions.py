@@ -835,3 +835,17 @@ class TestRound3Operators:
         )
         assert out[0] == 0.6
         assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+
+    def test_exact_quantile_matches_numpy(self, ray_session):
+        from ocr_platform_ray.functions.sketches import exact_quantile
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=5001) * 100
+        ds = rd.from_arrow(pa.table({"x": v})).repartition(7)
+        for q in (0.0, 0.25, 0.5, 0.95, 1.0):
+            assert exact_quantile(ds, "x", q) == float(np.quantile(v, q))
+        ties = np.repeat([1.0, 2.0, 3.0], 500)
+        ds2 = rd.from_arrow(pa.table({"x": ties})).repartition(5)
+        assert exact_quantile(ds2, "x", 0.5) == 2.0
+        with pytest.raises(ValueError, match="collect_cap"):
+            exact_quantile(ds2, "x", 0.5, n_bins=2, collect_cap=10)
