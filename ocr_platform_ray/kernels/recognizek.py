@@ -94,15 +94,15 @@ def strip_bounds(crop_h: int, original_height_px: int | None) -> list[tuple[int,
 
 def strip_band(strip: np.ndarray) -> "np.ndarray | None":
     """Dominant ink band of a strip (tallest, ties topmost) as a binarized
-    slice; None for a blank strip."""
-    binar = strip > 127
-    row_any = binar.any(axis=1)
+    slice; None for a blank strip. Binarizes only the winning band's rows
+    (row-ink via a per-row max reduction, not a full-strip bool)."""
+    row_any = strip.max(axis=1) > 127
     if not row_any.any():
         return None
     idx = np.flatnonzero(np.diff(np.concatenate(([0], row_any.view(np.int8), [0]))))
     bands = [(int(idx[i]), int(idx[i + 1])) for i in range(0, len(idx), 2)]
     r0, r1 = max(bands, key=lambda b: (b[1] - b[0], -b[0]))
-    return binar[r0:r1]
+    return strip[r0:r1] > 127
 
 
 def decode_strip(strip: np.ndarray) -> tuple[str, float]:
