@@ -320,3 +320,90 @@ def exact_quantile(
     x_k = vals[k - before]
     x_k1 = vals[k + 1 - before] if k + 1 < n else x_k
     return float(x_k + frac * (x_k1 - x_k))
+
+
+# ------------------------------ heavy hitters (bounded-shuffle approx top-k)
+
+def heavy_hitter_tokens(
+    ds: rd.Dataset, k: int = 20, capacity: int = 4096
+) -> rd.Dataset:
+    """Approximate top-k tokens with DETERMINISTIC error bounds and a
+    bounded shuffle — the scale path next to ``textstats.top_tokens``
+    (whose shuffle carries one row per distinct token per batch: fine
+    until the vocabulary explodes).
+
+    Each batch keeps only its ``capacity`` most frequent tokens plus the
+    largest dropped count as that batch's threshold (the SpaceSaving /
+    Mergeable-Summaries bound, Agarwal et al. 2012, public knowledge).
+    For a token observed with total n across batches where it survived,
+    true_count <= n + (T - tb_sum) where T is the sum of every batch's
+    threshold and tb_sum the sum over batches where it survived — all
+    order-independent sums, so the result is deterministic for a given
+    partitioning, and EXACT (n_max == n_min) whenever no batch dropped
+    anything. Output: (token, n_min, n_max) sorted by n_min desc."""
+    import pandas as pd
+    import polars as pl
+
+    from .dedup import shuffle_blocks
+    from .textstats import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = (
+            pl.DataFrame({"t": pl.from_arrow(col)})
+            .select(pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+            .sort(["len", "tok"], descending=[True, False])
+        )
+        kept = counts.head(capacity)
+        thr = int(counts["len"][capacity]) if len(counts) > capacity else 0
+        out = (
+            kept.rename({"tok": "token", "len": "n"})
+            .with_columns(pl.lit(thr, dtype=pl.Int64).alias("tb"))
+            .cast({"n": pl.Int64})
+        )
+        # one in-band sentinel row carries this batch's threshold (tokens
+        # match [a-z0-9]+, so "\x00" cannot collide); robust to any
+        # downstream re-batching of the partial blocks
+        sent = pl.DataFrame(
+            {"token": ["\x00"], "n": [0], "tb": [thr]},
+            schema={"token": pl.String, "n": pl.Int64, "tb": pl.Int64},
+        )
+        return pl.concat([out, sent]).to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    total_t = sum(
+        r["tb"]
+        for r in partials.map_batches(
+            lambda b: b.filter(pa.compute.equal(b.column("token"), "\x00")),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    partials = partials.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b.column("token"), "\x00")),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        tb_sum = int(g["tb"].sum())
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "n_min": [n],
+                "n_max": [n + (total_t - tb_sum)],
+            }
+        )
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("token")
+        .map_groups(final, batch_format="pandas")
+        .sort(["n_min", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -113,6 +113,17 @@ def q_top_tfidf(sf_dir: str) -> rd.Dataset:
     return textstats.top_tfidf_terms(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_heavy_hitters(sf_dir: str) -> rd.Dataset:
+    """Bounded-shuffle approximate top-20 tokens (SpaceSaving-style
+    truncated partials with deterministic error bounds). At driver scale
+    no batch truncates, so n_min == n_max == the exact counts and the
+    DuckDB oracle is exact; the truncation regime is pinned by a
+    bound-bracketing unit test."""
+    from .functions.sketches import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -890,6 +901,7 @@ def queries() -> dict:
         "q_top_bigrams": q_top_bigrams,
         "q_top_tfidf": q_top_tfidf,
         "q_repetition": q_repetition,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -989,6 +1001,12 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_heavy_hitters": (
+            "SELECT token, count(*) AS n_min, count(*) AS n_max FROM ("
+            " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
+            " FROM documents)"
+            " GROUP BY token ORDER BY n_min DESC, token LIMIT 20"
         ),
         "q_repetition": (
             "WITH toks AS (SELECT doc_id,"

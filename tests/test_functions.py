@@ -849,3 +849,21 @@ class TestRound3Operators:
         assert exact_quantile(ds2, "x", 0.5) == 2.0
         with pytest.raises(ValueError, match="collect_cap"):
             exact_quantile(ds2, "x", 0.5, n_bins=2, collect_cap=10)
+
+    def test_heavy_hitters_bounds(self, ray_session):
+        from ocr_platform_ray.functions.sketches import heavy_hitter_tokens
+
+        rows = []
+        # zipf-ish: token "hot" in every doc, others unique
+        for i in range(80):
+            rows.append({"doc_id": i,
+                         "text": "hot hot hot " + " ".join(f"u{i}x{j}" for j in range(10))})
+        ds = _ds(rows).repartition(6)
+        exact_n = 240
+        full = heavy_hitter_tokens(ds, k=5, capacity=10_000).to_pandas()
+        assert full["token"].iloc[0] == "hot"
+        assert full["n_min"].iloc[0] == exact_n == full["n_max"].iloc[0]
+        tight = heavy_hitter_tokens(ds, k=5, capacity=4).to_pandas()
+        m = tight.set_index("token")
+        assert "hot" in m.index
+        assert m.loc["hot", "n_min"] <= exact_n <= m.loc["hot", "n_max"]
