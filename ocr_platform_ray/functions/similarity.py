@@ -390,6 +390,7 @@ def kmeans_clusters(
     n_clusters: int = 8,
     n_iters: int = 5,
     id_col: str = "vec_id",
+    include_embedding: bool = False,
 ) -> rd.Dataset:
     """Distributed spherical k-means (Lloyd) over the embedding column —
     the semantic-clustering pass of a training-data pipeline (domain
@@ -480,13 +481,16 @@ def kmeans_clusters(
         sims = nm @ c.T
         assign = np.argmax(sims, axis=1)
         best = np.round(sims[np.arange(len(assign)), assign], 6)
-        return pa.Table.from_pydict(
-            {
-                id_col: batch.column(id_col),
-                "cluster": pa.array(assign.astype(np.int64)),
-                "cos_to_centroid": pa.array(best, pa.float64()),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "cos_to_centroid": pa.array(best, pa.float64()),
+        }
+        if include_embedding:
+            # consumers like semantic_dedup_keep need the vectors next to
+            # the label (Acero joins reject list payload columns)
+            cols["embedding"] = batch.column("embedding")
+        return pa.Table.from_pydict(cols)
 
     return emb.map_batches(assign_final, batch_format="pyarrow")
 
@@ -529,3 +533,57 @@ def kmeans_summary(ds: rd.Dataset, n_clusters: int = 8, n_iters: int = 5) -> rd.
         .map_groups(final, batch_format="pandas")
         .sort("cluster")
     )
+
+
+def semantic_dedup_keep(
+    ds: rd.Dataset,
+    n_clusters: int = 8,
+    tau: float = 0.95,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    max_cluster: int = 100_000,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    knowledge): partition embeddings with distributed k-means, then
+    within each cluster greedily drop vectors whose cosine to an
+    already-kept vector is >= ``tau``. Keeps (id, cluster) rows for the
+    survivors.
+
+    Scale shape: the pairwise work is confined to one cluster at a time
+    (groupby on the k-means label — the partitioning IS the blocking),
+    with a loud ``max_cluster`` cap; candidate order inside a cluster is
+    (cos_to_centroid desc, id) so the most central representative of
+    every near-dup group survives, deterministically and independent of
+    partitioning."""
+    import pandas as pd
+
+    joined = kmeans_clusters(
+        ds, n_clusters=n_clusters, n_iters=n_iters, id_col=id_col,
+        include_embedding=True,
+    )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup_keep: cluster size {len(g)} exceeds "
+                f"max_cluster={max_cluster}; raise n_clusters for this corpus"
+            )
+        g = g.sort_values(
+            ["cos_to_centroid", id_col], ascending=[False, True], kind="mergesort"
+        )
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        kept_rows: list[int] = []
+        for i in range(len(g)):
+            if not kept_rows:
+                kept_rows.append(i)
+                continue
+            sims = nm[kept_rows] @ nm[i]
+            if float(sims.max()) < tau:
+                kept_rows.append(i)
+        out = g.iloc[kept_rows]
+        return pd.DataFrame(
+            {id_col: out[id_col].to_numpy(), "cluster": out["cluster"].to_numpy()}
+        )
+
+    return joined.groupby("cluster").map_groups(prune, batch_format="pandas")

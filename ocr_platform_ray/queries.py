@@ -392,6 +392,17 @@ def q_kmeans_summary(sf_dir: str) -> rd.Dataset:
     return similarity.kmeans_summary(_emb(sf_dir), n_clusters=8)
 
 
+def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup-style semantic dedup over the planted-augmented table:
+    k-means blocking + within-cluster greedy cosine pruning (tau=0.94
+    sits inside the planted near-dup band). Iterative + approximate ->
+    golden-pinned, partitioning-invariance tested."""
+    kept = similarity.semantic_dedup_keep(
+        similarity.augment_with_planted(_emb(sf_dir)), tau=0.94
+    )
+    return kept.sort("vec_id")
+
+
 def q_embedding_dups(sf_dir: str) -> rd.Dataset:
     """LSH-blocked near-dup pairs over the planted-augmented table (scale
     path; recall < 1 by design -> rows-only driver check)."""
@@ -923,6 +934,7 @@ def queries() -> dict:
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_label_centroids": q_label_centroids,
         "q_kmeans_summary": q_kmeans_summary,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
         "q_window_counts": q_window_counts,

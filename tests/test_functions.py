@@ -867,3 +867,24 @@ class TestRound3Operators:
         m = tight.set_index("token")
         assert "hot" in m.index
         assert m.loc["hot", "n_min"] <= exact_n <= m.loc["hot", "n_max"]
+
+    def test_semantic_dedup_removes_planted(self, ray_session):
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(60, 8))
+        rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]}
+                for i in range(60)]
+        # planted exact duplicates of the first 10 vectors
+        rows += [{"vec_id": 1000 + i, "embedding": rows[i]["embedding"]}
+                 for i in range(10)]
+        kept = similarity.semantic_dedup_keep(
+            _ds(rows), n_clusters=4, tau=0.999
+        ).to_pandas()
+        ids = set(kept["vec_id"])
+        # exactly one of each duplicate pair survives
+        for i in range(10):
+            assert (i in ids) != (1000 + i in ids)
+        assert len(kept) == 60
+        kept2 = similarity.semantic_dedup_keep(
+            _ds(rows).repartition(7), n_clusters=4, tau=0.999
+        ).to_pandas()
+        assert sorted(kept["vec_id"]) == sorted(kept2["vec_id"])

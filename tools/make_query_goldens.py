@@ -38,6 +38,7 @@ GOLDEN_QUERIES = [
     "q_jaccard_dups",
     "q_pack_sequences",
     "q_kmeans_summary",
+    "q_semantic_dedup",
 ]
 
 
