@@ -322,3 +322,106 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     ratio[idx] = 1.0 - bi["uniq"].to_numpy() / bi["total"].to_numpy()
     ratio = np.floor(ratio * 1e6 + 0.5) / 1e6
     return batch.append_column("dup_bigram_ratio", pa.array(ratio))
+
+
+def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
+    """CCNet-family language-model quality scoring (public knowledge:
+    Wenzek et al. 2020 score documents by LM perplexity; here the LM is
+    the corpus's own add-one-smoothed unigram model, so the whole
+    operation stays SQL-reproducible): two passes —
+
+    1. corpus vocabulary counts from per-batch combiners (one (token, n)
+       row per distinct token per batch), merged on the driver under a
+       LOUD ``max_vocab`` guard (a web-scale vocabulary wants a top-N +
+       OOV-bucket model instead — that variant breaks SQL equivalence,
+       so it's explicitly out of scope here) and broadcast once via
+       ``ray.put`` as (sorted tokens, logprob) arrays;
+    2. a row-local scoring pass: tokens exploded with row index,
+       logprobs resolved by ``np.searchsorted`` (every token is in the
+       vocab by construction), per-doc mean.
+
+    Returns a Dataset of (doc_id, mean_logprob, n_tok) for docs with at
+    least one token."""
+    import polars as pl
+    import ray
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return (
+            pl.DataFrame({"t": pl.from_arrow(col)})
+            .select(pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+            .rename({"tok": "token", "len": "n"})
+            .to_arrow()
+        )
+
+    counts: dict[str, int] = {}
+    for r in (
+        ds.select_columns(["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .take_all()
+    ):
+        counts[r["token"]] = counts.get(r["token"], 0) + r["n"]
+        if len(counts) > max_vocab:
+            raise ValueError(
+                f"unigram_logprob: vocabulary exceeds max_vocab={max_vocab}; "
+                "use a top-N + OOV-bucket model for web-scale vocabularies"
+            )
+    tokens = np.array(sorted(counts), dtype=object).astype(str)
+    n_total = sum(counts.values())
+    v = len(counts)
+    lps = np.log((np.array([counts[t] for t in tokens], dtype=np.float64) + 1.0)
+                 / (n_total + v))
+    vocab_ref = ray.put((tokens, lps))
+
+    class Score:
+        def __init__(self):
+            self.tokens, self.lps = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column("text")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ex = (
+                pl.DataFrame(
+                    {"doc_id": pl.from_arrow(batch.column("doc_id")),
+                     "t": pl.from_arrow(col)}
+                )
+                .select(
+                    "doc_id",
+                    pl.col("t").str.extract_all(TOKEN_RE).alias("tok"),
+                )
+                .explode("tok")
+                .drop_nulls()
+            )
+            if not len(ex):
+                return pa.Table.from_pydict(
+                    {"doc_id": pa.array([], batch.column("doc_id").type),
+                     "mean_logprob": pa.array([], pa.float64()),
+                     "n_tok": pa.array([], pa.int64())}
+                )
+            toks = ex["tok"].to_numpy().astype(str)
+            lp = self.lps[np.searchsorted(self.tokens, toks)]
+            agg = (
+                ex.with_columns(pl.Series("lp", lp))
+                .group_by("doc_id", maintain_order=True)
+                .agg(pl.col("lp").mean().alias("m"), pl.len().alias("n_tok"))
+            )
+            m = np.floor(agg["m"].to_numpy() * 1e6 + 0.5) / 1e6
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(agg["doc_id"].to_list()),
+                    "mean_logprob": pa.array(m, pa.float64()),
+                    "n_tok": pa.array(agg["n_tok"].to_numpy().astype(np.int64),
+                                      pa.int64()),
+                }
+            )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8)
+    )

@@ -124,6 +124,13 @@ def q_heavy_hitters(sf_dir: str) -> rd.Dataset:
     return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_lm_score(sf_dir: str) -> rd.Dataset:
+    """CCNet-family LM quality score: per-doc mean unigram logprob under
+    the corpus's own add-one-smoothed model (vocab broadcast once, scored
+    by an actor pool) — exact DuckDB oracle."""
+    return textstats.unigram_logprob_batchfn(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -913,6 +920,7 @@ def queries() -> dict:
         "q_top_tfidf": q_top_tfidf,
         "q_repetition": q_repetition,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_lm_score": q_lm_score,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1013,6 +1021,18 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_lm_score": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t"
+            " FROM documents),"
+            " vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),"
+            " tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),"
+            " sc AS (SELECT tok.doc_id,"
+            "  ln((vocab.c + 1.0) / (tot.n + tot.v)) AS lp"
+            "  FROM tok, tot JOIN vocab ON tok.t = vocab.t)"
+            " SELECT doc_id, round(avg(lp), 6) AS mean_logprob,"
+            " count(*) AS n_tok FROM sc GROUP BY doc_id"
         ),
         "q_heavy_hitters": (
             "SELECT token, count(*) AS n_min, count(*) AS n_max FROM ("

@@ -888,3 +888,24 @@ class TestRound3Operators:
             _ds(rows).repartition(7), n_clusters=4, tau=0.999
         ).to_pandas()
         assert sorted(kept["vec_id"]) == sorted(kept2["vec_id"])
+
+    def test_unigram_logprob_scores(self, ray_session):
+        rows = [
+            {"doc_id": 0, "text": "common common common"},
+            {"doc_id": 1, "text": "rare"},
+            {"doc_id": 2, "text": ""},
+        ]
+        out = (
+            textstats.unigram_logprob_batchfn(_ds(rows))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # vocab: common=3, rare=1; N=4, V=2
+        lp_common = np.log(4 / 6)
+        lp_rare = np.log(2 / 6)
+        assert out.loc[0, "mean_logprob"] == round(lp_common, 6)
+        assert out.loc[1, "mean_logprob"] == round(lp_rare, 6)
+        assert 2 not in out.index  # zero-token doc emits no row
+        assert out.loc[0, "n_tok"] == 3
+        with pytest.raises(ValueError, match="max_vocab"):
+            textstats.unigram_logprob_batchfn(_ds(rows), max_vocab=1).count()
