@@ -119,6 +119,7 @@ def config_sig(
     two_phase: bool,
     result_overrides: list[dict] | None = None,
     dedup: str = "none",
+    tenant: str | None = None,
 ) -> str:
     """Fingerprint of everything that shapes a shard's output besides its
     input rows. Recorded in the manifest; resume validates it so outputs
@@ -131,6 +132,7 @@ def config_sig(
         "result_overrides": result_overrides or [],
         "two_phase": bool(two_phase),
         "dedup": dedup,
+        "tenant": tenant,
     }
     return hashlib.sha256(
         json.dumps(payload, sort_keys=True, default=str).encode()
@@ -167,6 +169,7 @@ def run_shard(
     sig: str | None = None,
     result_overrides: list[dict] | None = None,
     survivors_ref=None,
+    tenant: str | None = None,
 ) -> dict:
     """Run the extract pipeline for one shard; atomic write + manifest commit.
 
@@ -184,6 +187,13 @@ def run_shard(
     os.makedirs(tmp_dir, exist_ok=True)
 
     ds = _shard_dataset(plan)
+    if tenant is not None:
+        # tenant-scoped run (reference: every job is tenant-filtered,
+        # routes_jobs.py:52-63); part of config_sig, so switching tenants
+        # on the same output dir invalidates and reruns the shards
+        from .pipeline import scope_tenant
+
+        ds = scope_tenant(ds, tenant)
     if survivors_ref is not None:
         # dedup pre-pass survivors (broadcast once): non-survivor docs are
         # dropped before any extraction compute. At a scale where even the
@@ -359,6 +369,7 @@ def run_job(
     result_overrides: list[dict] | None = None,
     dedup: str = "none",
     invalidate_doc_ids: list[str] | None = None,
+    tenant: str | None = None,
 ) -> dict:
     """Full checkpointed job. Returns a summary incl. which shards ran vs
     were skipped (resume anti-join against committed manifests, each
@@ -381,7 +392,7 @@ def run_job(
     read -> dedup -> extract."""
     os.makedirs(out_dir, exist_ok=True)
     plans = plan_shards(input_path, n_shards)
-    sig = config_sig(cfg, overrides, two_phase, result_overrides, dedup)
+    sig = config_sig(cfg, overrides, two_phase, result_overrides, dedup, tenant)
 
     survivors_ref = None
     if dedup == "exact":
@@ -468,7 +479,7 @@ def run_job(
                     plan, out_dir, cfg=cfg, opts=opts, overrides=overrides,
                     two_phase=two_phase, n_shards=n_shards, sig=sig,
                     result_overrides=result_overrides,
-                    survivors_ref=survivors_ref,
+                    survivors_ref=survivors_ref, tenant=tenant,
                 )
                 break
             except Exception:

@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
                         "sequences applied at merge (PATCH result analogue)")
     p.add_argument("--two-phase", action="store_true",
                    help="persist the detect checkpoint (human-editable) and recognize from it")
+    p.add_argument("--tenant", default=None,
+                   help="scope the job to one tenant_id (reference "
+                        "tenant-filtered jobs); part of the resume "
+                        "fingerprint")
     p.add_argument("--dedup", choices=["none", "exact"], default="none",
                    help="whole-document exact-dedup pre-pass before "
                         "extraction (survivors committed under out/dedup)")
@@ -79,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         two_phase=args.two_phase,
         result_overrides=result_overrides,
         dedup=args.dedup,
+        tenant=args.tenant,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -83,3 +83,32 @@ def test_no_tenant_column_manifest_empty(tmp_path):
     run_job(str(in_path), out, n_shards=1, opts=OPTS)
     (m,) = load_manifests(out)
     assert m["n_docs_by_tenant"] == {}
+
+
+def test_job_tenant_scope_and_resume_invalidation(tmp_path, ray_session):
+    """--tenant scopes the whole checkpointed job and participates in the
+    resume fingerprint: rerunning with a different tenant invalidates and
+    reruns the shards instead of silently reusing the other tenant's
+    output."""
+    inp = os.path.join(str(tmp_path), "docs.parquet")
+    out = os.path.join(str(tmp_path), "out")
+    pq.write_table(_tenant_docs(18, seed=7), inp)
+    s1 = run_job(inp, out, n_shards=2, opts=OPTS, tenant="t1")
+    assert s1["shards_ran"] == [0, 1]
+    got = pq.read_table(
+        os.path.join(out, "part-00000")
+    ).column("tenant_id").to_pylist() + pq.read_table(
+        os.path.join(out, "part-00001")
+    ).column("tenant_id").to_pylist()
+    assert set(got) == {"t1"} and len(got) == 6  # 18 docs / 3 tenants
+    # same tenant resumes
+    s2 = run_job(inp, out, n_shards=2, opts=OPTS, tenant="t1")
+    assert s2["shards_ran"] == [] and s2["shards_skipped"] == [0, 1]
+    # different tenant invalidates + reruns
+    s3 = run_job(inp, out, n_shards=2, opts=OPTS, tenant="t2")
+    assert sorted(s3["shards_invalidated"]) == [0, 1]
+    assert s3["shards_ran"] == [0, 1]
+    got3 = pq.read_table(
+        os.path.join(out, "part-00000")
+    ).column("tenant_id").to_pylist()
+    assert set(got3) <= {"t2"}
