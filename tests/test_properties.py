@@ -264,3 +264,64 @@ class TestCcProperties:
         labels = connected_components_labels(rd.from_items(edges)).to_pandas()
         got = dict(zip(labels["doc_id"], labels["label"]))
         assert got == want, seed
+
+
+class TestProposePolygonsProperty:
+    """The one-pass vectorized detector must equal the per-band scalar
+    walk on arbitrary binary images (band/run/merge edge cases: ink in
+    first/last row, single full-height band, paragraph bands, 1-px
+    runs)."""
+
+    @staticmethod
+    def _scalar_reference(img):
+        import numpy as np
+
+        from ocr_platform_ray.kernels.recognizek import MAX_SINGLE_LINE_HEIGHT
+
+        def runs(mask):
+            idx = np.flatnonzero(
+                np.diff(np.concatenate(([0], mask.view(np.int8), [0])))
+            )
+            return [(int(idx[i]), int(idx[i + 1])) for i in range(0, len(idx), 2)]
+
+        binar = img > 127
+        segs = []
+        for r0, r1 in runs(binar.any(axis=1)):
+            h = r1 - r0
+            col = runs(binar[r0:r1].any(axis=0))
+            if not col:
+                continue
+            if h > MAX_SINGLE_LINE_HEIGHT:
+                merged = [(col[0][0], col[-1][1])]
+            else:
+                merged = [list(col[0])]
+                for c0, c1 in col[1:]:
+                    if c0 - merged[-1][1] > h:
+                        merged.append([c0, c1])
+                    else:
+                        merged[-1][1] = c1
+                merged = [tuple(m) for m in merged]
+            for c0, c1 in merged:
+                segs.append((c0, c1, r0, r1))
+        out = np.zeros((len(segs), 4, 2), dtype=np.float32)
+        for i, (c0, c1, r0, r1) in enumerate(segs):
+            out[i] = [[c0, r0], [c1, r0], [c1, r1], [c0, r1]]
+        return out
+
+    @given(st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_equals_scalar_walk(self, data):
+        import numpy as np
+
+        from ocr_platform_ray.kernels.detectk import propose_polygons
+
+        h = data.draw(st.integers(1, 90), label="h")
+        w = data.draw(st.integers(1, 90), label="w")
+        density = data.draw(st.floats(0.0, 0.6), label="density")
+        seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+        rng = np.random.default_rng(seed)
+        img = (rng.random((h, w)) < density).astype(np.uint8) * 255
+        got = propose_polygons(img)
+        want = self._scalar_reference(img)
+        assert got.shape == want.shape
+        assert (got == want).all()
