@@ -119,6 +119,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_lineitem_agg", q.q_lineitem_agg),
         ("q_orders_by_nation", q.q_orders_by_nation),
         ("q_sliding_windows", q.q_sliding_windows),
+        # round-3 operator-library additions (curation composition, global
+        # shuffle rank, LM scoring, semantic dedup)
+        ("q_curation_summary", q.q_curation_summary),
+        ("q_shuffle_rank", q.q_shuffle_rank),
+        ("q_lm_score", q.q_lm_score),
+        ("q_semantic_dedup", q.q_semantic_dedup),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -413,7 +413,12 @@ def kmeans_clusters(
 
     from ..rng import mix64_np
 
-    emb = ds.select_columns([id_col, "embedding"])
+    # Iterative algorithm: n_iters + 2 passes over the same two columns.
+    # Materializing the PRUNED projection once (ids + vectors only, the
+    # algorithm's working set — object-store resident, spillable) replaces
+    # n_iters re-reads of the source; this is the standard Lloyd caching
+    # tradeoff, not a mid-pipeline materialization of a transform result.
+    emb = ds.select_columns([id_col, "embedding"]).materialize()
 
     def pick_init(batch: pa.Table) -> pa.Table:
         sk = mix64_np(batch.column(id_col).to_numpy().astype(np.uint64))
