@@ -360,13 +360,27 @@ def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
             .to_arrow()
         )
 
+    from .dedup import shuffle_blocks
+
+    def vocab_merge(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"token": [g["token"].iloc[0]], "n": [int(g["n"].sum())]}
+        )
+
+    # partials merge DISTRIBUTED (groupby token) so the driver only ever
+    # holds the merged vocabulary, not per-batch partials
     counts: dict[str, int] = {}
     for r in (
         ds.select_columns(["text"])
         .map_batches(vocab_partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .groupby("token")
+        .map_groups(vocab_merge, batch_format="pandas")
         .take_all()
     ):
-        counts[r["token"]] = counts.get(r["token"], 0) + r["n"]
+        counts[r["token"]] = int(r["n"])
         if len(counts) > max_vocab:
             raise ValueError(
                 f"unigram_logprob: vocabulary exceeds max_vocab={max_vocab}; "
