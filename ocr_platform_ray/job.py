@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
                         "sequences applied at merge (PATCH result analogue)")
     p.add_argument("--two-phase", action="store_true",
                    help="persist the detect checkpoint (human-editable) and recognize from it")
+    p.add_argument("--rerun-docs", default=None,
+                   help="comma-separated doc_ids to force-reprocess "
+                        "(reference requeue/rerun): committed shards "
+                        "owning any listed doc are invalidated and rerun")
     p.add_argument("--tenant", default=None,
                    help="scope the job to one tenant_id (reference "
                         "tenant-filtered jobs); part of the resume "
@@ -84,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
         result_overrides=result_overrides,
         dedup=args.dedup,
         tenant=args.tenant,
+        invalidate_doc_ids=(
+            args.rerun_docs.split(",") if args.rerun_docs else None
+        ),
     )
     print(json.dumps(summary))
     ray.shutdown()
