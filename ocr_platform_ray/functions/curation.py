@@ -17,9 +17,10 @@ import pyarrow as pa
 
 import ray.data as rd
 
+import numpy as np
+
 from . import textstats
-from .dedup import exact_dedup_min_doc, shuffle_blocks, train_test_split
-from .joins import hash_join
+from .dedup import _text_hash64, shuffle_blocks, train_test_split
 
 QUALITY_CUT = 0.5
 
@@ -29,17 +30,38 @@ def curation_summary(ds: rd.Dataset) -> rd.Dataset:
     tokens) after a quality gate (score >= QUALITY_CUT) and exact text
     dedup (min doc_id survives).
 
-    Scale shape: quality + token counts are row-local; dedup shuffles
-    one (hash, min-doc) row per distinct text per batch; survivors
-    rejoin their token counts through the native hash join (ids only on
-    the build side, never text); split assignment is row-local md5; the
-    final groupby moves 3 partial rows per batch."""
+    Scale shape: ONE scan — quality + token counts are row-local; the
+    dedup groupby carries each survivor's n_tokens as payload (identical
+    texts have identical token counts, so the min-doc winner's count IS
+    the survivor's count — no join back, no second corpus scan), keyed
+    on the int64 text hash so the shuffle sorts on fixed-width keys;
+    split assignment is row-local md5; the final groupby moves 3 partial
+    rows per batch."""
+    import pandas as pd
+
     scored = ds.map_batches(textstats.quality_batch, batch_format="pyarrow")
     kept = scored.filter(expr=f"quality_score >= {QUALITY_CUT}")
-    survivors = exact_dedup_min_doc(kept.select_columns(["doc_id", "text"]))
-    tokens = kept.select_columns(["doc_id", "n_tokens"])
-    rejoined = hash_join(survivors, tokens, on="doc_id")
-    labeled = train_test_split(rejoined)
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text", "n_tokens"]).to_pandas()
+        win = df.loc[df.groupby("text")["doc_id"].idxmin()]
+        fp = _text_hash64(pa.array(win["text"])).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"fp64": fp, "text": win["text"], "doc_id": win["doc_id"],
+             "n_tokens": win["n_tokens"].astype("int64")}
+        )
+
+    def dedup_final(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.loc[g.groupby("text")["doc_id"].idxmin()]
+        return win[["doc_id", "n_tokens"]]
+
+    survivors = (
+        kept.map_batches(dedup_partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .groupby("fp64")
+        .map_groups(dedup_final, batch_format="pandas")
+    )
+    labeled = train_test_split(survivors)
 
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
