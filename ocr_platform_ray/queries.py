@@ -124,6 +124,16 @@ def q_heavy_hitters(sf_dir: str) -> rd.Dataset:
     return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_profile_events(sf_dir: str) -> rd.Dataset:
+    """Per-column data-quality profile of the events table (row/null
+    counts, typed min/max) from mergeable per-batch partials — exact
+    DuckDB oracle (UNION ALL of per-column aggregates)."""
+    from .functions.profiling import profile_columns
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(ds, ["event_id", "user_id", "value", "event_type"])
+
+
 def q_lm_score(sf_dir: str) -> rd.Dataset:
     """CCNet-family LM quality score: per-doc mean unigram logprob under
     the corpus's own add-one-smoothed model (vocab broadcast once, scored
@@ -921,6 +931,7 @@ def queries() -> dict:
         "q_repetition": q_repetition,
         "q_heavy_hitters": q_heavy_hitters,
         "q_lm_score": q_lm_score,
+        "q_profile_events": q_profile_events,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1021,6 +1032,23 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_profile_events": (
+            "SELECT 'event_id' AS \"column\", count(*) AS n_rows,"
+            " count(*) - count(event_id) AS n_nulls,"
+            " CAST(min(event_id) AS DOUBLE) AS num_min,"
+            " CAST(max(event_id) AS DOUBLE) AS num_max,"
+            " CAST(NULL AS VARCHAR) AS str_min,"
+            " CAST(NULL AS VARCHAR) AS str_max FROM events"
+            " UNION ALL SELECT 'user_id', count(*),"
+            " count(*) - count(user_id),"
+            " CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),"
+            " NULL, NULL FROM events"
+            " UNION ALL SELECT 'value', count(*), count(*) - count(value),"
+            " min(value), max(value), NULL, NULL FROM events"
+            " UNION ALL SELECT 'event_type', count(*),"
+            " count(*) - count(event_type), NULL, NULL,"
+            " min(event_type), max(event_type) FROM events"
         ),
         "q_lm_score": (
             "WITH tok AS (SELECT doc_id,"

@@ -909,3 +909,22 @@ class TestRound3Operators:
         assert out.loc[0, "n_tok"] == 3
         with pytest.raises(ValueError, match="max_vocab"):
             textstats.unigram_logprob_batchfn(_ds(rows), max_vocab=1).count()
+
+    def test_profile_columns(self, ray_session):
+        from ocr_platform_ray.functions.profiling import profile_columns
+
+        rows = [
+            {"a": 1, "b": "x", "c": None},
+            {"a": 5, "b": None, "c": 2.5},
+            {"a": -3, "b": "m", "c": 0.5},
+        ]
+        out = (
+            profile_columns(_ds(rows).repartition(3), ["a", "b", "c"])
+            .to_pandas()
+            .set_index("column")
+        )
+        assert out.loc["a", "num_min"] == -3.0 and out.loc["a", "num_max"] == 5.0
+        assert out.loc["b", "str_min"] == "m" and out.loc["b", "str_max"] == "x"
+        assert out.loc["b", "n_nulls"] == 1
+        assert out.loc["c", "n_nulls"] == 1 and out.loc["c", "num_max"] == 2.5
+        assert (out["n_rows"] == 3).all()
