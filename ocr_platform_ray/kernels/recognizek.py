@@ -114,12 +114,43 @@ def decode_strip(strip: np.ndarray) -> tuple[str, float]:
     return font.decode_band(band)
 
 
+def _row_ink_by_shape(strips: list[np.ndarray]) -> list[np.ndarray]:
+    """Per-strip row-ink bool vectors, the 2D reductions batched: strips
+    are grouped by shape, stacked, and reduced in ONE ``max(axis=2)``
+    call per group (a handful of distinct strip shapes per batch vs one
+    numpy dispatch per strip). Exactly ``strip.max(axis=1) > 127`` each."""
+    from collections import defaultdict
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for i, s in enumerate(strips):
+        groups[s.shape].append(i)
+    out: list[np.ndarray] = [None] * len(strips)  # type: ignore[list-item]
+    for idxs in groups.values():
+        stack = np.stack([strips[i] for i in idxs])
+        ink = stack.max(axis=2) > 127
+        for j, i in enumerate(idxs):
+            out[i] = ink[j]
+    return out
+
+
+def _band_from_row_ink(strip: np.ndarray, row_any: np.ndarray):
+    """Dominant band given the strip's precomputed row-ink vector —
+    the tail of ``strip_band`` (same selection rule, same binarize)."""
+    if not row_any.any():
+        return None
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], row_any.view(np.int8), [0]))))
+    bands = [(int(idx[i]), int(idx[i + 1])) for i in range(0, len(idx), 2)]
+    r0, r1 = max(bands, key=lambda b: (b[1] - b[0], -b[0]))
+    return strip[r0:r1] > 127
+
+
 def decode_strips(strips: list[np.ndarray]) -> list[tuple[str, float]]:
-    """Batched decode: band extraction per strip, then ONE vectorized
-    template-matching pass over all bands (``font.decode_bands``) —
-    identical results to per-strip ``decode_strip``, far fewer tiny numpy
-    dispatches on the hot path."""
-    bands = [strip_band(s) for s in strips]
+    """Batched decode: shape-grouped row-ink reductions, band extraction
+    per strip, then ONE vectorized template-matching pass over all bands
+    (``font.decode_bands``) — identical results to per-strip
+    ``decode_strip``, far fewer tiny numpy dispatches on the hot path."""
+    row_ink = _row_ink_by_shape(strips)
+    bands = [_band_from_row_ink(s, r) for s, r in zip(strips, row_ink)]
     live = [i for i, b in enumerate(bands) if b is not None]
     decoded = font.decode_bands([bands[i] for i in live])
     out: list[tuple[str, float]] = [("", 1.0)] * len(strips)
