@@ -439,3 +439,54 @@ def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16):
+    """Token-window document chunking — the context-chunking pass of a
+    RAG / training pipeline: each doc explodes into windows of
+    ``chunk_tokens`` tokens stepping by ``chunk_tokens - overlap``
+    (the canonical text is the space-joined token window, so the whole
+    derivation is SQL-reproducible). Row-local flat-map, fully
+    vectorized (polars token extract + per-row window starts + list
+    slices + explode); no shuffle. Output: (doc_id, chunk_idx,
+    chunk_text, n_tokens); docs with no tokens emit nothing. The final
+    short window is kept only when it starts before the doc's end and
+    adds new tokens (start < n and start + overlap < n rule below,
+    matching the oracle's range arithmetic)."""
+    import polars as pl
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = pl.DataFrame(
+            {"doc_id": pl.from_arrow(batch.column("doc_id")),
+             "t": pl.from_arrow(col)}
+        ).with_columns(pl.col("t").str.extract_all(TOKEN_RE).alias("t"))
+        n = pl.col("t").list.len()
+        # window starts 0, step, 2*step, ... while start < n_tokens;
+        # int_ranges is empty for n == 0, dropping tokenless docs
+        d = (
+            d.with_columns(pl.int_ranges(0, n, step).alias("start"))
+            .explode("start")
+            .drop_nulls("start")
+            .with_columns(
+                pl.col("t").list.slice(pl.col("start"), chunk_tokens).alias("w"),
+                (pl.col("start") // step).alias("chunk_idx"),
+            )
+            .select(
+                "doc_id",
+                pl.col("chunk_idx").cast(pl.Int64),
+                pl.col("w").list.join(" ").alias("chunk_text"),
+                pl.col("w").list.len().cast(pl.Int64).alias("n_tokens"),
+            )
+        )
+        return d.to_arrow()
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

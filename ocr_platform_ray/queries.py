@@ -124,6 +124,15 @@ def q_heavy_hitters(sf_dir: str) -> rd.Dataset:
     return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_chunk_documents(sf_dir: str) -> rd.Dataset:
+    """Token-window chunking (64-token windows, 16 overlap) — the RAG /
+    training context-chunking pass; row-local flat-map, exact DuckDB
+    oracle over the same range/slice arithmetic."""
+    return textstats.chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_tokens=64, overlap=16
+    )
+
+
 def q_profile_events(sf_dir: str) -> rd.Dataset:
     """Per-column data-quality profile of the events table (row/null
     counts, typed min/max) from mergeable per-batch partials — exact
@@ -932,6 +941,7 @@ def queries() -> dict:
         "q_heavy_hitters": q_heavy_hitters,
         "q_lm_score": q_lm_score,
         "q_profile_events": q_profile_events,
+        "q_chunk_documents": q_chunk_documents,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1032,6 +1042,15 @@ def oracle_sql() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_chunk_documents": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start"
+            "  FROM toks WHERE len(t) > 0)"
+            " SELECT doc_id, start // 48 AS chunk_idx,"
+            " array_to_string(t[start+1:start+64], ' ') AS chunk_text,"
+            " least(64, len(t) - start) AS n_tokens FROM st"
         ),
         "q_profile_events": (
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows,"

@@ -928,3 +928,26 @@ class TestRound3Operators:
         assert out.loc["b", "n_nulls"] == 1
         assert out.loc["c", "n_nulls"] == 1 and out.loc["c", "num_max"] == 2.5
         assert (out["n_rows"] == 3).all()
+
+    def test_chunk_documents_windows(self, ray_session):
+        rows = [
+            {"doc_id": 0, "text": " ".join(f"w{i}" for i in range(10))},
+            {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": ""},
+        ]
+        out = (
+            textstats.chunk_documents(_ds(rows), chunk_tokens=4, overlap=1)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        d0 = out[out.doc_id == 0]
+        # starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+        assert d0["chunk_text"].tolist() == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"
+        ]
+        assert d0["n_tokens"].tolist() == [4, 4, 4, 1]
+        assert out[out.doc_id == 1]["chunk_text"].tolist() == ["a b"]
+        assert 2 not in set(out["doc_id"])
+        with pytest.raises(ValueError, match="overlap"):
+            textstats.chunk_documents(_ds(rows), chunk_tokens=4, overlap=4)
