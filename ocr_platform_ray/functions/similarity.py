@@ -592,3 +592,79 @@ def semantic_dedup_keep(
         )
 
     return joined.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
+def quantize_embeddings(ds: rd.Dataset, id_col: str = "vec_id") -> rd.Dataset:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x storage/bandwidth reduction an embedding store needs at corpus
+    scale. Row-local and vectorized: q = round(x * 127 / max|x|) per
+    vector, stored as fixed-width binary with the float scale alongside;
+    dequantized value = q * scale / 127 (max reconstruction error
+    scale/254 per dimension)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        amax = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+        q = np.round(mat / amax[:, None] * 127.0).astype(np.int8)
+        return pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col),
+                "scale": pa.array(amax, pa.float64()),
+                "qvec": pa.array([row.tobytes() for row in q], pa.binary()),
+                "dim": pa.array(
+                    np.full(batch.num_rows, mat.shape[1] if mat.size else 0),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def topk_cosine_int8(
+    qds: rd.Dataset, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """Approximate top-k cosine over int8-quantized vectors (the output
+    of :func:`quantize_embeddings`): per-batch dequantize-and-matmul
+    against the broadcast query, partial top-k, tiny global reduce —
+    same shape as ``topk_cosine``, 4x less data read. Cosine is
+    scale-invariant per vector, so per-vector symmetric quantization
+    perturbs each similarity by at most ~1/127 per dimension pair."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        if not batch.num_rows:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        dim = int(batch.column("dim")[0].as_py())
+        raw = batch.column("qvec")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.int8)
+        mat = flat.reshape(batch.num_rows, dim).astype(np.float64)
+        # per-vector scale cancels in cosine; normalize the int grid directly
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = nm @ qv
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col).take(pa.array(idx)),
+                "cos_sim": pa.array(np.round(sims[idx], 6)),
+            }
+        )
+
+    return (
+        qds.map_batches(partial, batch_format="pyarrow")
+        .sort(["cos_sim", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -401,6 +401,16 @@ def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
     return out.sort(["cos_sim", "vec_id"], descending=[True, False])
 
 
+def q_ann_topk_int8(sf_dir: str) -> rd.Dataset:
+    """Top-k cosine over int8-quantized vectors (4x storage path):
+    quantize -> dequantized-grid matmul -> partial top-k. Quantization
+    perturbs similarities -> golden-pinned (recall vs exact asserted in
+    tests)."""
+    qds = similarity.quantize_embeddings(_emb(sf_dir))
+    out = similarity.topk_cosine_int8(qds, _query_vec(sf_dir), k=10)
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False])
+
+
 def q_label_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label embedding centroid summary (class prototypes): mergeable
     per-batch sum-vectors, one d-dim float64 per label per batch through
@@ -961,6 +971,7 @@ def queries() -> dict:
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_lsh": q_ann_topk_lsh,
         "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_ann_topk_int8": q_ann_topk_int8,
         "q_label_centroids": q_label_centroids,
         "q_kmeans_summary": q_kmeans_summary,
         "q_semantic_dedup": q_semantic_dedup,

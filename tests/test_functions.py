@@ -951,3 +951,23 @@ class TestRound3Operators:
         assert 2 not in set(out["doc_id"])
         with pytest.raises(ValueError, match="overlap"):
             textstats.chunk_documents(_ds(rows), chunk_tokens=4, overlap=4)
+
+    def test_int8_quantized_topk_recall(self, ray_session):
+        rng = np.random.default_rng(13)
+        vecs = rng.normal(size=(300, 16))
+        rows = [{"vec_id": i, "embedding": [float(x) for x in vecs[i]]}
+                for i in range(300)]
+        q = rows[7]["embedding"]
+        qds = similarity.quantize_embeddings(_ds(rows))
+        approx = similarity.topk_cosine_int8(qds, q, k=10).to_pandas()
+        exact = similarity.topk_cosine(_ds(rows), q, k=10).to_pandas()
+        # int8 grid error ~1/127 per dim: high overlap, identical top-1
+        assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0] == 7
+        assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 8
+        # roundtrip error bound: |deq - x| <= scale/254 per dimension
+        sample = qds.take(5)
+        src = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+        for r in sample:
+            deq = np.frombuffer(r["qvec"], dtype=np.int8).astype(np.float64) \
+                * r["scale"] / 127.0
+            assert np.abs(deq - src[r["vec_id"]]).max() <= r["scale"] / 254 + 1e-12

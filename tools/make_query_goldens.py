@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "q_pack_sequences",
     "q_kmeans_summary",
     "q_semantic_dedup",
+    "q_ann_topk_int8",
 ]
 
 
