@@ -971,3 +971,15 @@ class TestRound3Operators:
             deq = np.frombuffer(r["qvec"], dtype=np.int8).astype(np.float64) \
                 * r["scale"] / 127.0
             assert np.abs(deq - src[r["vec_id"]]).max() <= r["scale"] / 254 + 1e-12
+
+    def test_shuffle_rank_string_ids(self, ray_session):
+        import hashlib
+
+        ids = [f"doc-{i:03d}" for i in range(40)] + ["x", "a-b_c"]
+        rows = [{"doc_id": d} for d in ids]
+        out = dedup.seeded_shuffle_rank(_ds(rows), seed=11).to_pandas()
+        got = dict(zip(out["doc_id"], out["shuffle_pos"]))
+        want_order = sorted(
+            ids, key=lambda d: (hashlib.md5(f"{d}:11".encode()).hexdigest(), d)
+        )
+        assert got == {d: i for i, d in enumerate(want_order)}
