@@ -325,3 +325,38 @@ class TestProposePolygonsProperty:
         want = self._scalar_reference(img)
         assert got.shape == want.shape
         assert (got == want).all()
+
+
+class TestExactQuantileProperty:
+    """Distributed histogram-selection quantile == numpy quantile_cont on
+    arbitrary data, q, and partitioning (duplicates, negatives, single
+    value, tiny n)."""
+
+    @given(st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_equals_numpy(self, data):
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.sketches import exact_quantile
+
+        n = data.draw(st.integers(1, 400), label="n")
+        q = data.draw(
+            st.floats(0.0, 1.0, allow_nan=False, allow_infinity=False),
+            label="q",
+        )
+        seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+        n_parts = data.draw(st.integers(1, 7), label="parts")
+        rng = np.random.default_rng(seed)
+        kind = data.draw(st.sampled_from(["normal", "ties", "const"]), label="kind")
+        if kind == "normal":
+            v = rng.normal(size=n) * 50
+        elif kind == "ties":
+            v = rng.integers(-3, 4, size=n).astype(float)
+        else:
+            v = np.full(n, 7.5)
+        import pyarrow as pa
+
+        ds = rd.from_arrow(pa.table({"x": v})).repartition(n_parts)
+        got = exact_quantile(ds, "x", float(q), n_bins=64)
+        want = float(np.quantile(v, q))
+        assert got == want, (n, q, kind, got, want)
