@@ -992,3 +992,43 @@ def decontaminate_against_eval(
     return labeled.filter(expr="split == 'train'").map_batches(
         ContaminationCheck, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+# ------------------------------ deterministic negative sampling (pairs)
+
+def negative_pairs(
+    ds: rd.Dataset, id_col: str = "doc_id", seed: int = 0
+) -> rd.Dataset:
+    """Deterministic negative sampling for contrastive training: every
+    row pairs with the row half a revolution away in the seeded global
+    shuffle order — a reproducible derangement (no row pairs with
+    itself for n >= 2), SQL-expressible via the same md5 row_number
+    contract as :func:`seeded_shuffle_rank`.
+
+    Composition, not new machinery: shuffle rank -> row-local target
+    position -> int-keyed hash join of the rank table with itself.
+    Output: (id, partner_id)."""
+    from .joins import hash_join
+
+    ranks = seeded_shuffle_rank(ds, id_col=id_col, seed=seed)
+    n = ds.count()
+    half = n // 2
+
+    def add_target(batch: pa.Table) -> pa.Table:
+        pos = batch.column("shuffle_pos").to_numpy()
+        tgt = (pos + half) % n
+        return pa.Table.from_pydict(
+            {id_col: batch.column(id_col),
+             "target": pa.array(tgt.astype(np.int64), pa.int64())}
+        )
+
+    left = ranks.map_batches(add_target, batch_format="pyarrow")
+    right = ranks.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"partner_" + id_col: b.column(id_col),
+             "target": pa.compute.cast(b.column("shuffle_pos"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on="target")
+    return joined.select_columns([id_col, "partner_" + id_col])

@@ -356,6 +356,14 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     return dedup.decontaminate_against_eval(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def q_negative_pairs(sf_dir: str) -> rd.Dataset:
+    """Deterministic contrastive negative sampling: each doc pairs with
+    the doc half a revolution away in the seeded shuffle order (a
+    reproducible derangement) — shuffle rank composed with an int-keyed
+    hash join; exact row_number-based DuckDB oracle."""
+    return dedup.negative_pairs(_docs(sf_dir, ["doc_id"]), seed=7)
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Pack docs into 512-token training sequences (hash-bucketed greedy
     fill, deterministic across partitionings)."""
@@ -965,6 +973,7 @@ def queries() -> dict:
         "q_train_test_split": q_train_test_split,
         "q_shuffle_rank": q_shuffle_rank,
         "q_decontaminate": q_decontaminate,
+        "q_negative_pairs": q_negative_pairs,
         "q_curation_summary": q_curation_summary,
         "q_quality_gate": q_quality_gate,
         "q_pack_sequences": q_pack_sequences,
@@ -1156,6 +1165,15 @@ def oracle_sql() -> dict:
             " SELECT split, count(*) AS n_docs,"
             " CAST(sum(n_tokens) AS BIGINT) AS tokens"
             " FROM s GROUP BY split"
+        ),
+        "q_negative_pairs": (
+            "WITH r AS (SELECT doc_id, row_number() OVER"
+            " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
+            " AS p FROM documents),"
+            " n AS (SELECT count(*) AS c FROM documents)"
+            " SELECT a.doc_id, b.doc_id AS partner_doc_id"
+            " FROM r a JOIN n ON TRUE"
+            " JOIN r b ON b.p = (a.p + n.c // 2) % n.c"
         ),
         # split cuts = train_test_split fractions (0.8, 0.1): hex 'cc'/'e6'
         "q_decontaminate": (

@@ -983,3 +983,17 @@ class TestRound3Operators:
             ids, key=lambda d: (hashlib.md5(f"{d}:11".encode()).hexdigest(), d)
         )
         assert got == {d: i for i, d in enumerate(want_order)}
+
+    def test_negative_pairs_derangement(self, ray_session):
+        rows = [{"doc_id": i} for i in range(30)]
+        out = dedup.negative_pairs(_ds(rows), seed=3).to_pandas()
+        assert len(out) == 30
+        assert (out["doc_id"] != out["partner_doc_id"]).all()
+        # it's a permutation: every doc appears exactly once on each side
+        assert sorted(out["doc_id"]) == list(range(30))
+        assert sorted(out["partner_doc_id"]) == list(range(30))
+        # partitioning invariance
+        out2 = dedup.negative_pairs(_ds(rows).repartition(7), seed=3).to_pandas()
+        m1 = dict(zip(out["doc_id"], out["partner_doc_id"]))
+        m2 = dict(zip(out2["doc_id"], out2["partner_doc_id"]))
+        assert m1 == m2
