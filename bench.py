@@ -125,6 +125,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_shuffle_rank", q.q_shuffle_rank),
         ("q_lm_score", q.q_lm_score),
         ("q_semantic_dedup", q.q_semantic_dedup),
+        # round-4 scale paths (top-N + OOV LM model, sharded decontam)
+        ("q_lm_score_topn", q.q_lm_score_topn),
+        ("q_decontaminate_sharded", q.q_decontaminate_sharded),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -206,22 +206,28 @@ def minhash_band_rows(batch: pa.Table, n_shingle: int = 3) -> pa.Table:
         if nonempty.any():
             red = np.minimum.reduceat(tf, seg_starts[nonempty], axis=0)
             sig[nonempty] = red
-    # band hashes: chained multiply-xor over the band's rows (vectorized)
-    rows = {"doc_id": [], "band": [], "band_hash": [], "sig": []}
-    sig_bytes = [s.tobytes() for s in sig]
+    # band hashes: chained multiply-xor over each band's rows, vectorized
+    # across (doc, band) at once — ROWS_PER_BAND tiny passes over an
+    # (n_docs, N_BANDS) array, no per-band Python assembly
     P = np.uint64(0x100000001B3)
-    for band in range(N_BANDS):
-        cols = sig[:, band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-        h = np.full(n_docs, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(ROWS_PER_BAND):
-                h = ((h ^ cols[:, j]) * P) & _MASK64
-        rows["doc_id"].extend(doc_ids)
-        rows["band"].extend([band] * n_docs)
-        rows["band_hash"].extend(h.astype(np.int64).tolist())
-        rows["sig"].extend(sig_bytes)
-    return pa.Table.from_pydict(
-        rows,
+    sig3 = sig.reshape(n_docs, N_BANDS, ROWS_PER_BAND)
+    h = np.full((n_docs, N_BANDS), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(ROWS_PER_BAND):
+            h = ((h ^ sig3[:, :, j]) * P) & _MASK64
+    # band-major row layout (band 0's docs, band 1's docs, ...) — same
+    # rows as before, order irrelevant to the downstream groupby
+    doc_col = pa.chunked_array(
+        [pa.array(doc_ids, pa.int64())] * N_BANDS
+    )
+    band_col = pa.array(
+        np.repeat(np.arange(N_BANDS, dtype=np.int32), n_docs)
+    )
+    hash_col = pa.array(h.T.reshape(-1).astype(np.int64))
+    sig_arr = pa.array([s.tobytes() for s in sig], pa.binary())
+    sig_col = pa.chunked_array([sig_arr] * N_BANDS)
+    return pa.Table.from_arrays(
+        [doc_col, band_col, hash_col, sig_col],
         schema=pa.schema(
             [
                 ("doc_id", pa.int64()),
@@ -758,9 +764,17 @@ def train_test_split(
     training-data pipeline."""
     from ..md5np import md5_hex
 
+    if fractions[0] < 0 or fractions[1] < 0 or fractions[0] + fractions[1] > 1:
+        raise ValueError(
+            "train_test_split: fractions must be non-negative and sum to <= 1"
+        )
     cut1 = int(fractions[0] * 256)
     cut2 = int((fractions[0] + fractions[1]) * 256)
-    hex1, hex2 = format(cut1, "02x"), format(cut2, "02x")
+    # a cut of 256 means "every bucket": 'g' sorts after every 2-hex-char
+    # prefix, so the lexicographic compare stays correct (format() would
+    # yield the 3-char '100', which sorts BEFORE most 2-char prefixes)
+    hex1 = "g" if cut1 >= 256 else format(cut1, "02x")
+    hex2 = "g" if cut2 >= 256 else format(cut2, "02x")
 
     def assign(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -783,7 +797,7 @@ def ngram_jaccard_dup_pairs(
     threshold: float = 0.8,
     candidate_threshold: float = 0.5,
     n_shingle: int = 3,
-    max_candidate_docs: int = 200_000,
+    max_candidate_pairs: int = 200_000,
 ) -> rd.Dataset:
     """Near-dup pairs by EXACT character n-gram Jaccard, with MinHash+LSH
     candidate generation so no all-pairs pass ever runs.
@@ -794,21 +808,22 @@ def ngram_jaccard_dup_pairs(
     banded LSH prunes the quadratic space); (2) exact shingle-set Jaccard
     on just the candidate pairs (:func:`verify_pairs_jaccard`), keeping
     only ``jaccard >= threshold``. The verify step broadcasts shingle sets
-    for the candidate doc set only — ``max_candidate_docs`` makes a
-    degenerate corpus (everything near-identical) fail loudly instead of
-    OOMing the driver; raise it only if the candidate set fits one node.
+    for the candidate doc set only — ``max_candidate_pairs`` caps the
+    candidate PAIR count so a degenerate corpus (everything
+    near-identical) fails loudly instead of OOMing the driver; raise it
+    only if the candidate set fits one node.
     """
     cand = minhash_dup_pairs(ds, threshold=candidate_threshold)
     pair_rows = (
         cand.select_columns(["doc_a", "doc_b"])
-        .limit(max_candidate_docs + 1)
+        .limit(max_candidate_pairs + 1)
         .take_all()
     )
-    if len(pair_rows) > max_candidate_docs:
+    if len(pair_rows) > max_candidate_pairs:
         raise ValueError(
-            f"ngram_jaccard_dup_pairs: more than {max_candidate_docs} "
+            f"ngram_jaccard_dup_pairs: more than {max_candidate_pairs} "
             "candidate pairs — lower candidate recall (raise "
-            "candidate_threshold) or raise max_candidate_docs if the "
+            "candidate_threshold) or raise max_candidate_pairs if the "
             "candidate set fits one node"
         )
     pairs = sorted((r["doc_a"], r["doc_b"]) for r in pair_rows)
@@ -899,6 +914,37 @@ def seeded_shuffle_rank(
 
 # ------------------------------------- benchmark / eval decontamination
 
+def _batch_token_ngrams(batch: pa.Table, n: int, id_col: str, keep_id: bool):
+    """Per-batch token ``n``-grams as a polars frame of ``g`` (space-joined
+    tokens), optionally with the owning row id — shared by the broadcast
+    and sharded decontamination paths. Fully vectorized: tokens via
+    str.extract_all, n-grams from n aligned list slices (same zip trick
+    as top_bigrams)."""
+    import polars as pl
+
+    from .textstats import TOKEN_RE
+
+    cols = {"t": pl.from_arrow(batch.column("text"))}
+    if keep_id:
+        cols[id_col] = pl.from_arrow(batch.column(id_col))
+    toks = pl.DataFrame(cols).with_columns(
+        pl.col("t").str.extract_all(TOKEN_RE).alias("t")
+    )
+    parts = [
+        pl.col("t").list.slice(j, pl.col("t").list.len() - (n - 1)).alias(f"__g{j}")
+        for j in range(n)
+    ]
+    out = toks.select([c for c in cols if c != "t"] + parts).explode(
+        [f"__g{j}" for j in range(n)]
+    ).drop_nulls()
+    expr = pl.col("__g0")
+    for j in range(1, n):
+        expr = expr + " " + pl.col(f"__g{j}")
+    return out.select(
+        ([pl.col(id_col)] if keep_id else []) + [expr.alias("g")]
+    )
+
+
 def decontaminate_against_eval(
     ds: rd.Dataset,
     n: int = 3,
@@ -924,29 +970,8 @@ def decontaminate_against_eval(
 
     labeled = train_test_split(ds.select_columns([id_col, "text"]), id_col=id_col)
 
-    from .textstats import TOKEN_RE
-
     def batch_ngrams(batch: pa.Table, keep_id: bool) -> pl.DataFrame:
-        cols = {"t": pl.from_arrow(batch.column("text"))}
-        if keep_id:
-            cols[id_col] = pl.from_arrow(batch.column(id_col))
-        toks = pl.DataFrame(cols).with_columns(
-            pl.col("t").str.extract_all(TOKEN_RE).alias("t")
-        )
-        # n-grams from n aligned list slices (same zip trick as top_bigrams)
-        parts = [
-            pl.col("t").list.slice(j, pl.col("t").list.len() - (n - 1)).alias(f"__g{j}")
-            for j in range(n)
-        ]
-        out = toks.select([c for c in cols if c != "t"] + parts).explode(
-            [f"__g{j}" for j in range(n)]
-        ).drop_nulls()
-        expr = pl.col("__g0")
-        for j in range(1, n):
-            expr = expr + " " + pl.col(f"__g{j}")
-        return out.select(
-            ([pl.col(id_col)] if keep_id else []) + [expr.alias("g")]
-        )
+        return _batch_token_ngrams(batch, n=n, id_col=id_col, keep_id=keep_id)
 
     def eval_partial(batch: pa.Table) -> pa.Table:
         return (
@@ -991,6 +1016,124 @@ def decontaminate_against_eval(
 
     return labeled.filter(expr="split == 'train'").map_batches(
         ContaminationCheck, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def decontaminate_against_eval_sharded(
+    ds: rd.Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> rd.Dataset:
+    """Corpus-scale variant of :func:`decontaminate_against_eval`: the
+    eval n-gram set is hash-partitioned across ``n_shards`` membership
+    actors instead of being collected on the driver, so there is NO
+    ``max_eval_ngrams`` ceiling — an eval side the size of a corpus
+    shard-streams in and the driver never holds a single n-gram.
+
+    Same semantics (identical (id, n_overlap) rows; the tests pin
+    equality against the broadcast path). Two streamed passes, zero
+    shuffle:
+
+    1. eval INGEST: each test-split batch's distinct n-grams are
+       partitioned by ``hash(g) % n_shards`` (polars seed-0 hash — both
+       passes compute the same expression, so the mapping agrees) and
+       pushed with ONE rpc per owning actor per batch; actors accumulate
+       a set, then ``seal()`` into a sorted array for searchsorted.
+    2. train CHECK: each train batch's per-doc distinct n-grams are
+       partitioned the same way; one membership rpc per owning actor per
+       batch, masks recombined row-locally, hits counted per doc.
+
+    Raw Ray actors are the documented escape hatch here: a shared
+    build-then-probe index is mutable cross-batch state the Dataset API
+    cannot express (same pattern as ``state/dedup_index.py``)."""
+    import polars as pl
+    import ray
+
+    # num_cpus=0: the shards are memory-resident indexes doing bounded
+    # searchsorted probes per rpc; reserving CPU slots for them can
+    # deadlock the streaming executor on small clusters (actor handles
+    # outlive the call inside the returned lazy dataset's closure). Size
+    # n_shards to spread MEMORY across nodes, not CPU.
+    @ray.remote(num_cpus=0)
+    class GramShard:
+        def __init__(self):
+            self.grams: set[str] | None = set()
+            self.arr: np.ndarray | None = None
+
+        def add(self, grams: list[str]) -> int:
+            self.grams.update(grams)
+            return len(self.grams)
+
+        def seal(self) -> int:
+            self.arr = np.array(sorted(self.grams), dtype=object).astype(str)
+            self.grams = None
+            return len(self.arr)
+
+        def contains(self, grams: list[str]) -> list[bool]:
+            g = np.array(grams, dtype=object).astype(str)
+            pos = np.searchsorted(self.arr, g)
+            ok = pos < len(self.arr)
+            ok[ok] = self.arr[pos[ok]] == g[ok]
+            return ok.tolist()
+
+    # consumed twice (eval pass, train pass) but NOT materialized: the
+    # split is a row-local md5 map, so re-streaming from source is cheaper
+    # at corpus scale than holding every text in the object store
+    labeled = train_test_split(ds.select_columns([id_col, "text"]), id_col=id_col)
+    actors = [GramShard.remote() for _ in range(n_shards)]
+
+    def shard_of(frame: pl.DataFrame) -> np.ndarray:
+        return (
+            frame["g"].hash(seed=0).to_numpy() % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        grams = _batch_token_ngrams(batch, n=n, id_col=id_col, keep_id=False).unique()
+        sh = shard_of(grams)
+        futs = []
+        for a in range(n_shards):
+            part = grams.filter(pl.Series(sh == a))["g"].to_list()
+            if part:
+                futs.append(actors[a].add.remote(part))
+        ray.get(futs)  # batch counted done only once its grams are indexed
+        return pa.Table.from_pydict({"n_grams": pa.array([len(grams)], pa.int64())})
+
+    # drive the ingest pass to completion (take_all over one tiny count
+    # row per batch), then freeze every shard for probing
+    labeled.filter(expr="split == 'test'").map_batches(
+        ingest, batch_format="pyarrow"
+    ).take_all()
+    ray.get([a.seal.remote() for a in actors])
+
+    def check(batch: pa.Table) -> pa.Table:
+        per_doc = _batch_token_ngrams(batch, n=n, id_col=id_col, keep_id=True).unique()
+        if not len(per_doc):
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "n_overlap": pa.array([], pa.int64())}
+            )
+        sh = shard_of(per_doc)
+        hit = np.zeros(len(per_doc), dtype=bool)
+        futs, masks = {}, {}
+        for a in range(n_shards):
+            m = sh == a
+            if m.any():
+                masks[a] = m
+                futs[a] = actors[a].contains.remote(
+                    per_doc.filter(pl.Series(m))["g"].to_list()
+                )
+        for a, fut in futs.items():
+            hit[masks[a]] = ray.get(fut)
+        hits = per_doc.filter(pl.Series(hit)).group_by(id_col).len()
+        return (
+            hits.rename({"len": "n_overlap"})
+            .cast({"n_overlap": pl.Int64})
+            .to_arrow()
+        )
+
+    return labeled.filter(expr="split == 'train'").map_batches(
+        check, batch_format="pyarrow", batch_size=512
     )
 
 

@@ -385,12 +385,16 @@ def embedding_dup_pairs(
     return distinct_pairs(pairs, ["vec_id_a", "vec_id_b"])
 
 
+KMEANS_DRIVER_MERGE_MAX = 4096
+
+
 def kmeans_clusters(
     ds: rd.Dataset,
     n_clusters: int = 8,
     n_iters: int = 5,
     id_col: str = "vec_id",
     include_embedding: bool = False,
+    driver_merge_max: int = KMEANS_DRIVER_MERGE_MAX,
 ) -> rd.Dataset:
     """Distributed spherical k-means (Lloyd) over the embedding column —
     the semantic-clustering pass of a training-data pipeline (domain
@@ -406,9 +410,13 @@ def kmeans_clusters(
     K x n_batches tiny rows per iteration, never embeddings. Partials are
     merged in a fixed order (cluster, batch-min id) so the result does
     not depend on task completion order; an emptied cluster keeps its
-    centroid. The final pass emits (id, cluster, cos_to_centroid) —
-    iterative and not SQL-expressible, so the query pins a per-cluster
-    summary golden instead of an oracle."""
+    centroid. When K > ``driver_merge_max`` the per-cluster merge itself
+    runs distributed (``groupby("cluster").map_groups`` over the partial
+    rows, identical per-cluster tag order -> bit-identical centroids) so
+    the driver collects K merged rows instead of K x n_batches partials —
+    the web-scale-K path. The final pass emits (id, cluster,
+    cos_to_centroid) — iterative and not SQL-expressible, so the query
+    pins a per-cluster summary golden instead of an oracle."""
     import ray
 
     from ..rng import mix64_np
@@ -460,11 +468,34 @@ def kmeans_clusters(
 
         return partial
 
+    def merge_cluster(g: pa.Table) -> pa.Table:
+        # one cluster's partials, summed in fixed tag order — the exact
+        # float-accumulation sequence the driver-side loop uses
+        order = np.argsort(g.column("tag").to_numpy(), kind="stable")
+        bufs = g.column("vec_sum").to_pylist()
+        s = np.frombuffer(bufs[order[0]], dtype=np.float64).copy()
+        for i in order[1:]:
+            s += np.frombuffer(bufs[i], dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "cluster": pa.array([int(g.column("cluster")[0].as_py())], pa.int64()),
+                "n": pa.array([int(g.column("n").to_numpy().sum())], pa.int64()),
+                "vec_sum": pa.array([s.tobytes()], pa.binary()),
+                "tag": pa.array([0], pa.int64()),
+            }
+        )
+
     for _ in range(n_iters):
         cent_ref = ray.put(cent)
+        partials = emb.map_batches(make_partial(cent_ref), batch_format="pyarrow")
+        if k > driver_merge_max:
+            # web-scale K: merge per cluster distributed; the driver sees
+            # K rows (one per nonempty cluster), never K x n_batches
+            partials = partials.groupby("cluster").map_groups(
+                merge_cluster, batch_format="pyarrow"
+            )
         parts = sorted(
-            emb.map_batches(make_partial(cent_ref), batch_format="pyarrow").take_all(),
-            key=lambda r: (r["cluster"], r["tag"]),
+            partials.take_all(), key=lambda r: (r["cluster"], r["tag"])
         )
         sums = np.zeros_like(cent)
         counts = np.zeros(k, dtype=np.int64)
@@ -540,9 +571,41 @@ def kmeans_summary(ds: rd.Dataset, n_clusters: int = 8, n_iters: int = 5) -> rd.
     )
 
 
+def _greedy_prune_rows(
+    nm: np.ndarray, tau: float, block: int = 2048
+) -> np.ndarray:
+    """Greedy SemDeDup keep-set over row-normalized vectors ``nm`` (rows
+    in candidate order): row i survives iff its max cosine to every
+    SURVIVING earlier row is < ``tau``. Blocked-BLAS evaluation of the
+    exact sequential rule: each block scores against the accumulated kept
+    matrix in ONE matmul (rows killed by earlier blocks drop out before
+    any within-block work), then the survivors resolve their within-block
+    order from a single block x block matmul — the only remaining Python
+    loop walks block-local survivors doing O(|kept-in-block|) numpy max
+    lookups. Identical output to the row-at-a-time greedy loop."""
+    n = len(nm)
+    kept: list[int] = []
+    for start in range(0, n, block):
+        blk = nm[start : start + block]
+        alive = np.ones(len(blk), dtype=bool)
+        if kept:
+            sims = blk @ nm[kept].T
+            alive = sims.max(axis=1) < tau if sims.shape[1] else alive
+        cand = np.flatnonzero(alive)
+        if not len(cand):
+            continue
+        cs = blk[cand] @ blk[cand].T
+        keep_local: list[int] = []
+        for ii in range(len(cand)):
+            if not keep_local or float(cs[ii, keep_local].max()) < tau:
+                keep_local.append(ii)
+        kept.extend((start + cand[keep_local]).tolist())
+    return np.asarray(kept, dtype=np.int64)
+
+
 def semantic_dedup_keep(
     ds: rd.Dataset,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     tau: float = 0.95,
     n_iters: int = 5,
     id_col: str = "vec_id",
@@ -559,8 +622,19 @@ def semantic_dedup_keep(
     with a loud ``max_cluster`` cap; candidate order inside a cluster is
     (cos_to_centroid desc, id) so the most central representative of
     every near-dup group survives, deterministically and independent of
-    partitioning."""
+    partitioning. The in-cluster prune is blocked BLAS
+    (:func:`_greedy_prune_rows`), not a per-row loop.
+
+    ``n_clusters=None`` derives K from the corpus size so the default
+    never trips ``max_cluster`` silently: K = max(8, ceil(4n /
+    max_cluster)) targets an AVERAGE cluster of max_cluster/4, leaving 4x
+    skew headroom (small corpora keep K=8, so small-sf goldens are
+    unaffected). Pass an explicit K to override."""
     import pandas as pd
+
+    if n_clusters is None:
+        n_rows = ds.count()
+        n_clusters = max(8, -(-4 * n_rows // max_cluster))
 
     joined = kmeans_clusters(
         ds, n_clusters=n_clusters, n_iters=n_iters, id_col=id_col,
@@ -578,15 +652,7 @@ def semantic_dedup_keep(
         )
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
-        kept_rows: list[int] = []
-        for i in range(len(g)):
-            if not kept_rows:
-                kept_rows.append(i)
-                continue
-            sims = nm[kept_rows] @ nm[i]
-            if float(sims.max()) < tau:
-                kept_rows.append(i)
-        out = g.iloc[kept_rows]
+        out = g.iloc[_greedy_prune_rows(nm, tau)]
         return pd.DataFrame(
             {id_col: out[id_col].to_numpy(), "cluster": out["cluster"].to_numpy()}
         )

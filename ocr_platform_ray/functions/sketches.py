@@ -275,8 +275,11 @@ def exact_quantile(
     n = sum(p["n"] for p in parts)
     if n == 0:
         raise ValueError("exact_quantile: empty input")
-    lo = min(p["lo"] for p in parts)
-    hi = max(p["hi"] for p in parts)
+    # empty blocks (possible after filter/repartition) emit n=0 partials
+    # whose lo/hi are null — skip them instead of comparing None to float
+    nonempty = [p for p in parts if p["n"] > 0]
+    lo = min(p["lo"] for p in nonempty)
+    hi = max(p["hi"] for p in nonempty)
     if lo == hi:
         return float(lo)
     edges = np.linspace(lo, hi, n_bins + 1)
@@ -319,7 +322,12 @@ def exact_quantile(
     before = int(cum[b_k - 1]) if b_k > 0 else 0
     x_k = vals[k - before]
     x_k1 = vals[k + 1 - before] if k + 1 < n else x_k
-    return float(x_k + frac * (x_k1 - x_k))
+    # numpy/pandas lerp, INCLUDING its frac>=0.5 precision fixup (numpy
+    # computes b - (b-a)*(1-t) there; the naive a + t*(b-a) form can land
+    # one ulp away — a hypothesis-found divergence at n=2, q=0.5)
+    diff = x_k1 - x_k
+    res = x_k1 - diff * (1.0 - frac) if frac >= 0.5 else x_k + frac * diff
+    return float(res)
 
 
 # ------------------------------ heavy hitters (bounded-shuffle approx top-k)

@@ -324,26 +324,19 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("dup_bigram_ratio", pa.array(ratio))
 
 
-def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
-    """CCNet-family language-model quality scoring (public knowledge:
-    Wenzek et al. 2020 score documents by LM perplexity; here the LM is
-    the corpus's own add-one-smoothed unigram model, so the whole
-    operation stays SQL-reproducible): two passes —
+def vocab_counts(ds):
+    """EXACT corpus vocabulary counts as a Dataset of (token, n) rows,
+    each token exactly once globally.
 
-    1. corpus vocabulary counts from per-batch combiners (one (token, n)
-       row per distinct token per batch), merged on the driver under a
-       LOUD ``max_vocab`` guard (a web-scale vocabulary wants a top-N +
-       OOV-bucket model instead — that variant breaks SQL equivalence,
-       so it's explicitly out of scope here) and broadcast once via
-       ``ray.put`` as (sorted tokens, logprob) arrays;
-    2. a row-local scoring pass: tokens exploded with row index,
-       logprobs resolved by ``np.searchsorted`` (every token is in the
-       vocab by construction), per-doc mean.
-
-    Returns a Dataset of (doc_id, mean_logprob, n_tok) for docs with at
-    least one token."""
+    Per-batch combiner (one (token, n) row per distinct token per batch)
+    -> ONE coarse-bucketed merge (~1024 hash buckets of tokens, polars
+    sub-groupby inside each bucket — the repo's standard
+    many-small-keys idiom): the shuffle carries (token, n) partials,
+    never text, and per-group scheduling overhead is paid 1024 times,
+    not once per distinct token."""
     import polars as pl
-    import ray
+
+    from .dedup import shuffle_blocks
 
     def vocab_partial(batch: pa.Table) -> pa.Table:
         col = batch.column("text")
@@ -357,45 +350,43 @@ def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
             .group_by("tok")
             .len()
             .rename({"tok": "token", "len": "n"})
+            .cast({"n": pl.Int64})
+            .with_columns(
+                (pl.col("token").hash(seed=0) & 1023).cast(pl.Int64).alias("cb")
+            )
             .to_arrow()
         )
 
-    from .dedup import shuffle_blocks
-
-    def vocab_merge(g):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {"token": [g["token"].iloc[0]], "n": [int(g["n"].sum())]}
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(g)
+            .group_by("token")
+            .agg(pl.col("n").sum())
+            .select("token", "n")
+            .to_arrow()
         )
 
-    # partials merge DISTRIBUTED (groupby token) so the driver only ever
-    # holds the merged vocabulary, not per-batch partials
-    counts: dict[str, int] = {}
-    for r in (
+    return (
         ds.select_columns(["text"])
         .map_batches(vocab_partial, batch_format="pyarrow")
         .repartition(shuffle_blocks())
-        .groupby("token")
-        .map_groups(vocab_merge, batch_format="pandas")
-        .take_all()
-    ):
-        counts[r["token"]] = int(r["n"])
-        if len(counts) > max_vocab:
-            raise ValueError(
-                f"unigram_logprob: vocabulary exceeds max_vocab={max_vocab}; "
-                "use a top-N + OOV-bucket model for web-scale vocabularies"
-            )
-    tokens = np.array(sorted(counts), dtype=object).astype(str)
-    n_total = sum(counts.values())
-    v = len(counts)
-    lps = np.log((np.array([counts[t] for t in tokens], dtype=np.float64) + 1.0)
-                 / (n_total + v))
-    vocab_ref = ray.put((tokens, lps))
+        .groupby("cb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def _make_scorer(vocab_ref):
+    """Actor-pool scoring stage shared by the exact and top-N LM
+    variants: broadcast (sorted tokens, logprobs, oov_logprob) resolved
+    once per actor; per batch, tokens explode with row index, logprobs
+    resolve via ``np.searchsorted`` (misses -> oov_logprob; the exact
+    variant never misses by construction), per-doc mean rounded to 6dp."""
+    import polars as pl
+    import ray
 
     class Score:
         def __init__(self):
-            self.tokens, self.lps = ray.get(vocab_ref)
+            self.tokens, self.lps, self.lp_oov = ray.get(vocab_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             col = batch.column("text")
@@ -420,7 +411,15 @@ def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
                      "n_tok": pa.array([], pa.int64())}
                 )
             toks = ex["tok"].to_numpy().astype(str)
-            lp = self.lps[np.searchsorted(self.tokens, toks)]
+            if len(self.tokens):
+                pos = np.minimum(
+                    np.searchsorted(self.tokens, toks), len(self.tokens) - 1
+                )
+                lp = np.where(
+                    self.tokens[pos] == toks, self.lps[pos], self.lp_oov
+                )
+            else:
+                lp = np.full(len(toks), self.lp_oov)
             agg = (
                 ex.with_columns(pl.Series("lp", lp))
                 .group_by("doc_id", maintain_order=True)
@@ -436,8 +435,113 @@ def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
                 }
             )
 
+    return Score
+
+
+def unigram_logprob_batchfn(ds, max_vocab: int = 5_000_000):
+    """CCNet-family language-model quality scoring (public knowledge:
+    Wenzek et al. 2020 score documents by LM perplexity; here the LM is
+    the corpus's own add-one-smoothed unigram model, so the whole
+    operation stays SQL-reproducible): two passes —
+
+    1. corpus vocabulary counts merged DISTRIBUTED (:func:`vocab_counts`)
+       and collected on the driver under a LOUD ``max_vocab`` guard —
+       this exact variant is the small-vocabulary / oracle path; past the
+       guard use :func:`unigram_logprob_topn`, which never collects the
+       full vocabulary — then broadcast once via ``ray.put`` as
+       (sorted tokens, logprob) arrays;
+    2. a row-local scoring pass (:func:`_make_scorer`): every token is in
+       the vocab by construction.
+
+    Returns a Dataset of (doc_id, mean_logprob, n_tok) for docs with at
+    least one token."""
+    import ray
+
+    counts: dict[str, int] = {}
+    for r in vocab_counts(ds).take_all():
+        counts[r["token"]] = int(r["n"])
+        if len(counts) > max_vocab:
+            raise ValueError(
+                f"unigram_logprob: vocabulary exceeds max_vocab={max_vocab}; "
+                "use unigram_logprob_topn for web-scale vocabularies"
+            )
+    tokens = np.array(sorted(counts), dtype=object).astype(str)
+    n_total = sum(counts.values())
+    v = len(counts)
+    lps = np.log((np.array([counts[t] for t in tokens], dtype=np.float64) + 1.0)
+                 / (n_total + v))
+    vocab_ref = ray.put((tokens, lps, float(np.log(1.0 / max(n_total + v, 1)))))
+
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=(1, 8)
+        _make_scorer(vocab_ref), batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def unigram_logprob_topn(ds, top_n: int = 65_536):
+    """Web-scale variant of :func:`unigram_logprob_batchfn`: the model is
+    the top-``top_n`` tokens (by count desc, token asc — deterministic
+    ties) plus ONE out-of-vocabulary bucket, so the driver never holds
+    more than ``top_n`` (token, n) rows no matter the corpus vocabulary.
+
+    Fully distributed: exact counts via :func:`vocab_counts`; corpus
+    totals (n_total, |V|) from per-batch integer partials; top-N by
+    per-batch partial top-N + a tiny global sort/limit over at most
+    n_batches x top_n candidate rows. Every OOV token scores as the
+    AVERAGE leftover count c_oov = (n_total - top_mass) / (|V| - N) under
+    the same add-one smoothing, keeping the whole model a pure function
+    of exact corpus statistics — deterministic across partitionings and
+    still SQL-reproducible (LIMIT + LEFT JOIN + CASE), unlike a sampled
+    or sketched vocabulary."""
+    import polars as pl
+    import ray
+
+    vocab = vocab_counts(ds)
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "v": pa.array([batch.num_rows], pa.int64()),
+                "n": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .sort(["n", "token"], descending=[True, False])
+            .head(top_n)
+            .select("token", "n")
+            .to_arrow()
+        )
+
+    # vocab is consumed twice (totals + top-N): materialize the merged
+    # (token, n) table once — vocabulary-sized, object-store resident
+    vocab = vocab.materialize()
+    totals = vocab.map_batches(totals_partial, batch_format="pyarrow").take_all()
+    v = sum(r["v"] for r in totals)
+    n_total = sum(r["n"] for r in totals)
+    top_rows = (
+        vocab.map_batches(partial_topn, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(top_n)
+        .take_all()
+    )
+    order = np.argsort(np.array([r["token"] for r in top_rows], dtype=object))
+    tokens = np.array([top_rows[i]["token"] for i in order], dtype=object).astype(str)
+    cnts = np.array([top_rows[i]["n"] for i in order], dtype=np.float64)
+    top_mass = float(cnts.sum())
+    denom = float(n_total + v)
+    lps = np.log((cnts + 1.0) / denom) if len(cnts) else np.array([], np.float64)
+    if v > len(tokens):
+        c_oov = (n_total - top_mass) / (v - len(tokens))
+        lp_oov = float(np.log((c_oov + 1.0) / denom))
+    else:  # whole vocabulary fits: no OOV tokens exist; value is unused
+        lp_oov = float(np.log(1.0 / max(denom, 1.0)))
+    vocab_ref = ray.put((tokens, lps, lp_oov))
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _make_scorer(vocab_ref), batch_format="pyarrow", concurrency=(1, 8)
     )
 
 
@@ -449,10 +553,11 @@ def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16):
     derivation is SQL-reproducible). Row-local flat-map, fully
     vectorized (polars token extract + per-row window starts + list
     slices + explode); no shuffle. Output: (doc_id, chunk_idx,
-    chunk_text, n_tokens); docs with no tokens emit nothing. The final
-    short window is kept only when it starts before the doc's end and
-    adds new tokens (start < n and start + overlap < n rule below,
-    matching the oracle's range arithmetic)."""
+    chunk_text, n_tokens); docs with no tokens emit nothing. A window is
+    emitted at every start in {0, step, 2*step, ...} with start <
+    n_tokens — so the final window may consist entirely of tokens
+    already covered by the previous window's overlap (the DuckDB oracle
+    implements the identical range rule)."""
     import polars as pl
 
     step = chunk_tokens - overlap

@@ -233,35 +233,54 @@ def apply_result_overrides(
     )
 
     def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ov = ray.get(ov_ref)
         doc_ids = batch.column("doc_id").to_pylist()
-        if not any(d in ov for d in doc_ids):
+        hit = np.fromiter((d in ov for d in doc_ids), dtype=bool, count=len(doc_ids))
+        if not hit.any():
             return batch
-        rows = batch.to_pylist()
-        for row in rows:
-            spans = ov.get(row["doc_id"])
-            if spans is None:
-                continue
+        from .schema import EXTRACTED_SCHEMA
+        from .stages.extract import _with_passthrough
+
+        # Only the overridden rows (small side by construction) are
+        # materialized row-wise; every other row keeps its original Arrow
+        # buffers (filter is a zero-copy-ish mask, no to_pylist).
+        over_idx = np.flatnonzero(hit)
+        err_col = batch.column("n_span_errors")
+        over_rows = []
+        for i in over_idx:
             spans = [
                 {
                     "kind": s["kind"],
                     "text": s["text"],
                     "media_ref": s.get("media_ref", ""),
-                    "offset": i,
+                    "offset": j,
                 }
-                for i, s in enumerate(spans)
+                for j, s in enumerate(ov[doc_ids[i]])
             ]
-            row["spans_out"] = spans
-            row["n_spans_out"] = len(spans)
-            row["n_blocks"] = sum(1 for s in spans if s["kind"] == "image")
-            row["min_conf"] = 1.0
-            row["mean_conf"] = 1.0
-        from .schema import EXTRACTED_SCHEMA
-        from .stages.extract import _with_passthrough
-
-        return _with_passthrough(
-            pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA), batch
-        )
+            over_rows.append(
+                {
+                    "doc_id": doc_ids[i],
+                    "spans_out": spans,
+                    "n_spans_out": len(spans),
+                    "n_blocks": sum(1 for s in spans if s["kind"] == "image"),
+                    "min_conf": 1.0,
+                    "mean_conf": 1.0,
+                    "n_span_errors": err_col[int(i)].as_py(),
+                }
+            )
+        over_tbl = _with_passthrough(
+            pa.Table.from_pylist(over_rows, schema=EXTRACTED_SCHEMA),
+            batch.take(pa.array(over_idx)),
+        ).select(batch.column_names)
+        keep_tbl = batch.filter(pa.array(~hit))
+        combined = pa.concat_tables([keep_tbl, over_tbl])
+        # restore the batch's original row order
+        perm = np.concatenate([np.flatnonzero(~hit), over_idx])
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        return combined.take(pa.array(inv))
 
     return extracted.map_batches(fn, batch_format="pyarrow")
 

@@ -150,6 +150,17 @@ def q_lm_score(sf_dir: str) -> rd.Dataset:
     return textstats.unigram_logprob_batchfn(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_lm_score_topn(sf_dir: str) -> rd.Dataset:
+    """Web-scale LM quality score: top-256 token vocabulary + one
+    average-count OOV bucket, built fully distributed (the driver never
+    holds the merged vocabulary) — exact DuckDB oracle (LIMIT + LEFT
+    JOIN + CASE over the same exact counts). top_n=256 is far below the
+    test corpora's vocabulary so the OOV path is genuinely exercised."""
+    return textstats.unigram_logprob_topn(
+        _docs(sf_dir, ["doc_id", "text"]), top_n=256
+    )
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -354,6 +365,16 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     guard), train side streams through an actor-pool membership index —
     exact DuckDB oracle over the same md5 split cuts."""
     return dedup.decontaminate_against_eval(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
+def q_decontaminate_sharded(sf_dir: str) -> rd.Dataset:
+    """Corpus-scale decontamination: identical semantics to
+    q_decontaminate, but the eval n-gram set lives hash-partitioned
+    across membership actors (no driver collection, no size ceiling) —
+    same exact DuckDB oracle."""
+    return dedup.decontaminate_against_eval_sharded(
+        _docs(sf_dir, ["doc_id", "text"]), n=3, n_shards=4
+    )
 
 
 def q_negative_pairs(sf_dir: str) -> rd.Dataset:
@@ -958,6 +979,7 @@ def queries() -> dict:
         "q_repetition": q_repetition,
         "q_heavy_hitters": q_heavy_hitters,
         "q_lm_score": q_lm_score,
+        "q_lm_score_topn": q_lm_score_topn,
         "q_profile_events": q_profile_events,
         "q_chunk_documents": q_chunk_documents,
         "q_lang_stats": q_lang_stats,
@@ -973,6 +995,7 @@ def queries() -> dict:
         "q_train_test_split": q_train_test_split,
         "q_shuffle_rank": q_shuffle_rank,
         "q_decontaminate": q_decontaminate,
+        "q_decontaminate_sharded": q_decontaminate_sharded,
         "q_negative_pairs": q_negative_pairs,
         "q_curation_summary": q_curation_summary,
         "q_quality_gate": q_quality_gate,
@@ -1023,6 +1046,13 @@ def oracle_sql() -> dict:
     """DuckDB equivalents for the SQL-expressible queries. Non-SQL ops
     (extraction, LSH/minhash/simhash, langid heuristic, LSH ANN) are
     intentionally absent -> driver records rows-only checks."""
+    sql = _oracle_sql_base()
+    # the sharded variant is semantics-identical to the broadcast one
+    sql["q_decontaminate_sharded"] = sql["q_decontaminate"]
+    return sql
+
+
+def _oracle_sql_base() -> dict:
     return {
         "q_normalize_docs": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
         "q_langid": "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c",
@@ -1098,6 +1128,24 @@ def oracle_sql() -> dict:
             " sc AS (SELECT tok.doc_id,"
             "  ln((vocab.c + 1.0) / (tot.n + tot.v)) AS lp"
             "  FROM tok, tot JOIN vocab ON tok.t = vocab.t)"
+            " SELECT doc_id, round(avg(lp), 6) AS mean_logprob,"
+            " count(*) AS n_tok FROM sc GROUP BY doc_id"
+        ),
+        "q_lm_score_topn": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t"
+            " FROM documents),"
+            " vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),"
+            " tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),"
+            " top AS (SELECT t, c FROM vocab ORDER BY c DESC, t LIMIT 256),"
+            " topstat AS (SELECT sum(c) AS tm, count(*) AS nt FROM top),"
+            " sc AS (SELECT tok.doc_id,"
+            "  CASE WHEN top.t IS NOT NULL"
+            "   THEN ln((top.c + 1.0) / (tot.n + tot.v))"
+            "   ELSE ln(((tot.n - topstat.tm) * 1.0 / (tot.v - topstat.nt)"
+            "        + 1.0) / (tot.n + tot.v)) END AS lp"
+            "  FROM tok CROSS JOIN tot CROSS JOIN topstat"
+            "  LEFT JOIN top ON tok.t = top.t)"
             " SELECT doc_id, round(avg(lp), 6) AS mean_logprob,"
             " count(*) AS n_tok FROM sc GROUP BY doc_id"
         ),

@@ -117,7 +117,7 @@ class TestJaccardGuard:
         with pytest.raises(ValueError, match="candidate"):
             dedup.ngram_jaccard_dup_pairs(
                 _docs_ds(), threshold=0.8, candidate_threshold=0.5,
-                max_candidate_docs=1,
+                max_candidate_pairs=1,
             )
 
     def test_empty_candidates(self, ray_session):
