@@ -23,6 +23,9 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        # reshape(0, -1) raises on a size-0 array; dim is unknowable here
+        return np.zeros((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(arr), -1)
 
@@ -546,7 +549,7 @@ def kmeans_summary(ds: rd.Dataset, n_clusters: int = 8, n_iters: int = 5) -> rd.
             pl.from_arrow(batch)
             .group_by("cluster")
             .agg(
-                pl.len().alias("n_vecs"),
+                pl.len().cast(pl.Int64).alias("n_vecs"),
                 pl.col("cos_to_centroid").sum().alias("sim_sum"),
             )
             .to_arrow()
@@ -563,8 +566,14 @@ def kmeans_summary(ds: rd.Dataset, n_clusters: int = 8, n_iters: int = 5) -> rd.
             }
         )
 
+    # compact the tiny partial rows before the groupby: empty source
+    # blocks otherwise flow through the sort as schema-less empty blocks
+    # (map fns are never invoked on them) and trip Ray's mixed-schema
+    # warning; width scales with K so huge-K summaries stay parallel
+    width = max(1, n_clusters // 512)
     return (
         assigned.map_batches(partial, batch_format="pyarrow")
+        .repartition(width)
         .groupby("cluster")
         .map_groups(final, batch_format="pandas")
         .sort("cluster")

@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     from ray.data import DataContext
 
+    from .raylog import suppress_empty_sort_schema_warning
+
+    suppress_empty_sort_schema_warning()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     if args.target_block_size_mb:
