@@ -960,11 +960,12 @@ def decontaminate_against_eval(
     tiny next to the corpus — so its distinct n-gram set is collected
     once (LOUDLY guarded by ``max_eval_ngrams``; past that cap you want a
     distributed semi-join on exploded n-grams instead) and broadcast via
-    ``ray.put``. The train side streams: a small actor pool holds the
-    sorted n-gram array (built once per actor in ``__init__``) and each
-    batch resolves membership via ``np.searchsorted`` — vectorized, no
-    per-batch index rebuild, no shuffle at all. Returns (id, n_overlap)
-    for contaminated train docs only."""
+    ``ray.put``. The train side streams as plain tasks: the sorted
+    n-gram array resolves once per worker process (per-worker broadcast
+    cache — actor-style amortization without a per-query pool spawn) and
+    each batch resolves membership via ``np.searchsorted`` — vectorized,
+    no per-batch index rebuild, no shuffle at all. Returns
+    (id, n_overlap) for contaminated train docs only."""
     import polars as pl
     import ray
 
@@ -993,29 +994,28 @@ def decontaminate_against_eval(
             )
     grams_ref = ray.put(np.sort(np.array(sorted(eval_grams), dtype=object).astype(str)))
 
-    class ContaminationCheck:
-        def __init__(self):
-            self.grams = ray.get(grams_ref)  # sorted once per actor
+    from . import resolve_broadcast
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            per_doc = batch_ngrams(batch, keep_id=True).unique()
-            if not len(per_doc):
-                return pa.Table.from_pydict(
-                    {id_col: pa.array([], pa.int64()),
-                     "n_overlap": pa.array([], pa.int64())}
-                )
-            g = per_doc["g"].to_numpy().astype(str)
-            pos = np.searchsorted(self.grams, g)
-            hit = (pos < len(self.grams)) & (self.grams[np.minimum(pos, len(self.grams) - 1)] == g)
-            hits = per_doc.filter(pl.Series(hit)).group_by(id_col).len()
-            return (
-                hits.rename({"len": "n_overlap"})
-                .cast({"n_overlap": pl.Int64})
-                .to_arrow()
+    def contamination_check(batch: pa.Table) -> pa.Table:
+        grams = resolve_broadcast(grams_ref)  # sorted once per worker
+        per_doc = batch_ngrams(batch, keep_id=True).unique()
+        if not len(per_doc):
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "n_overlap": pa.array([], pa.int64())}
             )
+        g = per_doc["g"].to_numpy().astype(str)
+        pos = np.searchsorted(grams, g)
+        hit = (pos < len(grams)) & (grams[np.minimum(pos, len(grams) - 1)] == g)
+        hits = per_doc.filter(pl.Series(hit)).group_by(id_col).len()
+        return (
+            hits.rename({"len": "n_overlap"})
+            .cast({"n_overlap": pl.Int64})
+            .to_arrow()
+        )
 
     return labeled.filter(expr="split == 'train'").map_batches(
-        ContaminationCheck, batch_format="pyarrow", concurrency=(1, 8)
+        contamination_check, batch_format="pyarrow"
     )
 
 

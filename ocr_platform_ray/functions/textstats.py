@@ -386,16 +386,6 @@ def vocab_counts(ds):
     )
 
 
-# per-WORKER-PROCESS resolved-model cache for the LM scoring tasks: Ray
-# reuses worker processes across tasks, so the first task on a worker
-# resolves the broadcast model from the object store and every later
-# task on that worker hits the cache — the same once-per-process
-# amortization an actor pool gives, WITHOUT paying a fresh pool spawn
-# (~1-2 s) on every one-shot query. Bounded: models are per-query, so
-# keep only the most recent few.
-_VOCAB_CACHE: dict = {}
-
-
 def _score_batch(batch: pa.Table, tokens, lps, lp_oov) -> pa.Table:
     """Score one batch against a (sorted tokens, logprobs, oov) unigram
     model: tokens explode with row index, logprobs resolve via
@@ -449,20 +439,12 @@ def _score_batch(batch: pa.Table, tokens, lps, lp_oov) -> pa.Table:
 def _make_scorer(vocab_ref):
     """Task-pool scoring stage shared by the exact and top-N LM
     variants: the broadcast (sorted tokens, logprobs, oov_logprob) tuple
-    resolves once per worker process via :data:`_VOCAB_CACHE`, then
+    resolves once per worker process (:func:`..resolve_broadcast`), then
     batches score row-locally (:func:`_score_batch`)."""
-    import ray
-
-    key = vocab_ref.hex()
+    from . import resolve_broadcast
 
     def score(batch: pa.Table) -> pa.Table:
-        model = _VOCAB_CACHE.get(key)
-        if model is None:
-            model = ray.get(vocab_ref)
-            if len(_VOCAB_CACHE) >= 4:
-                _VOCAB_CACHE.clear()
-            _VOCAB_CACHE[key] = model
-        return _score_batch(batch, *model)
+        return _score_batch(batch, *resolve_broadcast(vocab_ref))
 
     return score
 
