@@ -131,6 +131,12 @@ def run_queries(sf_dir: str) -> dict:
         # round-4 scale paths (top-N + OOV LM model, sharded decontam)
         ("q_lm_score_topn", q.q_lm_score_topn),
         ("q_decontaminate_sharded", q.q_decontaminate_sharded),
+        # round-4 operator additions (line dedup, PII scrub, per-key
+        # top-k / quantiles)
+        ("q_line_dedup", q.q_line_dedup),
+        ("q_redact_pii", q.q_redact_pii),
+        ("q_top_docs_per_lang", q.q_top_docs_per_lang),
+        ("q_value_quantiles_by_type", q.q_value_quantiles_by_type),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings
@@ -204,23 +210,34 @@ def main_scaling() -> dict:
     # On a 32-core box the num_cpus=32 session contends with the driver,
     # raylet and object-store threads while a small session has idle
     # headroom, biasing the ratio. Default to 4 -> 16 (same 4x factor,
-    # headroom at BOTH levels); override with GRAFT_SCALE_LO/HI.
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo = _headline_subprocess(lo)
-    r_hi = _headline_subprocess(hi)
-    eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
-    return {
-        "metric": f"scaling efficiency (docs/s, num_cpus {lo} -> {hi}, fresh sessions)",
+    # headroom at BOTH levels); override with GRAFT_SCALE_LO/HI, or set
+    # GRAFT_SCALE_LEVELS to a comma list (e.g. "4,8,16") for a multi-point
+    # run reporting every pairwise efficiency.
+    levels_env = os.environ.get("GRAFT_SCALE_LEVELS")
+    if levels_env:
+        levels = sorted({int(x) for x in levels_env.split(",")})
+    else:
+        levels = sorted({int(os.environ.get("GRAFT_SCALE_LO", "4")),
+                         int(os.environ.get("GRAFT_SCALE_HI", "16"))})
+    runs = {n: _headline_subprocess(n) for n in levels}
+    lo, hi = levels[0], levels[-1]
+    eff = (runs[hi]["docs_per_s"] / runs[lo]["docs_per_s"]) / (hi / lo)
+    out = {
+        "metric": (f"scaling efficiency (docs/s, num_cpus "
+                   f"{'->'.join(str(n) for n in levels)}, fresh sessions)"),
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": SF_DIR,
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"docs_per_s_{lo}": r_lo["docs_per_s"],
-        f"docs_per_s_{hi}": r_hi["docs_per_s"],
         "scaling_efficiency": round(eff, 3),
     }
+    for n in levels:
+        out[f"sec_{n}"] = runs[n]["value"]
+        out[f"docs_per_s_{n}"] = runs[n]["docs_per_s"]
+    for a, b in ((a, b) for a in levels for b in levels if b > a):
+        out[f"efficiency_{a}_{b}"] = round(
+            (runs[b]["docs_per_s"] / runs[a]["docs_per_s"]) / (b / a), 3
+        )
+    return out
 
 
 if __name__ == "__main__":

@@ -44,3 +44,42 @@ def round_half_away_np(x, ndigits: int):
 
     m = 10.0 ** ndigits
     return np.floor(np.abs(x) * m + 0.5) / m * np.where(np.asarray(x) >= 0, 1.0, -1.0)
+
+
+def bucketed_group_apply(ds, key_cols, fn, n_buckets: int = 512,
+                         batch_format: str = "pandas"):
+    """The repo's many-small-keys groupby idiom as a reusable primitive:
+    hash the key columns into ``n_buckets`` coarse buckets (column ``cb``),
+    ``groupby("cb")``, and call ``fn`` once per BUCKET — ``fn`` must
+    itself sub-group by the key columns, vectorized (pandas/polars).
+    Per-group scheduling and per-call DataFrame construction are paid
+    ``n_buckets`` times, not once per distinct key (one map_groups call
+    per key was measured at ~5 s for 13.5k keys at sf0.01). All rows of
+    one key land in one bucket, so any per-key computation (top-k,
+    quantile, gap scan) is exact. The bucket column is stripped before
+    ``fn`` sees the group."""
+    import pyarrow as pa  # noqa: F811 — local import, package stays light
+    import polars as pl
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch)
+        h = None
+        for i, c in enumerate(keys):
+            hc = d[c].hash(seed=i)
+            h = hc if h is None else h ^ hc
+        return d.with_columns((h % n_buckets).cast(pl.Int64).alias("cb")).to_arrow()
+
+    if batch_format == "pandas":
+        def run(g):
+            return fn(g.drop(columns=["cb"]))
+    else:
+        def run(g):
+            return fn(g.drop(["cb"]))
+
+    return (
+        ds.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(run, batch_format=batch_format)
+    )

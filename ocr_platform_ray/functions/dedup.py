@@ -1175,3 +1175,85 @@ def negative_pairs(
     )
     joined = hash_join(left, right, on="target")
     return joined.select_columns([id_col, "partner_" + id_col])
+
+
+def dedup_lines(
+    ds: rd.Dataset,
+    line_tokens: int = 16,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> rd.Dataset:
+    """Line-level EXACT dedup across the whole corpus — the
+    RefinedWeb/CCNet-style pass that removes boilerplate lines repeated
+    across documents (public technique: Penedo et al. 2023 dedup at
+    sub-document granularity). Documents split into consecutive
+    non-overlapping windows of ``line_tokens`` tokens ("lines"); a line
+    survives only at its FIRST occurrence corpus-wide (min (doc_id,
+    line_idx) over exact line text); documents re-emit as the
+    space-join of their surviving lines in order. Docs whose every line
+    was seen earlier (or with no tokens) vanish.
+
+    Shape: row-local vectorized explode (polars int_ranges + list slice
+    — same window arithmetic as chunk_documents), then the exact-dedup
+    idiom: the keep-first groupby keys on the coarse-bucketed 64-bit
+    LINE HASH (int shuffle comparisons; line text travels as payload,
+    equality verified exactly inside the bucket so a collision merely
+    co-locates), then reassembly groups by doc-id hash bucket. Two
+    text-carrying shuffles, both bucketed, no global sort.
+
+    Returns (doc_id, dedup_text, n_kept)."""
+    import polars as pl
+
+    from . import bucketed_group_apply
+    from .textstats import TOKEN_RE
+
+    step = int(line_tokens)
+    if step <= 0:
+        raise ValueError("dedup_lines: line_tokens must be positive")
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = pl.DataFrame(
+            {id_col: pl.from_arrow(batch.column(id_col)),
+             "t": pl.from_arrow(col)}
+        ).with_columns(pl.col("t").str.extract_all(TOKEN_RE).alias("t"))
+        d = (
+            d.with_columns(
+                pl.int_ranges(0, pl.col("t").list.len(), step).alias("start")
+            )
+            .explode("start")
+            .drop_nulls("start")
+            .with_columns(
+                (pl.col("start") // step).alias("line_idx"),
+                pl.col("t").list.slice(pl.col("start"), step)
+                .list.join(" ").alias("line"),
+            )
+            .select(id_col, "line_idx", "line")
+        )
+        return d.to_arrow()
+
+    lines = ds.select_columns([id_col, "text"]).map_batches(
+        explode_lines, batch_format="pyarrow"
+    )
+
+    def keep_first(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["line", id_col, "line_idx"], kind="mergesort")
+        return g.drop_duplicates("line", keep="first")
+
+    kept = bucketed_group_apply(
+        lines, "line", keep_first, n_buckets=n_buckets, batch_format="pandas"
+    )
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "line_idx"], kind="mergesort")
+        agg = g.groupby(id_col, as_index=False).agg(
+            dedup_text=("line", " ".join), n_kept=("line", "size")
+        )
+        agg["n_kept"] = agg["n_kept"].astype(np.int64)
+        return agg
+
+    return bucketed_group_apply(
+        kept, id_col, reassemble, n_buckets=n_buckets, batch_format="pandas"
+    )

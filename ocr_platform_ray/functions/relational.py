@@ -203,3 +203,46 @@ def revenue_by_customer(
     return per_customer.sort(
         ["revenue", "c_custkey"], descending=[True, False]
     ).limit(k)
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    k: int,
+    id_col: str,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Per-key top-k — the `QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY val DESC, id) <= k` shape, without a global sort.
+
+    Map side: each batch keeps only its own top-k rows PER KEY (vectorized
+    polars sort + group head), so the shuffle carries at most
+    k x |keys-in-batch| rows per batch regardless of input size. Reduce
+    side: keys hash-bucket (``bucketed_group_apply``) and one vectorized
+    final top-k runs per bucket. Tie order is the oracle's: val DESC,
+    id ASC."""
+    import polars as pl
+
+    from . import bucketed_group_apply
+
+    def topk(d: pl.DataFrame) -> pl.DataFrame:
+        return (
+            d.sort([val_col, id_col], descending=[True, False])
+            .group_by(key_col, maintain_order=True)
+            .head(k)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return topk(pl.from_arrow(batch)).to_arrow()
+
+    partials = ds.select_columns([key_col, id_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        return topk(pl.from_arrow(g)).select(key_col, id_col, val_col).to_arrow()
+
+    return bucketed_group_apply(
+        partials, key_col, final, n_buckets=n_buckets, batch_format="pyarrow"
+    )

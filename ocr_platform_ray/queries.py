@@ -161,6 +161,70 @@ def q_lm_score_topn(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_line_dedup(sf_dir: str) -> rd.Dataset:
+    """RefinedWeb-style corpus-wide exact LINE dedup: 16-token lines, a
+    line survives only at its first (doc_id, line_idx) occurrence, docs
+    reassemble from surviving lines — exact DuckDB oracle (row_number
+    over line groups + ordered string_agg)."""
+    from .functions.dedup import dedup_lines
+
+    return dedup_lines(_docs(sf_dir, ["doc_id", "text"]), line_tokens=16)
+
+
+def q_redact_pii(sf_dir: str) -> rd.Dataset:
+    """PII redaction audit: deterministic synthetic PII (email for
+    doc_id % 3 != 0, phone for doc_id % 2 == 0, IP for doc_id % 5 == 0)
+    is appended to each doc on BOTH sides, then scrubbed with shared RE2
+    patterns — exact DuckDB oracle (same regexp_replace chain)."""
+    from .functions.textstats import redact_pii
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").to_pandas().reset_index(drop=True)
+        ids = pd.Series(doc_id.astype(str))
+        email = (" mail user" + ids + "@mail.example").where(
+            pd.Series(doc_id % 3 != 0), "")
+        phone = (" call 555-" + pd.Series((doc_id % 10000).astype(str))).where(
+            pd.Series(doc_id % 2 == 0), "")
+        ip = (" host 10.0." + pd.Series((doc_id % 256).astype(str)) + ".7").where(
+            pd.Series(doc_id % 5 == 0), "")
+        out = text + email + phone + ip
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    injected = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow"
+    )
+    return injected.map_batches(redact_pii, batch_format="pyarrow").drop_columns(
+        ["text"]
+    )
+
+
+def q_top_docs_per_lang(sf_dir: str) -> rd.Dataset:
+    """Per-key top-k (QUALIFY shape): 3 longest docs per language,
+    ties by doc_id — per-batch partial top-k per key, bucketed final,
+    no global sort."""
+    from .functions.relational import grouped_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    return grouped_topk(ds, key_col="lang", val_col="n_chars", k=3,
+                        id_col="doc_id")
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact per-group quantile_cont over events.value by event_type
+    (keys hash-bucketed, one vectorized multi-quantile pass per bucket)."""
+    from .functions.sketches import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantiles(ds, key_col="event_type", val_col="value")
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -982,6 +1046,10 @@ def queries() -> dict:
         "q_lm_score_topn": q_lm_score_topn,
         "q_profile_events": q_profile_events,
         "q_chunk_documents": q_chunk_documents,
+        "q_line_dedup": q_line_dedup,
+        "q_redact_pii": q_redact_pii,
+        "q_top_docs_per_lang": q_top_docs_per_lang,
+        "q_value_quantiles_by_type": q_value_quantiles_by_type,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1092,6 +1160,55 @@ def _oracle_sql_base() -> dict:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n FROM bi"
             " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "q_line_dedup": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " st AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start"
+            "  FROM toks WHERE len(t) > 0),"
+            " lines AS (SELECT doc_id, start // 16 AS line_idx,"
+            "  array_to_string(t[start+1:start+16], ' ') AS line FROM st),"
+            " keep AS (SELECT doc_id, line_idx, line, row_number() OVER"
+            "  (PARTITION BY line ORDER BY doc_id, line_idx) AS rn FROM lines)"
+            " SELECT doc_id,"
+            " string_agg(line, ' ' ORDER BY line_idx) AS dedup_text,"
+            " count(*) AS n_kept FROM keep WHERE rn = 1 GROUP BY doc_id"
+        ),
+        # same injection rule and RE2 patterns as q_redact_pii's Ray side
+        "q_redact_pii": (
+            "WITH inj AS (SELECT doc_id, text"
+            " || CASE WHEN doc_id % 3 != 0 THEN ' mail user' || doc_id ||"
+            "    '@mail.example' ELSE '' END"
+            " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' ||"
+            "    (doc_id % 10000) ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||"
+            "    (doc_id % 256) || '.7' ELSE '' END AS t FROM documents)"
+            " SELECT doc_id,"
+            " regexp_replace(regexp_replace(regexp_replace(t,"
+            "  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),"
+            "  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',"
+            "  '<IP>', 'g'),"
+            "  '\\b555-[0-9]{1,4}\\b', '<PHONE>', 'g') AS clean_text,"
+            " len(regexp_extract_all(t,"
+            "  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,"
+            " len(regexp_extract_all(t,"
+            "  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))"
+            "  AS n_ips,"
+            " len(regexp_extract_all(t, '\\b555-[0-9]{1,4}\\b')) AS n_phones"
+            " FROM inj"
+        ),
+        "q_top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM documents"
+            " QUALIFY row_number() OVER"
+            " (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "q_value_quantiles_by_type": (
+            "SELECT event_type,"
+            " quantile_cont(value, 0.25) AS q25,"
+            " quantile_cont(value, 0.5) AS q50,"
+            " quantile_cont(value, 0.75) AS q75,"
+            " quantile_cont(value, 0.95) AS q95"
+            " FROM events GROUP BY event_type"
         ),
         "q_chunk_documents": (
             "WITH toks AS (SELECT doc_id,"
