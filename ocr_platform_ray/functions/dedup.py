@@ -77,19 +77,22 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
 
     Per-batch combiner (pandas groupby within the batch) shrinks the
     shuffle to at most one row per distinct text per batch; the global
-    groupby is KEYED on the 64-bit text hash (``fp64``) so the shuffle's
-    sort/partition comparisons run on int64, not multi-KB strings — the
-    text column still travels as payload and equality is verified exactly
-    inside each hash group (a collision merely co-locates two texts).
-    Equivalent SQL: SELECT min(doc_id) AS doc_id FROM documents GROUP BY
-    text.
+    groupby is KEYED on the COARSE-BUCKETED 64-bit text hash so the
+    shuffle's sort/partition comparisons run on int64, not multi-KB
+    strings, AND the reduce side pays one vectorized sub-groupby per
+    bucket instead of one Ray group per distinct text — the text column
+    still travels as payload and equality is verified exactly inside the
+    bucket (a hash collision merely co-locates two texts). Equivalent
+    SQL: SELECT min(doc_id) AS doc_id FROM documents GROUP BY text.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("text", as_index=False)["doc_id"].min()
-        fp = _text_hash64(pa.array(df["text"])).astype(np.int64)
+        cb = (_text_hash64(pa.array(df["text"])) & np.uint64(1023)).astype(
+            np.int64
+        )
         return pa.Table.from_pydict(
-            {"fp64": fp, "text": df["text"], "doc_id": df["doc_id"]}
+            {"cb": cb, "text": df["text"], "doc_id": df["doc_id"]}
         )
 
     partials = ds.select_columns(["doc_id", "text"]).map_batches(
@@ -101,7 +104,7 @@ def exact_dedup_min_doc(ds: rd.Dataset) -> rd.Dataset:
 
     return (
         partials.repartition(shuffle_blocks())
-        .groupby("fp64")
+        .groupby("cb")
         .map_groups(final, batch_format="pandas")
     )
 

@@ -11,7 +11,12 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from . import round_half_away
+from . import (
+    bucketed_group_apply,
+    resolve_broadcast,
+    round_half_away,
+    round_half_away_np,
+)
 
 
 def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
@@ -104,18 +109,27 @@ def top_customers(
     partials = orders.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
-        key = int(g["o_custkey"].iloc[0])
-        return pd.DataFrame(
-            {
-                "c_custkey": [key],
-                "c_name": [lk.get(key, "")],
-                "total_spent": [round_half_away(float(g["total_spent"].sum()), 2)],
-                "n_orders": [int(g["n_orders"].sum())],
-            }
+        # full sort first: float accumulation order is data-determined
+        g = g.sort_values(
+            ["o_custkey", "total_spent", "n_orders"], kind="mergesort"
         )
+        agg = g.groupby("o_custkey", as_index=False).agg(
+            total_spent=("total_spent", "sum"), n_orders=("n_orders", "sum")
+        )
+        lk = resolve_broadcast(lookup_ref)
+        agg["c_name"] = agg["o_custkey"].map(lk).fillna("")
+        agg["total_spent"] = round_half_away_np(agg["total_spent"].to_numpy(), 2)
+        agg["n_orders"] = agg["n_orders"].astype("int64")
+        agg = agg.rename(columns={"o_custkey": "c_custkey"})
+        return agg.sort_values(
+            ["total_spent", "c_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)[["c_custkey", "c_name", "total_spent", "n_orders"]]
 
-    per_cust = partials.groupby("o_custkey").map_groups(final, batch_format="pandas")
+    # custkeys hash-bucket: one vectorized merge + name-resolve per bucket
+    # (one Ray group per customer would pay a DataFrame per key); each
+    # bucket pre-trims to its own top-k before the global sort
+    per_cust = bucketed_group_apply(partials, "o_custkey", final, n_buckets=256)
     # tie-break matches the oracle's ORDER BY total_spent DESC, c_custkey
     return per_cust.sort(
         ["total_spent", "c_custkey"], descending=[True, False]
@@ -186,18 +200,19 @@ def revenue_by_customer(
     partials = joined.map_batches(per_cust, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
-        key = int(g["o_custkey"].iloc[0])
-        return pd.DataFrame(
-            {
-                "c_custkey": [key],
-                "c_name": [lk.get(key, "")],
-                "revenue": [round_half_away(float(g["rev"].sum()), 0)],
-            }
-        )
+        g = g.sort_values(["o_custkey", "rev"], kind="mergesort")
+        agg = g.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+        lk = resolve_broadcast(lookup_ref)
+        agg["c_name"] = agg["o_custkey"].map(lk).fillna("")
+        agg["revenue"] = round_half_away_np(agg["rev"].to_numpy(), 0)
+        agg = agg.rename(columns={"o_custkey": "c_custkey"})
+        return agg.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)[["c_custkey", "c_name", "revenue"]]
 
-    per_customer = partials.groupby("o_custkey").map_groups(
-        final, batch_format="pandas"
+    # custkeys hash-bucket (vectorized merge per bucket, per-bucket top-k)
+    per_customer = bucketed_group_apply(
+        partials, "o_custkey", final, n_buckets=256
     )
     # tie-break matches the oracle's ORDER BY revenue DESC, c_custkey
     return per_customer.sort(

@@ -147,24 +147,28 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def _topk_counts(partials, key_col: str, k: int):
     """Shared merge/top-k tail for corpus-wide frequency passes: merge the
-    per-batch (key, n) partials in a groupby, then (n DESC, key ASC) —
-    the oracle ORDER BY tie-break — and limit(k)."""
+    per-batch (key, n) partials in a key-hash-bucketed groupby (ONE
+    vectorized sub-groupby per bucket — one Ray group per distinct key
+    would pay a pandas DataFrame construction per vocabulary entry), each
+    bucket keeps only its own top-k, then (n DESC, key ASC) — the oracle
+    ORDER BY tie-break — and limit(k) over the <= n_buckets x k
+    survivors."""
     import pandas as pd
 
+    from . import bucketed_group_apply
     from .dedup import shuffle_blocks
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], "n": [int(g["n"].sum())]}
-        )
+        agg = g.groupby(key_col, as_index=False).agg(n=("n", "sum"))
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg.sort_values(
+            ["n", key_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
 
-    return (
-        partials.repartition(shuffle_blocks())
-        .groupby(key_col)
-        .map_groups(final, batch_format="pandas")
-        .sort(["n", key_col], descending=[True, False])
-        .limit(k)
+    merged = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()), key_col, final, n_buckets=256
     )
+    return merged.sort(["n", key_col], descending=[True, False]).limit(k)
 
 
 def top_tokens(ds, k: int = 20):
