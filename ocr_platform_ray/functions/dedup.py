@@ -1260,3 +1260,96 @@ def dedup_lines(
     return bucketed_group_apply(
         kept, id_col, reassemble, n_buckets=n_buckets, batch_format="pandas"
     )
+
+
+def sample_to_mixture(
+    ds: rd.Dataset,
+    group_col: str,
+    weights: dict,
+    total: int,
+    id_col: str = "doc_id",
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Deterministic mixture sampling — the data-MIXING pass of an LM
+    training pipeline (weight sources/domains to a target distribution,
+    public technique: e.g. The Pile / LLaMA corpus weighting): aim for
+    ``total`` rows distributed per normalized ``weights``; each group
+    keeps its k_g = min(n_g, floor(w_norm * total)) rows with the
+    smallest md5(id) — the same keyed pseudo-random order as
+    :func:`stratified_sample`, so the sample is stable across runs,
+    partitionings and engines (ORDER BY md5(CAST(id AS VARCHAR)), id).
+    Groups absent from ``weights`` are dropped. Undersized groups yield
+    what they have (no oversampling) — the shortfall is visible as
+    len(result) < total.
+
+    Group sizes come from a tiny distributed aggregate (one (group, n)
+    row per batch partial, merged on the driver under a LOUD
+    ``max_groups`` guard — mixture groups are sources/domains, orders of
+    magnitude fewer than rows); k_g broadcasts with the weights. The
+    selection pass reuses the stratified shape: per-batch top-k_g per
+    group, then one bucketed final top-k_g, so the shuffle moves
+    O(k x groups x batches) rows, never the corpus.
+
+    Float contract: w_norm * total uses plain IEEE doubles on both sides
+    (weights are summed in sorted-group-key order); pass weights that are
+    exact binary fractions (0.5, 0.25, ...) when bit-identical k_g
+    against a SQL engine matters."""
+    import math
+
+    from . import bucketed_group_apply
+    from ..md5np import md5_hex
+
+    proj = ds.select_columns(
+        [id_col, group_col] if id_col != group_col else [id_col]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(group_col, as_index=False).agg(
+            n=(id_col, "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts: dict = {}
+    for r in proj.map_batches(count_partial, batch_format="pyarrow").take_all():
+        counts[r[group_col]] = counts.get(r[group_col], 0) + int(r["n"])
+        if len(counts) > max_groups:
+            raise ValueError(
+                f"sample_to_mixture: more than max_groups={max_groups} "
+                f"distinct {group_col} values — mixture sampling keys on "
+                "coarse sources/domains; pre-bucket finer keys first"
+            )
+    wsum = 0.0
+    for g in sorted(weights):
+        wsum += float(weights[g])
+    if wsum <= 0:
+        raise ValueError("sample_to_mixture: weights must sum > 0")
+    k_by_group = {
+        g: min(counts.get(g, 0), int(math.floor(float(w) / wsum * total)))
+        for g, w in weights.items()
+    }
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__sk", md5_hex(batch.column(id_col)))
+
+    def keep_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin(k_by_group)]
+        if not len(df):
+            return df
+        df = df.sort_values(["__sk", id_col], kind="mergesort")
+        ranks = df.groupby(group_col, sort=False).cumcount()
+        lim = df[group_col].map(k_by_group)
+        return df[ranks < lim]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            keep_topk(batch.to_pandas()), preserve_index=False
+        )
+
+    partials = proj.map_batches(add_key, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return keep_topk(g).drop(columns=["__sk"])
+
+    return bucketed_group_apply(partials, group_col, final, n_buckets=64)

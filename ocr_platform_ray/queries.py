@@ -225,6 +225,21 @@ def q_value_quantiles_by_type(sf_dir: str) -> rd.Dataset:
     return grouped_quantiles(ds, key_col="event_type", val_col="value")
 
 
+def q_mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Data-mixing sampler: target 200 docs at source weights
+    src0:0.5, src1:0.25, src2:0.25 (exact binary fractions so k_g float
+    math is bit-identical to the SQL side), selection by smallest
+    md5(doc_id) per source — exact QUALIFY oracle."""
+    from .functions.dedup import sample_to_mixture
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_to_mixture(
+        ds, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}, total=200
+    )
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -1050,6 +1065,7 @@ def queries() -> dict:
         "q_redact_pii": q_redact_pii,
         "q_top_docs_per_lang": q_top_docs_per_lang,
         "q_value_quantiles_by_type": q_value_quantiles_by_type,
+        "q_mixture_sample": q_mixture_sample,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1196,6 +1212,20 @@ def _oracle_sql_base() -> dict:
             "  AS n_ips,"
             " len(regexp_extract_all(t, '\\b555-[0-9]{1,4}\\b')) AS n_phones"
             " FROM inj"
+        ),
+        "q_mixture_sample": (
+            "WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25),"
+            " ('src2', 0.25)),"
+            " n AS (SELECT source, count(*) AS n_g FROM documents"
+            "  GROUP BY source),"
+            " k AS (SELECT w.source, least(n.n_g, CAST(floor(w.wt /"
+            "  (SELECT sum(wt) FROM w) * 200) AS BIGINT)) AS k_g"
+            "  FROM w JOIN n USING (source)),"
+            " r AS (SELECT d.doc_id, d.source, k.k_g, row_number() OVER"
+            "  (PARTITION BY d.source ORDER BY"
+            "   md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn"
+            "  FROM documents d JOIN k USING (source))"
+            " SELECT doc_id, source FROM r WHERE rn <= k_g"
         ),
         "q_top_docs_per_lang": (
             "SELECT lang, doc_id, n_chars FROM documents"

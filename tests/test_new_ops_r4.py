@@ -242,3 +242,57 @@ class TestGroupedQuantiles:
         out = grouped_quantiles(_ds(rows), "k", "v").to_pandas()
         assert out.loc[0, "q25"] == 42.0
         assert out.loc[0, "q95"] == 42.0
+
+
+class TestSampleToMixture:
+    def test_weights_and_caps(self, ray_session):
+        import hashlib
+
+        from ocr_platform_ray.functions.dedup import sample_to_mixture
+
+        # srcA: 40 rows, srcB: 4 rows (undersized), srcC unweighted
+        rows = (
+            [{"doc_id": i, "source": "srcA"} for i in range(40)]
+            + [{"doc_id": 100 + i, "source": "srcB"} for i in range(4)]
+            + [{"doc_id": 200 + i, "source": "srcC"} for i in range(10)]
+        )
+        out = sample_to_mixture(
+            _ds(rows).repartition(5), "source",
+            {"srcA": 0.5, "srcB": 0.5}, total=40,
+        ).to_pandas()
+        by = out.groupby("source")["doc_id"].apply(list).to_dict()
+        # srcA: floor(0.5*40)=20 of 40; srcB capped at its 4 rows; srcC dropped
+        assert len(by["srcA"]) == 20
+        assert sorted(by["srcB"]) == [100, 101, 102, 103]
+        assert "srcC" not in by
+        # selection = smallest md5(doc_id) — check against hashlib
+        ref = sorted(
+            range(40), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:20]
+        assert sorted(by["srcA"]) == sorted(ref)
+
+    def test_partitioning_invariance(self, ray_session):
+        from ocr_platform_ray.functions.dedup import sample_to_mixture
+
+        rows = [
+            {"doc_id": i, "source": "s%d" % (i % 3)} for i in range(90)
+        ]
+        w = {"s0": 0.25, "s1": 0.5, "s2": 0.25}
+        a = (
+            sample_to_mixture(_ds(rows), "source", w, total=30)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            sample_to_mixture(_ds(rows).repartition(11), "source", w, total=30)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_group_guard_raises(self, ray_session):
+        from ocr_platform_ray.functions.dedup import sample_to_mixture
+
+        rows = [{"doc_id": i, "source": "s%d" % i} for i in range(20)]
+        with pytest.raises(ValueError, match="max_groups"):
+            sample_to_mixture(
+                _ds(rows), "source", {"s0": 1.0}, total=5, max_groups=10
+            ).count()

@@ -59,6 +59,9 @@ def main():
         )
     from ray.data import DataContext
 
+    from ocr_platform_ray.raylog import suppress_empty_sort_schema_warning
+
+    suppress_empty_sort_schema_warning()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     if os.environ.get("GRAFT_SHUFFLE") == "hash":
