@@ -138,6 +138,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_top_docs_per_lang", q.q_top_docs_per_lang),
         ("q_value_quantiles_by_type", q.q_value_quantiles_by_type),
         ("q_mixture_sample", q.q_mixture_sample),
+        ("q_quality_buckets", q.q_quality_buckets),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -240,6 +240,34 @@ def q_mixture_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_quality_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 split corpora
+    into head/middle/tail by score terciles): exact global tercile cuts
+    via the distributed histogram-selection quantile (no sort, no
+    collect), then a row-local bucket assignment. Tie safety: an
+    interpolated cut either equals a data value exactly (both engines'
+    interpolation forms agree on ties) or lies strictly between two
+    adjacent distinct values — so <=-comparisons match DuckDB's
+    quantile_cont bit-for-bit either way."""
+    from .functions.sketches import exact_quantile
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "quality_score"])
+    scored = scored.materialize()  # consumed 3x: two cuts + assignment
+    c1 = exact_quantile(scored, "quality_score", 1.0 / 3.0)
+    c2 = exact_quantile(scored, "quality_score", 2.0 / 3.0)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = batch.column("quality_score").to_numpy(zero_copy_only=False)
+        bucket = np.where(s <= c1, "tail", np.where(s <= c2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket.astype(object)))
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
 def q_lang_stats(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -1066,6 +1094,7 @@ def queries() -> dict:
         "q_top_docs_per_lang": q_top_docs_per_lang,
         "q_value_quantiles_by_type": q_value_quantiles_by_type,
         "q_mixture_sample": q_mixture_sample,
+        "q_quality_buckets": q_quality_buckets,
         "q_lang_stats": q_lang_stats,
         "q_distinct_langs": q_distinct_langs,
         "q_top_sources": q_top_sources,
@@ -1212,6 +1241,21 @@ def _oracle_sql_base() -> dict:
             "  AS n_ips,"
             " len(regexp_extract_all(t, '\\b555-[0-9]{1,4}\\b')) AS n_phones"
             " FROM inj"
+        ),
+        # the score derivation is q_quality's; cuts are global terciles
+        "q_quality_buckets": (
+            "WITH s AS (SELECT doc_id,"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0,"
+            "  1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "  / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents),"
+            " c AS (SELECT quantile_cont(quality_score, 0.3333333333333333)"
+            "  AS c1, quantile_cont(quality_score, 0.6666666666666666) AS c2"
+            "  FROM s)"
+            " SELECT doc_id, quality_score,"
+            " CASE WHEN quality_score <= c1 THEN 'tail'"
+            "  WHEN quality_score <= c2 THEN 'middle'"
+            "  ELSE 'head' END AS bucket FROM s, c"
         ),
         "q_mixture_sample": (
             "WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25),"
