@@ -296,3 +296,66 @@ class TestSampleToMixture:
             sample_to_mixture(
                 _ds(rows), "source", {"s0": 1.0}, total=5, max_groups=10
             ).count()
+
+
+class TestManyKeysScale:
+    """The bucket idiom's reason to exist: tens of thousands of distinct
+    keys must not mean tens of thousands of Ray groups. 20k keys through
+    grouped_topk and grouped_quantiles, pinned against pandas/duckdb."""
+
+    def test_grouped_topk_20k_keys(self, ray_session):
+        from ocr_platform_ray.functions.relational import grouped_topk
+
+        rng = np.random.RandomState(2)
+        n = 100_000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20_000, n),
+                "id": np.arange(n),
+                "v": rng.randint(0, 1000, n),
+            }
+        )
+        out = (
+            grouped_topk(rd.from_pandas(df).repartition(8), "k", "v", 2, "id")
+            .to_pandas()
+            .sort_values(["k", "id"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("k", group_keys=False)
+            .head(2)
+            .sort_values(["k", "id"])
+            .reset_index(drop=True)[["k", "id", "v"]]
+        )
+        pd.testing.assert_frame_equal(out, ref)
+
+    def test_grouped_quantiles_20k_keys(self, ray_session):
+        import duckdb
+
+        from ocr_platform_ray.functions.sketches import grouped_quantiles
+
+        rng = np.random.RandomState(4)
+        n = 80_000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20_000, n),
+                "v": np.round(rng.rand(n) * 1000, 3),
+            }
+        )
+        out = (
+            grouped_quantiles(
+                rd.from_pandas(df).repartition(8), "k", "v", qs=(0.5,)
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        ref = (
+            duckdb.sql(
+                "SELECT k, quantile_cont(v, 0.5) AS q50 FROM df"
+                " GROUP BY k ORDER BY k"
+            ).df().reset_index(drop=True)
+        )
+        assert out["k"].tolist() == ref["k"].tolist()
+        assert out["q50"].tolist() == ref["q50"].tolist()
