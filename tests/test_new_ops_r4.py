@@ -359,3 +359,43 @@ class TestManyKeysScale:
         )
         assert out["k"].tolist() == ref["k"].tolist()
         assert out["q50"].tolist() == ref["q50"].tolist()
+
+
+class TestDedupLinesReference:
+    def test_matches_bruteforce_reference(self, ray_session):
+        """Random corpora vs a pure-python keep-first reference."""
+        import re
+
+        from ocr_platform_ray.functions.dedup import dedup_lines
+
+        for seed in (0, 1, 2):
+            rng = np.random.RandomState(seed)
+            vocab = ["a", "b", "c", "d"]  # tiny vocab -> many collisions
+            rows = [
+                {
+                    "doc_id": i,
+                    "text": " ".join(rng.choice(vocab, rng.randint(0, 12))),
+                }
+                for i in range(40)
+            ]
+            step = 3
+            seen = set()
+            want = {}
+            for r in rows:  # rows are doc_id-ordered == keep-first order
+                toks = re.findall("[a-z0-9]+", r["text"])
+                kept = []
+                for s in range(0, len(toks), step):
+                    line = " ".join(toks[s:s + step])
+                    if line not in seen:
+                        seen.add(line)
+                        kept.append(line)
+                if kept:
+                    want[r["doc_id"]] = (" ".join(kept), len(kept))
+            out = dedup_lines(
+                _ds(rows).repartition(7), line_tokens=step
+            ).to_pandas()
+            got = {
+                int(r.doc_id): (r.dedup_text, int(r.n_kept))
+                for r in out.itertuples()
+            }
+            assert got == want, f"seed={seed}"
