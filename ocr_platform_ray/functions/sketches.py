@@ -216,21 +216,31 @@ def quantile_sketch_per_key(
         partial, batch_format="pyarrow"
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_one(g: pd.DataFrame) -> dict:
         pts = np.concatenate([np.frombuffer(p, dtype=np.float64) for p in g["points"]])
         wts = np.concatenate([np.frombuffer(w, dtype=np.float64) for w in g["weights"]])
         order = np.argsort(pts, kind="mergesort")
         pts, wts = pts[order], wts[order]
         cum = np.cumsum(wts)
         total = cum[-1]
-        row = {key: [g[key].iloc[0]]}
+        row = {key: g[key].iloc[0]}
         for name, q in quantiles.items():
             # smallest point whose cumulative weight reaches q*total
             i = int(np.searchsorted(cum, q * total, side="left"))
-            row[name] = [round(float(pts[min(i, len(pts) - 1)]), 6)]
-        return pd.DataFrame(row)
+            row[name] = round(float(pts[min(i, len(pts) - 1)]), 6)
+        return row
 
-    return partials.groupby(key).map_groups(merge, batch_format="pandas")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # keys hash-bucket (bucketed_group_apply): the per-key numpy merge
+        # runs in a plain loop over the bucket's keys — Ray scheduling is
+        # paid per bucket, not per key
+        return pd.DataFrame(
+            [merge_one(sub) for _, sub in g.groupby(key, sort=True)]
+        )
+
+    from . import bucketed_group_apply
+
+    return bucketed_group_apply(partials, key, merge_bucket, n_buckets=256)
 
 
 # --------------------------------------- distributed EXACT quantile (selection)
