@@ -45,20 +45,24 @@ def curation_summary(ds: rd.Dataset) -> rd.Dataset:
     def dedup_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text", "n_tokens"]).to_pandas()
         win = df.loc[df.groupby("text")["doc_id"].idxmin()]
-        fp = _text_hash64(pa.array(win["text"])).astype(np.int64)
+        cb = (_text_hash64(pa.array(win["text"])) & np.uint64(1023)).astype(
+            np.int64
+        )
         return pa.Table.from_pydict(
-            {"fp64": fp, "text": win["text"], "doc_id": win["doc_id"],
+            {"cb": cb, "text": win["text"], "doc_id": win["doc_id"],
              "n_tokens": win["n_tokens"].astype("int64")}
         )
 
     def dedup_final(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized sub-groupby per hash BUCKET, not one Ray group
+        # per distinct text; exact text equality decides inside the bucket
         win = g.loc[g.groupby("text")["doc_id"].idxmin()]
         return win[["doc_id", "n_tokens"]]
 
     survivors = (
         kept.map_batches(dedup_partial, batch_format="pyarrow")
         .repartition(shuffle_blocks())
-        .groupby("fp64")
+        .groupby("cb")
         .map_groups(dedup_final, batch_format="pandas")
     )
     labeled = train_test_split(survivors)

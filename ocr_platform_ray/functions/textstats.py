@@ -273,25 +273,27 @@ def top_tfidf_terms(ds, k: int = 20):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
-        df = int(g["df"].sum())
-        tfidf = float(np.floor(n * np.log(n_corpus / df) * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame(
-            {
-                "token": [g["token"].iloc[0]],
-                "n": [n],
-                "df": [df],
-                "tfidf": [tfidf],
-            }
+        # one vectorized merge per token-hash BUCKET (not per token);
+        # per-token totals are complete within the bucket, so each bucket
+        # may pre-trim to its own top-k before the global sort
+        agg = g.groupby("token", as_index=False).agg(
+            n=("n", "sum"), df=("df", "sum")
         )
+        n = agg["n"].to_numpy(dtype=np.float64)
+        dfv = agg["df"].to_numpy(dtype=np.float64)
+        agg["tfidf"] = np.floor(n * np.log(n_corpus / dfv) * 1e6 + 0.5) / 1e6
+        agg["n"] = agg["n"].astype("int64")
+        agg["df"] = agg["df"].astype("int64")
+        return agg.sort_values(
+            ["tfidf", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
 
-    return (
-        partials.repartition(shuffle_blocks())
-        .groupby("token")
-        .map_groups(final, batch_format="pandas")
-        .sort(["tfidf", "token"], descending=[True, False])
-        .limit(k)
+    from . import bucketed_group_apply
+
+    merged = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()), "token", final, n_buckets=256
     )
+    return merged.sort(["tfidf", "token"], descending=[True, False]).limit(k)
 
 
 def repetition_batch(batch: pa.Table) -> pa.Table:
