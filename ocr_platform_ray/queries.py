@@ -617,36 +617,44 @@ def q_approx_distinct_users(sf_dir: str) -> rd.Dataset:
 
 
 def q_running_total(sf_dir: str) -> rd.Dataset:
-    """Window-function analogue: per-user running sum of value in ts order
-    (sorted cumulative sum inside map_groups)."""
+    """Window-function analogue: per-user running sum of value in ts order.
+    Users hash-bucket (all of a user's events co-locate); ONE vectorized
+    pass per bucket: sort by (user_id, ts, event_id), grouped cumsum,
+    vectorized rounding — no per-user Ray group, no per-row Python loop."""
+    from .functions import bucketed_group_apply, round_half_away_np
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        run = g["value"].cumsum()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["value"].cumsum()
         return pd.DataFrame(
             {
-                "event_id": g["event_id"],
-                "running_value": [round_half_away(float(x), 6) for x in run],
+                "event_id": g["event_id"].to_numpy(),
+                "running_value": round_half_away_np(run.to_numpy(), 6),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", per_bucket, n_buckets=512)
 
 
 def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
     """Top-k-per-group (row_number window analogue): each user's first 3
-    events in (ts, event_id) order."""
+    events in (ts, event_id) order — bucketed, one vectorized grouped
+    head(3) per bucket."""
+    from .functions import bucketed_group_apply
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).head(3)[["user_id", "event_id"]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g.groupby("user_id", sort=False).head(3)[["user_id", "event_id"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", per_bucket, n_buckets=512)
 
 
 def q_value_histogram(sf_dir: str) -> rd.Dataset:
