@@ -489,6 +489,7 @@ def kmeans_clusters(
         )
 
     for _ in range(n_iters):
+        prev = cent.copy()
         cent_ref = ray.put(cent)
         partials = emb.map_batches(make_partial(cent_ref), batch_format="pyarrow")
         if k > driver_merge_max:
@@ -510,6 +511,12 @@ def kmeans_clusters(
         cent[nonempty] = mean / np.maximum(
             np.linalg.norm(mean, axis=1), 1e-30
         )[:, None]
+        if np.array_equal(prev, cent):
+            # converged: centroids are BIT-identical to the previous
+            # pass, so every further Lloyd pass would recompute exactly
+            # the same assignment and the same centroids — stopping early
+            # cannot change the result, it only skips no-op corpus scans
+            break
 
     cent_ref = ray.put(cent)
 
