@@ -44,14 +44,26 @@ def _text_hash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return s.hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def distinct_pairs(pairs: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+def pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """256-way coarse bucket of an int64 key pair (dedup shuffle key)."""
+    return (a * 31 + b) & 255
+
+
+def distinct_pairs(
+    pairs: rd.Dataset, key_cols: list[str], pre_bucketed: bool = False
+) -> rd.Dataset:
     """Distinct rows by key pair, via ~256 coarse groups with a pandas
-    drop_duplicates inside each (cheaper than one Ray group per pair)."""
+    drop_duplicates inside each (cheaper than one Ray group per pair).
+
+    ``pre_bucketed=True``: the producing stage already emitted the int
+    'pb' bucket column (and ideally pre-deduped within its own groups),
+    so the extra map + compaction stages are skipped — one groupby is the
+    whole dedup (the r4->r5 q_minhash_pairs fixed-overhead fix)."""
 
     def add_pb(batch: pa.Table) -> pa.Table:
         a = batch.column(key_cols[0]).to_numpy().astype(np.int64)
         b = batch.column(key_cols[1]).to_numpy().astype(np.int64)
-        return batch.append_column("pb", pa.array((a * 31 + b) & 255))
+        return batch.append_column("pb", pa.array(pair_bucket(a, b)))
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
         # deterministic winner per pair: sort by every column and keep the
@@ -62,12 +74,11 @@ def distinct_pairs(pairs: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
         g = g.sort_values(list(g.columns), kind="mergesort")
         return g.drop_duplicates(key_cols, keep="last").drop(columns=["pb"])
 
-    return (
-        pairs.map_batches(add_pb, batch_format="pyarrow")
-        .repartition(shuffle_blocks())
-        .groupby("pb")
-        .map_groups(dedupe, batch_format="pandas")
-    )
+    if not pre_bucketed:
+        pairs = pairs.map_batches(add_pb, batch_format="pyarrow").repartition(
+            shuffle_blocks()
+        )
+    return pairs.groupby("pb").map_groups(dedupe, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -252,18 +263,21 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
     produce O(n^2) pairs; the cap is logged in the row output by the
     'truncated' flag on pairs from capped buckets.
     """
-    bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        minhash_band_rows, batch_format="pyarrow", batch_size=512
-    )
-
-    # One groupby over ~1024 coarse keys (bucket-of-buckets): per-LSH-bucket
-    # pair generation happens in a pandas sub-groupby INSIDE each coarse
-    # group — avoids Ray map_groups overhead on |bands|*|docs| tiny groups.
-    def add_coarse(batch: pa.Table) -> pa.Table:
+    # One map emits band rows AND the coarse groupby key (bucket-of-
+    # buckets, ~1024 keys): per-LSH-bucket pair generation happens in a
+    # pandas sub-groupby INSIDE each coarse group — avoids Ray map_groups
+    # overhead on |bands|*|docs| tiny groups, and fusing the key into the
+    # band map drops a whole operator from the plan.
+    def bands_with_cb(batch: pa.Table) -> pa.Table:
+        t = minhash_band_rows(batch)
         cb = np.bitwise_and(
-            batch.column("band_hash").to_numpy().astype(np.int64), 1023
+            t.column("band_hash").to_numpy().astype(np.int64), 1023
         )
-        return batch.append_column("cb", pa.array(cb))
+        return t.append_column("cb", pa.array(cb))
+
+    bands = ds.select_columns(["doc_id", "text"]).map_batches(
+        bands_with_cb, batch_format="pyarrow", batch_size=512
+    )
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # most LSH buckets are singletons: drop them in one vectorized
@@ -288,15 +302,24 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
                 out["doc_b"].append(ids[j])
                 out["est_jaccard"].append(round(float(eq[i, j]), 6))
                 out["truncated"].append(truncated)
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        # pre-dedup within this coarse group with the SAME deterministic
+        # winner rule as distinct_pairs (sort all, keep last => truncated
+        # resolves to OR), and emit the pair-dedup bucket key here so the
+        # global distinct is a single groupby (no extra map/repartition)
+        df["pb"] = pair_bucket(
+            df["doc_a"].to_numpy(dtype=np.int64),
+            df["doc_b"].to_numpy(dtype=np.int64),
+        )
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.drop_duplicates(["doc_a", "doc_b"], keep="last")
 
     pairs = (
-        bands.map_batches(add_coarse, batch_format="pyarrow")
-        .repartition(shuffle_blocks())
+        bands.repartition(shuffle_blocks())
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    return distinct_pairs(pairs, ["doc_a", "doc_b"])
+    return distinct_pairs(pairs, ["doc_a", "doc_b"], pre_bucketed=True)
 
 
 def connected_components_labels(
@@ -479,7 +502,7 @@ def minhash_dedup_keep(
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
         drop = {x for x in parent if find(x) != x}
-        drop_ref = ray.put(drop)
+        drop_ref = ray.put(np.sort(np.fromiter(drop, np.int64, len(drop))))
     else:
         labels = connected_components_labels(pairs)
 
@@ -498,12 +521,17 @@ def minhash_dedup_keep(
                 non_roots, batch_format="pyarrow"
             ).take_all()
         }
-        drop_ref = ray.put(drop)
+        drop_ref = ray.put(np.sort(np.fromiter(drop, np.int64, len(drop))))
 
     def keep(batch: pa.Table) -> pa.Table:
-        dset = ray.get(drop_ref)
-        mask = [int(d) not in dset for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask)).select(["doc_id"])
+        # broadcast drop-set is a SORTED int64 array: membership resolves
+        # with one vectorized searchsorted per batch, no Python row loop
+        darr = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.searchsorted(darr, ids)
+        hit = pos < len(darr)
+        hit[hit] = darr[pos[hit]] == ids[hit]
+        return batch.filter(pa.array(~hit)).select(["doc_id"])
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -565,6 +593,8 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     )
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
+        # emits the coarse groupby key alongside the block rows (fused,
+        # same reasoning as minhash_dup_pairs' bands_with_cb)
         ids = batch.column("doc_id").to_numpy()
         h = batch.column("simhash64").to_numpy().astype(np.uint64)
         out = {"doc_id": [], "block": [], "block_val": [], "simhash64": []}
@@ -575,14 +605,12 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
                 ((h >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64).tolist()
             )
             out["simhash64"].extend(h.astype(np.int64).tolist())
-        return pa.Table.from_pydict(out)
+        t = pa.Table.from_pydict(out)
+        blk = t.column("block").to_numpy().astype(np.int64)
+        bv = t.column("block_val").to_numpy().astype(np.int64)
+        return t.append_column("cb", pa.array(blk * 256 + (bv & 255)))
 
     blocks = sh.map_batches(explode_blocks, batch_format="pyarrow")
-
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        blk = batch.column("block").to_numpy().astype(np.int64)
-        bv = batch.column("block_val").to_numpy().astype(np.int64)
-        return batch.append_column("cb", pa.array(blk * 256 + (bv & 255)))
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(["block", "block_val"], keep=False)]  # singleton buckets can't pair
@@ -606,15 +634,21 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             out["doc_b"].extend(ids[jj[keep]].tolist())
             out["hamming"].extend(ham[ii[keep], jj[keep]].astype(int).tolist())
             out["truncated"].extend([truncated] * int(keep.sum()))
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        # pre-dedup + fused pair-bucket key (see minhash coarse_pairs)
+        df["pb"] = pair_bucket(
+            df["doc_a"].to_numpy(dtype=np.int64),
+            df["doc_b"].to_numpy(dtype=np.int64),
+        )
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.drop_duplicates(["doc_a", "doc_b"], keep="last")
 
     pairs = (
-        blocks.map_batches(add_coarse, batch_format="pyarrow")
-        .repartition(shuffle_blocks())
+        blocks.repartition(shuffle_blocks())
         .groupby("cb")
         .map_groups(coarse_pairs, batch_format="pandas")
     )
-    return distinct_pairs(pairs, ["doc_a", "doc_b"])
+    return distinct_pairs(pairs, ["doc_a", "doc_b"], pre_bucketed=True)
 
 
 # -------------------------------------------------------- exact n-gram Jaccard

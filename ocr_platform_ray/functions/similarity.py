@@ -361,31 +361,42 @@ def embedding_dup_pairs(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
+    from .dedup import distinct_pairs, pair_bucket, shuffle_blocks
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id").head(128)
-        ids = g["vec_id"].tolist()
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = np.stack(g["embedding"].to_numpy()) if len(g) else np.zeros((0, 1))
         mat = mat.astype(np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
         nm = mat / norms[:, None]
-        out = {"vec_id_a": [], "vec_id_b": [], "cos_sim": []}
         sims = nm @ nm.T
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= tau:
-                    out["vec_id_a"].append(ids[i])
-                    out["vec_id_b"].append(ids[j])
-                    out["cos_sim"].append(round(float(sims[i, j]), 6))
-        return pd.DataFrame(out)
-
-    from .dedup import distinct_pairs, shuffle_blocks
+        # upper-triangle threshold mask, fully vectorized (the minhash /
+        # simhash coarse_pairs idiom — no per-pair Python loop)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= tau
+        ii, jj = ii[keep], jj[keep]
+        df = pd.DataFrame(
+            {
+                "vec_id_a": ids[ii],
+                "vec_id_b": ids[jj],
+                "cos_sim": np.round(sims[ii, jj], 6),
+            }
+        )
+        # pre-dedup + fused pair-bucket key (see minhash coarse_pairs)
+        df["pb"] = pair_bucket(
+            df["vec_id_a"].to_numpy(dtype=np.int64),
+            df["vec_id_b"].to_numpy(dtype=np.int64),
+        )
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.drop_duplicates(["vec_id_a", "vec_id_b"], keep="last")
 
     pairs = (
         bucketed.repartition(shuffle_blocks())
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return distinct_pairs(pairs, ["vec_id_a", "vec_id_b"])
+    return distinct_pairs(pairs, ["vec_id_a", "vec_id_b"], pre_bucketed=True)
 
 
 KMEANS_DRIVER_MERGE_MAX = 4096
