@@ -699,13 +699,20 @@ def quantize_embeddings(ds: rd.Dataset, id_col: str = "vec_id") -> rd.Dataset:
         mat = _emb_matrix(batch)
         amax = np.maximum(np.abs(mat).max(axis=1), 1e-30)
         q = np.round(mat / amax[:, None] * 127.0).astype(np.int8)
+        dim = mat.shape[1] if mat.size else 0
+        # fixed_size_binary(dim): one contiguous buffer for the whole
+        # column — probes view it zero-copy as an (n, dim) int8 matrix
+        # instead of materializing every cell through Python
+        qvec = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim), batch.num_rows, [None, pa.py_buffer(q.tobytes())]
+        )
         return pa.Table.from_pydict(
             {
                 id_col: batch.column(id_col),
                 "scale": pa.array(amax, pa.float64()),
-                "qvec": pa.array([row.tobytes() for row in q], pa.binary()),
+                "qvec": qvec,
                 "dim": pa.array(
-                    np.full(batch.num_rows, mat.shape[1] if mat.size else 0),
+                    np.full(batch.num_rows, dim),
                     pa.int32(),
                 ),
             }
@@ -742,7 +749,11 @@ def topk_cosine_int8(
         raw = batch.column("qvec")
         if isinstance(raw, pa.ChunkedArray):
             raw = raw.combine_chunks()
-        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.int8)
+        # zero-copy buffer view of the fixed_size_binary column (offset-
+        # aware: a sliced array's data buffer starts at offset*dim bytes)
+        flat = np.frombuffer(raw.buffers()[1], dtype=np.int8)
+        start = raw.offset * dim
+        flat = flat[start : start + batch.num_rows * dim]
         mat = flat.reshape(batch.num_rows, dim).astype(np.float64)
         # per-vector scale cancels in cosine; normalize the int grid directly
         nm = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]

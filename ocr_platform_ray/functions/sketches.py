@@ -394,7 +394,11 @@ def heavy_hitter_tokens(
         )
         return pl.concat([out, sent]).to_arrow()
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # materialize ONCE: the partials are capacity-bounded (<= capacity+1
+    # rows per input batch), and both consumers below — the sentinel
+    # threshold scan and the filtered groupby — would otherwise each
+    # re-execute the tokenize+count pass over the whole corpus (2x scan)
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     total_t = sum(
         r["tb"]
         for r in partials.map_batches(
