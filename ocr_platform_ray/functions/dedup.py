@@ -1043,7 +1043,10 @@ def decontaminate_against_eval(
             )
         g = per_doc["g"].to_numpy().astype(str)
         pos = np.searchsorted(grams, g)
-        hit = (pos < len(grams)) & (grams[np.minimum(pos, len(grams) - 1)] == g)
+        # ok[ok] idiom: safe when the eval n-gram set is EMPTY (an empty
+        # or token-free test split) — no -1 indexing into a size-0 array
+        hit = pos < len(grams)
+        hit[hit] = grams[pos[hit]] == g[hit]
         hits = per_doc.filter(pl.Series(hit)).group_by(id_col).len()
         return (
             hits.rename({"len": "n_overlap"})
@@ -1073,8 +1076,8 @@ def decontaminate_against_eval_sharded(
     shuffle:
 
     1. eval INGEST: each test-split batch's distinct n-grams are
-       partitioned by ``hash(g) % n_shards`` (polars seed-0 hash — both
-       passes compute the same expression, so the mapping agrees) and
+       partitioned by ``md5_u32(g) % n_shards`` (pinned md5 prefix — the
+       mapping is stable by spec across processes and library builds) and
        pushed with ONE rpc per owning actor per batch; actors accumulate
        a set, then ``seal()`` into a sorted array for searchsorted.
     2. train CHECK: each train batch's per-doc distinct n-grams are
@@ -1121,9 +1124,16 @@ def decontaminate_against_eval_sharded(
     actors = [GramShard.remote() for _ in range(n_shards)]
 
     def shard_of(frame: pl.DataFrame) -> np.ndarray:
-        return (
-            frame["g"].hash(seed=0).to_numpy() % np.uint64(n_shards)
-        ).astype(np.int64)
+        # PINNED md5-based routing (md5np.md5_u32), not polars Series.hash:
+        # the eval and train passes hash in DIFFERENT worker processes, and
+        # polars documents its hash values as unstable across versions — a
+        # cluster with heterogeneous polars builds would silently misroute
+        # probes and under-report contamination. md5 is stable by spec.
+        from ..md5np import md5_u32
+
+        return (md5_u32(frame["g"].to_arrow()) % np.uint32(n_shards)).astype(
+            np.int64
+        )
 
     def ingest(batch: pa.Table) -> pa.Table:
         grams = _batch_token_ngrams(batch, n=n, id_col=id_col, keep_id=False).unique()

@@ -251,6 +251,7 @@ def exact_quantile(
     q: float,
     n_bins: int = 8192,
     collect_cap: int = 4_000_000,
+    interpolation: str = "numpy",
 ) -> float:
     """EXACT global quantile_cont of a numeric column by distributed
     selection — no global sort, no full-column materialization.
@@ -265,8 +266,13 @@ def exact_quantile(
        collected (guarded by ``collect_cap`` — a pathological all-ties
        bucket degrades loudly, not by OOM) and the two order statistics
        picked locally.
-    Returns ``x_k + frac * (x_{k+1} - x_k)`` — DuckDB/pandas
-    ``quantile_cont`` linear interpolation, exactly."""
+    Returns the linearly interpolated order statistic. ``interpolation``
+    picks the float FORM of that lerp — the two differ by an ulp at some
+    fracs (see :func:`grouped_quantiles`): "numpy" (default, pinned by
+    the property suite against np.quantile) uses numpy's
+    ``b - (b-a)*(1-t)`` fixup for t>=0.5; "duckdb" uses quantile_cont's
+    weighted ``lo*(1-frac) + hi*frac`` — use it when the cut is compared
+    against values an SQL oracle also buckets (q_quality_buckets)."""
     proj = ds.select_columns([col])
 
     def minmax(batch: pa.Table) -> pa.Table:
@@ -332,6 +338,8 @@ def exact_quantile(
     before = int(cum[b_k - 1]) if b_k > 0 else 0
     x_k = vals[k - before]
     x_k1 = vals[k + 1 - before] if k + 1 < n else x_k
+    if interpolation == "duckdb":
+        return float(x_k * (1.0 - frac) + x_k1 * frac)
     # numpy/pandas lerp, INCLUDING its frac>=0.5 precision fixup (numpy
     # computes b - (b-a)*(1-t) there; the naive a + t*(b-a) form can land
     # one ulp away — a hypothesis-found divergence at n=2, q=0.5)

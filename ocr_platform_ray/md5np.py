@@ -80,11 +80,12 @@ def _digests_to_hex(digest: np.ndarray) -> np.ndarray:
     return hexs.view("S32").ravel().astype(str)
 
 
-def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """md5 hex digest of each value of an Arrow column (values are cast to
-    string first, matching SQL ``md5(CAST(x AS VARCHAR))`` / Python
-    ``hashlib.md5(str(x).encode())``). Zero-copy offsets/data extraction;
-    the compression is one vectorized pass."""
+def _digest_rows(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(n, 16) uint8 MD5 digests of each value of an Arrow column (values
+    cast to string first, matching SQL ``md5(CAST(x AS VARCHAR))`` /
+    Python ``hashlib.md5(str(x).encode())``). Zero-copy offsets/data
+    extraction; the compression is one vectorized pass; rows > 55 bytes
+    fall back to hashlib per row."""
     import pyarrow.compute as pc
 
     s = pc.cast(col, pa.string())
@@ -92,14 +93,14 @@ def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
         s = s.combine_chunks()
     n = len(s)
     if n == 0:
-        return pa.array([], pa.string())
+        return np.empty((0, 16), dtype=np.uint8)
     offsets = np.frombuffer(s.buffers()[1], dtype=np.int32)[
         s.offset : s.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(s.buffers()[2], dtype=np.uint8) if s.buffers()[2] else np.empty(0, np.uint8)
     lens = np.diff(offsets)
     short = lens <= 55
-    out = np.empty(n, dtype=object)
+    out = np.empty((n, 16), dtype=np.uint8)
     if short.any():
         sl = lens[short]
         m = int(short.sum())
@@ -113,9 +114,31 @@ def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
             buf[rows, cols] = flat
         buf[np.arange(m), sl] = 0x80
         buf[:, 56:64] = (sl * 8).astype("<u8").view(np.uint8).reshape(m, 8)
-        out[short] = _digests_to_hex(_compress(buf.view("<u4").reshape(m, 16)))
+        out[short] = _compress(buf.view("<u4").reshape(m, 16))
     if not short.all():
         for i in np.nonzero(~short)[0]:
             raw = data[offsets[i] : offsets[i + 1]].tobytes()
-            out[i] = hashlib.md5(raw).hexdigest()
-    return pa.array(out, pa.string())
+            out[i] = np.frombuffer(hashlib.md5(raw).digest(), dtype=np.uint8)
+    return out
+
+
+def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """md5 hex digest column (see :func:`_digest_rows`)."""
+    if len(col) == 0:
+        return pa.array([], pa.string())
+    return pa.array(_digests_to_hex(_digest_rows(col)), pa.string())
+
+
+def md5_u32(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 4 MD5 digest bytes as big-endian uint32 per row — a PINNED,
+    version-stable routing hash (== int(md5_hex(x)[:8], 16)): safe to
+    compute in different worker processes / library builds, unlike
+    polars' Series.hash whose values are documented unstable across
+    versions."""
+    d = _digest_rows(col)
+    return (
+        (d[:, 0].astype(np.uint32) << 24)
+        | (d[:, 1].astype(np.uint32) << 16)
+        | (d[:, 2].astype(np.uint32) << 8)
+        | d[:, 3].astype(np.uint32)
+    )

@@ -244,19 +244,19 @@ def q_quality_buckets(sf_dir: str) -> rd.Dataset:
     """CCNet-style quality bucketing (Wenzek et al. 2020 split corpora
     into head/middle/tail by score terciles): exact global tercile cuts
     via the distributed histogram-selection quantile (no sort, no
-    collect), then a row-local bucket assignment. Tie safety: an
-    interpolated cut either equals a data value exactly (both engines'
-    interpolation forms agree on ties) or lies strictly between two
-    adjacent distinct values — so <=-comparisons match DuckDB's
-    quantile_cont bit-for-bit either way."""
+    collect), then a row-local bucket assignment. Tie safety: the cuts
+    are computed with DuckDB quantile_cont's weighted interpolation form
+    (interpolation="duckdb"), so a 6dp quality_score exactly equal to a
+    tercile cut buckets identically on both engines — the numpy lerp
+    form can land an ulp away at some fracs and flip a <= on a tie."""
     from .functions.sketches import exact_quantile
 
     scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         textstats.quality_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "quality_score"])
     scored = scored.materialize()  # consumed 3x: two cuts + assignment
-    c1 = exact_quantile(scored, "quality_score", 1.0 / 3.0)
-    c2 = exact_quantile(scored, "quality_score", 2.0 / 3.0)
+    c1 = exact_quantile(scored, "quality_score", 1.0 / 3.0, interpolation="duckdb")
+    c2 = exact_quantile(scored, "quality_score", 2.0 / 3.0, interpolation="duckdb")
 
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np

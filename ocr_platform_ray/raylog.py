@@ -10,21 +10,32 @@ range partitions, and map fns are never invoked on empty blocks, so the
 empty bundles can't be given a schema from user code at all. The warning
 is a false positive for that shape (the data bundles all agree; only the
 empty ones "diverge" to no-schema), so the entry points that own a Ray
-session (bench.py, the job CLI, tests) install this filter. It drops
-ONLY that message; every other executor warning still surfaces.
+session (bench.py, the job CLI, tests) install this filter.
+
+The filter is NARROW: it drops the message only when the diverging side
+is an empty/None schema (Ray's `_unify_ref_bundle_schema` emits
+"... new schema: None." for a schema-less empty bundle, or "new schema:
+." for a zero-field one). A genuine divergence between two NON-empty
+schemas — a real operator bug signal — still surfaces at WARNING.
 """
 
 from __future__ import annotations
 
 import logging
+import re
 
 _MSG = "different schema than the previous one"
+# empty-bundle shapes only: "new schema: None." / "new schema: ."
+_EMPTY_NEW = re.compile(r"new schema: (None)?\.")
 _LOGGER = "ray.data._internal.execution.streaming_executor_state"
 
 
 class _DropMixedSchemaWarning(logging.Filter):
     def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
-        return _MSG not in record.getMessage()
+        msg = record.getMessage()
+        if _MSG not in msg:
+            return True
+        return _EMPTY_NEW.search(msg) is None
 
 
 def suppress_empty_sort_schema_warning() -> None:

@@ -820,6 +820,45 @@ class TestRound3Operators:
         with pytest.raises(ValueError, match="max_eval_ngrams"):
             dedup.decontaminate_against_eval(_ds(rows), n=3, max_eval_ngrams=5)
 
+    def test_decontaminate_empty_eval_ngram_set(self, ray_session):
+        # token-free test split -> EMPTY eval n-gram set; the broadcast
+        # path must return no hits (it used to -1-index a size-0 array)
+        import hashlib
+
+        def split_of(i):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            return "train" if h < "cc" else ("valid" if h < "e6" else "test")
+
+        rows = [
+            {
+                "doc_id": i,
+                "text": "" if split_of(i) != "train"
+                else "alpha beta gamma delta",
+            }
+            for i in range(120)
+        ]
+        out = dedup.decontaminate_against_eval(_ds(rows), n=3).to_pandas()
+        assert len(out) == 0
+        out2 = dedup.decontaminate_against_eval_sharded(
+            _ds(rows), n=3, n_shards=2
+        ).to_pandas()
+        assert len(out2) == 0
+
+    def test_sharded_decontaminate_md5_routing(self, ray_session):
+        # shard routing is the pinned md5 prefix, not polars' unstable hash
+        import hashlib
+
+        import pyarrow as pa
+
+        from ocr_platform_ray.md5np import md5_u32
+
+        grams = ["alpha beta gamma", "x y z", "", "köln 漢字 test"]
+        got = md5_u32(pa.array(grams))
+        want = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        assert got.tolist() == want
+
     def test_repetition_ratio(self, ray_session):
         rows = [
             {"doc_id": 0, "text": "a b a b a b"},   # 5 bigrams, 2 distinct

@@ -45,3 +45,34 @@ def test_malformed_lines_dropped(tmp_path):
     ds = read_corpus_jsonl(str(jl))
     ids = sorted(r["doc_id"] for r in ds.take_all())
     assert ids == ["ok-1", "ok-3"]
+
+
+def test_fast_path_clean_corpus_edge_shapes(tmp_path):
+    """Clean (all-JSON-valid) corpora take the vectorized polars path;
+    its null/missing-field coercions must match the scalar contract."""
+    jl = tmp_path / "clean.jsonl"
+    rows = [
+        # nominal row
+        json.dumps({"doc_id": "a", "spans": [
+            {"kind": "text", "text": "hi", "media_ref": "", "offset": 3}]}),
+        # null text / media_ref -> "", missing offset -> 0
+        json.dumps({"doc_id": "b", "spans": [
+            {"kind": "image", "text": None, "media_ref": None}]}),
+        # missing spans -> empty list
+        json.dumps({"doc_id": "c"}),
+        # extra keys ignored (top level and span level)
+        json.dumps({"doc_id": "d", "junk": 1, "spans": [
+            {"kind": "text", "text": "x", "media_ref": "", "offset": 0,
+             "extra": True}]}),
+        # missing doc_id -> dropped; bad kind -> dropped
+        json.dumps({"spans": []}),
+        json.dumps({"doc_id": "e", "spans": [
+            {"kind": "video", "text": "", "media_ref": "", "offset": 0}]}),
+    ]
+    jl.write_text("\n".join(rows) + "\n")
+    got = {r["doc_id"]: r["spans"] for r in read_corpus_jsonl(str(jl)).take_all()}
+    assert sorted(got) == ["a", "b", "c", "d"]
+    assert got["a"] == [{"kind": "text", "text": "hi", "media_ref": "", "offset": 3}]
+    assert got["b"] == [{"kind": "image", "text": "", "media_ref": "", "offset": 0}]
+    assert got["c"] == []
+    assert got["d"] == [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]
