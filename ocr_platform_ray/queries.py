@@ -1080,57 +1080,13 @@ def q_extract_summary(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
+    """Driver registry. ORDER IS A ROTATION SCHEDULE: the driver records
+    only the first ~50 entries per round, so entries NOT recorded last
+    round come first (the 22 absent from CORRECTNESS_r04), then this
+    round's touched queries, then the remaining oracle-bearing ones —
+    every oracle query is checked in the union of the last two rounds.
+    Re-derive the order against the newest CORRECTNESS_r0N when rotating."""
     return {
-        "q_normalize_docs": q_normalize_docs,
-        "q_token_count": q_token_count,
-        "q_quality": q_quality,
-        "q_langid": q_langid,
-        "q_fingerprint": q_fingerprint,
-        "q_bpe_token_count": q_bpe_token_count,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_top_tokens": q_top_tokens,
-        "q_top_bigrams": q_top_bigrams,
-        "q_top_tfidf": q_top_tfidf,
-        "q_repetition": q_repetition,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_lm_score": q_lm_score,
-        "q_lm_score_topn": q_lm_score_topn,
-        "q_profile_events": q_profile_events,
-        "q_chunk_documents": q_chunk_documents,
-        "q_line_dedup": q_line_dedup,
-        "q_redact_pii": q_redact_pii,
-        "q_top_docs_per_lang": q_top_docs_per_lang,
-        "q_value_quantiles_by_type": q_value_quantiles_by_type,
-        "q_mixture_sample": q_mixture_sample,
-        "q_quality_buckets": q_quality_buckets,
-        "q_lang_stats": q_lang_stats,
-        "q_distinct_langs": q_distinct_langs,
-        "q_top_sources": q_top_sources,
-        "q_tenant_stats": q_tenant_stats,
-        "q_exact_dedup": q_exact_dedup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_minhash_dedup_docs": q_minhash_dedup_docs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_jaccard_dups": q_jaccard_dups,
-        "q_train_test_split": q_train_test_split,
-        "q_shuffle_rank": q_shuffle_rank,
-        "q_decontaminate": q_decontaminate,
-        "q_decontaminate_sharded": q_decontaminate_sharded,
-        "q_negative_pairs": q_negative_pairs,
-        "q_curation_summary": q_curation_summary,
-        "q_quality_gate": q_quality_gate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_topk_lsh": q_ann_topk_lsh,
-        "q_ann_topk_ivf": q_ann_topk_ivf,
-        "q_ann_topk_int8": q_ann_topk_int8,
-        "q_label_centroids": q_label_centroids,
-        "q_kmeans_summary": q_kmeans_summary,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_embedding_dups": q_embedding_dups,
-        "q_embedding_dups_exact": q_embedding_dups_exact,
-        "q_window_counts": q_window_counts,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
         "q_value_histogram": q_value_histogram,
@@ -1153,6 +1109,56 @@ def queries() -> dict:
         "q_extract_flagship": q_extract_flagship,
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
+        "q_quality_buckets": q_quality_buckets,
+        "q_decontaminate": q_decontaminate,
+        "q_decontaminate_sharded": q_decontaminate_sharded,
+        "q_exact_dedup": q_exact_dedup,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_value_quantiles_by_type": q_value_quantiles_by_type,
+        "q_lm_score_topn": q_lm_score_topn,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_dedup_docs": q_minhash_dedup_docs,
+        "q_ann_topk_int8": q_ann_topk_int8,
+        "q_normalize_docs": q_normalize_docs,
+        "q_token_count": q_token_count,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_bpe_token_count": q_bpe_token_count,
+        "q_top_tokens": q_top_tokens,
+        "q_top_bigrams": q_top_bigrams,
+        "q_top_tfidf": q_top_tfidf,
+        "q_repetition": q_repetition,
+        "q_lm_score": q_lm_score,
+        "q_profile_events": q_profile_events,
+        "q_chunk_documents": q_chunk_documents,
+        "q_line_dedup": q_line_dedup,
+        "q_redact_pii": q_redact_pii,
+        "q_top_docs_per_lang": q_top_docs_per_lang,
+        "q_mixture_sample": q_mixture_sample,
+        "q_lang_stats": q_lang_stats,
+        "q_distinct_langs": q_distinct_langs,
+        "q_fingerprint": q_fingerprint,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_top_sources": q_top_sources,
+        "q_tenant_stats": q_tenant_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_jaccard_dups": q_jaccard_dups,
+        "q_train_test_split": q_train_test_split,
+        "q_shuffle_rank": q_shuffle_rank,
+        "q_negative_pairs": q_negative_pairs,
+        "q_curation_summary": q_curation_summary,
+        "q_quality_gate": q_quality_gate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_topk_lsh": q_ann_topk_lsh,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_label_centroids": q_label_centroids,
+        "q_kmeans_summary": q_kmeans_summary,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_embedding_dups": q_embedding_dups,
+        "q_embedding_dups_exact": q_embedding_dups_exact,
+        "q_window_counts": q_window_counts,
     }
 
 
