@@ -46,7 +46,29 @@ def round_half_away_np(x, ndigits: int):
     return np.floor(np.abs(x) * m + 0.5) / m * np.where(np.asarray(x) >= 0, 1.0, -1.0)
 
 
-def bucketed_group_apply(ds, key_cols, fn, n_buckets: int = 512,
+def default_n_buckets(per_cpu: int = 4, floor: int = 64) -> int:
+    """Coarse-bucket count sized to the CLUSTER, not a constant: ~4 Ray
+    groups per CPU keeps every core busy through the groupby tail while
+    paying per-group scheduling as few times as possible. A fixed 512 was
+    measured 1.3-1.6x SLOWER than 128 at sf0.1/32 CPUs (sessions 1.70 ->
+    1.07 s, tumbling windows 2.11 -> 1.69 s, running totals 1.9 -> 1.1 s:
+    512 tiny 2-column groups are pure scheduling overhead), while at 8k
+    cores the same rule yields 32k buckets — each bucket's payload stays
+    worker-heap-sized at 100 TB. Bucket count never changes RESULTS (all
+    rows of a key co-locate regardless), only scheduling granularity."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 0))
+            if ncpu > 0:
+                return max(floor, per_cpu * ncpu)
+    except Exception:
+        pass
+    return max(floor, 128)
+
+
+def bucketed_group_apply(ds, key_cols, fn, n_buckets: int | None = None,
                          batch_format: str = "pandas"):
     """The repo's many-small-keys groupby idiom as a reusable primitive:
     hash the key columns into ``n_buckets`` coarse buckets (column ``cb``),
@@ -57,10 +79,13 @@ def bucketed_group_apply(ds, key_cols, fn, n_buckets: int = 512,
     per key was measured at ~5 s for 13.5k keys at sf0.01). All rows of
     one key land in one bucket, so any per-key computation (top-k,
     quantile, gap scan) is exact. The bucket column is stripped before
-    ``fn`` sees the group."""
+    ``fn`` sees the group. ``n_buckets=None`` sizes to the cluster via
+    :func:`default_n_buckets` (~4 per CPU)."""
     import pyarrow as pa  # noqa: F811 — local import, package stays light
     import polars as pl
 
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def add_cb(batch: pa.Table) -> pa.Table:

@@ -22,9 +22,16 @@ US_PER_HOUR = 3_600_000_000
 # scale, unbounded over a long-lived event log), and one map_groups call
 # per key pays pandas-DataFrame construction per WINDOW — measured 5 s at
 # sf0.01 for 13.5k sliding windows. Group by a hash bucket instead and run
-# ONE vectorized sub-groupby per bucket; scheduling cost is paid
-# _WINDOW_BUCKETS times regardless of key count.
-_WINDOW_BUCKETS = 512
+# ONE vectorized sub-groupby per bucket; scheduling cost is paid per
+# BUCKET regardless of key count. Bucket count is sized to the cluster
+# (default_n_buckets, ~4 per CPU): a fixed 512 was measured 1.3-1.6x
+# slower than the sized 128 at sf0.1/32 CPUs.
+
+
+def _window_buckets() -> int:
+    from . import default_n_buckets
+
+    return default_n_buckets()
 
 
 def _merged_windows(partials: rd.Dataset) -> rd.Dataset:
@@ -36,13 +43,15 @@ def _merged_windows(partials: rd.Dataset) -> rd.Dataset:
     shuffle arrival order."""
     import polars as pl
 
+    nb = _window_buckets()  # resolved once on the driver, captured below
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(batch)
             .with_columns(
                 ((pl.col("event_type").hash(seed=0)
                   ^ pl.col("window_id").hash(seed=1))
-                 % _WINDOW_BUCKETS).cast(pl.Int64).alias("cb")
+                 % nb).cast(pl.Int64).alias("cb")
             )
             .to_arrow()
         )
@@ -131,12 +140,13 @@ def sessions_per_user(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     import polars as pl
 
     gap_us = gap_minutes * 60_000_000
+    nb = _window_buckets()  # resolved once on the driver, captured below
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(batch)
             .with_columns(
-                (pl.col("user_id").hash(seed=0) % _WINDOW_BUCKETS)
+                (pl.col("user_id").hash(seed=0) % nb)
                 .cast(pl.Int64).alias("cb")
             )
             .to_arrow()

@@ -637,7 +637,7 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return bucketed_group_apply(ds, "user_id", per_bucket, n_buckets=512)
+    return bucketed_group_apply(ds, "user_id", per_bucket)
 
 
 def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
@@ -654,7 +654,7 @@ def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return g.groupby("user_id", sort=False).head(3)[["user_id", "event_id"]]
 
-    return bucketed_group_apply(ds, "user_id", per_bucket, n_buckets=512)
+    return bucketed_group_apply(ds, "user_id", per_bucket)
 
 
 def q_value_histogram(sf_dir: str) -> rd.Dataset:
