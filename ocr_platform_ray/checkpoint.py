@@ -27,6 +27,7 @@ import sys
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
@@ -75,8 +76,12 @@ def _shard_dataset(plan: ShardPlan) -> rd.Dataset:
     i, n = plan.hash_mod
 
     def pick(batch: pa.Table) -> pa.Table:
-        keep = [hash_str(d) % n == i for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(keep))
+        # vectorized FNV-1a (bit-equal to hash_str per row, so existing
+        # manifests' shard assignment is preserved across resume)
+        from .rng import hash_str_np
+
+        h = hash_str_np(batch.column("doc_id"))
+        return batch.filter(pa.array(h % np.uint64(n) == np.uint64(i)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 

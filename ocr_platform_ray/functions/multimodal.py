@@ -6,13 +6,18 @@ meta:struct<width,height,n_frames,sample_rate>). The Ray-side plumbing —
 schema, batch sizing for large binary cells, actor signature, output
 layout — is real and tested. Codecs:
 
-- ``npy``: REAL decode (numpy buffer in the payload) — the sandbox has no
-  image/audio libraries, so corpora built here serialize rasters as raw
-  numpy bytes and the whole decode -> resize -> feature path runs on true
-  binary columns end-to-end;
-- ``png``/``jpeg``/``wav``/``mp4``: STUB — raises NotImplementedError with
-  a clear message; in a real deployment swap _decode_payload's codec
-  branches for PIL/cv2/ffmpeg. This is the single marked seam.
+- ``npy``: REAL decode (numpy buffer in the payload);
+- ``png``: REAL decode — pure-stdlib zlib+numpy implementation of the
+  public PNG spec (``ocr_platform_ray.pngcodec``; depth 8, color types
+  0/2/4/6, all five scanline filters). The media table built here
+  alternates npy/png payloads so the png path runs end-to-end on true
+  binary columns;
+- ``wav``: REAL decode — stdlib ``wave`` module, PCM16 mono/stereo, with
+  an :class:`AudioFeatures` stage (duration/rms/peak/zero-crossings) and
+  a deterministic synthesized audio table for tests and benchmarks;
+- ``jpeg``/``mp4``: STUB — raises NotImplementedError with a clear
+  message; in a real deployment swap _decode_payload's codec branches
+  for PIL/cv2/ffmpeg. This is the single marked seam.
 
 Memory note (100 TB): binary cells are large, so these stages use small
 ``batch_size`` and ``batch_format='pyarrow'`` (payload bytes stay in the
@@ -56,13 +61,54 @@ def encode_array(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize int16 PCM samples — (n,) mono or (n, ch) — to WAV bytes
+    (stdlib ``wave``, no external audio library)."""
+    import wave
+
+    a = np.ascontiguousarray(arr)
+    if a.dtype != np.int16:
+        raise ValueError(f"encode_wav needs int16 PCM, got {a.dtype}")
+    ch = 1 if a.ndim == 1 else a.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, sample_rate); (n,) mono, (n, ch)
+    multi-channel. PCM16 only (the engine's audio contract)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {w.getsampwidth()} unsupported (PCM16 only)"
+            )
+        ch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    a = np.frombuffer(raw, dtype=np.int16)
+    return (a if ch == 1 else a.reshape(-1, ch)), rate
+
+
 def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
     if codec == "npy":
         return np.load(io.BytesIO(payload), allow_pickle=False)
+    if codec == "png":
+        from ..pngcodec import decode_png
+
+        return decode_png(payload)
+    if codec == "wav":
+        return decode_wav(payload)[0]
     # STUB: real deployments decode with PIL/cv2/soundfile/ffmpeg here.
     raise NotImplementedError(
         f"codec {codec!r} needs an image/audio library not present in this "
-        "environment; only the 'npy' codec decodes here (see module doc)"
+        "environment; only 'npy', 'png' and 'wav' decode here (see module doc)"
     )
 
 
@@ -156,10 +202,14 @@ class FrameSample:
 
 def media_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Dataset:
     """Binary media table derived from the documents table: each doc's
-    first derived image span rendered and serialized as an 'npy' payload
-    (true binary column, deterministic)."""
+    first derived image span rendered and serialized (true binary column,
+    deterministic). Codecs ALTERNATE by doc id — even ids 'png', odd ids
+    'npy' — so every downstream consumer exercises both real decode paths;
+    decoded rasters are identical either way, so feature outputs (and the
+    q_media_features golden) do not depend on the codec split."""
     from .. import media as media_mod
     from ..corpus import spans_from_document
+    from ..pngcodec import encode_png
 
     def build(batch: pa.Table) -> pa.Table:
         rows = {"media_id": [], "kind": [], "codec": [], "payload": [], "meta": []}
@@ -172,10 +222,13 @@ def media_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
                 continue
             ref = refs[0]
             arr = media_mod.render(ref)
+            codec = "png" if int(d) % 2 == 0 else "npy"
             rows["media_id"].append(f"media-{int(d):08d}")
             rows["kind"].append("image")
-            rows["codec"].append("npy")
-            rows["payload"].append(encode_array(arr))
+            rows["codec"].append(codec)
+            rows["payload"].append(
+                encode_png(arr) if codec == "png" else encode_array(arr)
+            )
             rows["meta"].append(
                 {
                     "width": arr.shape[1],
@@ -190,6 +243,112 @@ def media_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
     if limit:
         ds = ds.limit(limit)
     return ds.map_batches(build, batch_format="pyarrow", batch_size=64)
+
+
+class AudioFeatures:
+    """Actor stage: decode PCM payload -> compact audio feature row
+    (duration, RMS, peak, zero-crossing rate). Same shape as
+    MediaDecodeFeatures: per-row decode, vectorized numpy features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "media_id": batch.column("media_id").to_pylist(),
+            "duration_s": [],
+            "rms": [],
+            "peak": [],
+            "zero_crossing_rate": [],
+        }
+        metas = batch.column("meta").to_pylist()
+        for codec, payload, meta in zip(
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+            metas,
+        ):
+            if codec == "wav":
+                a, rate = decode_wav(payload)
+            else:
+                a = _decode_payload(codec, payload)
+                rate = int(meta["sample_rate"]) or 16000
+            if a.ndim > 1:  # multi-channel: features over the channel mean
+                a = a.mean(axis=1)
+            x = a.astype(np.float64) / 32768.0
+            n = max(1, len(x))
+            zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            out["duration_s"].append(round(len(x) / rate, 6))
+            out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6))
+            out["peak"].append(round(float(np.abs(x).max(initial=0.0)), 6))
+            out["zero_crossing_rate"].append(round(zc / n, 6))
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.string()),
+                    ("duration_s", pa.float64()),
+                    ("rms", pa.float64()),
+                    ("peak", pa.float64()),
+                    ("zero_crossing_rate", pa.float64()),
+                ]
+            ),
+        )
+
+
+def synth_audio(doc_id: int, sample_rate: int = 16000, n_samples: int = 4000) -> np.ndarray:
+    """Deterministic synthetic PCM16 clip keyed by doc id: three sines
+    whose frequencies/amplitudes/phases derive from the splitmix stream
+    (no external data; same determinism contract as the image renderer)."""
+    from ..rng import Rng
+
+    rng = Rng(doc_id * 2654435761 + 17)
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    x = np.zeros(n_samples, dtype=np.float64)
+    for _ in range(3):
+        freq = 80.0 + rng.random() * 2000.0
+        amp = 0.1 + rng.random() * 0.25
+        phase = rng.random() * 2.0 * np.pi
+        x += amp * np.sin(2.0 * np.pi * freq * t + phase)
+    return np.clip(x * 32767.0 / 3.0, -32768, 32767).astype(np.int16)
+
+
+def audio_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Dataset:
+    """Binary AUDIO media table: one deterministic wav clip per document
+    (real stdlib-wave payloads on a true binary column)."""
+    sample_rate = 16000
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "kind": [], "codec": [], "payload": [], "meta": []}
+        for d in batch.column("doc_id").to_pylist():
+            clip = synth_audio(int(d), sample_rate=sample_rate)
+            rows["media_id"].append(f"audio-{int(d):08d}")
+            rows["kind"].append("audio")
+            rows["codec"].append("wav")
+            rows["payload"].append(encode_wav(clip, sample_rate))
+            rows["meta"].append(
+                {
+                    "width": 0,
+                    "height": 0,
+                    "n_frames": len(clip),
+                    "sample_rate": sample_rate,
+                }
+            )
+        return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if limit:
+        ds = ds.limit(limit)
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+
+
+def audio_features(sf_dir: str) -> rd.Dataset:
+    """decode -> features over the binary audio table (small batches:
+    payload cells are large)."""
+    ds = audio_table_from_documents(sf_dir)
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
 
 
 def media_features(sf_dir: str, max_side: int = 1200) -> rd.Dataset:

@@ -1008,11 +1008,21 @@ def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
-    """Binary media column -> decode/resize/feature actor stage (npy codec
-    real end-to-end; image-lib codecs stubbed — rows-only check)."""
+    """Binary media column -> decode/resize/feature actor stage (npy AND
+    png codecs real end-to-end — the table alternates them by doc id;
+    jpeg stubbed — rows-only check)."""
     from .functions import multimodal
 
     return multimodal.media_features(sf_dir)
+
+
+def q_audio_features(sf_dir: str) -> rd.Dataset:
+    """Binary AUDIO column -> stdlib-wave decode + feature actor stage
+    (duration/rms/peak/zero-crossings over deterministic PCM16 clips keyed
+    by doc id). Sine synthesis is not SQL-expressible -> golden-pinned."""
+    from .functions import multimodal
+
+    return multimodal.audio_features(sf_dir)
 
 
 # ------------------------------------------------- extraction (non-SQL ops)
@@ -1109,6 +1119,7 @@ def queries() -> dict:
         "q_extract_flagship": q_extract_flagship,
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
+        "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,

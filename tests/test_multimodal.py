@@ -1,6 +1,6 @@
-"""Multimodal binary-column plumbing: npy decode path is real end-to-end;
-unknown codecs raise the documented stub error; frame sampling explodes
-video payloads."""
+"""Multimodal binary-column plumbing: npy and png decode paths are real
+end-to-end; unknown codecs raise the documented stub error; frame sampling
+explodes video payloads."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,14 +9,21 @@ import pytest
 import ray.data as rd
 
 from ocr_platform_ray.functions import multimodal as mm
+from ocr_platform_ray.pngcodec import decode_png, encode_png
 
 
 def _img_row(mid, arr, codec="npy"):
+    if codec == "npy":
+        payload = mm.encode_array(arr)
+    elif codec == "png":
+        payload = encode_png(arr)
+    else:
+        payload = b"\xff\xd8\xff..."  # opaque bytes for stubbed codecs
     return {
         "media_id": mid,
         "kind": "image",
         "codec": codec,
-        "payload": mm.encode_array(arr) if codec == "npy" else b"\x89PNG...",
+        "payload": payload,
         "meta": {
             "width": arr.shape[-1],
             "height": arr.shape[-2],
@@ -46,9 +53,83 @@ def test_resize_applied():
 
 def test_unknown_codec_is_stubbed():
     arr = np.zeros((4, 4), dtype=np.uint8)
-    t = pa.Table.from_pylist([_img_row("m1", arr, codec="png")], schema=mm.MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError, match="codec 'png'"):
+    t = pa.Table.from_pylist(
+        [_img_row("m1", arr, codec="jpeg")], schema=mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(NotImplementedError, match="codec 'jpeg'"):
         mm.MediaDecodeFeatures()(t)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (5, 3), (33, 17), (8, 8, 2), (20, 30, 3), (9, 4, 4)]
+)
+def test_png_roundtrip(shape, filter_type):
+    rng = np.random.default_rng(hash((shape, filter_type)) % (2**32))
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=filter_type))
+    assert out.shape == arr.shape
+    assert (out == arr).all()
+
+
+def test_png_gradient_all_filters():
+    # gradients stress the predictive filters (Sub/Up/Average/Paeth)
+    g = np.add.outer(np.arange(100), np.arange(200)).astype(np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(g, filter_type=ft)) == g).all()
+
+
+def test_png_external_interop():
+    # PNGs produced by external encoders (libpng), published constants:
+    # the codec must agree with the wider ecosystem, not just roundtrip
+    import base64
+
+    red_rgb = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAIAAACQd1PeAAAADElEQVR4nGP4z8AA"
+        "AAMBAQDJ/pLvAAAAAElFTkSuQmCC"
+    )
+    arr = decode_png(red_rgb)
+    assert arr.shape == (1, 1, 3)
+    assert arr.ravel().tolist() == [255, 0, 0]
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    # interlaced flag set -> loud NotImplementedError, not silent garbage
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_body = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # interlace=1
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bad = sig + chunk(b"IHDR", ihdr_body) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bad)
+
+
+def test_png_codec_features_match_npy():
+    # the same raster through both codecs must yield identical features
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(50, 70), dtype=np.uint8)
+    t = pa.Table.from_pylist(
+        [_img_row("a", arr, codec="npy"), _img_row("b", arr, codec="png")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.MediaDecodeFeatures()(t).to_pylist()
+    a, b = out[0], out[1]
+    for k in ("width", "height", "mean_intensity", "ink_ratio", "histogram"):
+        assert a[k] == b[k], k
 
 
 def test_frame_sample_explodes_video():
@@ -65,3 +146,59 @@ def test_media_features_pipeline():
     assert len(out) > 100
     assert (out["width"] > 0).all()
     assert out["media_id"].is_unique
+
+
+def test_media_table_mixes_codecs():
+    # even doc ids carry png payloads, odd npy — both real decode paths
+    # run in the production media pipeline, not just in unit tests
+    t = mm.media_table_from_documents("/root/testdata/sf0.001", limit=64)
+    df = t.to_pandas()
+    codecs = set(df["codec"])
+    assert codecs == {"png", "npy"}
+    for _, row in df.head(8).iterrows():
+        arr = mm._decode_payload(row["codec"], row["payload"])
+        assert arr.shape == (row["meta"]["height"], row["meta"]["width"])
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    got, rate = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert rate == 8000 and got.shape == mono.shape and (got == mono).all()
+    stereo = rng.integers(-32768, 32767, size=(500, 2), dtype=np.int16)
+    got2, rate2 = mm.decode_wav(mm.encode_wav(stereo))
+    assert rate2 == 16000 and got2.shape == (500, 2) and (got2 == stereo).all()
+
+
+def test_synth_audio_deterministic():
+    a, b = mm.synth_audio(42), mm.synth_audio(42)
+    assert a.dtype == np.int16 and (a == b).all()
+    assert not (mm.synth_audio(43) == a).all()
+
+
+def test_audio_features_known_signal():
+    # full-scale square wave: rms == peak == 1 - 1/32768, one zero
+    # crossing per half-period
+    sr = 8000
+    sq = np.where(np.arange(800) % 8 < 4, 32767, -32767).astype(np.int16)
+    t = pa.Table.from_pylist(
+        [{
+            "media_id": "sq", "kind": "audio", "codec": "wav",
+            "payload": mm.encode_wav(sq, sr),
+            "meta": {"width": 0, "height": 0, "n_frames": 800,
+                     "sample_rate": sr},
+        }],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.AudioFeatures()(t).to_pylist()[0]
+    assert out["duration_s"] == 0.1
+    assert out["peak"] == round(32767 / 32768, 6)
+    assert out["rms"] == round(32767 / 32768, 6)
+    assert out["zero_crossing_rate"] == round((800 // 4 - 1) / 800, 6)
+
+
+def test_audio_features_pipeline():
+    out = mm.audio_features("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert (out["duration_s"] == 0.25).all()
+    assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()

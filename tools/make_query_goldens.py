@@ -40,6 +40,7 @@ GOLDEN_QUERIES = [
     "q_kmeans_summary",
     "q_semantic_dedup",
     "q_ann_topk_int8",
+    "q_audio_features",
 ]
 
 
