@@ -139,6 +139,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_value_quantiles_by_type", q.q_value_quantiles_by_type),
         ("q_mixture_sample", q.q_mixture_sample),
         ("q_quality_buckets", q.q_quality_buckets),
+        # round-5 codec un-stubs (png media path + wav audio features)
+        ("q_media_features", q.q_media_features),
+        ("q_audio_features", q.q_audio_features),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

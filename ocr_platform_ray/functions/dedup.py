@@ -297,11 +297,14 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
             eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
             ii, jj = np.triu_indices(len(ids), k=1)
             keep = eq[ii, jj] >= threshold
-            for i, j in zip(ii[keep], jj[keep]):
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[j])
-                out["est_jaccard"].append(round(float(eq[i, j]), 6))
-                out["truncated"].append(truncated)
+            ida = np.asarray(ids, dtype=np.int64)
+            ik, jk = ii[keep], jj[keep]
+            out["doc_a"].extend(ida[ik].tolist())
+            out["doc_b"].extend(ida[jk].tolist())
+            out["est_jaccard"].extend(
+                np.round(eq[ik, jk].astype(np.float64), 6).tolist()
+            )
+            out["truncated"].extend([truncated] * int(keep.sum()))
         df = pd.DataFrame(out)
         # pre-dedup within this coarse group with the SAME deterministic
         # winner rule as distinct_pairs (sort all, keep last => truncated
