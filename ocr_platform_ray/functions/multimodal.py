@@ -15,9 +15,16 @@ layout — is real and tested. Codecs:
 - ``wav``: REAL decode — stdlib ``wave`` module, PCM16 mono/stereo, with
   an :class:`AudioFeatures` stage (duration/rms/peak/zero-crossings) and
   a deterministic synthesized audio table for tests and benchmarks;
-- ``jpeg``/``mp4``: STUB — raises NotImplementedError with a clear
-  message; in a real deployment swap _decode_payload's codec branches
-  for PIL/cv2/ffmpeg. This is the single marked seam.
+- ``jpeg``: REAL decode — pure-stdlib baseline-DCT implementation of
+  ITU-T T.81 (``ocr_platform_ray.jpegcodec``; SOF0/SOF1, grayscale +
+  YCbCr with arbitrary integer subsampling, restart markers), interop
+  pinned against libjpeg-produced bytes. Being lossy, it is a codec
+  seam for real-world corpora, not a bench-path payload format (the
+  media table carries the lossless npy/png pair);
+- ``mp4``: STUB — raises NotImplementedError with a clear message; a
+  video container needs ffmpeg, absent here. This is the single
+  remaining marked seam (the video PATH is still exercised end-to-end
+  by :class:`FrameSample` over multi-frame npy payloads).
 
 Memory note (100 TB): binary cells are large, so these stages use small
 ``batch_size`` and ``batch_format='pyarrow'`` (payload bytes stay in the
@@ -105,10 +112,15 @@ def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if codec == "wav":
         return decode_wav(payload)[0]
-    # STUB: real deployments decode with PIL/cv2/soundfile/ffmpeg here.
+    if codec == "jpeg":
+        from ..jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
+    # STUB: real deployments decode video containers with ffmpeg here.
     raise NotImplementedError(
-        f"codec {codec!r} needs an image/audio library not present in this "
-        "environment; only 'npy', 'png' and 'wav' decode here (see module doc)"
+        f"codec {codec!r} needs a media library not present in this "
+        "environment; 'npy', 'png', 'jpeg' and 'wav' decode here (see "
+        "module doc)"
     )
 
 

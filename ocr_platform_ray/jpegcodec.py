@@ -1,0 +1,553 @@
+"""Pure-stdlib baseline JPEG codec (numpy, no PIL/cv2/libjpeg) for the
+multimodal 'jpeg' codec branch (reference decodes rasters via PIL —
+/root/reference/apps/worker/app/tasks/ocr_tasks.py:54-55; this sandbox
+has no image library, so the format is implemented from the public spec,
+ITU-T T.81 / ISO 10918-1, Annex K tables).
+
+Scope — the raster shapes this engine processes:
+
+- decode: baseline and extended-sequential Huffman DCT (SOF0/SOF1),
+  8-bit precision, 1-component grayscale or 3-component YCbCr (JFIF
+  BT.601 full-range), arbitrary integer sampling factors (4:4:4, 4:2:0,
+  4:2:2, ...), restart markers (DRI/RSTn), stuffed-byte removal.
+  Progressive (SOF2), arithmetic coding, 12-bit precision and 16-bit
+  quantization tables raise NotImplementedError loudly.
+- encode: baseline SOF0, quality-scaled Annex K quantization tables
+  (libjpeg's 5000/q | 200-2q scaling), standard Annex K Huffman tables,
+  grayscale or RGB input, 4:4:4 or 4:2:0 chroma subsampling.
+- The DCT/dequant/upsample/color stages are vectorized numpy over all
+  blocks at once; the entropy coder is necessarily a sequential bit
+  loop.  JPEG here is a *codec seam* (interop + tests), not the bench
+  hot path — the production media table carries npy/png payloads whose
+  decode is vectorized end-to-end.
+
+JPEG is lossy: tests pin decode(encode(x)) to a PSNR bound plus exact
+external fixtures, not bit equality.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- spec constants (ITU-T T.81 Annex K) ------------------------------------
+
+# zigzag[k] = raster index (row*8+col) of the k-th coefficient in scan order
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+
+_QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.float64,
+)
+
+# (bits[1..16], values) per Annex K; DC value k encodes category k
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II basis: forward F = A @ f @ A.T, inverse
+# f = A.T @ F @ A (same normalization the spec's irrational form reduces to)
+_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """Canonical Huffman code assignment (T.81 Annex C): returns
+    {symbol: (code, length)} and {(length, code): symbol}."""
+    encode: dict[int, tuple[int, int]] = {}
+    decode: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[k]
+            encode[sym] = (code, length)
+            decode[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return encode, decode
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex K tables (public formula)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+# -- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _idct_blocks(coefs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n, 64) zigzag coefficient rows -> (n, 8, 8) uint8 samples."""
+    raster = np.zeros_like(coefs, dtype=np.float64)
+    raster[:, ZIGZAG] = coefs * qtab  # dequantize + zigzag->raster
+    f = _A.T @ raster.reshape(-1, 8, 8) @ _A
+    return np.clip(np.round(f + 128.0), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 array, (H, W) grayscale or (H, W, 3) RGB."""
+    d = payload
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise ValueError("bad JPEG signature (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> decode map
+    frame = None  # (H, W, [(cid, hs, vs, tq), ...])
+    restart_interval = 0
+    i = 2
+    while i < len(d):
+        if d[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        m = d[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if i + 4 > len(d):
+            raise ValueError("truncated JPEG header")
+        seg_len = struct.unpack(">H", d[i + 2 : i + 4])[0]
+        if i + 2 + seg_len > len(d):
+            raise ValueError("truncated JPEG segment")
+        seg = d[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 15
+                if prec:
+                    raise NotImplementedError("16-bit quantization tables")
+                qtabs[tid] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.float64)
+                p += 65
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(cls, tid)] = _canonical_codes(bits, vals)[1]
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError(f"{seg[0]}-bit JPEG precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = [
+                (seg[6 + 3 * k], seg[7 + 3 * k] >> 4, seg[7 + 3 * k] & 15,
+                 seg[8 + 3 * k])
+                for k in range(ncomp)
+            ]
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential Huffman JPEG is supported "
+                f"(SOF marker 0x{m:02x}: progressive/lossless/arithmetic)"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                         for k in range(ns)}
+            return _decode_scan(d, i, frame, scan_tabs, qtabs, huff,
+                                restart_interval)
+        # APPn / COM / others: skipped
+    raise ValueError("no SOS marker found (empty JPEG)")
+
+
+def _decode_scan(d, start, frame, scan_tabs, qtabs, huff, restart_interval):
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # split the entropy segment into restart intervals, de-stuffing 0xFF00
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(d):
+        b = d[i]
+        if b == 0xFF:
+            nxt = d[i + 1] if i + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: close interval, realign
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+
+    n_mcu = mcux * mcuy
+    per_itv = restart_interval or n_mcu
+    # zigzag coefficient rows per component, MCU-block order
+    coefs = {
+        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.float64)
+        for c in comps
+    }
+    mcu = 0
+    for itv in intervals:
+        if mcu >= n_mcu:
+            break
+        bits = _BitReader(itv)
+        pred = {c[0]: 0 for c in comps}
+        for _ in range(min(per_itv, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, hs, vs, _tq in comps:
+                dc_map = huff[(0, scan_tabs[cid][0])]
+                ac_map = huff[(1, scan_tabs[cid][1])]
+                for v in range(vs):
+                    for hsub in range(hs):
+                        blk = coefs[cid][my * vs + v, mx * hs + hsub]
+                        s = bits.huff(dc_map)
+                        diff = _extend(bits.read(s), s) if s else 0
+                        pred[cid] += diff
+                        blk[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(ac_map)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            blk[k] = _extend(bits.read(s), s)
+                            k += 1
+            mcu += 1
+    if mcu != n_mcu:
+        raise ValueError(f"JPEG scan ended early ({mcu}/{n_mcu} MCUs)")
+
+    planes = []
+    for cid, hs, vs, tq in comps:
+        grid = coefs[cid]
+        by, bx, _ = grid.shape
+        px = _idct_blocks(grid.reshape(-1, 64), qtabs[tq])
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
+        )
+        # crop to the component's true dims, then upsample to full res
+        ch = -(-h * vs // vmax)
+        cw = -(-w * hs // hmax)
+        plane = plane[:ch, :cw]
+        if vmax % vs or hmax % hs:
+            raise NotImplementedError("non-integer chroma upsampling ratio")
+        plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# -- encoder ----------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | code
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _encode_block(wtr, coefs, pred, dc_enc, ac_enc):
+    dc = int(coefs[0])
+    diff = dc - pred
+    s = int(diff).bit_length() if diff else 0
+    wtr.write(*dc_enc[s])
+    if s:
+        wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = np.nonzero(coefs[1:])[0]
+    last_k = (last[-1] + 1) if len(last) else 0
+    for k in range(1, last_k + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.write(*ac_enc[0xF0])
+            run -= 16
+        s = abs(v).bit_length()
+        wtr.write(*ac_enc[(run << 4) | s])
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_k < 63:
+        wtr.write(*ac_enc[0x00])
+    return dc
+
+
+def _plane_coefs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """uint8 plane (padded to 8-multiples) -> (by, bx, 64) quantized
+    zigzag coefficient grid, vectorized forward DCT."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = _A @ (blocks.astype(np.float64) - 128.0) @ _A.T
+    # reorder raster coefficients to zigzag rows, then quantize (qtab is
+    # raster-ordered here; the DQT segment stores qtab[ZIGZAG])
+    q = np.round(f.reshape(-1, 64)[:, ZIGZAG] / qtab[ZIGZAG])
+    return q.reshape(by, bx, 64)
+
+
+def _pad_to_blocks(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (8*mh, 8*mw)."""
+    h, w = plane.shape
+    ph = (-h) % (8 * mh)
+    pw = (-w) % (8 * mw)
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: str = "444") -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError(f"encode_jpeg needs a uint8 2-D/3-D array, got "
+                         f"{arr.dtype} ndim={arr.ndim}")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("3-D input must be (H, W, 3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = arr.shape[:2]
+    ql, qc = _quality_tables(quality)
+    gray = arr.ndim == 2
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [arr]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (np.clip(np.round(p), 0, 255).astype(np.uint8)
+                     for p in (y, cb, cr))
+        if subsample == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            # 2x2 mean chroma over an edge-padded even-dim plane
+            sub = []
+            for p in (cb, cr):
+                pp = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                pf = pp.astype(np.float64)
+                m = (pf[0::2, 0::2] + pf[1::2, 0::2] + pf[0::2, 1::2]
+                     + pf[1::2, 1::2]) / 4.0
+                sub.append(np.clip(np.round(m), 0, 255).astype(np.uint8))
+            planes = [y, sub[0], sub[1]]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            planes = [y, cb, cr]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    grids = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        # each component plane pads so the MCU grid is complete
+        mcu_h = -(-h // (8 * vmax)) * vs * 8
+        mcu_w = -(-w // (8 * hmax)) * hs * 8
+        p = _pad_to_blocks(plane, 1, 1)
+        p = np.pad(p, ((0, mcu_h - p.shape[0]), (0, mcu_w - p.shape[1])),
+                   mode="edge") if (p.shape[0] < mcu_h or p.shape[1] < mcu_w) \
+            else p[:mcu_h, :mcu_w]
+        grids.append(_plane_coefs(p, ql if tq == 0 else qc))
+
+    dc_l, _ = _canonical_codes(*_DC_LUMA)
+    ac_l, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c, _ = _canonical_codes(*_DC_CHROMA)
+    ac_c, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    wtr = _BitWriter()
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    pred = {c[0]: 0 for c in comps}
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for (cid, hs, vs, tq), grid in zip(comps, grids):
+            dc_enc, ac_enc = (dc_l, ac_l) if tq == 0 else (dc_c, ac_c)
+            for v in range(vs):
+                for hsub in range(hs):
+                    blk = grid[my * vs + v, mx * hs + hsub]
+                    pred[cid] = _encode_block(wtr, blk, pred[cid], dc_enc,
+                                              ac_enc)
+    data = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, *_DC_LUMA)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, *_DC_CHROMA)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        t = 0 if tq == 0 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)

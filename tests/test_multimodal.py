@@ -1,6 +1,6 @@
-"""Multimodal binary-column plumbing: npy and png decode paths are real
-end-to-end; unknown codecs raise the documented stub error; frame sampling
-explodes video payloads."""
+"""Multimodal binary-column plumbing: npy, png, jpeg and wav decode paths
+are real end-to-end (jpeg covered in tests/test_jpeg.py); unknown codecs
+raise the documented stub error; frame sampling explodes video payloads."""
 
 import numpy as np
 import pyarrow as pa
@@ -54,9 +54,9 @@ def test_resize_applied():
 def test_unknown_codec_is_stubbed():
     arr = np.zeros((4, 4), dtype=np.uint8)
     t = pa.Table.from_pylist(
-        [_img_row("m1", arr, codec="jpeg")], schema=mm.MEDIA_SCHEMA
+        [_img_row("m1", arr, codec="mp4")], schema=mm.MEDIA_SCHEMA
     )
-    with pytest.raises(NotImplementedError, match="codec 'jpeg'"):
+    with pytest.raises(NotImplementedError, match="codec 'mp4'"):
         mm.MediaDecodeFeatures()(t)
 
 
