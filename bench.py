@@ -142,6 +142,7 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 codec un-stubs (png media path + wav audio features)
         ("q_media_features", q.q_media_features),
         ("q_audio_features", q.q_audio_features),
+        ("q_media_features_jpeg", q.q_media_features_jpeg),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

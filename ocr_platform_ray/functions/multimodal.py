@@ -212,15 +212,22 @@ class FrameSample:
         )
 
 
-def media_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Dataset:
+def media_table_from_documents(
+    sf_dir: str, limit: int | None = None, codec_mode: str = "alternate"
+) -> rd.Dataset:
     """Binary media table derived from the documents table: each doc's
     first derived image span rendered and serialized (true binary column,
-    deterministic). Codecs ALTERNATE by doc id — even ids 'png', odd ids
-    'npy' — so every downstream consumer exercises both real decode paths;
-    decoded rasters are identical either way, so feature outputs (and the
-    q_media_features golden) do not depend on the codec split."""
+    deterministic). With the default ``codec_mode='alternate'`` codecs
+    ALTERNATE by doc id — even ids 'png', odd ids 'npy' — so every
+    downstream consumer exercises both lossless decode paths; decoded
+    rasters are identical either way, so feature outputs (and the
+    q_media_features golden) do not depend on the codec split.
+    ``codec_mode='jpeg'`` emits every payload through the lossy baseline
+    JPEG encoder instead (codec-seam validation — deterministic, but
+    features differ from the lossless table)."""
     from .. import media as media_mod
     from ..corpus import spans_from_document
+    from ..jpegcodec import encode_jpeg
     from ..pngcodec import encode_png
 
     def build(batch: pa.Table) -> pa.Table:
@@ -234,13 +241,16 @@ def media_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
                 continue
             ref = refs[0]
             arr = media_mod.render(ref)
-            codec = "png" if int(d) % 2 == 0 else "npy"
+            if codec_mode == "jpeg":
+                codec = "jpeg"
+                payload = encode_jpeg(arr, quality=90)
+            else:
+                codec = "png" if int(d) % 2 == 0 else "npy"
+                payload = encode_png(arr) if codec == "png" else encode_array(arr)
             rows["media_id"].append(f"media-{int(d):08d}")
             rows["kind"].append("image")
             rows["codec"].append(codec)
-            rows["payload"].append(
-                encode_png(arr) if codec == "png" else encode_array(arr)
-            )
+            rows["payload"].append(payload)
             rows["meta"].append(
                 {
                     "width": arr.shape[1],
@@ -367,6 +377,24 @@ def media_features(sf_dir: str, max_side: int = 1200) -> rd.Dataset:
     """decode -> resize -> features over the binary media table (small
     batches: payload cells are large)."""
     ds = media_table_from_documents(sf_dir)
+    return ds.map_batches(
+        MediaDecodeFeatures,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"max_side": max_side},
+        num_cpus=1,
+    )
+
+
+def media_features_jpeg(sf_dir: str, max_side: int = 1200,
+                        limit: int = 256) -> rd.Dataset:
+    """Same stage over a JPEG-encoded media table — drives the lossy codec
+    seam end-to-end (Huffman decode, restart-free baseline stream, IDCT).
+    Capped at ``limit`` docs by design: the sequential entropy coder makes
+    jpeg a correctness/interop path, not a throughput payload format; the
+    throughput media table is the lossless npy/png one above."""
+    ds = media_table_from_documents(sf_dir, limit=limit, codec_mode="jpeg")
     return ds.map_batches(
         MediaDecodeFeatures,
         batch_format="pyarrow",

@@ -1010,10 +1010,19 @@ def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Binary media column -> decode/resize/feature actor stage (npy AND
     png codecs real end-to-end — the table alternates them by doc id;
-    jpeg stubbed — rows-only check)."""
+    rows-only check)."""
     from .functions import multimodal
 
     return multimodal.media_features(sf_dir)
+
+
+def q_media_features_jpeg(sf_dir: str) -> rd.Dataset:
+    """The same feature stage over a baseline-JPEG-encoded media table
+    (capped subset): drives the pure-stdlib lossy codec seam end-to-end
+    through the driver gate. Deterministic encoder -> golden-pinned."""
+    from .functions import multimodal
+
+    return multimodal.media_features_jpeg(sf_dir)
 
 
 def q_audio_features(sf_dir: str) -> rd.Dataset:
@@ -1120,6 +1129,7 @@ def queries() -> dict:
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
+        "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,

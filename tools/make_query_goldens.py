@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "q_semantic_dedup",
     "q_ann_topk_int8",
     "q_audio_features",
+    "q_media_features_jpeg",
 ]
 
 
