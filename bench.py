@@ -143,6 +143,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_media_features", q.q_media_features),
         ("q_audio_features", q.q_audio_features),
         ("q_media_features_jpeg", q.q_media_features_jpeg),
+        # round-5 corpus-analysis operators (exact oracles)
+        ("q_inverted_index", q.q_inverted_index),
+        ("q_pmi_pairs", q.q_pmi_pairs),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -296,6 +296,175 @@ def top_tfidf_terms(ds, k: int = 20):
     return merged.sort(["tfidf", "token"], descending=[True, False]).limit(k)
 
 
+def inverted_index(ds, max_postings: int = 32):
+    """Corpus inverted index: per token, document frequency, total term
+    frequency, and the first ``max_postings`` doc ids (ascending,
+    comma-joined) — the retrieval-side index build of a corpus pipeline.
+
+    The postings column is a bounded SAMPLE by contract (doc_freq still
+    counts every document): full posting lists at 100 TB are written
+    sharded by token bucket, not returned as one row. Scale shape: the
+    per-batch combiner emits one (token, doc_id, tf) row per distinct
+    token per document — final immediately, because each document is
+    exactly one input row — so the shuffle carries tiny int partials,
+    never text, and ONE token-bucketed groupby assembles the index
+    (vocab-sized output, millions of tokens spread over
+    ``default_n_buckets()`` vectorized sub-groupbys)."""
+    import pandas as pd
+    import polars as pl
+
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch).select("doc_id", "text")
+        per = (
+            d.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(TOKEN_RE).alias("token"),
+            )
+            .explode("token")
+            .drop_nulls()
+            .group_by(["token", "doc_id"])
+            .len()
+            .rename({"len": "tf"})
+        )
+        return per.to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        agg = g.groupby("token", as_index=False).agg(
+            doc_freq=("doc_id", "size"),
+            total_tf=("tf", "sum"),
+            postings=(
+                "doc_id",
+                lambda s: ",".join(str(int(v)) for v in s.iloc[:max_postings]),
+            ),
+        )
+        agg["doc_freq"] = agg["doc_freq"].astype("int64")
+        agg["total_tf"] = agg["total_tf"].astype("int64")
+        return agg
+
+    return bucketed_group_apply(
+        partials.repartition(shuffle_blocks()), "token", final
+    )
+
+
+def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50):
+    """Top-k token pairs by document-level pointwise mutual information
+    over the ``vocab_k`` most frequent tokens — the collocation /
+    phrase-mining pass of a corpus pipeline.
+
+    pmi(a, b) = ln(n_co * N / (df_a * df_b)) over DOCUMENT co-occurrence
+    (each doc counts once per pair). The vocabulary is a bounded driver
+    collect (``vocab_k`` rows, loud cap) broadcast via ``ray.put``; each
+    batch emits integer-keyed partial counts — pair key ia*V+ib (ia<ib),
+    single key ia*V+ia, doc-count key V*V — so the shuffle carries at
+    most V*(V+1)/2 + 1 int64 keys regardless of corpus size. Pair
+    emission inside a batch is np.triu_indices over each document's
+    distinct vocab-index set (the minhash/simhash bucket idiom), counted
+    with one bincount per batch."""
+    import polars as pl
+    import ray
+
+    from . import bucketed_group_apply, resolve_broadcast
+    from .dedup import shuffle_blocks
+
+    if vocab_k > 512:
+        raise ValueError(
+            f"vocab_k={vocab_k}: the V^2 pair-key space and the driver "
+            "vocab collect are bounded by design; raise deliberately"
+        )
+    vocab_rows = top_tokens(ds, k=vocab_k).take_all()
+    vocab = [r["token"] for r in vocab_rows]
+    V = len(vocab)
+    vocab_ref = ray.put({t: i for i, t in enumerate(vocab)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx_map = resolve_broadcast(vocab_ref)
+        d = pl.from_arrow(batch).select("text").with_row_index("row")
+        dt = (
+            d.select(
+                pl.col("row"),
+                pl.col("text").str.extract_all(TOKEN_RE).alias("token"),
+            )
+            .explode("token")
+            .drop_nulls()
+            .with_columns(
+                pl.col("token")
+                .replace_strict(idx_map, default=None, return_dtype=pl.Int64)
+                .alias("idx")
+            )
+            .drop_nulls("idx")
+            .unique(["row", "idx"])
+            .sort(["row", "idx"])
+        )
+        rows = dt["row"].to_numpy()
+        idxs = dt["idx"].to_numpy()
+        keys = [np.array([V * V], dtype=np.int64)]
+        counts = [np.array([batch.num_rows], dtype=np.int64)]
+        if len(idxs):
+            keys.append(idxs * V + idxs)  # singles (document frequency)
+            counts.append(np.ones(len(idxs), dtype=np.int64))
+            # per-doc pair emission: np.triu over each doc's index set
+            bounds = np.flatnonzero(np.diff(rows)) + 1
+            for doc_idx in np.split(idxs, bounds):
+                if len(doc_idx) < 2:
+                    continue
+                ia, ib = np.triu_indices(len(doc_idx), k=1)
+                keys.append(doc_idx[ia] * V + doc_idx[ib])
+                counts.append(np.ones(len(ia), dtype=np.int64))
+        key = np.concatenate(keys)
+        cnt = np.concatenate(counts)
+        # in-batch combine: one row per distinct key
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.Table.from_pydict(
+            {"key": uk, "n": np.bincount(inv, weights=cnt).astype(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g):
+        agg = g.groupby("key", as_index=False).agg(n=("n", "sum"))
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    merged = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()), "key", merge
+    ).take_all()  # bounded: <= V*(V+1)/2 + 1 rows by construction
+
+    counts = {int(r["key"]): int(r["n"]) for r in merged}
+    n_docs = counts.pop(V * V)
+    out = {"token_a": [], "token_b": [], "n_co": [], "pmi": []}
+    for key, n_co in counts.items():
+        ia, ib = divmod(key, V)
+        if ia == ib or n_co < min_co:
+            continue
+        da, db = counts[ia * V + ia], counts[ib * V + ib]
+        pmi = np.log(n_co * float(n_docs) / (da * db))
+        # DuckDB round(): half away from zero (pmi can be negative)
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+        ta, tb = sorted((vocab[ia], vocab[ib]))  # lexicographic, like SQL
+        out["token_a"].append(ta)
+        out["token_b"].append(tb)
+        out["n_co"].append(n_co)
+        out["pmi"].append(float(pmi))
+    order = sorted(
+        range(len(out["pmi"])),
+        key=lambda i: (-out["pmi"][i], out["token_a"][i], out["token_b"][i]),
+    )[:k]
+    return pa.Table.from_pydict(
+        {
+            "token_a": [out["token_a"][i] for i in order],
+            "token_b": [out["token_b"][i] for i in order],
+            "n_co": pa.array([out["n_co"][i] for i in order], pa.int64()),
+            "pmi": pa.array([out["pmi"][i] for i in order], pa.float64()),
+        }
+    )
+
+
 def repetition_batch(batch: pa.Table) -> pa.Table:
     """Add dup_bigram_ratio: 1 - distinct/total token bigrams — the
     Gopher-family repetition filter signal (Rae et al. 2021, "Scaling

@@ -99,6 +99,18 @@ def q_top_bigrams(sf_dir: str) -> rd.Dataset:
     return textstats.top_bigrams(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Token -> (doc_freq, total_tf, first-32 postings) inverted index —
+    exact DuckDB oracle; postings cap is part of the contract."""
+    return textstats.inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_pmi_pairs(sf_dir: str) -> pa.Table:
+    """Top-50 token pairs by document-level PMI over the top-100 vocab
+    (collocation mining) — exact DuckDB oracle."""
+    return textstats.pmi_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_repetition(sf_dir: str) -> rd.Dataset:
     """Gopher-family repetition signal: duplicate-bigram ratio per doc
     (row-local, vectorized) — exact DuckDB oracle."""
@@ -1130,6 +1142,8 @@ def queries() -> dict:
         "q_extract_summary": q_extract_summary,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
+        "q_inverted_index": q_inverted_index,  # new in r5 -> record now
+        "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1231,6 +1245,35 @@ def _oracle_sql_base() -> dict:
             " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
             " FROM documents)"
             " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "q_inverted_index": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM documents),"
+            " per AS (SELECT token, doc_id, count(*) AS tf FROM tok"
+            "  GROUP BY token, doc_id)"
+            " SELECT token, count(*) AS doc_freq,"
+            " sum(tf)::BIGINT AS total_tf,"
+            " array_to_string(list_slice(list_sort(list(doc_id)), 1, 32), ',')"
+            "  AS postings"
+            " FROM per GROUP BY token"
+        ),
+        "q_pmi_pairs": (
+            "WITH allt AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM documents),"
+            " vocab AS (SELECT token FROM allt GROUP BY token"
+            "  ORDER BY count(*) DESC, token LIMIT 100),"
+            " dt AS (SELECT DISTINCT doc_id, token FROM allt"
+            "  WHERE token IN (SELECT token FROM vocab)),"
+            " df AS (SELECT token, count(*) AS d FROM dt GROUP BY token),"
+            " co AS (SELECT a.token AS ta, b.token AS tb, count(*) AS n_co"
+            "  FROM dt a JOIN dt b USING (doc_id) WHERE a.token < b.token"
+            "  GROUP BY 1, 2 HAVING count(*) >= 5)"
+            " SELECT ta AS token_a, tb AS token_b, n_co,"
+            " round(ln(n_co * 1.0 * (SELECT count(*) FROM documents)"
+            "  / (da.d * db.d)), 6) AS pmi"
+            " FROM co JOIN df da ON da.token = co.ta"
+            " JOIN df db ON db.token = co.tb"
+            " ORDER BY pmi DESC, token_a, token_b LIMIT 50"
         ),
         "q_top_bigrams": (
             "WITH toks AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS t"

@@ -620,6 +620,72 @@ class TestTopTokens:
         assert list(zip(out["bigram"], out["n"])) == want
 
 
+class TestInvertedIndexAndPmi:
+    def test_inverted_index_matches_bruteforce(self):
+        import collections
+        import re
+
+        from ocr_platform_ray.functions.textstats import inverted_index
+
+        rows = [
+            {"doc_id": 3, "text": "alpha beta alpha"},
+            {"doc_id": 1, "text": "beta gamma"},
+            {"doc_id": 2, "text": "alpha"},
+            {"doc_id": 4, "text": ""},
+        ]
+        out = inverted_index(_ds(rows)).to_pandas().set_index("token")
+        tf = collections.Counter()
+        docs = collections.defaultdict(set)
+        for r in rows:
+            for t in re.findall("[a-z0-9]+", r["text"]):
+                tf[t] += 1
+                docs[t].add(r["doc_id"])
+        assert set(out.index) == set(tf)
+        for t in tf:
+            assert out.loc[t, "doc_freq"] == len(docs[t])
+            assert out.loc[t, "total_tf"] == tf[t]
+            assert out.loc[t, "postings"] == ",".join(
+                map(str, sorted(docs[t]))
+            )
+
+    def test_postings_cap_keeps_full_doc_freq(self):
+        from ocr_platform_ray.functions.textstats import inverted_index
+
+        rows = [{"doc_id": i, "text": "common"} for i in range(10)]
+        out = inverted_index(_ds(rows), max_postings=3).to_pandas()
+        row = out.set_index("token").loc["common"]
+        assert row["doc_freq"] == 10  # cap truncates postings, NOT df
+        assert row["postings"] == "0,1,2"
+
+    def test_pmi_planted_collocation(self):
+        import numpy as np
+
+        from ocr_platform_ray.functions.textstats import pmi_pairs
+
+        # 'left right' always co-occur; 'noise*' fillers are independent
+        rows = []
+        for i in range(30):
+            rows.append({"doc_id": i, "text": f"left right noise{i % 6}"})
+        for i in range(30, 60):
+            rows.append({"doc_id": i, "text": f"noise{i % 6} noise{(i + 1) % 6}"})
+        out = pmi_pairs(_ds(rows), vocab_k=20, min_co=5, k=5).to_pandas()
+        assert (out.iloc[0]["token_a"], out.iloc[0]["token_b"]) == (
+            "left",
+            "right",
+        )
+        # exact PMI: co=30, df both 30, N=60 -> ln(30*60/900) = ln 2
+        assert out.iloc[0]["n_co"] == 30
+        assert abs(out.iloc[0]["pmi"] - round(float(np.log(2.0)), 6)) < 1e-9
+
+    def test_pmi_vocab_cap_is_loud(self):
+        import pytest as _pytest
+
+        from ocr_platform_ray.functions.textstats import pmi_pairs
+
+        with _pytest.raises(ValueError, match="vocab_k"):
+            pmi_pairs(_ds([{"doc_id": 1, "text": "a"}]), vocab_k=1000)
+
+
 class TestRound3Hardening:
     """Round-3 scale-hardening: vectorized md5, sparse HLL partials,
     generic bucketed-join keys, IVF sample cap, exact-baseline size guard."""
