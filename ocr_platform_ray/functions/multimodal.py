@@ -263,7 +263,13 @@ def media_table_from_documents(
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if limit:
-        ds = ds.limit(limit)
+        # limit() collapses to one block; re-split the (tiny) surviving
+        # rows and use small build batches so the build->decode chain
+        # (which the executor fuses) still yields enough tasks to fill
+        # the actor pool — the row SET is unchanged
+        return ds.limit(limit).repartition(16).map_batches(
+            build, batch_format="pyarrow", batch_size=16
+        )
     return ds.map_batches(build, batch_format="pyarrow", batch_size=64)
 
 
