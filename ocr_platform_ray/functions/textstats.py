@@ -304,12 +304,13 @@ def inverted_index(ds, max_postings: int = 32):
     The postings column is a bounded SAMPLE by contract (doc_freq still
     counts every document): full posting lists at 100 TB are written
     sharded by token bucket, not returned as one row. Scale shape: the
-    per-batch combiner emits one (token, doc_id, tf) row per distinct
-    token per document — final immediately, because each document is
-    exactly one input row — so the shuffle carries tiny int partials,
-    never text, and ONE token-bucketed groupby assembles the index
-    (vocab-sized output, millions of tokens spread over
-    ``default_n_buckets()`` vectorized sub-groupbys)."""
+    per-batch combiner fully pre-aggregates — one (token, doc_freq,
+    total_tf, first-``max_postings`` sorted doc ids) row per distinct
+    token per BATCH (documents are disjoint across batches, so capped
+    sorted posting prefixes merge associatively) — so the shuffle
+    carries O(vocab x blocks) rows, never the O(vocab x docs) posting
+    matrix, and ONE token-bucketed groupby assembles the index."""
+    import numpy as np
     import pandas as pd
     import polars as pl
 
@@ -328,20 +329,27 @@ def inverted_index(ds, max_postings: int = 32):
             .group_by(["token", "doc_id"])
             .len()
             .rename({"len": "tf"})
+            .group_by("token")
+            .agg(
+                pl.len().alias("doc_freq"),
+                pl.col("tf").sum().alias("total_tf"),
+                pl.col("doc_id").sort().head(max_postings).alias("post"),
+            )
         )
         return per.to_arrow()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
+    def merge_post(lists) -> str:
+        ids = np.sort(np.concatenate([np.asarray(v, dtype=np.int64)
+                                      for v in lists]))[:max_postings]
+        return ",".join(str(int(v)) for v in ids)
+
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["token", "doc_id"], kind="mergesort")
         agg = g.groupby("token", as_index=False).agg(
-            doc_freq=("doc_id", "size"),
-            total_tf=("tf", "sum"),
-            postings=(
-                "doc_id",
-                lambda s: ",".join(str(int(v)) for v in s.iloc[:max_postings]),
-            ),
+            doc_freq=("doc_freq", "sum"),
+            total_tf=("total_tf", "sum"),
+            postings=("post", merge_post),
         )
         agg["doc_freq"] = agg["doc_freq"].astype("int64")
         agg["total_tf"] = agg["total_tf"].astype("int64")
