@@ -465,8 +465,12 @@ def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50):
     )[:k]
     return pa.Table.from_pydict(
         {
-            "token_a": [out["token_a"][i] for i in order],
-            "token_b": [out["token_b"][i] for i in order],
+            "token_a": pa.array(
+                [out["token_a"][i] for i in order], pa.string()
+            ),
+            "token_b": pa.array(
+                [out["token_b"][i] for i in order], pa.string()
+            ),
             "n_co": pa.array([out["n_co"][i] for i in order], pa.int64()),
             "pmi": pa.array([out["pmi"][i] for i in order], pa.float64()),
         }
