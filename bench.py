@@ -146,6 +146,7 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 corpus-analysis operators (exact oracles)
         ("q_inverted_index", q.q_inverted_index),
         ("q_pmi_pairs", q.q_pmi_pairs),
+        ("q_quality_percentile", q.q_quality_percentile),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -348,6 +348,78 @@ def exact_quantile(
     return float(res)
 
 
+def percent_rank_transform(
+    ds: rd.Dataset,
+    col: str,
+    out_col: str = "pct",
+    max_distinct: int = 2_000_000,
+) -> rd.Dataset:
+    """EXACT global ``percent_rank()`` (rank-1)/(N-1) of a numeric column
+    appended per row — the rank-normalization pass of a quality-scoring
+    pipeline — with NO global sort and no full-column materialization.
+
+    Scale shape: one pass of per-batch (value, n) distinct-count partials
+    (the column is expected to be pre-rounded/discretized, e.g. a 6-dp
+    score — ``max_distinct`` guards the assumption loudly), one bucketed
+    merge, and a driver-side cumulative table of at most ``max_distinct``
+    rows broadcast via ``ray.put``; the transform pass is a searchsorted
+    per batch. Ranking uses strict-below counts, so ties share a rank —
+    exactly DuckDB's ``percent_rank() OVER (ORDER BY col)``. Output is
+    rounded via the half-away 6-dp contract for oracle comparison."""
+    import pandas as pd
+    import ray
+
+    from . import bucketed_group_apply, resolve_broadcast
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        uv, counts = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "v": pa.array(uv, pa.float64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("v", as_index=False).agg(n=("n", "sum"))
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    rows = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()), "v", merge
+    ).take_all()
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"percent_rank_transform: {len(rows)} distinct values exceeds "
+            f"max_distinct={max_distinct} — the column is not the bounded "
+            "discretized score this operator assumes; raise deliberately"
+        )
+    vals = np.array([r["v"] for r in rows], dtype=np.float64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.float64)
+    n_total = int(cnts.sum())
+    denom = max(1, n_total - 1)  # percent_rank of a 1-row frame is 0
+    table_ref = ray.put((vals, np.floor(below / denom * 1e6 + 0.5) / 1e6))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tvals, tpct = resolve_broadcast(table_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(tvals, v, side="left")
+        return batch.append_column(
+            out_col, pa.array(tpct[idx], pa.float64())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 # ------------------------------ heavy hitters (bounded-shuffle approx top-k)
 
 def heavy_hitter_tokens(

@@ -111,6 +111,20 @@ def q_pmi_pairs(sf_dir: str) -> pa.Table:
     return textstats.pmi_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_quality_percentile(sf_dir: str) -> rd.Dataset:
+    """Exact global percent_rank of the quality score appended per doc —
+    distributed rank-normalization with no global sort (value-histogram
+    broadcast + searchsorted). Exact DuckDB window-function oracle."""
+    from .functions.sketches import percent_rank_transform
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "quality_score"])
+    return percent_rank_transform(
+        scored, "quality_score", out_col="quality_pct"
+    )
+
+
 def q_repetition(sf_dir: str) -> rd.Dataset:
     """Gopher-family repetition signal: duplicate-bigram ratio per doc
     (row-local, vectorized) — exact DuckDB oracle."""
@@ -1144,6 +1158,7 @@ def queries() -> dict:
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
         "q_inverted_index": q_inverted_index,  # new in r5 -> record now
         "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
+        "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1245,6 +1260,16 @@ def _oracle_sql_base() -> dict:
             " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
             " FROM documents)"
             " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "q_quality_percentile": (
+            "WITH q AS (SELECT doc_id,"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0,"
+            "  1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "  / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents)"
+            " SELECT doc_id, quality_score,"
+            " round(percent_rank() OVER (ORDER BY quality_score), 6)"
+            "  AS quality_pct FROM q"
         ),
         "q_inverted_index": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,"

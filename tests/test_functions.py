@@ -677,6 +677,38 @@ class TestInvertedIndexAndPmi:
         assert out.iloc[0]["n_co"] == 30
         assert abs(out.iloc[0]["pmi"] - round(float(np.log(2.0)), 6)) < 1e-9
 
+    def test_percent_rank_matches_bruteforce_with_ties(self):
+        from ocr_platform_ray.functions.sketches import percent_rank_transform
+
+        vals = [0.5, 0.1, 0.5, 0.9, 0.1, 0.3, 0.5]
+        rows = [{"doc_id": i, "s": v} for i, v in enumerate(vals)]
+        out = (
+            percent_rank_transform(_ds(rows).repartition(3), "s")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        n = len(vals)
+        for _, r in out.iterrows():
+            below = sum(1 for v in vals if v < r["s"])
+            assert r["pct"] == round(below / (n - 1), 6)
+
+    def test_percent_rank_single_row_is_zero(self):
+        from ocr_platform_ray.functions.sketches import percent_rank_transform
+
+        out = percent_rank_transform(
+            _ds([{"doc_id": 1, "s": 7.0}]), "s"
+        ).to_pandas()
+        assert out["pct"].tolist() == [0.0]
+
+    def test_percent_rank_distinct_cap_is_loud(self):
+        import pytest as _pytest
+
+        from ocr_platform_ray.functions.sketches import percent_rank_transform
+
+        rows = [{"doc_id": i, "s": float(i)} for i in range(10)]
+        with _pytest.raises(ValueError, match="max_distinct"):
+            percent_rank_transform(_ds(rows), "s", max_distinct=5).to_pandas()
+
     def test_pmi_vocab_cap_is_loud(self):
         import pytest as _pytest
 
