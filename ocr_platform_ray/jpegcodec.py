@@ -265,6 +265,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             scan_tabs = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
                          for k in range(ns)}
+            if set(scan_tabs) != {c[0] for c in frame[2]}:
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) JPEG: scan covers "
+                    f"components {sorted(scan_tabs)} of "
+                    f"{sorted(c[0] for c in frame[2])}"
+                )
             return _decode_scan(d, i, frame, scan_tabs, qtabs, huff,
                                 restart_interval)
         # APPn / COM / others: skipped
