@@ -47,6 +47,15 @@ def _init_ray(num_cpus: int):
 
 
 def _consume_count(ds) -> int:
+    # queries() callables may return a Dataset, a pyarrow Table or a
+    # pandas DataFrame (driver contract) — consume whichever arrives
+    # (pandas also has a .count(), but it means per-column non-null
+    # counts, so dispatch on type rather than attribute)
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(ds, (pa.Table, pd.DataFrame)):
+        return len(ds)
     return ds.count()
 
 

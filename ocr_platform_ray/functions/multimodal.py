@@ -230,6 +230,9 @@ def media_table_from_documents(
     from ..jpegcodec import encode_jpeg
     from ..pngcodec import encode_png
 
+    if codec_mode not in ("alternate", "jpeg"):
+        raise ValueError(f"unknown codec_mode {codec_mode!r}")
+
     def build(batch: pa.Table) -> pa.Table:
         rows = {"media_id": [], "kind": [], "codec": [], "payload": [], "meta": []}
         for d, t in zip(

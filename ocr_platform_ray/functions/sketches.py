@@ -374,6 +374,11 @@ def percent_rank_transform(
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(
+                f"percent_rank_transform: column {col!r} contains NaN — "
+                "rank of NaN is undefined; filter or impute upstream"
+            )
         uv, counts = np.unique(v, return_counts=True)
         return pa.Table.from_pydict(
             {
@@ -391,15 +396,21 @@ def percent_rank_transform(
         agg["n"] = agg["n"].astype("int64")
         return agg
 
-    rows = bucketed_group_apply(
+    # materialize the merged counts in the OBJECT STORE first, so the
+    # guard fires on a metadata count() before anything reaches the
+    # driver heap (a non-discretized column would otherwise OOM the
+    # driver inside take_all before the ValueError could trigger)
+    merged = bucketed_group_apply(
         partials.repartition(shuffle_blocks()), "v", merge
-    ).take_all()
-    if len(rows) > max_distinct:
+    ).materialize()
+    n_distinct = merged.count()
+    if n_distinct > max_distinct:
         raise ValueError(
-            f"percent_rank_transform: {len(rows)} distinct values exceeds "
+            f"percent_rank_transform: {n_distinct} distinct values exceeds "
             f"max_distinct={max_distinct} — the column is not the bounded "
             "discretized score this operator assumes; raise deliberately"
         )
+    rows = merged.take_all()
     vals = np.array([r["v"] for r in rows], dtype=np.float64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
     order = np.argsort(vals, kind="mergesort")

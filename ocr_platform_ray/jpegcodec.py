@@ -211,6 +211,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < len(d):
         if d[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
+        while i + 1 < len(d) and d[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: markers may be padded with 0xFF fill
+        if i + 1 >= len(d):
+            raise ValueError("truncated JPEG header")
         m = d[i + 1]
         if m == 0xD9:  # EOI
             break
@@ -263,24 +267,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tabs = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
-                         for k in range(ns)}
-            if set(scan_tabs) != {c[0] for c in frame[2]}:
+            # ORDERED: the scan-component order defines the interleave
+            # order within each MCU (may legally differ from SOF order)
+            scan_comps = [
+                (seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                for k in range(ns)
+            ]
+            if {c[0] for c in scan_comps} != {c[0] for c in frame[2]}:
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) JPEG: scan covers "
-                    f"components {sorted(scan_tabs)} of "
+                    f"components {sorted(c[0] for c in scan_comps)} of "
                     f"{sorted(c[0] for c in frame[2])}"
                 )
-            return _decode_scan(d, i, frame, scan_tabs, qtabs, huff,
+            return _decode_scan(d, i, frame, scan_comps, qtabs, huff,
                                 restart_interval)
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker found (empty JPEG)")
 
 
-def _decode_scan(d, start, frame, scan_tabs, qtabs, huff, restart_interval):
+def _decode_scan(d, start, frame, scan_comps, qtabs, huff, restart_interval):
     h, w, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
+    scan_tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    frame_by_id = {c[0]: c for c in comps}
+    # entropy data interleaves components in SCAN order; output planes
+    # keep FRAME order (comps) for the color convert below
+    scan_order = [frame_by_id[cid] for cid, _dc, _ac in scan_comps]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -323,7 +336,7 @@ def _decode_scan(d, start, frame, scan_tabs, qtabs, huff, restart_interval):
         pred = {c[0]: 0 for c in comps}
         for _ in range(min(per_itv, n_mcu - mcu)):
             my, mx = divmod(mcu, mcux)
-            for cid, hs, vs, _tq in comps:
+            for cid, hs, vs, _tq in scan_order:
                 dc_map = huff[(0, scan_tabs[cid][0])]
                 ac_map = huff[(1, scan_tabs[cid][1])]
                 for v in range(vs):

@@ -108,7 +108,7 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
 def q_pmi_pairs(sf_dir: str) -> pa.Table:
     """Top-50 token pairs by document-level PMI over the top-100 vocab
     (collocation mining) — exact DuckDB oracle."""
-    return textstats.pmi_pairs(_docs(sf_dir, ["doc_id", "text"]))
+    return textstats.pmi_pairs(_docs(sf_dir, ["text"]))
 
 
 def q_quality_percentile(sf_dir: str) -> rd.Dataset:

@@ -114,6 +114,17 @@ def test_external_interop_color_with_restart_markers():
     assert 200 < means[0] < 230  # mostly white, substantial dark linework
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any marker may be padded with extra 0xFF fill bytes
+    g = np.add.outer(np.arange(24), np.arange(24)).astype(np.uint8)
+    full = encode_jpeg(g, quality=90)
+    base = decode_jpeg(full)
+    # inject fill bytes before the SOF0 marker (FF C0 -> FF FF FF C0)
+    sof = full.index(b"\xff\xc0")
+    padded = full[:sof] + b"\xff\xff" + full[sof:]
+    assert (decode_jpeg(padded) == base).all()
+
+
 def test_rejects_progressive_loudly():
     sof2 = bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     with pytest.raises(NotImplementedError, match="progressive"):
