@@ -156,6 +156,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_inverted_index", q.q_inverted_index),
         ("q_pmi_pairs", q.q_pmi_pairs),
         ("q_quality_percentile", q.q_quality_percentile),
+        ("q_duplicate_ngrams", q.q_duplicate_ngrams),
+        ("q_remove_dup_ngrams", q.q_remove_dup_ngrams),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

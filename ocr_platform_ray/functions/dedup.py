@@ -1309,6 +1309,190 @@ def dedup_lines(
     )
 
 
+def duplicate_ngram_occurrences(
+    ds: rd.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Every occurrence of a duplicated token ``n``-gram beyond its first
+    — the DETECTION core of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    long spans across documents are memorization fuel; this surfaces
+    them as (doc, token-position) rows a removal/masking pass consumes).
+
+    An occurrence is "first" at the minimum (doc_id, pos) over the exact
+    gram text, corpus-wide. Shape: one row-local OVERLAPPING-window
+    explode (the dedup_lines slice idiom, stride 1), then ONE bucketed
+    keep-first scan keyed on the gram — all rows of a gram co-locate, so
+    rank>1 marking is exact; the shuffle carries (gram, doc_id, pos)
+    rows once, no global sort. Returns (doc_id, pos) with pos the
+    0-based token index where the duplicated gram starts."""
+    import polars as pl
+
+    from . import bucketed_group_apply
+    from .textstats import TOKEN_RE
+
+    if n <= 0:
+        raise ValueError("duplicate_ngram_occurrences: n must be positive")
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = pl.DataFrame(
+            {id_col: pl.from_arrow(batch.column(id_col)),
+             "t": pl.from_arrow(col)}
+        ).with_columns(pl.col("t").str.extract_all(TOKEN_RE).alias("t"))
+        d = (
+            d.with_columns(
+                pl.int_ranges(
+                    # list.len() is u32 — cast BEFORE subtracting or a doc
+                    # shorter than n tokens underflows to ~4e9 positions
+                    0, pl.col("t").list.len().cast(pl.Int64) - (n - 1)
+                ).alias("pos")
+            )
+            .explode("pos")
+            .drop_nulls("pos")
+        )
+        if d.height == 0:
+            # polars degenerates list.slice to dtype null on 0-row frames
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "pos": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                }
+            )
+        d = d.with_columns(
+            pl.col("t").list.slice(pl.col("pos"), n)
+            .list.join(" ").alias("gram"),
+            pl.col("pos").cast(pl.Int64),
+        ).select(id_col, "pos", "gram")
+        return d.to_arrow()
+
+    grams = ds.select_columns([id_col, "text"]).map_batches(
+        explode_grams, batch_format="pyarrow"
+    )
+
+    def non_first(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["gram", id_col, "pos"], kind="mergesort")
+        dup = g[g.duplicated("gram", keep="first")]
+        return dup[[id_col, "pos"]]
+
+    return bucketed_group_apply(
+        grams, "gram", non_first, n_buckets=n_buckets, batch_format="pandas"
+    )
+
+
+def remove_duplicate_ngrams(
+    ds: rd.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """The REMOVAL pass of exact substring dedup (Lee et al. 2022): drop
+    every token covered by a duplicated ``n``-gram occurrence beyond its
+    corpus-wide first (:func:`duplicate_ngram_occurrences`) and rebuild
+    each document as the space-joined surviving token sequence
+    (``text_clean``; n-gram-granular approximation of the paper's
+    suffix-array spans — the contract is exact and oracle-checkable).
+
+    Scale shape: detection is the gram-bucketed scan; removal adds ONE
+    more doc_id-bucketed shuffle over a UNION of (a) the doc rows
+    carrying text once (marker ``pos=-1``) and (b) the (doc_id, pos)
+    occurrence markers — both key on ``id_col`` so they co-locate, no
+    join that replicates text per occurrence. Rebuild is vectorized
+    polars per bucket (tokenize, explode with index, anti-join covered
+    indices, group-join). Docs with no surviving tokens (or no tokens)
+    come back with ``text_clean=''`` — every input row is preserved."""
+    import numpy as np
+    import polars as pl
+
+    from . import bucketed_group_apply
+    from .textstats import TOKEN_RE
+
+    occ = duplicate_ngram_occurrences(ds, n=n, id_col=id_col,
+                                      n_buckets=n_buckets)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "text": batch.column("text").cast(pa.string()),
+            }
+        )
+
+    def tag_occ(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": batch.column("pos"),
+                "text": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    tagged = (
+        ds.select_columns([id_col, "text"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(occ.map_batches(tag_occ, batch_format="pyarrow"))
+    )
+
+    def rebuild(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = pl.from_pandas(g)
+        docs = d.filter(pl.col("pos") < 0).select(id_col, "text")
+        occp = d.filter(pl.col("pos") >= 0).select(id_col, "pos")
+        empty_agg = pl.DataFrame(
+            schema={id_col: docs.schema[id_col], "text_clean": pl.String}
+        )
+        words = (
+            docs.with_columns(
+                pl.col("text").str.extract_all(TOKEN_RE).alias("t")
+            )
+            .with_columns(
+                pl.int_ranges(
+                    0, pl.col("t").list.len().cast(pl.Int64)
+                ).alias("ti")
+            )
+            .explode(["t", "ti"])
+            .drop_nulls("ti")
+            .select(id_col, "ti", "t")
+        )
+        if occp.height and words.height:
+            cov = (
+                occp.with_columns(
+                    pl.int_ranges(
+                        pl.col("pos"), pl.col("pos") + n
+                    ).alias("ti")
+                )
+                .explode("ti")
+                .unique([id_col, "ti"])
+                .select(id_col, "ti")
+            )
+            words = words.join(cov, on=[id_col, "ti"], how="anti")
+        if words.height:
+            agg = (
+                words.sort("ti")
+                .group_by(id_col)
+                .agg(pl.col("t"))
+                .with_columns(pl.col("t").list.join(" ").alias("text_clean"))
+                .select(id_col, "text_clean")
+            )
+        else:
+            agg = empty_agg
+        out = (
+            docs.select(id_col)
+            .join(agg, on=id_col, how="left")
+            .with_columns(pl.col("text_clean").fill_null(""))
+        )
+        return out.to_pandas()
+
+    return bucketed_group_apply(
+        tagged, id_col, rebuild, n_buckets=n_buckets, batch_format="pandas"
+    )
+
+
 def sample_to_mixture(
     ds: rd.Dataset,
     group_col: str,

@@ -111,6 +111,23 @@ def q_pmi_pairs(sf_dir: str) -> pa.Table:
     return textstats.pmi_pairs(_docs(sf_dir, ["text"]))
 
 
+def q_duplicate_ngrams(sf_dir: str) -> rd.Dataset:
+    """Occurrences of duplicated 8-token grams beyond their corpus-wide
+    first (exact substring-dedup detection) — exact DuckDB oracle."""
+    return dedup.duplicate_ngram_occurrences(
+        _docs(sf_dir, ["doc_id", "text"]), n=8
+    )
+
+
+def q_remove_dup_ngrams(sf_dir: str) -> rd.Dataset:
+    """Exact substring-dedup REMOVAL: docs rebuilt without tokens covered
+    by duplicated 8-grams beyond their corpus-wide first — exact DuckDB
+    window+anti-join oracle."""
+    return dedup.remove_duplicate_ngrams(
+        _docs(sf_dir, ["doc_id", "text"]), n=8
+    )
+
+
 def q_quality_percentile(sf_dir: str) -> rd.Dataset:
     """Exact global percent_rank of the quality score appended per doc —
     distributed rank-normalization with no global sort (value-histogram
@@ -1159,6 +1176,8 @@ def queries() -> dict:
         "q_inverted_index": q_inverted_index,  # new in r5 -> record now
         "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
         "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now
+        "q_duplicate_ngrams": q_duplicate_ngrams,  # new in r5 -> record now
+        "q_remove_dup_ngrams": q_remove_dup_ngrams,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1260,6 +1279,40 @@ def _oracle_sql_base() -> dict:
             " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token"
             " FROM documents)"
             " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "q_duplicate_ngrams": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " g AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t"
+            "  FROM toks),"
+            " gr AS (SELECT doc_id, pos,"
+            "  array_to_string(t[pos+1:pos+8], ' ') AS gram FROM g),"
+            " r AS (SELECT doc_id, pos, row_number() OVER"
+            "  (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM gr)"
+            " SELECT doc_id, pos FROM r WHERE rn > 1"
+        ),
+        "q_remove_dup_ngrams": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " g AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t"
+            "  FROM toks),"
+            " gr AS (SELECT doc_id, pos,"
+            "  array_to_string(t[pos+1:pos+8], ' ') AS gram FROM g),"
+            " r AS (SELECT doc_id, pos, row_number() OVER"
+            "  (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM gr),"
+            " dup AS (SELECT doc_id, pos FROM r WHERE rn > 1),"
+            " cov AS (SELECT DISTINCT doc_id,"
+            "  pos + unnest(range(0, 8)) AS ti FROM dup),"
+            " tok AS (SELECT doc_id, unnest(range(0, len(t))) AS ti, t"
+            "  FROM toks),"
+            " w AS (SELECT doc_id, ti, t[ti+1] AS w FROM tok),"
+            " keep AS (SELECT w.doc_id, w.ti, w.w FROM w LEFT JOIN cov"
+            "  ON w.doc_id = cov.doc_id AND w.ti = cov.ti"
+            "  WHERE cov.ti IS NULL),"
+            " s AS (SELECT doc_id, string_agg(w, ' ' ORDER BY ti)"
+            "  AS text_clean FROM keep GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(s.text_clean, '') AS text_clean"
+            " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "q_quality_percentile": (
             "WITH q AS (SELECT doc_id,"

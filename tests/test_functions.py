@@ -677,6 +677,88 @@ class TestInvertedIndexAndPmi:
         assert out.iloc[0]["n_co"] == 30
         assert abs(out.iloc[0]["pmi"] - round(float(np.log(2.0)), 6)) < 1e-9
 
+    def test_duplicate_ngrams_planted(self):
+        from ocr_platform_ray.functions.dedup import duplicate_ngram_occurrences
+
+        shared = "one two three four"  # a 4-gram planted in three docs
+        rows = [
+            {"doc_id": 1, "text": f"{shared} tail1 a b c"},
+            {"doc_id": 2, "text": f"head2 {shared} tail2"},
+            {"doc_id": 3, "text": f"{shared}"},
+            {"doc_id": 4, "text": "entirely different words here now"},
+        ]
+        out = (
+            duplicate_ngram_occurrences(_ds(rows).repartition(3), n=4)
+            .to_pandas()
+            .sort_values(["doc_id", "pos"])
+        )
+        # first occurrence is (doc 1, pos 0); later ones are flagged
+        assert list(zip(out["doc_id"], out["pos"])) == [(2, 1), (3, 0)]
+
+    def test_duplicate_ngrams_overlapping_within_doc(self):
+        from ocr_platform_ray.functions.dedup import duplicate_ngram_occurrences
+
+        # 'a b a b a b' has 2-grams: (a b) x?? positions 0..4 ->
+        # 'a b','b a','a b','b a','a b' -> dups at pos 2,3,4
+        rows = [{"doc_id": 7, "text": "a b a b a b"}]
+        out = (
+            duplicate_ngram_occurrences(_ds(rows), n=2)
+            .to_pandas()
+            .sort_values("pos")
+        )
+        assert out["pos"].tolist() == [2, 3, 4]
+
+    def test_duplicate_ngrams_short_docs_yield_nothing(self):
+        from ocr_platform_ray.functions.dedup import duplicate_ngram_occurrences
+
+        rows = [{"doc_id": 1, "text": "too short"}, {"doc_id": 2, "text": ""}]
+        out = duplicate_ngram_occurrences(_ds(rows), n=8).to_pandas()
+        assert len(out) == 0
+
+    def test_remove_duplicate_ngrams_planted(self):
+        from ocr_platform_ray.functions.dedup import remove_duplicate_ngrams
+
+        shared = "one two three four"
+        rows = [
+            {"doc_id": 1, "text": f"{shared} tail1 a b c"},
+            {"doc_id": 2, "text": f"head2 {shared} tail2"},
+            {"doc_id": 3, "text": f"{shared}"},
+            {"doc_id": 4, "text": "entirely different words here now"},
+            {"doc_id": 5, "text": ""},
+        ]
+        out = (
+            remove_duplicate_ngrams(_ds(rows).repartition(3), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # every input doc comes back; first occurrence (doc 1) is kept,
+        # later copies are excised, fully-duplicated doc 3 empties out
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+        assert out["text_clean"].tolist() == [
+            "one two three four tail1 a b c",
+            "head2 tail2",
+            "",
+            "entirely different words here now",
+            "",
+        ]
+
+    def test_remove_duplicate_ngrams_no_dups_is_identity_on_tokens(self):
+        from ocr_platform_ray.functions.dedup import remove_duplicate_ngrams
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta"},
+            {"doc_id": 2, "text": "epsilon zeta eta theta"},
+        ]
+        out = (
+            remove_duplicate_ngrams(_ds(rows), n=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["text_clean"].tolist() == [
+            "alpha beta gamma delta",
+            "epsilon zeta eta theta",
+        ]
+
     def test_percent_rank_matches_bruteforce_with_ties(self):
         from ocr_platform_ray.functions.sketches import percent_rank_transform
 
