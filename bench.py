@@ -158,6 +158,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_quality_percentile", q.q_quality_percentile),
         ("q_duplicate_ngrams", q.q_duplicate_ngrams),
         ("q_remove_dup_ngrams", q.q_remove_dup_ngrams),
+        ("q_video_frame_features", q.q_video_frame_features),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

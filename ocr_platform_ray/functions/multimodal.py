@@ -21,10 +21,15 @@ layout — is real and tested. Codecs:
   pinned against libjpeg-produced bytes. Being lossy, it is a codec
   seam for real-world corpora, not a bench-path payload format (the
   media table carries the lossless npy/png pair);
-- ``mp4``: STUB — raises NotImplementedError with a clear message; a
-  video container needs ffmpeg, absent here. This is the single
-  remaining marked seam (the video PATH is still exercised end-to-end
-  by :class:`FrameSample` over multi-frame npy payloads).
+- ``mp4``: REAL container demux + raw-frame decode — pure-stdlib
+  ISO/IEC 14496-12 box walk (``ocr_platform_ray.mp4codec``: general
+  stsd/stts/stsc/stsz/stco|co64 sample-table parsing over any
+  conforming mp4) with frames carried as the private raw-grayscale
+  ``gry8`` sample entry. COMPRESSED bitstreams (avc1/hev1/…) raise
+  NotImplementedError naming the fourcc — bitstream decode needs
+  ffmpeg and is the single remaining marked seam; the video PATH
+  (mux -> demux -> :class:`FrameSample` -> features) runs end-to-end
+  on true binary mp4 payloads.
 
 Memory note (100 TB): binary cells are large, so these stages use small
 ``batch_size`` and ``batch_format='pyarrow'`` (payload bytes stay in the
@@ -116,11 +121,16 @@ def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
         from ..jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
-    # STUB: real deployments decode video containers with ffmpeg here.
+    if codec == "mp4":
+        from ..mp4codec import decode_mp4
+
+        # raises NotImplementedError naming the fourcc for compressed
+        # bitstreams (avc1/...) — the remaining marked seam
+        return decode_mp4(payload)
     raise NotImplementedError(
         f"codec {codec!r} needs a media library not present in this "
-        "environment; 'npy', 'png', 'jpeg' and 'wav' decode here (see "
-        "module doc)"
+        "environment; 'npy', 'png', 'jpeg', 'wav' and 'mp4' (raw-gray "
+        "samples) decode here (see module doc)"
     )
 
 
@@ -367,6 +377,96 @@ def audio_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
     if limit:
         ds = ds.limit(limit)
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128)
+
+
+def video_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Dataset:
+    """Binary VIDEO media table: one mp4 payload per document with a real
+    ISO BMFF container (``mp4codec.mux_mp4``). Frames are deterministic:
+    the doc's first rendered image span, horizontally rolled per frame
+    index (2-4 frames keyed by doc id) — same no-external-data contract
+    as the image/audio tables, but the payload is a true mp4."""
+    from .. import media as media_mod
+    from ..corpus import spans_from_document
+    from ..mp4codec import mux_mp4
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "kind": [], "codec": [], "payload": [], "meta": []}
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            spans = spans_from_document(int(d), t)
+            refs = [s["media_ref"] for s in spans if s["kind"] == "image"]
+            if not refs:
+                continue
+            base = media_mod.render(refs[0])
+            n_frames = 2 + int(d) % 3
+            clip = np.stack(
+                [np.roll(base, shift=3 * f, axis=1) for f in range(n_frames)]
+            )
+            rows["media_id"].append(f"video-{int(d):08d}")
+            rows["kind"].append("video")
+            rows["codec"].append("mp4")
+            rows["payload"].append(mux_mp4(clip, fps=12))
+            rows["meta"].append(
+                {
+                    "width": base.shape[1],
+                    "height": base.shape[0],
+                    "n_frames": n_frames,
+                    "sample_rate": 0,
+                }
+            )
+        return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if limit:
+        # see media_table_from_documents: re-split post-limit so the
+        # fused build->sample->feature chain still fills the pool
+        return ds.limit(limit).repartition(16).map_batches(
+            build, batch_format="pyarrow", batch_size=16
+        )
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=32)
+
+
+def video_frame_features(sf_dir: str, every_k: int = 2,
+                         limit: int = 256) -> rd.Dataset:
+    """Video pipeline: mp4 table -> demux + frame-sample every k-th frame
+    -> per-frame image features. Capped at ``limit`` docs by design (the
+    mp4 table is a codec-seam validation path like the jpeg one; the
+    throughput media table stays npy/png). Output one row per sampled
+    frame, media_id suffixed '#f<idx>' so frames stay addressable."""
+    ds = video_table_from_documents(sf_dir, limit=limit)
+    frames = ds.map_batches(
+        FrameSample,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"every_k": every_k},
+        num_cpus=1,
+    )
+
+    def as_media(batch: pa.Table) -> pa.Table:
+        mids = [
+            f"{m}#f{i}"
+            for m, i in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("frame_idx").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "codec": pa.array(["npy"] * len(mids), pa.string()),
+                "payload": batch.column("payload"),
+            }
+        )
+
+    return frames.map_batches(as_media, batch_format="pyarrow").map_batches(
+        MediaDecodeFeatures,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
 
 
 def audio_features(sf_dir: str) -> rd.Dataset:

@@ -1077,6 +1077,16 @@ def q_audio_features(sf_dir: str) -> rd.Dataset:
     return multimodal.audio_features(sf_dir)
 
 
+def q_video_frame_features(sf_dir: str) -> rd.Dataset:
+    """Binary VIDEO column (true ISO BMFF mp4 payloads, raw-gray sample
+    entry) -> container demux + every-2nd-frame sample -> per-frame image
+    features (capped subset — codec-seam path like the jpeg table).
+    Container math is not SQL-expressible -> golden-pinned."""
+    from .functions import multimodal
+
+    return multimodal.video_frame_features(sf_dir)
+
+
 # ------------------------------------------------- extraction (non-SQL ops)
 
 def q_extract_flagship(sf_dir: str) -> rd.Dataset:
@@ -1173,6 +1183,7 @@ def queries() -> dict:
         "q_extract_summary": q_extract_summary,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
+        "q_video_frame_features": q_video_frame_features,  # new in r5 -> record now
         "q_inverted_index": q_inverted_index,  # new in r5 -> record now
         "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
         "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now

@@ -54,9 +54,9 @@ def test_resize_applied():
 def test_unknown_codec_is_stubbed():
     arr = np.zeros((4, 4), dtype=np.uint8)
     t = pa.Table.from_pylist(
-        [_img_row("m1", arr, codec="mp4")], schema=mm.MEDIA_SCHEMA
+        [_img_row("m1", arr, codec="webm")], schema=mm.MEDIA_SCHEMA
     )
-    with pytest.raises(NotImplementedError, match="codec 'mp4'"):
+    with pytest.raises(NotImplementedError, match="codec 'webm'"):
         mm.MediaDecodeFeatures()(t)
 
 

@@ -42,6 +42,7 @@ GOLDEN_QUERIES = [
     "q_ann_topk_int8",
     "q_audio_features",
     "q_media_features_jpeg",
+    "q_video_frame_features",
 ]
 
 
