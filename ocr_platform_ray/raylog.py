@@ -25,8 +25,12 @@ import logging
 import re
 
 _MSG = "different schema than the previous one"
-# empty-bundle shapes only: "new schema: None." / "new schema: ."
-_EMPTY_NEW = re.compile(r"new schema: (None)?\.")
+# empty-bundle shapes only: "new schema: None." / "new schema: ." /
+# "new schema: PandasBlockSchema(names=[], types=[])." (an empty pandas
+# block from a sort range partition with no rows)
+_EMPTY_NEW = re.compile(
+    r"new schema: (None|PandasBlockSchema\(names=\[\], types=\[\]\))?\."
+)
 _LOGGER = "ray.data._internal.execution.streaming_executor_state"
 
 

@@ -24,9 +24,17 @@ def test_filter_drops_empty_bundle_shape_only():
     # zero-field schema: dropped
     assert not f.filter(_rec(base + "new schema: . This may lead to "
                                     "unexpected behavior."))
+    # empty PANDAS block (sort range partition with no rows): dropped
+    assert not f.filter(_rec(base + "new schema: PandasBlockSchema("
+                                    "names=[], types=[]). This may lead "
+                                    "to unexpected behavior."))
     # GENUINE divergence between two non-empty schemas: kept
     assert f.filter(_rec(base + "new schema: b: string. This may lead to "
                                 "unexpected behavior."))
+    # non-empty pandas schema divergence: kept
+    assert f.filter(_rec(base + "new schema: PandasBlockSchema("
+                                "names=['z'], types=[dtype('O')]). This "
+                                "may lead to unexpected behavior."))
     # unrelated warnings: kept
     assert f.filter(_rec("spilling objects to disk"))
 
