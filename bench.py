@@ -159,6 +159,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_duplicate_ngrams", q.q_duplicate_ngrams),
         ("q_remove_dup_ngrams", q.q_remove_dup_ngrams),
         ("q_video_frame_features", q.q_video_frame_features),
+        ("q_dup_coverage", q.q_dup_coverage),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1493,6 +1493,106 @@ def remove_duplicate_ngrams(
     )
 
 
+def duplicate_coverage(
+    ds: rd.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-doc duplicated-token coverage — the ANALYSIS companion of
+    exact substring dedup: how much of each document is covered by
+    duplicated ``n``-gram occurrences beyond their corpus-wide first
+    (:func:`duplicate_ngram_occurrences`). The ratio drives the
+    drop-vs-clean decision (drop a doc that is mostly duplicate, excise
+    spans otherwise). Returns (doc_id, n_covered, n_tokens, dup_ratio)
+    with dup_ratio = round(n_covered / max(1, n_tokens), 6), DuckDB
+    half-away rounding.
+
+    Scale shape: same as the removal pass — one doc-bucketed shuffle
+    over a union of per-doc token counts (pos=-1 marker rows; the TEXT
+    never travels here, only its count) and the occurrence markers;
+    covered positions are de-duplicated vectorized per bucket."""
+    import polars as pl
+
+    from . import bucketed_group_apply, round_half_away_np
+    from .textstats import TOKEN_RE
+
+    occ = duplicate_ngram_occurrences(ds, n=n, id_col=id_col,
+                                      n_buckets=n_buckets)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_tok = (
+            pl.from_arrow(col)
+            .str.extract_all(TOKEN_RE)
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "n_tok": pa.array(n_tok),
+            }
+        )
+
+    def tag_occ(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": batch.column("pos"),
+                "n_tok": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    tagged = (
+        ds.select_columns([id_col, "text"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(occ.map_batches(tag_occ, batch_format="pyarrow"))
+    )
+
+    def stats(g: "pd.DataFrame") -> "pd.DataFrame":
+        docs = g[g["pos"] < 0][[id_col, "n_tok"]]
+        occp = g[g["pos"] >= 0][[id_col, "pos"]]
+        if len(occp):
+            ids = np.repeat(occp[id_col].to_numpy(), n)
+            ti = (occp["pos"].to_numpy()[:, None] + np.arange(n)).ravel()
+            cnt = (
+                pd.DataFrame({id_col: ids, "ti": ti})
+                .drop_duplicates()
+                .groupby(id_col)
+                .size()
+            )
+        else:
+            cnt = pd.Series(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: docs[id_col].to_numpy(),
+                "n_covered": docs[id_col]
+                .map(cnt)
+                .fillna(0)
+                .astype(np.int64)
+                .to_numpy(),
+                "n_tokens": docs["n_tok"].astype(np.int64).to_numpy(),
+            }
+        )
+        out["dup_ratio"] = round_half_away_np(
+            out["n_covered"].to_numpy()
+            / np.maximum(1, out["n_tokens"].to_numpy()),
+            6,
+        )
+        return out
+
+    return bucketed_group_apply(
+        tagged, id_col, stats, n_buckets=n_buckets, batch_format="pandas"
+    )
+
+
 def sample_to_mixture(
     ds: rd.Dataset,
     group_col: str,

@@ -128,6 +128,12 @@ def q_remove_dup_ngrams(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dup_coverage(sf_dir: str) -> rd.Dataset:
+    """Per-doc duplicated-8-gram token coverage (drop-vs-clean signal
+    of exact substring dedup) — exact DuckDB oracle."""
+    return dedup.duplicate_coverage(_docs(sf_dir, ["doc_id", "text"]), n=8)
+
+
 def q_quality_percentile(sf_dir: str) -> rd.Dataset:
     """Exact global percent_rank of the quality score appended per doc —
     distributed rank-normalization with no global sort (value-histogram
@@ -1189,6 +1195,7 @@ def queries() -> dict:
         "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now
         "q_duplicate_ngrams": q_duplicate_ngrams,  # new in r5 -> record now
         "q_remove_dup_ngrams": q_remove_dup_ngrams,  # new in r5 -> record now
+        "q_dup_coverage": q_dup_coverage,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1324,6 +1331,27 @@ def _oracle_sql_base() -> dict:
             "  AS text_clean FROM keep GROUP BY doc_id)"
             " SELECT d.doc_id, coalesce(s.text_clean, '') AS text_clean"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
+        "q_dup_coverage": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " g AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t"
+            "  FROM toks),"
+            " gr AS (SELECT doc_id, pos,"
+            "  array_to_string(t[pos+1:pos+8], ' ') AS gram FROM g),"
+            " r AS (SELECT doc_id, pos, row_number() OVER"
+            "  (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM gr),"
+            " dup AS (SELECT doc_id, pos FROM r WHERE rn > 1),"
+            " cov AS (SELECT DISTINCT doc_id,"
+            "  pos + unnest(range(0, 8)) AS ti FROM dup),"
+            " c AS (SELECT doc_id, count(*) AS n_cov FROM cov"
+            "  GROUP BY doc_id),"
+            " nt AS (SELECT doc_id, len(t) AS n_tok FROM toks)"
+            " SELECT nt.doc_id, coalesce(c.n_cov, 0) AS n_covered,"
+            " nt.n_tok AS n_tokens,"
+            " round(coalesce(c.n_cov, 0) / greatest(nt.n_tok, 1), 6)"
+            "  AS dup_ratio"
+            " FROM nt LEFT JOIN c ON nt.doc_id = c.doc_id"
         ),
         "q_quality_percentile": (
             "WITH q AS (SELECT doc_id,"

@@ -742,6 +742,28 @@ class TestInvertedIndexAndPmi:
             "",
         ]
 
+    def test_duplicate_coverage_planted(self):
+        from ocr_platform_ray.functions.dedup import duplicate_coverage
+
+        shared = "one two three four"
+        rows = [
+            {"doc_id": 1, "text": f"{shared} tail1 a b c"},   # 8 tokens, first
+            {"doc_id": 2, "text": f"head2 {shared} tail2"},   # 6 tokens, 4 covered
+            {"doc_id": 3, "text": f"{shared}"},               # fully covered
+            {"doc_id": 4, "text": "entirely different words here now"},
+            {"doc_id": 5, "text": ""},
+        ]
+        out = (
+            duplicate_coverage(_ds(rows).repartition(3), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [8, 6, 4, 5, 0]
+        assert out["n_covered"].tolist() == [0, 4, 4, 0, 0]
+        assert out["dup_ratio"].tolist() == [
+            0.0, round(4 / 6, 6), 1.0, 0.0, 0.0
+        ]
+
     def test_remove_duplicate_ngrams_no_dups_is_identity_on_tokens(self):
         from ocr_platform_ray.functions.dedup import remove_duplicate_ngrams
 
