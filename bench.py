@@ -160,6 +160,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_remove_dup_ngrams", q.q_remove_dup_ngrams),
         ("q_video_frame_features", q.q_video_frame_features),
         ("q_dup_coverage", q.q_dup_coverage),
+        ("q_dup_spans", q.q_dup_spans),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

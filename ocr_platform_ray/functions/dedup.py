@@ -1593,6 +1593,56 @@ def duplicate_coverage(
     )
 
 
+def duplicate_spans(
+    ds: rd.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Maximal duplicated SPANS per doc: the token intervals
+    [pos, pos+n) of :func:`duplicate_ngram_occurrences` merged where
+    they overlap or touch (gaps-and-islands) — the span-granular view a
+    masking/redaction pass consumes instead of raw gram starts. Returns
+    (doc_id, span_start, span_end, n_grams) with span_end exclusive and
+    n_grams the number of merged occurrences.
+
+    Scale shape: detection's gram-bucketed scan, then ONE doc-bucketed
+    groupby over the (doc_id, pos) markers only; the merge is a
+    vectorized pandas cummax/shift islands pass per bucket (no per-doc
+    Python loop)."""
+    from . import bucketed_group_apply
+
+    occ = duplicate_ngram_occurrences(ds, n=n, id_col=id_col,
+                                      n_buckets=n_buckets)
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "pos"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["e"] = g["pos"] + n
+        cm = g.groupby(id_col)["e"].cummax()
+        prev = cm.groupby(g[id_col]).shift(1)
+        new_island = prev.isna() | (g["pos"] > prev)
+        gid = new_island.groupby(g[id_col]).cumsum()
+        out = (
+            g.assign(gid=gid)
+            .groupby([id_col, "gid"], as_index=False)
+            .agg(
+                span_start=("pos", "min"),
+                span_end=("e", "max"),
+                n_grams=("pos", "size"),
+            )
+            .drop(columns=["gid"])
+        )
+        for c in ("span_start", "span_end", "n_grams"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        occ, id_col, merge, n_buckets=n_buckets, batch_format="pandas"
+    )
+
+
 def sample_to_mixture(
     ds: rd.Dataset,
     group_col: str,

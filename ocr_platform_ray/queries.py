@@ -128,6 +128,12 @@ def q_remove_dup_ngrams(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dup_spans(sf_dir: str) -> rd.Dataset:
+    """Maximal duplicated token spans per doc (gaps-and-islands merge of
+    duplicated-8-gram intervals) — exact DuckDB window oracle."""
+    return dedup.duplicate_spans(_docs(sf_dir, ["doc_id", "text"]), n=8)
+
+
 def q_dup_coverage(sf_dir: str) -> rd.Dataset:
     """Per-doc duplicated-8-gram token coverage (drop-vs-clean signal
     of exact substring dedup) — exact DuckDB oracle."""
@@ -1196,6 +1202,7 @@ def queries() -> dict:
         "q_duplicate_ngrams": q_duplicate_ngrams,  # new in r5 -> record now
         "q_remove_dup_ngrams": q_remove_dup_ngrams,  # new in r5 -> record now
         "q_dup_coverage": q_dup_coverage,  # new in r5 -> record now
+        "q_dup_spans": q_dup_spans,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1331,6 +1338,28 @@ def _oracle_sql_base() -> dict:
             "  AS text_clean FROM keep GROUP BY doc_id)"
             " SELECT d.doc_id, coalesce(s.text_clean, '') AS text_clean"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
+        "q_dup_spans": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " g AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t"
+            "  FROM toks),"
+            " gr AS (SELECT doc_id, pos,"
+            "  array_to_string(t[pos+1:pos+8], ' ') AS gram FROM g),"
+            " r AS (SELECT doc_id, pos, row_number() OVER"
+            "  (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM gr),"
+            " dup AS (SELECT doc_id, pos, pos + 8 AS e FROM r WHERE rn > 1),"
+            " m AS (SELECT doc_id, pos, e, max(e) OVER"
+            "  (PARTITION BY doc_id ORDER BY pos"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "  AS prev_max FROM dup),"
+            " f AS (SELECT doc_id, pos, e, CASE WHEN prev_max IS NULL"
+            "  OR pos > prev_max THEN 1 ELSE 0 END AS ni FROM m),"
+            " grp AS (SELECT doc_id, pos, e, sum(ni) OVER"
+            "  (PARTITION BY doc_id ORDER BY pos"
+            "   ROWS UNBOUNDED PRECEDING) AS gid FROM f)"
+            " SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,"
+            " count(*) AS n_grams FROM grp GROUP BY doc_id, gid"
         ),
         "q_dup_coverage": (
             "WITH toks AS (SELECT doc_id,"

@@ -742,6 +742,35 @@ class TestInvertedIndexAndPmi:
             "",
         ]
 
+    def test_duplicate_spans_merges_islands(self):
+        from ocr_platform_ray.functions.dedup import duplicate_spans
+
+        shared = "one two three four"
+        rows = [
+            # overlapping dup grams inside one doc: 'a b' repeats ->
+            # dup starts 2,3,4 merge into ONE span [2, 6)
+            {"doc_id": 7, "text": "a b a b a b"},
+            # cross-doc copies of a 4-gram -> one 1-gram span each
+            {"doc_id": 1, "text": f"{shared} tail1 x y z"},
+            {"doc_id": 2, "text": f"head2 {shared} tail2"},
+            {"doc_id": 3, "text": f"{shared}"},
+        ]
+        out = (
+            duplicate_spans(_ds(rows).repartition(2), n=2)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+        )
+        got = list(
+            zip(out["doc_id"], out["span_start"], out["span_end"],
+                out["n_grams"])
+        )
+        # n=2: 'one two','two three','three four' duplicate across docs
+        # 1/2/3 (doc 1 holds the firsts) and merge into one span per doc
+        assert (7, 2, 6, 3) in got
+        assert (2, 1, 5, 3) in got
+        assert (3, 0, 4, 3) in got
+        assert not any(d == 1 for d, *_ in got)
+
     def test_duplicate_coverage_planted(self):
         from ocr_platform_ray.functions.dedup import duplicate_coverage
 
