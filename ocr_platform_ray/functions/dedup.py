@@ -1643,6 +1643,100 @@ def duplicate_spans(
     )
 
 
+def cross_source_duplication(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_partial_rows: int = 2_000_000,
+) -> pa.Table:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many DISTINCT texts appear verbatim in both — the
+    where-is-my-corpus-copied-from diagnostic that decides which source
+    to keep during exact dedup. Returns an arrow table (source_a,
+    source_b, n_shared_texts) with source_a < source_b.
+
+    Scale shape: per-batch distinct (text, source) combiner, ONE
+    text-hash-bucketed groupby (texts co-locate, so the per-text source
+    set is complete in its bucket; pair emission is a vectorized
+    self-merge over the duplicated texts only), then a driver-side sum
+    over partials bounded by 1024 buckets x |sources|^2 rows (the
+    SOURCE-pair space, not the text space) — guarded loudly by
+    ``max_partial_rows`` like the other bounded driver merges. A
+    distributed final stage is deliberately NOT used: when no text is
+    shared, every partial is empty and Ray Data drops the schema of an
+    all-empty dataset, so the no-duplicates answer would come back
+    column-less; the arrow return carries its schema always."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[text_col, source_col]].drop_duplicates()
+        cb = (_text_hash64(pa.array(df[text_col])) & np.uint64(1023)).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {"cb": cb, text_col: df[text_col], source_col: df[source_col]}
+        )
+
+    partials = ds.select_columns([text_col, source_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_shared_texts", pa.int64()),
+        ]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # returns ARROW with an explicit schema: empty pandas blocks are
+        # schema-less to Ray, which would leave a no-duplicate corpus's
+        # result with no columns at all
+        g = g.drop_duplicates([text_col, source_col])
+        nsrc = g.groupby(text_col)[source_col].transform("nunique")
+        multi = g[nsrc >= 2][[text_col, source_col]]
+        if multi.empty:
+            return out_schema.empty_table()
+        m = multi.merge(multi, on=text_col, suffixes=("_a", "_b"))
+        m = m[m[f"{source_col}_a"] < m[f"{source_col}_b"]]
+        out = (
+            m.groupby(
+                [f"{source_col}_a", f"{source_col}_b"], as_index=False
+            )
+            .size()
+            .rename(
+                columns={
+                    f"{source_col}_a": "source_a",
+                    f"{source_col}_b": "source_b",
+                    "size": "n_shared_texts",
+                }
+            )
+        )
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    per_bucket = (
+        partials.repartition(shuffle_blocks())
+        .groupby("cb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    rows = per_bucket.take(max_partial_rows + 1)
+    if len(rows) > max_partial_rows:
+        raise ValueError(
+            f"cross_source_duplication: > {max_partial_rows} partial "
+            "pair rows — the source cardinality is far beyond the "
+            "matrix contract; raise max_partial_rows deliberately"
+        )
+    df = pd.DataFrame(rows, columns=["source_a", "source_b", "n_shared_texts"])
+    if len(df):
+        df = df.groupby(["source_a", "source_b"], as_index=False)[
+            "n_shared_texts"
+        ].sum()
+    return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
+
+
 def sample_to_mixture(
     ds: rd.Dataset,
     group_col: str,

@@ -128,6 +128,14 @@ def q_remove_dup_ngrams(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_cross_source_dups(sf_dir: str) -> pa.Table:
+    """Cross-source duplication matrix (distinct texts shared verbatim by
+    each source pair) — exact DuckDB self-join oracle."""
+    return dedup.cross_source_duplication(
+        _docs(sf_dir, ["text", "source"])
+    )
+
+
 def q_dup_spans(sf_dir: str) -> rd.Dataset:
     """Maximal duplicated token spans per doc (gaps-and-islands merge of
     duplicated-8-gram intervals) — exact DuckDB window oracle."""
@@ -1203,6 +1211,7 @@ def queries() -> dict:
         "q_remove_dup_ngrams": q_remove_dup_ngrams,  # new in r5 -> record now
         "q_dup_coverage": q_dup_coverage,  # new in r5 -> record now
         "q_dup_spans": q_dup_spans,  # new in r5 -> record now
+        "q_cross_source_dups": q_cross_source_dups,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1338,6 +1347,14 @@ def _oracle_sql_base() -> dict:
             "  AS text_clean FROM keep GROUP BY doc_id)"
             " SELECT d.doc_id, coalesce(s.text_clean, '') AS text_clean"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
+        "q_cross_source_dups": (
+            "WITH d AS (SELECT DISTINCT text, source FROM documents),"
+            " p AS (SELECT a.source AS source_a, b.source AS source_b"
+            "  FROM d a JOIN d b ON a.text = b.text"
+            "  AND a.source < b.source)"
+            " SELECT source_a, source_b, count(*) AS n_shared_texts"
+            " FROM p GROUP BY source_a, source_b"
         ),
         "q_dup_spans": (
             "WITH toks AS (SELECT doc_id,"

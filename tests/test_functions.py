@@ -742,6 +742,35 @@ class TestInvertedIndexAndPmi:
             "",
         ]
 
+    def test_cross_source_duplication_planted(self):
+        from ocr_platform_ray.functions.dedup import cross_source_duplication
+
+        rows = [
+            {"doc_id": 1, "text": "copied once", "source": "web"},
+            {"doc_id": 2, "text": "copied once", "source": "books"},
+            {"doc_id": 3, "text": "copied once", "source": "web"},  # same pair, once
+            {"doc_id": 4, "text": "copied twice", "source": "web"},
+            {"doc_id": 5, "text": "copied twice", "source": "books"},
+            {"doc_id": 6, "text": "copied twice", "source": "wiki"},
+            {"doc_id": 7, "text": "unique text here", "source": "web"},
+        ]
+        out = (
+            cross_source_duplication(_ds(rows).repartition(3))
+            .to_pandas()
+            .sort_values(["source_a", "source_b"])
+        )
+        got = {
+            (a, b): n
+            for a, b, n in zip(
+                out["source_a"], out["source_b"], out["n_shared_texts"]
+            )
+        }
+        assert got == {
+            ("books", "web"): 2,
+            ("books", "wiki"): 1,
+            ("web", "wiki"): 1,
+        }
+
     def test_duplicate_spans_merges_islands(self):
         from ocr_platform_ray.functions.dedup import duplicate_spans
 
