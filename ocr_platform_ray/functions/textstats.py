@@ -773,6 +773,132 @@ def unigram_logprob_topn(ds, top_n: int = 65_536):
     )
 
 
+def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id"):
+    """BM25 top-k retrieval over the corpus — the keyword-search baseline
+    (Robertson/Spärck Jones probabilistic ranking, Lucene IDF form
+    ln((N - df + 0.5)/(df + 0.5) + 1)) that complements the embedding
+    ANN family for corpus triage ("find the docs about X").
+
+    Two streamed scans, zero shuffle beyond a k-row sort:
+
+    1. corpus stats — per-batch ONE partial row (n_docs, total token
+       length, per-query-term document frequency) reduced by
+       ``Dataset.sum``; the reduce payload is (T+2) ints per batch.
+    2. scoring — per-batch vectorized polars/numpy: explode tokens,
+       keep query-term hits via searchsorted, tf by bincount on
+       (row, term) keys sorted for a deterministic add order, score
+       rounded 6dp half-away; each batch emits only its LOCAL top-k, so
+       the global sort sees k x n_batches rows, not the corpus.
+
+    Returns the global top ``k`` (doc_id, score) rows ordered by
+    (score DESC, doc_id ASC) — ties broken on the ROUNDED score exactly
+    like the DuckDB oracle. Docs containing no query term never score."""
+    import polars as pl
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    T = len(terms)
+    terms_arr = np.array(terms, dtype=str)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pl.from_arrow(col).str.extract_all(TOKEN_RE)
+        lens = toks.list.len().cast(pl.Int64).to_numpy()
+        d = (
+            pl.DataFrame({"i": np.arange(len(lens)), "t": toks})
+            .explode("t")
+            .drop_nulls("t")
+            .unique()
+        )
+        out = {
+            "n_docs": [len(lens)],
+            "total_len": [int(lens.sum())],
+        }
+        if d.height:
+            tv = d["t"].to_numpy().astype(str)
+            pos = np.minimum(np.searchsorted(terms_arr, tv), T - 1)
+            hit = terms_arr[pos] == tv
+            counts = np.bincount(pos[hit], minlength=T)
+        else:
+            counts = np.zeros(T, dtype=np.int64)
+        for j in range(T):
+            out[f"df_{j}"] = [int(counts[j])]
+        return pa.Table.from_pydict(out)
+
+    stats = ds.select_columns(["text"]).map_batches(
+        stats_partial, batch_format="pyarrow"
+    )
+    sums = stats.sum(["n_docs", "total_len"] + [f"df_{j}" for j in range(T)])
+    n_docs = int(sums["sum(n_docs)"])
+    avgdl = float(sums["sum(total_len)"]) / max(1, n_docs)
+    df = np.array(
+        [int(sums[f"sum(df_{j})"]) for j in range(T)], dtype=np.float64
+    )
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        base = pl.DataFrame(
+            {id_col: pl.from_arrow(batch.column(id_col)),
+             "t": pl.from_arrow(col)}
+        ).with_columns(pl.col("t").str.extract_all(TOKEN_RE).alias("t"))
+        dlen = base["t"].list.len().cast(pl.Int64).to_numpy()
+        ex = (
+            base.with_row_index("i")
+            .select("i", "t")
+            .explode("t")
+            .drop_nulls("t")
+        )
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not ex.height:
+            return empty
+        tv = ex["t"].to_numpy().astype(str)
+        pos = np.minimum(np.searchsorted(terms_arr, tv), T - 1)
+        hit = terms_arr[pos] == tv
+        if not hit.any():
+            return empty
+        rows = ex["i"].to_numpy().astype(np.int64)[hit]
+        term = pos[hit]
+        key = rows * T + term
+        tf = np.bincount(key, minlength=len(dlen) * T).reshape(-1, T)
+        # rows with at least one query term
+        alive = tf.sum(axis=1) > 0
+        tf = tf[alive].astype(np.float64)
+        dl = dlen[alive].astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        contrib = np.where(
+            tf > 0, idf[None, :] * tf * (k1 + 1.0) / denom, 0.0
+        )
+        # fixed ascending-term add order -> deterministic float sum
+        score = np.floor(contrib.sum(axis=1) * 1e6 + 0.5) / 1e6
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[alive]
+        # local top-k only: (score desc, id asc)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order],
+                                 batch.schema.field(id_col).type),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    scored = ds.select_columns([id_col, "text"]).map_batches(
+        score_batch, batch_format="pyarrow"
+    )
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16):
     """Token-window document chunking — the context-chunking pass of a
     RAG / training pipeline: each doc explodes into windows of

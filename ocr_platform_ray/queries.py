@@ -128,6 +128,17 @@ def q_remove_dup_ngrams(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bm25(sf_dir: str) -> rd.Dataset:
+    """BM25 top-10 keyword retrieval for ('merge','scan','window') —
+    exact DuckDB oracle (Lucene IDF form, 6dp half-away rounding,
+    doc_id tie-break on both engines)."""
+    return textstats.bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]),
+        ["merge", "scan", "window"],
+        k=10,
+    )
+
+
 def q_cross_source_dups(sf_dir: str) -> pa.Table:
     """Cross-source duplication matrix (distinct texts shared verbatim by
     each source pair) — exact DuckDB self-join oracle."""
@@ -1212,6 +1223,7 @@ def queries() -> dict:
         "q_dup_coverage": q_dup_coverage,  # new in r5 -> record now
         "q_dup_spans": q_dup_spans,  # new in r5 -> record now
         "q_cross_source_dups": q_cross_source_dups,  # new in r5 -> record now
+        "q_bm25": q_bm25,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1347,6 +1359,26 @@ def _oracle_sql_base() -> dict:
             "  AS text_clean FROM keep GROUP BY doc_id)"
             " SELECT d.doc_id, coalesce(s.text_clean, '') AS text_clean"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
+        "q_bm25": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " dl AS (SELECT doc_id, len(t) AS dlen FROM toks),"
+            " st AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),"
+            " tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM"
+            "  (SELECT doc_id, unnest(t) AS w FROM toks)"
+            "  WHERE w IN ('merge', 'scan', 'window')"
+            "  GROUP BY doc_id, w),"
+            " dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+            " sc AS (SELECT tf.doc_id,"
+            "  sum(ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1)"
+            "   * tf.tf * 2.2 / (tf.tf + 1.2 *"
+            "   (1 - 0.75 + 0.75 * dl.dlen / st.avgdl))) AS s"
+            "  FROM tf JOIN dfx USING (term)"
+            "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st"
+            "  GROUP BY tf.doc_id)"
+            " SELECT doc_id, round(s, 6) AS score FROM sc"
+            " ORDER BY round(s, 6) DESC, doc_id LIMIT 10"
         ),
         "q_cross_source_dups": (
             "WITH d AS (SELECT DISTINCT text, source FROM documents),"

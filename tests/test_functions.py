@@ -742,6 +742,41 @@ class TestInvertedIndexAndPmi:
             "",
         ]
 
+    def test_bm25_hand_computed(self):
+        import math
+
+        from ocr_platform_ray.functions.textstats import bm25_topk
+
+        # 3 docs, query 'cat': df=2, N=3, avgdl=(3+4+2)/3=3
+        rows = [
+            {"doc_id": 1, "text": "cat cat dog"},          # tf=2, dlen=3
+            {"doc_id": 2, "text": "cat bird fish mouse"},  # tf=1, dlen=4
+            {"doc_id": 3, "text": "dog dog"},              # no match
+        ]
+        out = (
+            bm25_topk(_ds(rows).repartition(2), ["cat"], k=10)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+        def s(tf, dlen):
+            return math.floor(
+                idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / 3.0))
+                * 1e6 + 0.5
+            ) / 1e6
+        assert out["doc_id"].tolist() == [1, 2]
+        assert out["score"].tolist() == [s(2, 3), s(1, 4)]
+
+    def test_bm25_ranking_and_k(self):
+        from ocr_platform_ray.functions.textstats import bm25_topk
+
+        rows = [{"doc_id": i, "text": "term " * i + "filler"} for i in
+                range(1, 8)]
+        out = bm25_topk(_ds(rows), ["term"], k=3).to_pandas()
+        # higher tf relative to length wins; exactly k rows come back
+        assert len(out) == 3
+        assert out["score"].is_monotonic_decreasing
+
     def test_cross_source_duplication_planted(self):
         from ocr_platform_ray.functions.dedup import cross_source_duplication
 
