@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_dup_spans", q.q_dup_spans),
         ("q_cross_source_dups", q.q_cross_source_dups),
         ("q_bm25", q.q_bm25),
+        ("q_centroid_dist", q.q_centroid_dist),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -260,6 +260,97 @@ def label_centroids(ds: rd.Dataset) -> rd.Dataset:
     return partials.groupby("label").map_groups(merge, batch_format="pandas")
 
 
+def centroid_distances(ds: rd.Dataset, max_labels: int = 100_000) -> rd.Dataset:
+    """Per-vector euclidean distance to its LABEL centroid — the
+    class-prototype outlier signal of embedding quality filtering
+    (far-from-centroid vectors are mislabel/noise candidates; the same
+    prototype math as :func:`label_centroids`). Returns (vec_id, label,
+    dist) with dist rounded 6dp half-away.
+
+    Two streamed passes, no vector shuffle: (1) per-batch (sum-vector,
+    count) partials merge to per-label MEAN vectors — one d-dim float64
+    per label, collected once under the loud ``max_labels`` guard and
+    broadcast via ``ray.put``; (2) one vectorized map_batches computing
+    sqrt(sum((v - centroid[label])^2)) per row with a searchsorted
+    gather, no per-row Python."""
+    import ray
+
+    from . import resolve_broadcast
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1] if mat.size else 0))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(counts),
+                "vec_sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            }
+        )
+
+    partials = ds.select_columns(["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = None
+        for b in g["vec_sum"]:
+            v = np.frombuffer(b, dtype=np.float64)
+            total = v.copy() if total is None else total + v
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "mean": [(total / n).tobytes()],
+            }
+        )
+
+    rows = partials.groupby("label").map_groups(
+        merge, batch_format="pandas"
+    ).take(max_labels + 1)
+    if len(rows) > max_labels:
+        raise ValueError(
+            f"centroid_distances: > {max_labels} labels — the centroid "
+            "table no longer fits the broadcast contract; raise "
+            "max_labels deliberately"
+        )
+    keys = np.array(sorted(int(r["label"]) for r in rows), dtype=np.int64)
+    means = {int(r["label"]): np.frombuffer(r["mean"], np.float64)
+             for r in rows}
+    M = np.stack([means[int(k)] for k in keys]) if len(keys) else np.zeros(
+        (0, 0)
+    )
+    ref = ray.put((keys, M))
+
+    def dist_batch(batch: pa.Table) -> pa.Table:
+        k, m = resolve_broadcast(ref)
+        mat = _emb_matrix(batch).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idx = np.searchsorted(k, labels)
+        diff = mat - m[idx]
+        d = np.sqrt((diff * diff).sum(axis=1))
+        d = np.floor(d * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": pa.array(labels, pa.int64()),
+                "dist": pa.array(d, pa.float64()),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "label", "embedding"]).map_batches(
+        dist_batch, batch_format="pyarrow"
+    )
+
+
 def augment_with_planted(ds: rd.Dataset, id_offset: int = 100000) -> rd.Dataset:
     """Deterministic near-dup augmentation (driver embeddings have no
     natural near-dups — max off-diagonal cosine 0.51): for every even

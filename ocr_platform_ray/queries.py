@@ -638,6 +638,16 @@ def q_kmeans_summary(sf_dir: str) -> rd.Dataset:
     return similarity.kmeans_summary(_emb(sf_dir), n_clusters=8)
 
 
+def q_centroid_dist(sf_dir: str) -> rd.Dataset:
+    """Per-vector euclidean distance to its label centroid (embedding
+    outlier signal) — exact DuckDB unnest/avg/join oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    return similarity.centroid_distances(ds)
+
+
 def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
     """SemDeDup-style semantic dedup over the planted-augmented table:
     k-means blocking + within-cluster greedy cosine pruning (tau=0.94
@@ -1224,6 +1234,7 @@ def queries() -> dict:
         "q_dup_spans": q_dup_spans,  # new in r5 -> record now
         "q_cross_source_dups": q_cross_source_dups,  # new in r5 -> record now
         "q_bm25": q_bm25,  # new in r5 -> record now
+        "q_centroid_dist": q_centroid_dist,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1743,6 +1754,18 @@ def _oracle_sql_base() -> dict:
             " SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,"
             " round(sqrt(sum(mv * mv)), 6) AS centroid_norm"
             " FROM m GROUP BY label ORDER BY label"
+        ),
+        "q_centroid_dist": (
+            "WITH ex AS (SELECT vec_id, label,"
+            " unnest(CAST(embedding AS DOUBLE[])) AS val,"
+            " unnest(range(len(embedding))) AS dim FROM embeddings),"
+            " m AS (SELECT label, dim, avg(val) AS mv FROM ex"
+            "  GROUP BY 1, 2),"
+            " d AS (SELECT ex.vec_id, ex.label,"
+            "  sum((ex.val - m.mv) * (ex.val - m.mv)) AS ss FROM ex"
+            "  JOIN m ON ex.label = m.label AND ex.dim = m.dim"
+            "  GROUP BY 1, 2)"
+            " SELECT vec_id, label, round(sqrt(ss), 6) AS dist FROM d"
         ),
         "q_embedding_dups_exact": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"

@@ -742,6 +742,22 @@ class TestInvertedIndexAndPmi:
             "",
         ]
 
+    def test_centroid_distances_hand_computed(self):
+        from ocr_platform_ray.functions.similarity import centroid_distances
+
+        rows = [
+            {"vec_id": 1, "label": 0, "embedding": [0.0, 0.0]},
+            {"vec_id": 2, "label": 0, "embedding": [2.0, 0.0]},  # centroid (1,0)
+            {"vec_id": 3, "label": 1, "embedding": [0.0, 3.0]},  # own centroid
+        ]
+        out = (
+            centroid_distances(_ds(rows).repartition(2))
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert out["dist"].tolist() == [1.0, 1.0, 0.0]
+        assert out["label"].tolist() == [0, 0, 1]
+
     def test_bm25_hand_computed(self):
         import math
 
