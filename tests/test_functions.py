@@ -793,6 +793,31 @@ class TestInvertedIndexAndPmi:
         assert len(out) == 3
         assert out["score"].is_monotonic_decreasing
 
+    def test_duplicate_ngrams_matches_bruteforce(self):
+        from ocr_platform_ray.functions.dedup import duplicate_ngram_occurrences
+
+        # small vocab + fixed seed -> guaranteed duplicated grams
+        rng = np.random.default_rng(42)
+        vocab = ["aa", "bb", "cc", "dd"]
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 12))))}
+            for i in range(30)
+        ]
+        n = 3
+        first, expect = {}, set()
+        for r in rows:
+            toks = r["text"].split()
+            for p in range(max(0, len(toks) - n + 1)):
+                g = " ".join(toks[p:p + n])
+                if g in first:
+                    expect.add((r["doc_id"], p))
+                else:
+                    first[g] = (r["doc_id"], p)
+        out = duplicate_ngram_occurrences(_ds(rows).repartition(4), n=n)
+        got = set(zip(*(out.to_pandas()[c] for c in ("doc_id", "pos"))))
+        assert got == expect
+
     def test_cross_source_duplication_planted(self):
         from ocr_platform_ray.functions.dedup import cross_source_duplication
 
