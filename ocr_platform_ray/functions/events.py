@@ -128,6 +128,71 @@ def sliding_window_counts(
     return _merged_windows(ds.map_batches(partial, batch_format="pyarrow"))
 
 
+def event_gaps(ds: rd.Dataset) -> rd.Dataset:
+    """LAG window analogue: per-user gap (microseconds) from the previous
+    event in (ts, event_id) order; each user's FIRST event is dropped (it
+    has no predecessor), so the output is null-free int64 — exact integer
+    math, no float accumulation. Users hash-bucket (all of a user's events
+    co-locate), ONE vectorized diff per bucket — no per-user Ray group."""
+    from . import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        gap = np.diff(ts, prepend=ts[0])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[~first],
+                "gap_us": gap[~first],
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.select_columns(["event_id", "user_id", "ts"]), "user_id", per_bucket
+    )
+
+
+def rolling_avg_per_user(ds: rd.Dataset, preceding: int = 2) -> rd.Dataset:
+    """Rolling-frame window analogue: per-user mean of ``value`` over the
+    frame (``preceding`` rows + current) in (ts, event_id) order, rounded
+    to 6dp. The frame sum is accumulated OLDEST-FIRST ((v[-2]+v[-1])+v[0])
+    to match the natural left-to-right accumulation a window engine uses,
+    then divided by the actual frame length (shorter at each user's head).
+    Bucketed like the other per-user windows: one vectorized grouped-shift
+    pass per bucket."""
+    from . import bucketed_group_apply, round_half_away_np
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["value"]
+        total = np.zeros(len(g), dtype=np.float64)
+        count = np.zeros(len(g), dtype=np.int64)
+        # oldest lag first so fp addition order is deterministic
+        for k in range(preceding, 0, -1):
+            lagged = grp.shift(k).to_numpy()
+            ok = ~np.isnan(lagged)
+            total[ok] += lagged[ok]
+            count += ok
+        total += g["value"].to_numpy()
+        count += 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "rolling_avg": round_half_away_np(total / count, 6),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.select_columns(["event_id", "user_id", "ts", "value"]),
+        "user_id",
+        per_bucket,
+    )
+
+
 def sessions_per_user(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """Session count per user: a session starts at a user's first event or
     when the gap from their previous event exceeds ``gap_minutes``.

@@ -165,6 +165,69 @@ def approx_distinct_per_key(
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
 
 
+def exact_distinct_per_key(ds: rd.Dataset, key: str, value: str) -> rd.Dataset:
+    """EXACT distinct ``value`` count per ``key`` (plus total row count) —
+    the exact counterpart of :func:`approx_distinct_per_key`, shaped like
+    ``SELECT key, count(*), count(DISTINCT value) GROUP BY key``.
+
+    Three shrinking stages: (1) per-batch groupby (key, md5(value))
+    with a row count — the shuffle carries one row per distinct pair per
+    batch, never the payload; (2) coarse-bucket by the 128-bit digest so
+    identical pairs co-locate, per-bucket dedup + per-key partial counts;
+    (3) a tiny per-key merge of <= n_buckets partials. The digest is
+    md5 (128-bit), not a 64-bit hash: at 10^12 rows a 64-bit key expects
+    ~27k birthday collisions (silent undercount), md5 expects none."""
+    import polars as pl
+
+    from ..md5np import md5_hex
+    from . import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {key: pa.array([], batch.schema.field(key).type),
+                 "h": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {key: batch.column(key), "h": md5_hex(batch.column(value))}
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by([key, "h"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby([key, "h"], as_index=False).agg(n=("n", "sum"))
+        out = pairs.groupby(key, as_index=False).agg(
+            n_rows=("n", "sum"), n_distinct=("h", "size")
+        )
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_distinct=("n_distinct", "sum")
+        )
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    partials = bucketed_group_apply(
+        ds.select_columns([key, value]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "h",
+        per_bucket,
+    )
+    # per-key merge of <= n_buckets partial rows each — bucketed again so
+    # a high-cardinality key column never pays one Ray group per key
+    return bucketed_group_apply(partials, key, merge_bucket)
+
+
 # ---------------------------------------------------- mergeable quantile sketch
 
 SKETCH_POINTS = 256   # stride-sample size per (batch, key); rank error <= N/(2*S)

@@ -700,6 +700,41 @@ def q_approx_distinct_users(sf_dir: str) -> rd.Dataset:
     return approx_distinct_per_key(ds, "event_type", "user_id")
 
 
+def q_event_gaps(sf_dir: str) -> rd.Dataset:
+    """LAG window analogue: per-user microsecond gap from the previous
+    event in (ts, event_id) order; first event per user dropped (exact
+    int64 math — no nulls, no float accumulation)."""
+    return events.event_gaps(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+    )
+
+
+def q_rolling_avg(sf_dir: str) -> rd.Dataset:
+    """ROWS-frame window analogue: per-user rolling mean of value over
+    (2 PRECEDING .. CURRENT ROW) in (ts, event_id) order, rounded 6dp."""
+    return events.rolling_avg_per_user(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+
+
+def q_distinct_texts_per_source(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT text) per source — the exact counterpart of
+    q_approx_distinct_users: per-batch (source, md5(text)) partials, so
+    the shuffle never carries document payloads, 128-bit digests so
+    10^12-row corpora don't birthday-collide (64-bit would undercount)."""
+    from .functions.sketches import exact_distinct_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return exact_distinct_per_key(ds, "source", "text")
+
+
 def q_running_total(sf_dir: str) -> rd.Dataset:
     """Window-function analogue: per-user running sum of value in ts order.
     Users hash-bucket (all of a user's events co-locate); ONE vectorized
@@ -1235,6 +1270,9 @@ def queries() -> dict:
         "q_cross_source_dups": q_cross_source_dups,  # new in r5 -> record now
         "q_bm25": q_bm25,  # new in r5 -> record now
         "q_centroid_dist": q_centroid_dist,  # new in r5 -> record now
+        "q_event_gaps": q_event_gaps,  # new in r5 -> record now
+        "q_rolling_avg": q_rolling_avg,  # new in r5 -> record now
+        "q_distinct_texts_per_source": q_distinct_texts_per_source,  # new in r5
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1805,6 +1843,23 @@ def _oracle_sql_base() -> dict:
             "SELECT event_id, round(sum(value) OVER ("
             " PARTITION BY user_id ORDER BY ts, event_id), 6) AS running_value"
             " FROM events"
+        ),
+        "q_event_gaps": (
+            "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us"
+            " FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            " QUALIFY lag(ts) OVER w IS NOT NULL"
+        ),
+        "q_rolling_avg": (
+            "SELECT event_id, round(avg(value) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg"
+            " FROM events"
+        ),
+        "q_distinct_texts_per_source": (
+            "SELECT source, count(*) AS n_rows,"
+            " count(DISTINCT text) AS n_distinct"
+            " FROM documents GROUP BY source"
         ),
         "q_sessions": (
             "SELECT user_id, count(*) AS n_events,"
