@@ -164,6 +164,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_cross_source_dups", q.q_cross_source_dups),
         ("q_bm25", q.q_bm25),
         ("q_centroid_dist", q.q_centroid_dist),
+        ("q_event_gaps", q.q_event_gaps),
+        ("q_rolling_avg", q.q_rolling_avg),
+        ("q_distinct_texts_per_source", q.q_distinct_texts_per_source),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings
