@@ -785,6 +785,55 @@ def stratified_sample(
     return partials.groupby(group_col).map_groups(final, batch_format="pandas")
 
 
+def token_budget_select(
+    ds: rd.Dataset,
+    group_col: str,
+    budget: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-group token-budget selection: walk each group's rows in the
+    keyed pseudo-random md5(id) order (the :func:`stratified_sample`
+    contract) and keep rows while the group's running sum of
+    ``weight_col`` stays <= ``budget`` — the mixture-building step that
+    caps each source/language at a fixed token budget, reproducible in
+    SQL as ``SUM(w) OVER (PARTITION BY g ORDER BY md5(id), id ROWS
+    UNBOUNDED PRECEDING) <= budget``.
+
+    Scale: the per-batch combiner applies the same filter locally first —
+    with non-negative weights a row's true prefix sum in the merged order
+    is >= its within-batch prefix sum (merging can only ADD earlier rows),
+    so a locally over-budget row can never be selected globally. The
+    groupby shuffle therefore moves at most the plausible survivors
+    (O(budget / min_weight) rows per group per batch), never the corpus.
+    Groups are whole sources/languages — few keys, so a plain groupby
+    (not the coarse-bucket idiom) is the right final merge."""
+    from ..md5np import md5_hex
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__sk", md5_hex(batch.column(id_col)))
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        if (df[weight_col].to_numpy() < 0).any():
+            raise ValueError(
+                "token_budget_select: negative weights break the "
+                "prefix-sum monotonicity the combiner relies on"
+            )
+        df = df.sort_values(["__sk", id_col], kind="mergesort")
+        run = df.groupby(group_col, sort=False)[weight_col].cumsum()
+        return df[run.to_numpy() <= budget]
+
+    partials = ds.map_batches(add_key, batch_format="pyarrow").map_batches(
+        lambda b: pa.Table.from_pandas(select(b.to_pandas()), preserve_index=False),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return select(g).drop(columns=["__sk"])
+
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 # ------------------------------------------------- deterministic data split
 
 def train_test_split(

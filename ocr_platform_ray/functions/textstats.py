@@ -56,6 +56,43 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("quality_score", score)
 
 
+def word_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Add ``word_entropy``: Shannon entropy (bits, 6dp) of each doc's
+    unigram token distribution — low entropy flags boilerplate and
+    repeated-phrase spam (complements :func:`repetition_batch`'s Gopher
+    n-gram signal). Row-local and vectorized: polars extract_all ->
+    explode -> (row, token) counts -> windowed total -> -sum(p*log2(p))
+    per row; no Python loop. Token-free docs score 0.0.
+
+    Matches ``round(-sum((c/n)*log2(c/n)), 6)`` over
+    ``regexp_extract_all(text, '[a-z0-9]+')`` in SQL; the +0.0 in both
+    engines folds IEEE -0.0 (single-token docs) to +0.0 so the value
+    hash agrees."""
+    import polars as pl
+
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ent = np.zeros(len(batch), dtype=np.float64)
+    ex = (
+        pl.DataFrame({"i": np.arange(len(batch), dtype=np.int64),
+                      "t": pl.from_arrow(col)})
+        .select("i", pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+        .explode("tok")
+        .drop_nulls()
+    )
+    if len(ex):
+        h = (
+            ex.group_by(["i", "tok"]).len(name="c")
+            .with_columns((pl.col("c") / pl.col("c").sum().over("i")).alias("p"))
+            .with_columns((-(pl.col("p") * pl.col("p").log(2.0))).alias("term"))
+            .group_by("i").agg(pl.col("term").sum().alias("h"))
+        )
+        ent[h["i"].to_numpy()] = h["h"].to_numpy()
+    ent = np.floor((ent + 0.0) * 1e6 + 0.5) / 1e6
+    return batch.append_column("word_entropy", pa.array(ent, pa.float64()))
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Add pred_lang via stopword-profile scoring (vectorized regex counts
     per language; argmax, ties by language-code order). Heuristic — not

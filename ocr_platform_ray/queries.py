@@ -58,6 +58,33 @@ def q_quality(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_word_entropy(sf_dir: str) -> rd.Dataset:
+    """Unigram token-entropy quality signal per doc (bits, 6dp) — exact
+    window/groupby oracle; low entropy = boilerplate/repetition."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.word_entropy_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "word_entropy"])
+    )
+
+
+def q_token_budget(sf_dir: str) -> rd.Dataset:
+    """Per-source token-budget mixture selection: keep docs in md5(doc_id)
+    order while each source's running token count stays <= 800 — exact
+    running-sum window oracle."""
+    ds = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(textstats.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "source", "n_tokens"])  # text stays out of the shuffle
+    )
+    out = dedup.token_budget_select(ds, group_col="source", budget=800)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "source", "n_tokens"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1273,6 +1300,8 @@ def queries() -> dict:
         "q_event_gaps": q_event_gaps,  # new in r5 -> record now
         "q_rolling_avg": q_rolling_avg,  # new in r5 -> record now
         "q_distinct_texts_per_source": q_distinct_texts_per_source,  # new in r5
+        "q_word_entropy": q_word_entropy,  # new in r5 -> record now
+        "q_token_budget": q_token_budget,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1367,6 +1396,29 @@ def _oracle_sql_base() -> dict:
             "   * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
             "   / greatest(length(text), 1)), 6) AS quality_score"
             " FROM documents"
+        ),
+        "q_word_entropy": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w"
+            " FROM documents),"
+            " c AS (SELECT doc_id, w, count(*) * 1.0 AS c"
+            "  FROM tok GROUP BY 1, 2),"
+            " p AS (SELECT doc_id, c,"
+            "  sum(c) OVER (PARTITION BY doc_id) AS n FROM c),"
+            " h AS (SELECT doc_id,"
+            "  -sum((c / n) * log2(c / n)) AS h FROM p GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " round(COALESCE(h.h, 0.0), 6) + 0.0 AS word_entropy"
+            " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        "q_token_budget": (
+            "WITH t AS (SELECT doc_id, source,"
+            " CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)"
+            "  AS n_tokens FROM documents)"
+            " SELECT doc_id, source, n_tokens FROM t"
+            " QUALIFY sum(n_tokens) OVER (PARTITION BY source"
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            "  ROWS UNBOUNDED PRECEDING) <= 800"
         ),
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
         "q_top_tokens": (
