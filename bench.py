@@ -167,6 +167,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_event_gaps", q.q_event_gaps),
         ("q_rolling_avg", q.q_rolling_avg),
         ("q_distinct_texts_per_source", q.q_distinct_texts_per_source),
+        ("q_word_entropy", q.q_word_entropy),
+        ("q_token_budget", q.q_token_budget),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings
