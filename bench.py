@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_distinct_texts_per_source", q.q_distinct_texts_per_source),
         ("q_word_entropy", q.q_word_entropy),
         ("q_token_budget", q.q_token_budget),
+        ("q_quality_zscore", q.q_quality_zscore),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

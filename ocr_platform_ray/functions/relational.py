@@ -261,3 +261,110 @@ def grouped_topk(
     return bucketed_group_apply(
         partials, key_col, final, n_buckets=n_buckets, batch_format="pyarrow"
     )
+
+
+def zscore_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Per-group z-score normalization: ``(x - mean_g) / std_g`` rounded
+    6dp — the cross-group score-calibration step before thresholding a
+    quality signal across languages/sources (each group's distribution
+    differs, so a single global cutoff over- or under-prunes some
+    groups). Degenerate groups (std == 0, e.g. a single row) get z = 0.
+
+    Scale shape (the :func:`~ocr_platform_ray.functions.similarity.
+    centroid_distances` idiom): (1) per-batch (n, sum, sum-of-squares)
+    partials merge to per-group moments — three float64s per group,
+    collected once under the loud ``max_groups`` guard and broadcast via
+    ``ray.put``; (2) one vectorized map_batches with a searchsorted
+    gather computes z per row. No row-level shuffle; the population-std
+    formula sqrt(ss/n - (s/n)^2) is what the DuckDB oracle computes too,
+    so only float summation order differs between engines (absorbed by
+    the 6dp round)."""
+    import numpy as np
+    import ray
+
+    from . import resolve_broadcast, round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "x": batch.column(value_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        agg = df.groupby("g", sort=False)["x"].agg(["count", "sum"])
+        agg["ss"] = df.assign(x2=df["x"] ** 2).groupby("g", sort=False)[
+            "x2"
+        ].sum()
+        return pa.Table.from_pydict(
+            {
+                group_col: pa.array(agg.index),
+                "n": pa.array(agg["count"].to_numpy().astype(np.int64)),
+                "s": pa.array(agg["sum"].to_numpy()),
+                "ss": pa.array(agg["ss"].to_numpy()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "s": [float(g["s"].sum())],
+                "ss": [float(g["ss"].sum())],
+            }
+        )
+
+    rows = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+        .take(max_groups + 1)
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"zscore_by_group: > {max_groups} groups — the moments table "
+            "no longer fits the broadcast contract; raise max_groups "
+            "deliberately"
+        )
+    keys = np.array(sorted(r[group_col] for r in rows))
+    stats = {r[group_col]: r for r in rows}
+    mean = np.array([stats[k]["s"] / stats[k]["n"] for k in keys])
+    var = np.maximum(
+        np.array(
+            [
+                stats[k]["ss"] / stats[k]["n"]
+                - (stats[k]["s"] / stats[k]["n"]) ** 2
+                for k in keys
+            ]
+        ),
+        0.0,
+    )
+    std = np.sqrt(var)
+    ref = ray.put((keys, mean, std))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, m, sd = resolve_broadcast(ref)
+        # unify dtypes so searchsorted compares vectorized (string group
+        # keys come back as object arrays from Arrow)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(
+            k.dtype
+        )
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pos = np.searchsorted(k, g)
+        z = np.where(sd[pos] > 0, (x - m[pos]) / np.where(sd[pos] > 0,
+                                                          sd[pos], 1.0), 0.0)
+        return batch.append_column(
+            out_col, pa.array(round_half_away_np(z, 6), pa.float64())
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -85,6 +85,21 @@ def q_token_budget(sf_dir: str) -> rd.Dataset:
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_quality_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-language z-score calibration of the quality signal — the
+    cross-group normalization step before a single threshold prunes a
+    multilingual corpus. Exact oracle (same population-std formula on
+    both sides; 6dp half-away)."""
+    ds = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(textstats.quality_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "quality_score"])
+    )
+    return relational.zscore_by_group(
+        ds, group_col="lang", value_col="quality_score"
+    )
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1302,6 +1317,7 @@ def queries() -> dict:
         "q_distinct_texts_per_source": q_distinct_texts_per_source,  # new in r5
         "q_word_entropy": q_word_entropy,  # new in r5 -> record now
         "q_token_budget": q_token_budget,  # new in r5 -> record now
+        "q_quality_zscore": q_quality_zscore,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1410,6 +1426,22 @@ def _oracle_sql_base() -> dict:
             " SELECT d.doc_id,"
             " round(COALESCE(h.h, 0.0), 6) + 0.0 AS word_entropy"
             " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        "q_quality_zscore": (
+            "WITH q AS (SELECT doc_id, lang,"
+            " round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0,"
+            "  1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0"
+            "  / greatest(length(text), 1)), 6) AS quality_score"
+            " FROM documents),"
+            " m AS (SELECT lang, count(*) AS n, sum(quality_score) AS s,"
+            "  sum(quality_score * quality_score) AS ss FROM q GROUP BY 1),"
+            " st AS (SELECT lang, s / n AS mean,"
+            "  sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sd FROM m)"
+            " SELECT q.doc_id, q.lang, q.quality_score,"
+            " CASE WHEN st.sd > 0"
+            "  THEN round((q.quality_score - st.mean) / st.sd, 6)"
+            "  ELSE 0.0 END AS z"
+            " FROM q JOIN st USING (lang)"
         ),
         "q_token_budget": (
             "WITH t AS (SELECT doc_id, source,"

@@ -119,3 +119,51 @@ class TestWordEntropy:
         got = word_entropy_batch(batch).column("word_entropy").to_pylist()
         exp = [self._entropy(t) for t in texts]
         assert got == exp
+
+
+class TestZscoreByGroup:
+    def test_matches_bruteforce_across_partitionings(self, ray_session):
+        from ocr_platform_ray.functions.relational import zscore_by_group
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(400, dtype=np.int64),
+                "lang": [f"l{i}" for i in rng.randint(0, 5, 400)],
+                "score": np.round(rng.rand(400), 6),
+            }
+        )
+
+        def expected(df):
+            out = {}
+            for _, g in df.groupby("lang"):
+                x = g["score"].to_numpy()
+                n, s, ss = len(x), x.sum(), (x * x).sum()
+                m = s / n
+                sd = math.sqrt(max(ss / n - m * m, 0.0))
+                for d, v in zip(g["doc_id"], x):
+                    z = (v - m) / sd if sd > 0 else 0.0
+                    out[d] = math.floor(abs(z) * 1e6 + 0.5) / 1e6 * (
+                        1 if z >= 0 else -1
+                    )
+            return out
+
+        exp = expected(df)
+        for nblocks in (1, 13):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            out = zscore_by_group(ds, "lang", "score")
+            got = {r["doc_id"]: r["z"] for r in out.take_all()}
+            assert got == exp, f"nblocks={nblocks}"
+
+    def test_degenerate_groups_get_zero(self, ray_session):
+        from ocr_platform_ray.functions.relational import zscore_by_group
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "lang": ["solo", "const", "const"],
+                "score": [5.0, 2.0, 2.0],  # singleton + zero-variance
+            }
+        )
+        out = zscore_by_group(rd.from_pandas(df), "lang", "score")
+        assert all(r["z"] == 0.0 for r in out.take_all())
