@@ -810,6 +810,174 @@ def unigram_logprob_topn(ds, top_n: int = 65_536):
     )
 
 
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch exact (w1, w2, n) bigram-count partial: tokens explode
+    per doc, the next token arrives via a grouped shift (frame order is
+    doc-contiguous after explode, so shift(-1).over(doc) is the in-doc
+    successor), doc-final positions drop. One tiny pre-aggregated row
+    per distinct in-batch bigram."""
+    import polars as pl
+
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ex = (
+        pl.DataFrame({"i": np.arange(len(batch), dtype=np.int64),
+                      "t": pl.from_arrow(col)})
+        .select("i", pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+        .explode("tok")
+        .drop_nulls()
+        .with_columns(pl.col("tok").shift(-1).over("i").alias("t2"))
+        .drop_nulls("t2")
+    )
+    agg = ex.group_by(["tok", "t2"]).len(name="n")
+    return pa.Table.from_pydict(
+        {
+            "w1": pa.array(agg["tok"].to_list(), pa.string()),
+            "w2": pa.array(agg["t2"].to_list(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def bigram_logprob(ds, max_vocab: int = 5_000_000, score_ds=None):
+    """Bigram LM quality scoring — the conditional-probability upgrade of
+    :func:`unigram_logprob_batchfn` (CCNet-family scoring, Wenzek et al.
+    2020, with the corpus's own add-one-smoothed bigram model so the
+    whole operation stays SQL-reproducible): per-doc mean of
+    ``ln((c(w1,w2) + 1) / (c1(w1) + V))`` over every adjacent token pair,
+    where ``c`` is the exact corpus bigram count, ``c1(w1)`` the count of
+    ``w1`` as a left context (= sum of its bigram counts) and ``V`` the
+    exact distinct-unigram vocabulary size. Repetitive/boilerplate text
+    scores HIGH (its transitions are common), incoherent text LOW.
+
+    Three streamed scans, none materializing the corpus: (1) per-batch
+    (w1, w2, n) partials merged INCREMENTALLY on the driver under a LOUD
+    ``max_vocab`` guard (the same bounded-merge contract as the unigram
+    exact variant — past the guard, a top-N bigram model with an OOV
+    bucket is the scale path, the :func:`unigram_logprob_topn` shape);
+    (2) ``vocab_counts``'s distinct-unigram count for V; (3) a row-local
+    scoring pass against the broadcast (sorted 'w1 w2' keys, logprobs,
+    sorted contexts, context counts, V) model — unseen pairs score
+    ``ln(1 / (c1(w1) + V))``, unseen contexts ``ln(1 / V)`` (never hit
+    when scoring the training corpus itself, as the oracle does).
+
+    Returns (doc_id, mean_logprob, n_bigrams) for docs with >= 2 tokens;
+    shorter docs have no transitions and are absent on both sides.
+    ``score_ds`` scores a DIFFERENT corpus under ``ds``'s model (held-out
+    evaluation — where the OOV fallbacks actually fire); default scores
+    the training corpus itself, which is what the SQL oracle can check."""
+    import polars as pl
+    import ray
+
+    from . import resolve_broadcast
+
+    parts = ds.select_columns(["text"]).map_batches(
+        _bigram_partial, batch_format="pyarrow"
+    )
+    merged: pl.DataFrame | None = None
+    pending: list[pl.DataFrame] = []
+
+    def _merge(m, pend):
+        frames = ([m] if m is not None else []) + pend
+        out = pl.concat(frames).group_by(["w1", "w2"]).agg(pl.col("n").sum())
+        if out.height > max_vocab:
+            raise ValueError(
+                f"bigram_logprob: bigram vocabulary exceeds "
+                f"max_vocab={max_vocab}; a top-N bigram model with an OOV "
+                "bucket (the unigram_logprob_topn shape) is the scale path"
+            )
+        return out
+
+    for tb in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if tb.num_rows:
+            pending.append(pl.from_arrow(tb).select("w1", "w2", "n"))
+        if len(pending) >= 64:
+            merged = _merge(merged, pending)
+            pending = []
+    if pending:
+        merged = _merge(merged, pending)
+    if merged is None:
+        merged = pl.DataFrame(
+            {"w1": pl.Series([], dtype=pl.Utf8),
+             "w2": pl.Series([], dtype=pl.Utf8),
+             "n": pl.Series([], dtype=pl.Int64)}
+        )
+
+    v = int(vocab_counts(ds).count())
+    ctx = merged.group_by("w1").agg(pl.col("n").sum()).sort("w1")
+    ctx_tokens = ctx["w1"].to_numpy().astype(str)
+    ctx_counts = ctx["n"].to_numpy().astype(np.float64)
+    merged = merged.with_columns(
+        (pl.col("w1") + " " + pl.col("w2")).alias("k")
+    ).sort("k")
+    keys = merged["k"].to_numpy().astype(str)
+    kpos = np.searchsorted(ctx_tokens, merged["w1"].to_numpy().astype(str))
+    lps = np.log(
+        (merged["n"].to_numpy().astype(np.float64) + 1.0)
+        / (ctx_counts[kpos] + v)
+    ) if merged.height else np.array([], np.float64)
+    ref = ray.put((keys, lps, ctx_tokens, ctx_counts, float(max(v, 1))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bkeys, blps, bctx, bcnt, bv = resolve_broadcast(ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ex = (
+            pl.DataFrame(
+                {"doc_id": pl.from_arrow(batch.column("doc_id")),
+                 "t": pl.from_arrow(col)}
+            )
+            .select("doc_id",
+                    pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .with_columns(pl.col("tok").shift(-1).over("doc_id").alias("t2"))
+            .drop_nulls("t2")
+        )
+        if not len(ex):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], batch.column("doc_id").type),
+                 "mean_logprob": pa.array([], pa.float64()),
+                 "n_bigrams": pa.array([], pa.int64())}
+            )
+        w1 = ex["tok"].to_numpy().astype(str)
+        pair = np.char.add(np.char.add(w1, " "),
+                           ex["t2"].to_numpy().astype(str))
+        if len(bctx):
+            cpos = np.minimum(np.searchsorted(bctx, w1), len(bctx) - 1)
+            c1 = np.where(bctx[cpos] == w1, bcnt[cpos], 0.0)
+        else:
+            c1 = np.zeros(len(w1))
+        if len(bkeys):
+            ppos = np.minimum(np.searchsorted(bkeys, pair), len(bkeys) - 1)
+            lp = np.where(bkeys[ppos] == pair, blps[ppos],
+                          np.log(1.0 / (c1 + bv)))
+        else:
+            lp = np.log(1.0 / (c1 + bv))
+        agg = (
+            ex.with_columns(pl.Series("lp", lp))
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("lp").mean().alias("m"), pl.len().alias("nb"))
+        )
+        m = np.floor(agg["m"].to_numpy() * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_list()),
+                "mean_logprob": pa.array(m, pa.float64()),
+                "n_bigrams": pa.array(
+                    agg["nb"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    target = score_ds if score_ds is not None else ds
+    return target.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id"):
     """BM25 top-k retrieval over the corpus — the keyword-search baseline

@@ -100,6 +100,13 @@ def q_quality_zscore(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
+    """Bigram-LM quality score (CCNet-family, conditional-probability
+    upgrade of q_lm_score): per-doc mean ln((c(w1,w2)+1)/(c1(w1)+V)),
+    exact corpus model — exact LEAD-window oracle."""
+    return textstats.bigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1318,6 +1325,7 @@ def queries() -> dict:
         "q_word_entropy": q_word_entropy,  # new in r5 -> record now
         "q_token_budget": q_token_budget,  # new in r5 -> record now
         "q_quality_zscore": q_quality_zscore,  # new in r5 -> record now
+        "q_bigram_lm_score": q_bigram_lm_score,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1426,6 +1434,25 @@ def _oracle_sql_base() -> dict:
             " SELECT d.doc_id,"
             " round(COALESCE(h.h, 0.0), 6) + 0.0 AS word_entropy"
             " FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        "q_bigram_lm_score": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w,"
+            " unnest(range(len(regexp_extract_all(text, '[a-z0-9]+'))))"
+            "  AS i FROM documents),"
+            " bg AS (SELECT doc_id, w AS w1,"
+            "  lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2"
+            "  FROM tok QUALIFY w2 IS NOT NULL),"
+            " bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),"
+            " ctx AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1),"
+            " vv AS (SELECT count(DISTINCT w) AS v FROM tok),"
+            " sc AS (SELECT bg.doc_id,"
+            "  ln((bc.c + 1.0) / (ctx.c1 + vv.v)) AS lp"
+            "  FROM bg CROSS JOIN vv"
+            "  JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2"
+            "  JOIN ctx ON bg.w1 = ctx.w1)"
+            " SELECT doc_id, round(avg(lp), 6) AS mean_logprob,"
+            " count(*) AS n_bigrams FROM sc GROUP BY doc_id"
         ),
         "q_quality_zscore": (
             "WITH q AS (SELECT doc_id, lang,"

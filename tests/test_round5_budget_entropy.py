@@ -167,3 +167,96 @@ class TestZscoreByGroup:
         )
         out = zscore_by_group(rd.from_pandas(df), "lang", "score")
         assert all(r["z"] == 0.0 for r in out.take_all())
+
+
+class TestBigramLogprob:
+    def test_planted_model(self, ray_session):
+        from ocr_platform_ray.functions.textstats import bigram_logprob
+
+        # corpus: "a b" x2 and "a b c" -> bigrams: (a,b):3, (b,c):1
+        # V = 3 distinct unigrams; c1(a)=3, c1(b)=1
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": ["a b", "a b", "a b c", "x"]}
+        )
+        out = {r["doc_id"]: r for r in
+               bigram_logprob(rd.from_pandas(df)).take_all()}
+        # V counts 'x' too -> V=4
+        lp_ab = math.log((3 + 1) / (3 + 4))
+        lp_bc = math.log((1 + 1) / (1 + 4))
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        assert 3 not in out  # single-token doc: no bigrams
+        assert out[0]["mean_logprob"] == r6(lp_ab)
+        assert out[0]["n_bigrams"] == 1
+        assert out[2]["mean_logprob"] == r6((lp_ab + lp_bc) / 2)
+        assert out[2]["n_bigrams"] == 2
+
+    def test_partitioning_invariance(self, ray_session):
+        from ocr_platform_ray.functions.textstats import bigram_logprob
+
+        rng = np.random.RandomState(13)
+        vocab = ["aa", "bb", "cc", "dd"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(120, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab, rng.randint(0, 12)))
+                    for _ in range(120)
+                ],
+            }
+        )
+        base = None
+        for nblocks in (1, 11):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            got = sorted(
+                (r["doc_id"], r["mean_logprob"], r["n_bigrams"])
+                for r in bigram_logprob(ds).take_all()
+            )
+            if base is None:
+                base = got
+            else:
+                assert got == base
+
+    def test_training_corpus_exact_math(self, ray_session):
+        from ocr_platform_ray.functions.textstats import bigram_logprob
+
+        train = pd.DataFrame({"doc_id": [0], "text": "a b a b"})
+        out = {r["doc_id"]: r for r in
+               bigram_logprob(rd.from_pandas(train)).take_all()}
+        # V=2, bigrams (a,b):2 (b,a):1, c1(a)=2, c1(b)=1
+        assert out[0]["n_bigrams"] == 3
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        lp_ab = math.log((2 + 1) / (2 + 2))
+        lp_ba = math.log((1 + 1) / (1 + 2))
+        assert out[0]["mean_logprob"] == r6((2 * lp_ab + lp_ba) / 3)
+
+    def test_oov_scoring_on_held_out_text(self, ray_session):
+        """Held-out scoring via score_ds, where the smoothing fallbacks
+        actually fire (the oracle never exercises them: it scores the
+        training corpus itself). Train on 'a b a b': V=2, c1(a)=2.
+        Held-out 'a z' = seen context a + unseen pair -> ln(1/(2+2));
+        'z q' = unseen context -> ln(1/2)."""
+        from ocr_platform_ray.functions.textstats import bigram_logprob
+
+        train = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0], "text": "a b a b"})
+        )
+        held = rd.from_pandas(
+            pd.DataFrame({"doc_id": [10, 11], "text": ["a z", "z q"]})
+        )
+        out = {r["doc_id"]: r for r in
+               bigram_logprob(train, score_ds=held).take_all()}
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        assert out[10]["mean_logprob"] == r6(math.log(1 / 4))
+        assert out[11]["mean_logprob"] == r6(math.log(1 / 2))
+        assert out[10]["n_bigrams"] == out[11]["n_bigrams"] == 1
+
+    def test_max_vocab_guard_is_loud(self, ray_session):
+        import pytest
+
+        from ocr_platform_ray.functions.textstats import bigram_logprob
+
+        df = pd.DataFrame(
+            {"doc_id": [0], "text": "a b c d e f g h"}
+        )
+        with pytest.raises(ValueError, match="max_vocab"):
+            bigram_logprob(rd.from_pandas(df), max_vocab=3).take_all()
