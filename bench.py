@@ -170,6 +170,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_word_entropy", q.q_word_entropy),
         ("q_token_budget", q.q_token_budget),
         ("q_quality_zscore", q.q_quality_zscore),
+        ("q_bigram_lm_score", q.q_bigram_lm_score),
+        ("q_gopher_rules", q.q_gopher_rules),
+        ("q_temperature_weights", q.q_temperature_weights),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -978,6 +978,172 @@ def bigram_logprob(ds, max_vocab: int = 5_000_000, score_ds=None):
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Gopher quality-filter signals (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", App. A1.1 — public knowledge) per document, plus
+    the combined ``gopher_keep`` decision. Row-local and fully vectorized
+    (RE2 count kernels, numpy ratio math) — the canonical pre-training
+    quality gate a 100 TB pipeline runs right after language ID.
+
+    Signals (words = whitespace-delimited ``\\S+`` runs; lines = ``\\n``
+    splits; ratios 6dp floor-rounded to hash-match the SQL oracle):
+
+    - ``n_words``; ``mean_word_len`` = non-space chars / words
+    - ``symbol_ratio`` = (#, …, ``...`` occurrences) / words
+    - ``alpha_word_ratio`` = words containing a letter / words
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — lines starting
+      with a bullet char, lines ending in an ellipsis
+    - ``stopword_hits`` — how many of Gopher's 8 required stopwords
+      appear as whole words
+    - ``gopher_keep`` — the paper's thresholds: 50 <= words <= 100k,
+      3 <= mean word length <= 10, symbol ratio <= 0.1, alpha-word
+      ratio >= 0.8, bullet lines <= 90%, ellipsis lines <= 30%,
+      >= 2 stopwords. Comparisons run on the ROUNDED ratios so both
+      engines cut on the identical double.
+
+    The repetition half of Gopher's filter (duplicate n-gram fraction)
+    is :func:`repetition_batch`; this is the document-statistics half."""
+    text = batch.column("text")
+    n_words = pc.count_substring_regex(text, pattern=r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    nonspace = pc.count_substring_regex(text, pattern=r"\S").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    symbols = (
+        pc.count_substring(text, pattern="#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(text, pattern="…").to_numpy(zero_copy_only=False)
+        + pc.count_substring_regex(text, pattern=r"\.\.\.").to_numpy(
+            zero_copy_only=False
+        )
+    ).astype(np.float64)
+    alpha_words = pc.count_substring_regex(
+        text, pattern=r"\S*[A-Za-z]\S*"
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_lines = (
+        pc.count_substring(text, pattern="\n").to_numpy(zero_copy_only=False)
+        + 1
+    ).astype(np.float64)
+    bullet_lines = pc.count_substring_regex(
+        text, pattern=r"(?m)^[ \t]*[-*•]"
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    ellipsis_lines = pc.count_substring_regex(
+        text, pattern=r"(?m)(\.\.\.|…)[ \t]*$"
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    hits = np.zeros(len(batch), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        hits += (
+            pc.count_substring_regex(text, pattern=rf"\b{w}\b")
+            .to_numpy(zero_copy_only=False)
+            > 0
+        )
+
+    def r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    wden = np.maximum(n_words, 1.0)
+    mean_word_len = r6(nonspace / wden)
+    symbol_ratio = r6(symbols / wden)
+    alpha_word_ratio = r6(alpha_words / wden)
+    bullet_line_ratio = r6(bullet_lines / n_lines)
+    ellipsis_line_ratio = r6(ellipsis_lines / n_lines)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_word_ratio >= 0.8)
+        & (bullet_line_ratio <= 0.9)
+        & (ellipsis_line_ratio <= 0.3)
+        & (hits >= 2)
+    )
+    out = batch.append_column("n_words", pa.array(n_words.astype(np.int64)))
+    out = out.append_column("mean_word_len", pa.array(mean_word_len))
+    out = out.append_column("symbol_ratio", pa.array(symbol_ratio))
+    out = out.append_column("alpha_word_ratio", pa.array(alpha_word_ratio))
+    out = out.append_column("bullet_line_ratio", pa.array(bullet_line_ratio))
+    out = out.append_column("ellipsis_line_ratio", pa.array(ellipsis_line_ratio))
+    out = out.append_column("stopword_hits", pa.array(hits))
+    return out.append_column("gopher_keep", pa.array(keep))
+
+
+def temperature_weights(ds, tau: float = 0.7, group_col: str = "lang",
+                        max_groups: int = 100_000):
+    """Temperature-scaled sampling weights per group (multilingual
+    pre-training mixing, public knowledge: Conneau et al. 2020 XLM-R §3 /
+    Raffel et al. 2020 mT5): with p_g = group token share, sample group g
+    with probability w_g = p_g^tau / sum_h p_h^tau. tau < 1 upsamples
+    low-resource groups; ``upsample`` = w_g / p_g is the implied per-doc
+    repetition factor.
+
+    Distributed shape: per-batch (group, n_tokens) partials (one tiny row
+    per in-batch group) -> small groupby sum -> the <= ``max_groups``-row
+    result collects to the driver (LOUD guard — groups are languages /
+    sources, orders of magnitude under the cap at any corpus size) for
+    the closed-form normalize, sorted by group so the float reduction
+    order is deterministic. Returns a pyarrow Table
+    (group, n_tokens, weight, upsample), 6dp."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        agg = (
+            pl.DataFrame(
+                {"g": pl.from_arrow(g),
+                 "n": pl.from_arrow(
+                     pc.count_substring_regex(col, pattern=TOKEN_RE))}
+            )
+            .group_by("g")
+            .agg(pl.col("n").sum())
+        )
+        return pa.Table.from_pydict(
+            {group_col: pa.array(agg["g"].to_list(), pa.string()),
+             "n_tokens": pa.array(
+                 agg["n"].to_numpy().astype(np.int64), pa.int64())}
+        )
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.select_columns([group_col, "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .take_all()
+    )
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"temperature_weights: more than max_groups={max_groups} "
+            f"groups — temperature mixing is defined over languages/"
+            "sources; a per-document key is the wrong input"
+        )
+    df = pd.DataFrame(counts).sort_values(group_col).reset_index(drop=True)
+    nt = df["n_tokens"].to_numpy().astype(np.float64)
+    p = nt / nt.sum()
+    pw = np.power(p, tau)
+    w = pw / pw.sum()
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(df[group_col], pa.string()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy().astype(np.int64)),
+            "weight": pa.array(r6(w), pa.float64()),
+            "upsample": pa.array(r6(w / p), pa.float64()),
+        }
+    )
+
+
 def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id"):
     """BM25 top-k retrieval over the corpus — the keyword-search baseline

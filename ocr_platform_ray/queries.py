@@ -107,6 +107,31 @@ def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
     return textstats.bigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher document-statistics quality gate (Rae et al. 2021): per-doc
+    word/line-shape signals + combined keep decision. Row-local, exact
+    list_filter/regexp oracle."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.gopher_rules_batch, batch_format="pyarrow")
+        .select_columns(
+            [
+                "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+                "alpha_word_ratio", "bullet_line_ratio",
+                "ellipsis_line_ratio", "stopword_hits", "gopher_keep",
+            ]
+        )
+    )
+
+
+def q_temperature_weights(sf_dir: str) -> pa.Table:
+    """Temperature-scaled (tau=0.7) per-language sampling weights
+    (XLM-R/mT5 mixing) from exact token shares — exact pow() oracle."""
+    return textstats.temperature_weights(
+        _docs(sf_dir, ["lang", "text"]), tau=0.7
+    )
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1326,6 +1351,8 @@ def queries() -> dict:
         "q_token_budget": q_token_budget,  # new in r5 -> record now
         "q_quality_zscore": q_quality_zscore,  # new in r5 -> record now
         "q_bigram_lm_score": q_bigram_lm_score,  # new in r5 -> record now
+        "q_gopher_rules": q_gopher_rules,  # new in r5 -> record now
+        "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1453,6 +1480,55 @@ def _oracle_sql_base() -> dict:
             "  JOIN ctx ON bg.w1 = ctx.w1)"
             " SELECT doc_id, round(avg(lp), 6) AS mean_logprob,"
             " count(*) AS n_bigrams FROM sc GROUP BY doc_id"
+        ),
+        "q_gopher_rules": (
+            "WITH b AS (SELECT doc_id,"
+            " len(regexp_extract_all(text, '\\S+')) AS n_words,"
+            " len(regexp_extract_all(text, '\\S')) AS nonspace,"
+            " len(regexp_extract_all(text, '#'))"
+            "  + len(regexp_extract_all(text, '…'))"
+            "  + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,"
+            " len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))"
+            "  AS alpha_words,"
+            " string_split(text, chr(10)) AS lines,"
+            " (CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bbe\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bto\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bof\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\band\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bthat\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bhave\\b') THEN 1 ELSE 0 END"
+            "  + CASE WHEN regexp_matches(text, '\\bwith\\b') THEN 1 ELSE 0 END"
+            " )::BIGINT AS stopword_hits FROM documents),"
+            " c AS (SELECT doc_id, n_words, stopword_hits,"
+            " round(nonspace * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,"
+            " round(symbols * 1.0 / greatest(n_words, 1), 6) AS symbol_ratio,"
+            " round(alpha_words * 1.0 / greatest(n_words, 1), 6)"
+            "  AS alpha_word_ratio,"
+            " round(len(list_filter(lines,"
+            "  l -> regexp_matches(l, '^[ \t]*[-*•]'))) * 1.0 / len(lines), 6)"
+            "  AS bullet_line_ratio,"
+            " round(len(list_filter(lines,"
+            "  l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) * 1.0"
+            "  / len(lines), 6) AS ellipsis_line_ratio FROM b)"
+            " SELECT doc_id, n_words, mean_word_len, symbol_ratio,"
+            " alpha_word_ratio, bullet_line_ratio, ellipsis_line_ratio,"
+            " stopword_hits,"
+            " (n_words BETWEEN 50 AND 100000"
+            "  AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio <= 0.1"
+            "  AND alpha_word_ratio >= 0.8 AND bullet_line_ratio <= 0.9"
+            "  AND ellipsis_line_ratio <= 0.3 AND stopword_hits >= 2)"
+            "  AS gopher_keep FROM c"
+        ),
+        "q_temperature_weights": (
+            "WITH tc AS (SELECT lang,"
+            " sum(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT"
+            "  AS n_tokens FROM documents GROUP BY lang),"
+            " t AS (SELECT sum(n_tokens) * 1.0 AS s FROM tc),"
+            " p AS (SELECT lang, n_tokens, n_tokens / s AS pl FROM tc, t),"
+            " z AS (SELECT sum(pow(pl, 0.7)) AS zz FROM p)"
+            " SELECT lang, n_tokens, round(pow(pl, 0.7) / zz, 6) AS weight,"
+            " round(pow(pl, 0.7) / zz / pl, 6) AS upsample FROM p, z"
         ),
         "q_quality_zscore": (
             "WITH q AS (SELECT doc_id, lang,"
