@@ -173,6 +173,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_bigram_lm_score", q.q_bigram_lm_score),
         ("q_gopher_rules", q.q_gopher_rules),
         ("q_temperature_weights", q.q_temperature_weights),
+        ("q_dsir_scores", q.q_dsir_scores),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1144,6 +1144,134 @@ def temperature_weights(ds, tau: float = 0.7, group_col: str = "lang",
     )
 
 
+def _gram_frame(batch: pa.Table, id_col: str):
+    """(id, gram) polars frame: unigram tokens plus space-joined adjacent
+    bigrams (the DSIR hashed-n-gram featurization, orders 1+2)."""
+    import polars as pl
+
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    uni = (
+        pl.DataFrame({"id": pl.from_arrow(ids), "t": pl.from_arrow(col)})
+        .select("id", pl.col("t").str.extract_all(TOKEN_RE).alias("g"))
+        .explode("g")
+        .drop_nulls()
+    )
+    bi = (
+        uni.with_columns(
+            (pl.col("g") + " " + pl.col("g").shift(-1).over("id")).alias("g2")
+        )
+        .drop_nulls("g2")
+        .select("id", pl.col("g2").alias("g"))
+    )
+    return pl.concat([uni, bi])
+
+
+def dsir_scores(ds, target_ds, n_buckets: int = 1024, id_col: str = "doc_id"):
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public knowledge): score
+    every corpus doc by how target-like its hashed n-gram profile is.
+    Features are unigrams + space-joined bigrams hashed into
+    ``n_buckets`` buckets with the PINNED md5-prefix hash (``md5_u32 %
+    m`` == SQL ``('0x' || substr(md5(g), 1, 8))::UBIGINT % m`` — the
+    version-stable routing contract, not polars' unstable hash). Bucket
+    bag models with add-one smoothing give per-bucket
+    ``lr_b = ln p_target(b) - ln q_corpus(b)``; a doc's score is the sum
+    of ``lr`` over its grams (round 6dp), its normalized form available
+    as score/n_grams downstream. Selection = top-k or threshold on the
+    score — both already library primitives.
+
+    Scale shape: two streamed counting passes emit per-batch (bucket, n)
+    partials — at most ``n_buckets`` tiny rows each — merged by one
+    small groupby; the two m-long dense vectors collapse to a broadcast
+    ``lr`` table read once per scoring task; the scoring pass is
+    row-local (explode -> md5 gather -> per-doc sum), zero shuffle.
+    Nothing driver-side ever exceeds ``n_buckets`` rows."""
+    import polars as pl
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from . import resolve_broadcast
+    from ..md5np import md5_u32
+
+    m = int(n_buckets)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        ex = _gram_frame(batch, id_col)
+        if not len(ex):
+            return pa.Table.from_pydict(
+                {"bkt": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        bkt = (md5_u32(pa.array(ex["g"].to_list(), pa.string())) % m).astype(
+            np.int64
+        )
+        agg = (
+            pl.DataFrame({"bkt": bkt})
+            .group_by("bkt")
+            .len(name="n")
+        )
+        return pa.Table.from_pydict(
+            {"bkt": pa.array(agg["bkt"].to_numpy(), pa.int64()),
+             "n": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64())}
+        )
+
+    def dense_counts(d) -> np.ndarray:
+        rows = (
+            d.select_columns([id_col, "text"])
+            .map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("bkt")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # <= m rows by construction
+        out = np.zeros(m, dtype=np.float64)
+        for r in rows:
+            out[int(r["bkt"])] = float(r["n"])
+        return out
+
+    tc = dense_counts(target_ds)
+    cc = dense_counts(ds)
+    lr = np.log((tc + 1.0) / (tc.sum() + m)) - np.log(
+        (cc + 1.0) / (cc.sum() + m)
+    )
+    ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        blr = resolve_broadcast(ref)
+        ex = _gram_frame(batch, id_col)
+        if not len(ex):
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], batch.column(id_col).type),
+                 "dsir_score": pa.array([], pa.float64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        bkt = md5_u32(pa.array(ex["g"].to_list(), pa.string())) % m
+        agg = (
+            ex.with_columns(pl.Series("lr", blr[bkt]))
+            .group_by("id", maintain_order=True)
+            .agg(pl.col("lr").sum().alias("s"), pl.len().alias("n"))
+        )
+        s = np.floor(agg["s"].to_numpy() * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(agg["id"].to_list()),
+                "dsir_score": pa.array(s, pa.float64()),
+                "n_grams": pa.array(
+                    agg["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id"):
     """BM25 top-k retrieval over the corpus — the keyword-search baseline

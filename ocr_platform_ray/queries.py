@@ -132,6 +132,19 @@ def q_temperature_weights(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dsir_scores(sf_dir: str) -> rd.Dataset:
+    """DSIR importance scores vs the lang='en' target slice: hashed
+    unigram+bigram bucket log-ratios summed per doc — exact pinned-md5
+    bucket oracle."""
+    corpus = _docs(sf_dir, ["doc_id", "text"])
+    target = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("lang") == "en"),
+    )
+    return textstats.dsir_scores(corpus, target, n_buckets=1024)
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1353,6 +1366,7 @@ def queries() -> dict:
         "q_bigram_lm_score": q_bigram_lm_score,  # new in r5 -> record now
         "q_gopher_rules": q_gopher_rules,  # new in r5 -> record now
         "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
+        "q_dsir_scores": q_dsir_scores,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -1529,6 +1543,34 @@ def _oracle_sql_base() -> dict:
             " z AS (SELECT sum(pow(pl, 0.7)) AS zz FROM p)"
             " SELECT lang, n_tokens, round(pow(pl, 0.7) / zz, 6) AS weight,"
             " round(pow(pl, 0.7) / zz / pl, 6) AS upsample FROM p, z"
+        ),
+        "q_dsir_scores": (
+            "WITH tok AS (SELECT doc_id, lang,"
+            " unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w,"
+            " unnest(range(len(regexp_extract_all(text, '[a-z0-9]+'))))"
+            "  AS i FROM documents),"
+            " bi AS (SELECT doc_id, lang,"
+            "  w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i)"
+            "  AS g FROM tok QUALIFY g IS NOT NULL),"
+            " grams AS (SELECT doc_id, lang, w AS g FROM tok"
+            "  UNION ALL SELECT doc_id, lang, g FROM bi),"
+            " b AS (SELECT doc_id, lang,"
+            "  ('0x' || substr(md5(g), 1, 8))::UBIGINT % 1024 AS bkt"
+            "  FROM grams),"
+            " tcnt AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en'"
+            "  GROUP BY bkt),"
+            " ccnt AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),"
+            " ts AS (SELECT sum(c) * 1.0 AS s FROM tcnt),"
+            " cs AS (SELECT sum(c) * 1.0 AS s FROM ccnt),"
+            " lr AS (SELECT r.range AS bkt,"
+            "  ln((COALESCE(t.c, 0) + 1.0) / (ts.s + 1024))"
+            "   - ln((COALESCE(c2.c, 0) + 1.0) / (cs.s + 1024)) AS lr"
+            "  FROM range(1024) r"
+            "  LEFT JOIN tcnt t ON r.range = t.bkt"
+            "  LEFT JOIN ccnt c2 ON r.range = c2.bkt, ts, cs)"
+            " SELECT b.doc_id, round(sum(lr.lr), 6) AS dsir_score,"
+            " count(*) AS n_grams FROM b JOIN lr ON b.bkt = lr.bkt"
+            " GROUP BY b.doc_id"
         ),
         "q_quality_zscore": (
             "WITH q AS (SELECT doc_id, lang,"
