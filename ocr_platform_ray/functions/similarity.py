@@ -63,6 +63,61 @@ def topk_cosine(ds: rd.Dataset, query: list[float], k: int = 10) -> rd.Dataset:
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def hybrid_rrf(
+    docs_ds: rd.Dataset,
+    emb_ds: rd.Dataset,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009 —
+    public knowledge; the standard BM25 + dense-retrieval combiner):
+    fetch the top ``pool`` docs by BM25 keyword score and the top
+    ``pool`` by embedding cosine, rank each list by (rounded score DESC,
+    id ASC), and fuse with ``rrf = sum over lists of 1/(rrf_k + rank)``.
+    Absent-from-a-list contributes nothing (rank reported as 0). Returns
+    the top ``k`` (id, rrf_score, bm25_rank, cos_rank).
+
+    Scale shape: both component retrievals are the library's streamed
+    per-batch partial-top-k operators — the corpus is never collected;
+    only the two <= ``pool``-row ranked lists reach the driver for the
+    closed-form fusion. The rrf terms are sums of <= 2 exact doubles, so
+    the 6dp-rounded fusion score is engine-independent by construction."""
+    from .textstats import bm25_topk
+
+    bm = bm25_topk(docs_ds, query_terms, k=pool, id_col=id_col)
+    bm_rows = bm.sort(["score", id_col], descending=[True, False]).take_all()
+    cos = topk_cosine(emb_ds, query_vec, k=pool)
+    cos_rows = cos.sort(
+        ["cos_sim", "vec_id"], descending=[True, False]
+    ).take_all()
+
+    fused: dict[int, list[int]] = {}
+    for r, row in enumerate(bm_rows, 1):
+        fused.setdefault(int(row[id_col]), [0, 0])[0] = r
+    for r, row in enumerate(cos_rows, 1):
+        fused.setdefault(int(row["vec_id"]), [0, 0])[1] = r
+    out = []
+    for i, (br, cr) in fused.items():
+        s = (1.0 / (rrf_k + br) if br else 0.0) + (
+            1.0 / (rrf_k + cr) if cr else 0.0
+        )
+        out.append((i, float(np.floor(s * 1e6 + 0.5) / 1e6), br, cr))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    out = out[:k]
+    return pa.table(
+        {
+            id_col: pa.array([t[0] for t in out], pa.int64()),
+            "rrf_score": pa.array([t[1] for t in out], pa.float64()),
+            "bm25_rank": pa.array([t[2] for t in out], pa.int64()),
+            "cos_rank": pa.array([t[3] for t in out], pa.int64()),
+        }
+    )
+
+
 N_PLANES = 12
 
 

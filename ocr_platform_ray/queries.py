@@ -226,6 +226,20 @@ def q_bm25(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 ('merge','scan',
+    'window') and cosine-vs-vec-0 top-50 lists, top-10 fused — exact
+    full-outer-join oracle."""
+    return similarity.hybrid_rrf(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _emb(sf_dir),
+        ["merge", "scan", "window"],
+        _query_vec(sf_dir),
+        k=10,
+        pool=50,
+    )
+
+
 def q_cross_source_dups(sf_dir: str) -> pa.Table:
     """Cross-source duplication matrix (distinct texts shared verbatim by
     each source pair) — exact DuckDB self-join oracle."""
@@ -1367,6 +1381,7 @@ def queries() -> dict:
         "q_gopher_rules": q_gopher_rules,  # new in r5 -> record now
         "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
         "q_dsir_scores": q_dsir_scores,  # new in r5 -> record now
+        "q_hybrid_rrf": q_hybrid_rrf,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -2052,6 +2067,40 @@ def _oracle_sql_base() -> dict:
             "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
             " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim"
             " FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "q_hybrid_rrf": (
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),"
+            " dl AS (SELECT doc_id, len(t) AS dlen FROM toks),"
+            " st AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),"
+            " tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM"
+            "  (SELECT doc_id, unnest(t) AS w FROM toks)"
+            "  WHERE w IN ('merge', 'scan', 'window')"
+            "  GROUP BY doc_id, w),"
+            " dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+            " sc AS (SELECT tf.doc_id,"
+            "  sum(ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1)"
+            "   * tf.tf * 2.2 / (tf.tf + 1.2 *"
+            "   (1 - 0.75 + 0.75 * dl.dlen / st.avgdl))) AS s"
+            "  FROM tf JOIN dfx USING (term)"
+            "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st"
+            "  GROUP BY tf.doc_id),"
+            " bmr AS (SELECT doc_id, row_number() OVER"
+            "  (ORDER BY round(s, 6) DESC, doc_id) AS r FROM sc"
+            "  QUALIFY r <= 50),"
+            " ca AS (SELECT vec_id,"
+            "  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings"
+            "   WHERE vec_id = 0)), 6) AS cs FROM embeddings),"
+            " cr AS (SELECT vec_id AS doc_id, row_number() OVER"
+            "  (ORDER BY cs DESC, vec_id) AS r FROM ca QUALIFY r <= 50),"
+            " f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,"
+            "  round(COALESCE(1.0 / (60 + b.r), 0)"
+            "   + COALESCE(1.0 / (60 + c.r), 0), 6) AS rrf_score,"
+            "  COALESCE(b.r, 0) AS bm25_rank, COALESCE(c.r, 0) AS cos_rank"
+            "  FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id)"
+            " SELECT doc_id, rrf_score, bm25_rank, cos_rank FROM f"
+            " ORDER BY rrf_score DESC, doc_id LIMIT 10"
         ),
         "q_window_counts": (
             "SELECT event_type,"
