@@ -175,6 +175,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_temperature_weights", q.q_temperature_weights),
         ("q_dsir_scores", q.q_dsir_scores),
         ("q_hybrid_rrf", q.q_hybrid_rrf),
+        ("q_bpe_encode", q.q_bpe_encode),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .functions import dedup, events, relational, similarity, textstats
+from .functions import bpe, dedup, events, relational, similarity, textstats
 
 from .functions import round_half_away
 from .pipeline import PipelineOptions, build_extract_pipeline, corpus_from_documents
@@ -238,6 +238,20 @@ def q_hybrid_rrf(sf_dir: str) -> pa.Table:
         k=10,
         pool=50,
     )
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training (Sennrich et al. 2016) over the corpus
+    word dictionary: first 40 merges with weighted pair counts —
+    deterministic, golden-pinned (iterative; not SQL-expressible)."""
+    return bpe.bpe_train(_docs(sf_dir, ["text"]), n_merges=40)
+
+
+def q_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Per-doc BPE token counts under the 40 merges trained on the same
+    corpus — the tokenizer-application pass; golden-pinned."""
+    merges = bpe.bpe_train(_docs(sf_dir, ["text"]), n_merges=40)
+    return bpe.bpe_encode_counts(_docs(sf_dir, ["doc_id", "text"]), merges)
 
 
 def q_cross_source_dups(sf_dir: str) -> pa.Table:
@@ -1382,6 +1396,8 @@ def queries() -> dict:
         "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
         "q_dsir_scores": q_dsir_scores,  # new in r5 -> record now
         "q_hybrid_rrf": q_hybrid_rrf,  # new in r5 -> record now
+        "q_bpe_merges": q_bpe_merges,  # new in r5 -> record now
+        "q_bpe_encode": q_bpe_encode,  # new in r5 -> record now
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,

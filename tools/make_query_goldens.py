@@ -43,6 +43,8 @@ GOLDEN_QUERIES = [
     "q_audio_features",
     "q_media_features_jpeg",
     "q_video_frame_features",
+    "q_bpe_merges",
+    "q_bpe_encode",
 ]
 
 
