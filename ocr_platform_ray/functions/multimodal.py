@@ -434,6 +434,13 @@ def video_frame_features(sf_dir: str, every_k: int = 2,
     mp4 table is a codec-seam validation path like the jpeg one; the
     throughput media table stays npy/png). Output one row per sampled
     frame, media_id suffixed '#f<idx>' so frames stay addressable."""
+    # the only pipeline with TWO chained actor pools: at small sessions
+    # (tests run at num_cpus=4) integer-CPU actors from both pools plus
+    # the read tasks can reserve every slot and wedge the streaming
+    # executor's dispatch queue (observed: read + FrameSample + 2x
+    # MediaDecodeFeatures holding 4/4 CPUs, 1 task queued forever), so
+    # both pools run at half a CPU — demux/feature kernels are cheap and
+    # the path is capped at `limit` docs, so oversubscription is moot
     ds = video_table_from_documents(sf_dir, limit=limit)
     frames = ds.map_batches(
         FrameSample,
@@ -441,7 +448,7 @@ def video_frame_features(sf_dir: str, every_k: int = 2,
         batch_size=16,
         concurrency=(1, 8),
         fn_constructor_kwargs={"every_k": every_k},
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
     def as_media(batch: pa.Table) -> pa.Table:
@@ -465,7 +472,7 @@ def video_frame_features(sf_dir: str, every_k: int = 2,
         batch_format="pyarrow",
         batch_size=16,
         concurrency=(1, 8),
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
 
