@@ -815,27 +815,42 @@ def _bigram_partial(batch: pa.Table) -> pa.Table:
     per doc, the next token arrives via a grouped shift (frame order is
     doc-contiguous after explode, so shift(-1).over(doc) is the in-doc
     successor), doc-final positions drop. One tiny pre-aggregated row
-    per distinct in-batch bigram."""
+    per distinct in-batch bigram — PLUS one (w, '', n) sentinel row per
+    distinct in-batch unigram ('' can never be a token, TOKEN_RE matches
+    >= 1 char), so the SAME scan also carries the vocabulary and a
+    separate distinct-unigram pass is unnecessary."""
     import polars as pl
 
     col = batch.column("text")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    ex = (
+    uni = (
         pl.DataFrame({"i": np.arange(len(batch), dtype=np.int64),
                       "t": pl.from_arrow(col)})
         .select("i", pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
         .explode("tok")
         .drop_nulls()
-        .with_columns(pl.col("tok").shift(-1).over("i").alias("t2"))
+    )
+    ex = (
+        uni.with_columns(pl.col("tok").shift(-1).over("i").alias("t2"))
         .drop_nulls("t2")
     )
     agg = ex.group_by(["tok", "t2"]).len(name="n")
+    vagg = uni.group_by("tok").len(name="n")
     return pa.Table.from_pydict(
         {
-            "w1": pa.array(agg["tok"].to_list(), pa.string()),
-            "w2": pa.array(agg["t2"].to_list(), pa.string()),
-            "n": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+            "w1": pa.array(
+                agg["tok"].to_list() + vagg["tok"].to_list(), pa.string()
+            ),
+            "w2": pa.array(
+                agg["t2"].to_list() + [""] * vagg.height, pa.string()
+            ),
+            "n": pa.array(
+                np.concatenate(
+                    [agg["n"].to_numpy(), vagg["n"].to_numpy()]
+                ).astype(np.int64),
+                pa.int64(),
+            ),
         }
     )
 
@@ -851,14 +866,15 @@ def bigram_logprob(ds, max_vocab: int = 5_000_000, score_ds=None):
     exact distinct-unigram vocabulary size. Repetitive/boilerplate text
     scores HIGH (its transitions are common), incoherent text LOW.
 
-    Three streamed scans, none materializing the corpus: (1) per-batch
-    (w1, w2, n) partials merged INCREMENTALLY on the driver under a LOUD
-    ``max_vocab`` guard (the same bounded-merge contract as the unigram
-    exact variant — past the guard, a top-N bigram model with an OOV
-    bucket is the scale path, the :func:`unigram_logprob_topn` shape);
-    (2) ``vocab_counts``'s distinct-unigram count for V; (3) a row-local
-    scoring pass against the broadcast (sorted 'w1 w2' keys, logprobs,
-    sorted contexts, context counts, V) model — unseen pairs score
+    TWO streamed scans, none materializing the corpus: (1) per-batch
+    (w1, w2, n) partials — bigram rows plus (w, '', n) unigram sentinel
+    rows, so the same scan carries the vocabulary — merged INCREMENTALLY
+    on the driver under a LOUD ``max_vocab`` guard (the same
+    bounded-merge contract as the unigram exact variant — past the
+    guard, a top-N bigram model with an OOV bucket is the scale path,
+    the :func:`unigram_logprob_topn` shape); (2) a row-local scoring
+    pass against the broadcast (sorted 'w1 w2' keys, logprobs, sorted
+    contexts, context counts, V) model — unseen pairs score
     ``ln(1 / (c1(w1) + V))``, unseen contexts ``ln(1 / V)`` (never hit
     when scoring the training corpus itself, as the oracle does).
 
@@ -904,7 +920,8 @@ def bigram_logprob(ds, max_vocab: int = 5_000_000, score_ds=None):
              "n": pl.Series([], dtype=pl.Int64)}
         )
 
-    v = int(vocab_counts(ds).count())
+    v = int(merged.filter(pl.col("w2") == "").height)
+    merged = merged.filter(pl.col("w2") != "")
     ctx = merged.group_by("w1").agg(pl.col("n").sum()).sort("w1")
     ctx_tokens = ctx["w1"].to_numpy().astype(str)
     ctx_counts = ctx["n"].to_numpy().astype(np.float64)
