@@ -240,3 +240,126 @@ def sessions_per_user(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
         .groupby("cb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def new_users_by_day(ds: rd.Dataset) -> rd.Dataset:
+    """Cohort-entry counts: for each calendar day, how many users were
+    seen for the FIRST time that day (min-ts per user, truncated to day)
+    — the growth/cohort primitive every event-log warehouse computes
+    (reference analogue: the per-job first-seen bookkeeping in
+    apps/api/app/api/v1/routes_jobs.py's listing counters).
+
+    Scale shape: (1) per-batch min-ts per user (one row per user per
+    batch — the shuffle never carries raw events); (2) users hash-bucket
+    (:func:`~ocr_platform_ray.functions.bucketed_group_apply`) and each
+    bucket reduces min-per-user then pre-counts per DAY — emitting at
+    most |days| rows per bucket; (3) the tiny (day, n) partials
+    hash-bucket by day for the final sum. All int64/date math — exact,
+    no float accumulation anywhere."""
+    from . import bucketed_group_apply
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "ts": batch.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        agg = df.groupby("user_id", as_index=False).agg(first_ts=("ts", "min"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", as_index=False).agg(
+            first_ts=("first_ts", "min")
+        )
+        day = (first["first_ts"].to_numpy() // DAY_US).astype(np.int64)
+        cnt = pd.DataFrame({"day_id": day}).groupby(
+            "day_id", as_index=False
+        ).agg(n=("day_id", "size"))
+        return cnt
+
+    day_partials = bucketed_group_apply(partials, "user_id", per_user_bucket)
+
+    def per_day_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day_id", as_index=False).agg(n_new_users=("n", "sum"))
+        day_us = agg["day_id"].to_numpy() * DAY_US
+        return pd.DataFrame(
+            {
+                "day": np.array(day_us, dtype="datetime64[us]").astype(
+                    "datetime64[D]"
+                ).astype(str),
+                "n_new_users": agg["n_new_users"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(day_partials, "day_id", per_day_bucket)
+
+
+def funnel_counts(
+    ds: rd.Dataset, stages: tuple = ("view", "click", "purchase")
+) -> pa.Table:
+    """Ordered-funnel conversion: n_stage1 = users with a stage-1 event,
+    n_stage2 = users with a stage-2 event STRICTLY AFTER their first
+    stage-1 event, n_stage3 = ... strictly after that stage-2 event
+    (min-ts semantics at every hop, so the answer is deterministic and
+    SQL-expressible). The product-analytics staple over an event log.
+
+    Scale shape: the input filters to the three stage types at the read
+    (one boolean kernel per batch), users hash-bucket so one user's
+    events co-locate, and each bucket runs three vectorized merge+min
+    passes (stage-k rows joined to the per-user stage-(k-1) timestamp,
+    strict-greater filter, groupby-min). Only ≤ n_buckets three-int
+    partial rows reach the driver — a bounded merge, same contract as
+    cross-source dup totals."""
+    import pyarrow.compute as pc
+
+    from . import bucketed_group_apply
+
+    s1, s2, s3 = stages
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     value_set=pa.array([s1, s2, s3])))
+
+    slim = ds.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["ts"] = g["ts"].astype("int64")
+        t1 = (
+            g[g["event_type"] == s1]
+            .groupby("user_id", as_index=False)
+            .agg(t1=("ts", "min"))
+        )
+        m2 = g[g["event_type"] == s2].merge(t1, on="user_id", how="inner")
+        t2 = (
+            m2[m2["ts"] > m2["t1"]]
+            .groupby("user_id", as_index=False)
+            .agg(t2=("ts", "min"))
+        )
+        m3 = g[g["event_type"] == s3].merge(t2, on="user_id", how="inner")
+        t3 = (
+            m3[m3["ts"] > m3["t2"]]
+            .groupby("user_id", as_index=False)
+            .agg(t3=("ts", "min"))
+        )
+        return pd.DataFrame(
+            {"n_stage1": [len(t1)], "n_stage2": [len(t2)], "n_stage3": [len(t3)]}
+        )
+
+    parts = bucketed_group_apply(slim, "user_id", per_bucket).take_all()
+    return pa.Table.from_pydict(
+        {
+            "n_stage1": pa.array([sum(r["n_stage1"] for r in parts)], pa.int64()),
+            "n_stage2": pa.array([sum(r["n_stage2"] for r in parts)], pa.int64()),
+            "n_stage3": pa.array([sum(r["n_stage3"] for r in parts)], pa.int64()),
+        }
+    )

@@ -368,3 +368,267 @@ def zscore_by_group(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def supplier_volume_by_nation(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1996-01-01",
+) -> rd.Dataset:
+    """TPC-H Q5-shaped six-table join: revenue per nation from lineitems
+    whose supplier AND ordering customer sit in the same nation of one
+    region, over one order-date year.
+
+    The multi-way-join composition of this repo's idioms: region, nation,
+    supplier and customer are DIMENSIONS — broadcast once via ``ray.put``
+    as sorted int arrays (searchsorted gather per batch; customer is the
+    largest at ~150k keys/sf1 — two int arrays, still broadcast-sized; at
+    true warehouse scale swap the customer edge to ``joins.hash_join``).
+    Both fact tables pre-reduce BEFORE the single big⋈big shuffle:
+    orders filter to the date year and region nations, lineitem gathers
+    its supplier nation, filters to region nations, and pre-aggregates
+    revenue per (l_orderkey, nation) inside map_batches. The lone
+    hash_join then moves one row per surviving order per side, the
+    equality filter c_nat == s_nat runs per joined batch, and per-batch
+    partials reduce to ≤ |nations| rows before the final tiny groupby
+    (deterministic key-sorted accumulation, half-away rounding to whole
+    currency units — the revenue_by_customer float contract)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {
+        r["r_regionkey"]: r["r_name"] for r in reg.to_pylist()
+    }
+    region_nations = sorted(
+        r["n_nationkey"] for r in nat.to_pylist()
+        if rkey[r["n_regionkey"]] == region
+    )
+    nation_names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def sorted_pair(t: pa.Table, k: str, v: str):
+        keys = t.column(k).to_numpy()
+        vals = t.column(v).to_numpy().astype(np.int32)
+        order = np.argsort(keys, kind="mergesort")
+        return keys[order], vals[order]
+
+    sup_ref = ray.put(sorted_pair(sup, "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(sorted_pair(cust, "c_custkey", "c_nationkey"))
+    nat_set = np.array(region_nations, dtype=np.int32)
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        batch = batch.filter(m)
+        keys, vals = resolve_broadcast(cust_ref)
+        ck = batch.column("o_custkey").to_numpy()
+        c_nat = vals[np.searchsorted(keys, ck)]
+        ok = np.isin(c_nat, nat_set)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy()[ok], pa.int64()
+                ),
+                "c_nat": pa.array(c_nat[ok], pa.int32()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keys, vals = resolve_broadcast(sup_ref)
+        sk = batch.column("l_suppkey").to_numpy()
+        s_nat = vals[np.searchsorted(keys, sk)]
+        ok = np.isin(s_nat, nat_set)
+        rev = (
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        )[ok]
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy()[ok],
+                "s_nat": s_nat[ok],
+                "rev": rev,
+            }
+        )
+        agg = df.groupby(["l_orderkey", "s_nat"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        agg["s_nat"] = agg["s_nat"].astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    o_slim = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow")
+    l_slim = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    joined = hash_join(l_slim, o_slim, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch.column("s_nat"), batch.column("c_nat"))
+        batch = batch.filter(same)
+        df = pd.DataFrame(
+            {
+                "nationkey": batch.column("s_nat").to_numpy(),
+                "rev": batch.column("rev").to_numpy(),
+            }
+        )
+        agg = df.groupby("nationkey", as_index=False).agg(rev=("rev", "sum"))
+        agg["nationkey"] = agg["nationkey"].astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nationkey", "rev"], kind="mergesort")
+        agg = g.groupby("nationkey", as_index=False).agg(rev=("rev", "sum"))
+        return pd.DataFrame(
+            {
+                "n_name": agg["nationkey"].map(nation_names),
+                "revenue": round_half_away_np(agg["rev"].to_numpy(), 0),
+            }
+        )
+
+    return (
+        bucketed_group_apply(partials, "nationkey", final, n_buckets=64)
+        .sort(["revenue", "n_name"], descending=[True, False])
+    )
+
+
+def corr_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Per-group Pearson correlation of two numeric columns — the
+    feature-vs-feature diagnostic (does quantity predict price? does doc
+    length predict quality score?) computed with MERGEABLE CENTERED
+    co-moments, never a per-row shuffle.
+
+    Two streamed passes (the zscore_by_group trade): pass 1 collects
+    per-group means under the loud ``max_groups`` guard and broadcasts
+    them; pass 2 accumulates per-batch partials of the CENTERED sums
+    (n, Σdx, Σdy, Σdx², Σdy², Σdxdy) — centering at the broadcast mean
+    keeps every accumulator near zero, so no catastrophic cancellation —
+    and the final per-group reduce applies the exact re-centering
+    correction (Σdxdy − ΣdxΣdy/n), making the result algebraically
+    identical to corr() no matter how closely the pass-1 mean matched.
+    DuckDB's corr() computes the same sample correlation; the 6dp
+    half-away round absorbs summation-order ulps."""
+    import numpy as np
+    import ray
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "x": batch.column(x_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                "y": batch.column(y_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def mean_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [g["g"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sx": [float(g["sx"].sum())],
+                "sy": [float(g["sy"].sum())],
+            }
+        )
+
+    cols = ds.select_columns([group_col, x_col, y_col])
+    rows = (
+        cols.map_batches(mean_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(mean_merge, batch_format="pandas")
+        .take(max_groups + 1)
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"corr_by_group: > {max_groups} groups — raise max_groups "
+            "deliberately or pre-filter"
+        )
+    keys = np.array(sorted(r["g"] for r in rows))
+    by = {r["g"]: r for r in rows}
+    mx = np.array([by[k]["sx"] / by[k]["n"] for k in keys])
+    my = np.array([by[k]["sy"] / by[k]["n"] for k in keys])
+    means_ref = ray.put((keys, mx, my))
+
+    def co_partial(batch: pa.Table) -> pa.Table:
+        k, cx, cy = resolve_broadcast(means_ref)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(
+            k.dtype
+        )
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pos = np.searchsorted(k, g)
+        dx = x - cx[pos]
+        dy = y - cy[pos]
+        df = pd.DataFrame(
+            {
+                "g": g,
+                "dx": dx,
+                "dy": dy,
+                "dxx": dx * dx,
+                "dyy": dy * dy,
+                "dxy": dx * dy,
+            }
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("dx", "size"), sdx=("dx", "sum"), sdy=("dy", "sum"),
+            sxx=("dxx", "sum"), syy=("dyy", "sum"), sxy=("dxy", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def co_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["g", "sxy"], kind="mergesort")
+        n = int(g["n"].sum())
+        sdx, sdy = float(g["sdx"].sum()), float(g["sdy"].sum())
+        sxx = float(g["sxx"].sum()) - sdx * sdx / n
+        syy = float(g["syy"].sum()) - sdy * sdy / n
+        sxy = float(g["sxy"].sum()) - sdx * sdy / n
+        denom = np.sqrt(sxx * syy)
+        # constant x or y -> undefined correlation (DuckDB corr() -> NULL)
+        c = round_half_away(sxy / denom, 6) if denom > 0 else float("nan")
+        return pd.DataFrame(
+            {group_col: [g["g"].iloc[0]], "corr_xy": [c]}
+        )
+
+    return (
+        cols.map_batches(co_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(co_merge, batch_format="pandas")
+    )

@@ -1340,6 +1340,76 @@ def q_extract_summary(sf_dir: str) -> pa.Table:
     )
 
 
+def q_new_users_by_day(sf_dir: str) -> rd.Dataset:
+    """Cohort-entry counts: users first seen per calendar day (min-ts per
+    user, day-truncated) — exact int math, two bucketed merges, the raw
+    event rows never shuffle."""
+    return events.new_users_by_day(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+def q_funnel(sf_dir: str) -> "pa.Table":
+    """Ordered view->click->purchase funnel (strictly-after min-ts hops):
+    per-user-bucket vectorized merge+min passes, bounded 3-int driver
+    merge."""
+    return events.funnel_counts(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+
+
+def q_supplier_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5-shaped six-table join (region/nation/supplier/customer
+    broadcast, both fact sides pre-reduced, ONE orderkey hash join)."""
+    from .functions.relational import supplier_volume_by_nation
+
+    return supplier_volume_by_nation(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        sf_dir,
+    )
+
+
+def q_corr_by_group(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag Pearson corr(l_quantity, l_extendedprice) via
+    mergeable CENTERED co-moments (two streamed passes, no row shuffle)."""
+    from .functions.relational import corr_by_group
+
+    return corr_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_length_outliers(sf_dir: str) -> rd.Dataset:
+    """Robust per-lang length anomaly gate: |n_chars - median| > 3 x MAD
+    (three streamed passes over grouped exact medians; breakdown-50%
+    robust, unlike the z-score gate)."""
+    from .functions.sketches import grouped_mad_outliers
+
+    return grouped_mad_outliers(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        "lang",
+        "n_chars",
+        "doc_id",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1354,10 +1424,8 @@ def queries() -> dict:
         "q_running_total": q_running_total,
         "q_value_histogram": q_value_histogram,
         "q_first_events_per_user": q_first_events_per_user,
-        "q_approx_distinct_users": q_approx_distinct_users,
         "q_pricing": q_pricing,
         "q_price_quantiles": q_price_quantiles,
-        "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_top_customers": q_top_customers,
         "q_asof_view_before_click": q_asof_view_before_click,
         "q_views_before_click": q_views_before_click,
@@ -1396,8 +1464,21 @@ def queries() -> dict:
         "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
         "q_dsir_scores": q_dsir_scores,  # new in r5 -> record now
         "q_hybrid_rrf": q_hybrid_rrf,  # new in r5 -> record now
-        "q_bpe_merges": q_bpe_merges,  # new in r5 -> record now
-        "q_bpe_encode": q_bpe_encode,  # new in r5 -> record now
+        "q_new_users_by_day": q_new_users_by_day,  # new in r5 -> record now
+        "q_funnel": q_funnel,  # new in r5 -> record now
+        "q_supplier_volume": q_supplier_volume,  # new in r5 -> record now
+        "q_corr_by_group": q_corr_by_group,  # new in r5 -> record now
+        "q_length_outliers": q_length_outliers,  # new in r5 -> record now
+        # --- ~50-entry driver cap: below here everything was recorded in
+        # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
+        # q_approx_distinct_users, q_price_quantiles_sketch — displaced
+        # rows-only entries; their correctness is pinned by goldens +
+        # property tests, and the full registry is swept at both scales
+        # with tools/check_correctness.py each round, see BENCH/BASELINE.md)
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
+        "q_approx_distinct_users": q_approx_distinct_users,
+        "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -2245,5 +2326,52 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_new_users_by_day": (
+            "SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS day,"
+            " count(*) AS n_new_users FROM (SELECT user_id, min(ts) AS"
+            " first_ts FROM events GROUP BY user_id) GROUP BY day"
+        ),
+        "q_funnel": (
+            "WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events"
+            " WHERE event_type = 'view' GROUP BY user_id),"
+            " t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e"
+            " JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1"
+            " WHERE e.event_type = 'click' GROUP BY e.user_id),"
+            " t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e"
+            " JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2"
+            " WHERE e.event_type = 'purchase' GROUP BY e.user_id)"
+            " SELECT (SELECT count(*) FROM t1) AS n_stage1,"
+            " (SELECT count(*) FROM t2) AS n_stage2,"
+            " (SELECT count(*) FROM t3) AS n_stage3"
+        ),
+        "q_supplier_volume": (
+            "SELECT n_name,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue"
+            " FROM customer, orders, lineitem, supplier, nation, region"
+            " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+            " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+            " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+            " AND r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-01-01'"
+            " GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "q_corr_by_group": (
+            "SELECT l_returnflag,"
+            " round(corr(l_quantity, l_extendedprice), 6) AS corr_xy"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_length_outliers": (
+            "WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med"
+            " FROM documents GROUP BY lang),"
+            " d AS (SELECT doc_id, documents.lang AS lang,"
+            " abs(n_chars - med) AS ad FROM documents"
+            " JOIN m ON documents.lang = m.lang),"
+            " md AS (SELECT lang, quantile_cont(ad, 0.5) AS mad"
+            " FROM d GROUP BY lang)"
+            " SELECT d.doc_id, d.lang,"
+            " CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END AS is_outlier"
+            " FROM d JOIN md ON d.lang = md.lang"
         ),
     }

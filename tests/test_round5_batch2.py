@@ -1,0 +1,243 @@
+"""Round-5 batch-2 operators pinned against brute-force pandas/duckdb
+references on adversarial partitionings: new_users_by_day (cohort entry),
+funnel_counts (ordered min-ts funnel), corr_by_group (centered mergeable
+co-moments), grouped_mad_outliers (robust length gate), and the TPC-H
+Q5-shaped supplier_volume_by_nation (checked via its DuckDB oracle in the
+correctness sweep; here the dimension-broadcast plumbing is exercised on a
+synthetic micro-warehouse)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _events(n=500, users=37, seed=7):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, users, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 40 * 86_400, n).astype(np.int64) * 1_000_000,
+                unit="us",
+            ).astype("datetime64[us]"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error"], n
+            ),
+            "value": rng.rand(n) * 100,
+        }
+    )
+
+
+class TestNewUsersByDay:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.events import new_users_by_day
+
+        df = _events()
+        out = (
+            new_users_by_day(rd.from_pandas(df).repartition(11))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+
+        first = df.groupby("user_id")["ts"].min()
+        ref = (
+            first.dt.floor("D")
+            .dt.strftime("%Y-%m-%d")
+            .value_counts()
+            .rename_axis("day")
+            .reset_index(name="n_new_users")
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        ref["n_new_users"] = ref["n_new_users"].astype(np.int64)
+        pd.testing.assert_frame_equal(out, ref)
+
+    def test_counts_sum_to_distinct_users(self, ray_session):
+        from ocr_platform_ray.functions.events import new_users_by_day
+
+        df = _events(seed=13)
+        out = new_users_by_day(rd.from_pandas(df).repartition(5)).to_pandas()
+        assert out["n_new_users"].sum() == df["user_id"].nunique()
+
+
+class TestFunnel:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.events import funnel_counts
+
+        df = _events(n=800, users=29, seed=3)
+        out = funnel_counts(rd.from_pandas(df).repartition(7)).to_pandas()
+
+        n1 = n2 = n3 = 0
+        for _, g in df.groupby("user_id"):
+            g = g.sort_values("ts")
+            v = g[g.event_type == "view"]["ts"]
+            if v.empty:
+                continue
+            n1 += 1
+            c = g[(g.event_type == "click") & (g.ts > v.min())]["ts"]
+            if c.empty:
+                continue
+            n2 += 1
+            p = g[(g.event_type == "purchase") & (g.ts > c.min())]["ts"]
+            if not p.empty:
+                n3 += 1
+        assert out.iloc[0].tolist() == [n1, n2, n3]
+
+    def test_monotone_and_empty(self, ray_session):
+        from ocr_platform_ray.functions.events import funnel_counts
+
+        df = _events(n=300, seed=21)
+        out = funnel_counts(rd.from_pandas(df).repartition(3)).to_pandas()
+        r = out.iloc[0]
+        assert r.n_stage1 >= r.n_stage2 >= r.n_stage3
+        # no stage-1 events at all -> all zeros (and no crash)
+        df2 = df[df.event_type != "view"]
+        out2 = funnel_counts(rd.from_pandas(df2).repartition(3)).to_pandas()
+        assert out2.iloc[0].tolist() == [0, 0, 0]
+
+
+class TestCorrByGroup:
+    def test_matches_pandas_corr(self, ray_session):
+        from ocr_platform_ray.functions.relational import corr_by_group
+
+        rng = np.random.RandomState(5)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                # large offset: the cancellation regime the centered
+                # co-moments exist for
+                "x": rng.rand(n) * 50 + 1,
+                "y": rng.rand(n) * 1e5 + 1e6,
+            }
+        )
+        df["y"] += df["x"] * 37.0  # induce real correlation
+        out = (
+            corr_by_group(rd.from_pandas(df).repartition(13), "g", "x", "y")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.groupby("g")
+            .apply(lambda d: d["x"].corr(d["y"]), include_groups=False)
+            .round(6)
+        )
+        for _, row in out.iterrows():
+            assert abs(row["corr_xy"] - ref[row["g"]]) < 2e-6
+
+    def test_degenerate_group_is_nan(self, ray_session):
+        from ocr_platform_ray.functions.relational import corr_by_group
+
+        df = pd.DataFrame({"g": ["a"] * 4, "x": [2.0] * 4, "y": [1, 2, 3, 4.0]})
+        out = corr_by_group(rd.from_pandas(df), "g", "x", "y").to_pandas()
+        assert np.isnan(out["corr_xy"].iloc[0])
+
+
+class TestMadOutliers:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.sketches import grouped_mad_outliers
+
+        rng = np.random.RandomState(9)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "fr", "zh"], n),
+                "n_chars": rng.randint(50, 2000, n).astype(np.int64),
+            }
+        )
+        # plant extremes that MUST flag
+        df.loc[:4, "n_chars"] = 1_000_000
+        out = (
+            grouped_mad_outliers(
+                rd.from_pandas(df).repartition(9), "lang", "n_chars", "doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        med = df.groupby("lang")["n_chars"].median()
+        ad = (df["n_chars"] - df["lang"].map(med)).abs()
+        mad = ad.groupby(df["lang"]).median()
+        ref = (ad > 3.0 * df["lang"].map(mad)).astype(np.int64)
+        assert (out["is_outlier"].to_numpy() == ref.to_numpy()).all()
+        assert out["is_outlier"].iloc[:5].all()
+
+
+class TestSupplierVolume:
+    def test_micro_warehouse(self, ray_session, tmp_path):
+        """2 regions / 4 nations / tiny facts where the answer is
+        hand-computable; exercises the broadcast + join + same-nation
+        filter end to end."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.functions.relational import (
+            supplier_volume_by_nation,
+        )
+
+        sf = str(tmp_path)
+        pq.write_table(
+            pa.table({"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}),
+            f"{sf}/region.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": [0, 1, 2, 3],
+                    "n_name": ["CHINA", "JAPAN", "FRANCE", "GERMANY"],
+                    "n_regionkey": [0, 0, 1, 1],
+                }
+            ),
+            f"{sf}/nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"s_suppkey": [10, 11, 12], "s_nationkey": [0, 1, 2]}
+            ),
+            f"{sf}/supplier.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"c_custkey": [20, 21, 22], "c_nationkey": [0, 1, 2]}
+            ),
+            f"{sf}/customer.parquet",
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_custkey": [20, 21, 22, 20],
+                "o_orderdate": pd.to_datetime(
+                    ["1995-06-01", "1995-07-01", "1995-08-01", "1999-01-01"]
+                ).astype("datetime64[us]"),
+            }
+        )
+        lineitem = pd.DataFrame(
+            {
+                # order 1 (cust CHINA): supp CHINA (match, 100*0.9=90) and
+                # supp JAPAN (nation mismatch); order 2 (cust JAPAN): supp
+                # JAPAN (match, 200); order 3: EUROPE cust -> filtered;
+                # order 4: out of date window
+                "l_orderkey": [1, 1, 2, 3, 4],
+                "l_suppkey": [10, 11, 11, 12, 10],
+                "l_extendedprice": [100.0, 50.0, 200.0, 70.0, 900.0],
+                "l_discount": [0.1, 0.0, 0.0, 0.0, 0.0],
+            }
+        )
+        out = (
+            supplier_volume_by_nation(
+                rd.from_pandas(lineitem).repartition(3),
+                rd.from_pandas(orders).repartition(2),
+                sf,
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert out.to_dict("records") == [
+            {"n_name": "JAPAN", "revenue": 200.0},
+            {"n_name": "CHINA", "revenue": 90.0},
+        ]
