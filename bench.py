@@ -176,6 +176,13 @@ def run_queries(sf_dir: str) -> dict:
         ("q_dsir_scores", q.q_dsir_scores),
         ("q_hybrid_rrf", q.q_hybrid_rrf),
         ("q_bpe_encode", q.q_bpe_encode),
+        # round-5 batch-2 (cohort/funnel/Q5-join/corr/MAD)
+        ("q_new_users_by_day", q.q_new_users_by_day),
+        ("q_funnel", q.q_funnel),
+        ("q_supplier_volume", q.q_supplier_volume),
+        ("q_corr_by_group", q.q_corr_by_group),
+        ("q_length_outliers", q.q_length_outliers),
+        ("q_image_dups", q.q_image_dups),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

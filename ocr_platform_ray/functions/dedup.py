@@ -594,6 +594,30 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     sh = ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow"
     )
+    return hamming_dup_pairs(sh, max_hamming=max_hamming)
+
+
+def hamming_dup_pairs(sh: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs over ANY 64-bit signature column — the pigeonhole
+    blocking + in-bucket vectorized-Hamming verify shared by text simhash
+    and image perceptual hashes (multimodal.image_dup_pairs). Input
+    contract: columns (doc_id:int64, simhash64:int64 bit-pattern).
+
+    The 4 x 16-bit block split guarantees recall only for
+    ``max_hamming <= 3`` (a pair at distance d can disagree in at most d
+    blocks, so with 4 blocks any pair at d <= 3 shares one) — enforced
+    loudly rather than silently losing pairs."""
+    if max_hamming > 3:
+        raise ValueError(
+            "hamming_dup_pairs: 4-block pigeonhole guarantees recall only "
+            f"for max_hamming <= 3 (got {max_hamming})"
+        )
+    return _hamming_dup_pairs_impl(sh, max_hamming, max_bucket=64)
+
+
+def _hamming_dup_pairs_impl(
+    sh: rd.Dataset, max_hamming: int, max_bucket: int
+) -> rd.Dataset:
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
         # emits the coarse groupby key alongside the block rows (fused,
@@ -622,8 +646,8 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
             if len(sub) < 2:
                 continue
-            truncated = len(sub) > 64  # capped hot bucket: pairs may be missed
-            sub = sub.head(64)
+            truncated = len(sub) > max_bucket  # capped hot bucket: pairs may be missed
+            sub = sub.head(max_bucket)
             ids = np.asarray(sub["doc_id"].tolist())
             hs = sub["simhash64"].to_numpy().astype(np.uint64)
             # vectorized pairwise Hamming: XOR -> bytes -> unpackbits -> sum
@@ -637,7 +661,12 @@ def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             out["doc_b"].extend(ids[jj[keep]].tolist())
             out["hamming"].extend(ham[ii[keep], jj[keep]].astype(int).tolist())
             out["truncated"].extend([truncated] * int(keep.sum()))
-        df = pd.DataFrame(out)
+        # explicit dtypes: an all-empty bucket otherwise yields float64
+        # columns and a spurious mixed-schema warning from the executor
+        df = pd.DataFrame(out).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64,
+             "truncated": bool}
+        )
         # pre-dedup + fused pair-bucket key (see minhash coarse_pairs)
         df["pb"] = pair_bucket(
             df["doc_a"].to_numpy(dtype=np.int64),

@@ -519,3 +519,127 @@ def media_features_jpeg(sf_dir: str, max_side: int = 1200,
         fn_constructor_kwargs={"max_side": max_side},
         num_cpus=1,
     )
+
+
+class PerceptualHash:
+    """Actor stage: decode payload -> deterministic mean-pool to a
+    ``grid x (grid+1)`` raster -> 64-bit difference hash (dHash: bit b set
+    where cell[r, c] > cell[r, c+1]) — the standard perceptual image
+    fingerprint for near-duplicate detection (public algorithm; gradient
+    signs survive re-encoding, mild noise and rescaling, unlike byte or
+    pixel hashes). Lossless-codec invariant by construction: the same
+    raster through npy or png hashes identically.
+
+    Mean-pooling uses integer cell boundaries ((i * dim) // k) and a
+    float64 reduceat, so the hash is a pure function of the decoded
+    pixels — no resampling-library dependence."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def _pool(self, arr: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        a = arr.astype(np.float64)
+        h, w = a.shape
+        rb = (np.arange(rows + 1) * h) // rows
+        cb = (np.arange(cols + 1) * w) // cols
+        s = np.add.reduceat(np.add.reduceat(a, rb[:-1], axis=0), cb[:-1], axis=1)
+        area = np.outer(np.diff(rb), np.diff(cb))
+        return s / area
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids, hashes = [], []
+        for mid, codec, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            arr = _decode_payload(codec, payload)
+            if arr.ndim == 3:
+                arr = arr[0]
+            cells = self._pool(arr, g, g + 1)
+            bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).ravel()
+            h = np.uint64(0)
+            for b in range(g * g):
+                h |= bits[b] << np.uint64(b)
+            ids.append(mid)
+            hashes.append(int(h.astype(np.int64)))
+        return pa.Table.from_pydict(
+            {"media_id": ids, "phash64": hashes},
+            schema=pa.schema(
+                [("media_id", pa.string()), ("phash64", pa.int64())]
+            ),
+        )
+
+
+def image_phashes(sf_dir: str, limit: int | None = None) -> rd.Dataset:
+    """Per-image 64-bit perceptual hash over the binary media table."""
+    return media_table_from_documents(sf_dir, limit=limit).map_batches(
+        PerceptualHash,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def image_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                    limit: int | None = None) -> rd.Dataset:
+    """Image near-duplicate pairs over the documents-derived media table
+    (see :func:`image_dup_pairs_from_media`). The synthetic corpus's
+    limited layout-parameter space yields genuinely identical renders
+    across documents — those surface as hamming-0 pairs, pinned by the
+    q_image_dups golden."""
+    return image_dup_pairs_from_media(
+        media_table_from_documents(sf_dir, limit=limit),
+        max_hamming=max_hamming,
+    )
+
+
+def image_dup_pairs_from_media(
+    media: rd.Dataset, max_hamming: int = 3
+) -> rd.Dataset:
+    """Image near-duplicate pairs: perceptual dHash per image (actor
+    pool), then the SAME pigeonhole 16-bit-block blocking + in-bucket
+    vectorized Hamming verify the text simhash path uses
+    (:func:`~ocr_platform_ray.functions.dedup.hamming_dup_pairs`) — the
+    multimodal x dedup crossover: payload bytes stay on the decode
+    actors; only (id, 64-bit hash) rows ever shuffle, so the pairing
+    stage costs the same at 10^12 images as text simhash does at 10^12
+    docs."""
+    import pyarrow.compute as pc
+
+    from .dedup import _hamming_dup_pairs_impl
+
+    if max_hamming > 3:
+        raise ValueError(
+            "image_dup_pairs: 4-block pigeonhole guarantees recall only "
+            f"for max_hamming <= 3 (got {max_hamming})"
+        )
+    ph = media.map_batches(
+        PerceptualHash,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def to_int_ids(batch: pa.Table) -> pa.Table:
+        # media-%08d carries the doc id; int64 ids are the pair-bucket
+        # contract of the shared hamming blocker
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("media_id"), 6, 99), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [ids, batch.column("phash64")], names=["doc_id", "simhash64"]
+        )
+
+    # dHash block values concentrate (synthetic rasters share gradient
+    # structure), so the per-bucket verify cap is 4x the text default —
+    # a 256-wide Hamming matrix is 0.5 MB, still worker-trivial; hotter
+    # buckets are capped AND flagged via the truncated column
+    return _hamming_dup_pairs_impl(
+        ph.map_batches(to_int_ids, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        max_bucket=256,
+    )

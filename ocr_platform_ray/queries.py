@@ -1250,6 +1250,16 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return multimodal.media_features(sf_dir)
 
 
+def q_image_dups(sf_dir: str) -> rd.Dataset:
+    """Image near-dup pairs via perceptual dHash + the shared pigeonhole
+    hamming blocker: payloads stay on the decode actors, only (id, hash)
+    rows shuffle. Duplicate-text docs render identical images -> pinned
+    hamming-0 pairs (golden; no SQL can decode images)."""
+    from .functions import multimodal
+
+    return multimodal.image_dup_pairs(sf_dir)
+
+
 def q_media_features_jpeg(sf_dir: str) -> rd.Dataset:
     """The same feature stage over a baseline-JPEG-encoded media table
     (capped subset): drives the pure-stdlib lossy codec seam end-to-end
@@ -1469,6 +1479,7 @@ def queries() -> dict:
         "q_supplier_volume": q_supplier_volume,  # new in r5 -> record now
         "q_corr_by_group": q_corr_by_group,  # new in r5 -> record now
         "q_length_outliers": q_length_outliers,  # new in r5 -> record now
+        "q_image_dups": q_image_dups,  # new in r5 (golden) -> record now
         # --- ~50-entry driver cap: below here everything was recorded in
         # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
         # q_approx_distinct_users, q_price_quantiles_sketch — displaced

@@ -45,6 +45,7 @@ GOLDEN_QUERIES = [
     "q_video_frame_features",
     "q_bpe_merges",
     "q_bpe_encode",
+    "q_image_dups",
 ]
 
 
@@ -90,7 +91,10 @@ def main() -> int:
     from ocr_platform_ray import queries as q
 
     reg = q.queries()
+    only = set(sys.argv[1:])
     for name in GOLDEN_QUERIES:
+        if only and name not in only:
+            continue
         df = normalized(reg[name](SF_DIR))
         path = os.path.join(OUT_DIR, f"{name}.sf0.001.parquet")
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
