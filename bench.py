@@ -183,6 +183,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_corr_by_group", q.q_corr_by_group),
         ("q_length_outliers", q.q_length_outliers),
         ("q_image_dups", q.q_image_dups),
+        ("q_range_window_sum", q.q_range_window_sum),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

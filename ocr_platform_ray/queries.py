@@ -1370,6 +1370,18 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_range_window_sum(sf_dir: str) -> rd.Dataset:
+    """RANGE-frame (1-hour interval) per-user rolling value sum — the
+    time-interval window semantic (tie-order independent, SQL peer rows
+    included), one bucketed shuffle + composite-key searchsorted pass."""
+    return events.range_window_sum(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+
+
 def q_supplier_volume(sf_dir: str) -> rd.Dataset:
     """TPC-H Q5-shaped six-table join (region/nation/supplier/customer
     broadcast, both fact sides pre-reduced, ONE orderkey hash join)."""
@@ -1480,6 +1492,7 @@ def queries() -> dict:
         "q_corr_by_group": q_corr_by_group,  # new in r5 -> record now
         "q_length_outliers": q_length_outliers,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5 (golden) -> record now
+        "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
         # --- ~50-entry driver cap: below here everything was recorded in
         # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
         # q_approx_distinct_users, q_price_quantiles_sketch — displaced
@@ -2337,6 +2350,11 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_range_window_sum": (
+            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING"
+            " AND CURRENT ROW), 6) AS range_sum FROM events"
         ),
         "q_new_users_by_day": (
             "SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS day,"

@@ -241,3 +241,64 @@ class TestSupplierVolume:
             {"n_name": "JAPAN", "revenue": 200.0},
             {"n_name": "CHINA", "revenue": 90.0},
         ]
+
+
+class TestRangeWindowSum:
+    def test_matches_bruteforce_with_ties(self, ray_session):
+        """RANGE peer semantics: rows tied on ts all include each other in
+        the frame regardless of physical order — brute-force per row."""
+        from ocr_platform_ray.functions.events import range_window_sum
+
+        rng = np.random.RandomState(17)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 19, n).astype(np.int64),
+                # coarse grid -> guaranteed duplicate timestamps per user
+                "ts": pd.to_datetime(
+                    rng.randint(0, 50, n).astype(np.int64) * 1_800_000_000,
+                    unit="us",
+                ).astype("datetime64[us]"),
+                "value": rng.rand(n) * 100,
+            }
+        )
+        H = 3_600_000_000
+        out = (
+            range_window_sum(rd.from_pandas(df).repartition(7))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        ts = df["ts"].astype("int64")
+        ref = []
+        for i in range(n):
+            m = (
+                (df["user_id"] == df["user_id"][i])
+                & (ts >= ts[i] - H)
+                & (ts <= ts[i])
+            )
+            ref.append(round(df["value"][m].sum(), 6))
+        assert np.allclose(out["range_sum"].to_numpy(), ref, atol=2e-6)
+
+    def test_user_bucket_guard_fires(self, ray_session):
+        """Composite-key bound: 2^50-us span -> SHIFT ~ 2^50 -> at most
+        8192 user ranks fit in int64; 9000 users forced into ONE bucket
+        must raise loudly rather than overflow silently."""
+        import pytest
+        import ray
+
+        from ocr_platform_ray.functions.events import range_window_sum
+
+        n_users = 9000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n_users, dtype=np.int64),
+                "user_id": np.arange(n_users, dtype=np.int64),
+                "ts": np.array([0, 2**50] * (n_users // 2), dtype=np.int64)
+                .astype("datetime64[us]"),
+                "value": np.ones(n_users),
+            }
+        )
+        with pytest.raises(ray.exceptions.RayTaskError, match="n_buckets"):
+            range_window_sum(rd.from_pandas(df), n_buckets=1).materialize()
