@@ -184,6 +184,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_length_outliers", q.q_length_outliers),
         ("q_image_dups", q.q_image_dups),
         ("q_range_window_sum", q.q_range_window_sum),
+        ("q_weighted_sample", q.q_weighted_sample),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1906,3 +1906,76 @@ def sample_to_mixture(
         return keep_topk(g).drop(columns=["__sk"])
 
     return bucketed_group_apply(partials, group_col, final, n_buckets=64)
+
+
+# ------------------------------------------------------- weighted sampling
+
+def weighted_sample(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: int = 7,
+) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirtes A-ES, public algorithm): every row gets the key
+    ``u^(1/w)`` with ``u`` a pinned md5-derived uniform and ``w`` its
+    positive weight; the global top-k keys ARE a weighted sample without
+    replacement. Replaces RNG state with the library's md5 contract
+    (:func:`stratified_sample`/:func:`shuffle_rank`), so any SQL engine
+    reproduces the exact sample: ``u = ('0x' || substr(md5(id || ':s'),
+    1, 8))::UBIGINT / 2^32``, ``ORDER BY pow(u, 1.0/w) DESC, id LIMIT k``.
+
+    Scale shape: score is row-local (one vectorized md5 + pow per batch);
+    each batch pre-trims to its own top-k, so the global sort sees at
+    most k x |batches| rows, never the corpus. Non-positive weights
+    raise loudly (the algorithm is undefined there and SQL pow would
+    silently diverge)."""
+    from ..md5np import md5_u32
+
+    salt = f":{seed}"
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if len(w) and w.min() <= 0:
+            raise ValueError(
+                "weighted_sample: non-positive weight — A-ES keys are "
+                "undefined for w <= 0; filter or shift weights first"
+            )
+        ids_str = pc.cast(batch.column(id_col), pa.string())
+        keyed = pc.binary_join_element_wise(ids_str, salt, "")
+        u = md5_u32(keyed).astype(np.float64) / 4294967296.0
+        score = u ** (1.0 / w)
+        t = pa.table(
+            {id_col: batch.column(id_col), "sample_score": pa.array(score)}
+        )
+        # local top-k pre-trim (ties on score broken by id, matching the
+        # oracle's ORDER BY ... DESC, id)
+        idx = np.lexsort(
+            (batch.column(id_col).to_numpy(zero_copy_only=False), -score)
+        )[:k]
+        return t.take(pa.array(np.sort(idx)))
+
+    scored = ds.select_columns([id_col, weight_col]).map_batches(
+        score_partial, batch_format="pyarrow"
+    )
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        from . import round_half_away_np
+
+        s = round_half_away_np(batch.column("sample_score").to_numpy(), 6)
+        return batch.set_column(
+            batch.schema.get_field_index("sample_score"),
+            "sample_score",
+            pa.array(s, pa.float64()),
+        )
+
+    return (
+        scored.sort(["sample_score", id_col], descending=[True, False])
+        .limit(k)
+        .map_batches(round_score, batch_format="pyarrow")
+    )

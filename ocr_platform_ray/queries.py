@@ -1370,6 +1370,16 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic A-ES weighted sample (k=100, weight = n_chars): per-
+    batch md5-uniform scoring + local top-k pre-trim, k-row global sort."""
+    return dedup.weighted_sample(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+    )
+
+
 def q_range_window_sum(sf_dir: str) -> rd.Dataset:
     """RANGE-frame (1-hour interval) per-user rolling value sum — the
     time-interval window semantic (tie-order independent, SQL peer rows
@@ -1491,8 +1501,9 @@ def queries() -> dict:
         "q_supplier_volume": q_supplier_volume,  # new in r5 -> record now
         "q_corr_by_group": q_corr_by_group,  # new in r5 -> record now
         "q_length_outliers": q_length_outliers,  # new in r5 -> record now
-        "q_image_dups": q_image_dups,  # new in r5 (golden) -> record now
         "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
+        "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
+        "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         # --- ~50-entry driver cap: below here everything was recorded in
         # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
         # q_approx_distinct_users, q_price_quantiles_sketch — displaced
@@ -2350,6 +2361,14 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_weighted_sample": (
+            "WITH s AS (SELECT doc_id, n_chars,"
+            " ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))"
+            "::UBIGINT / 4294967296.0 AS u FROM documents)"
+            " SELECT doc_id,"
+            " round(pow(u, 1.0 / n_chars), 6) AS sample_score FROM s"
+            " ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 100"
         ),
         "q_range_window_sum": (
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id"

@@ -302,3 +302,71 @@ class TestRangeWindowSum:
         )
         with pytest.raises(ray.exceptions.RayTaskError, match="n_buckets"):
             range_window_sum(rd.from_pandas(df), n_buckets=1).materialize()
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce(self, ray_session):
+        import hashlib
+
+        from ocr_platform_ray.functions.dedup import weighted_sample
+
+        rng = np.random.RandomState(3)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "n_chars": rng.randint(1, 5000, n).astype(np.int64),
+            }
+        )
+        out = weighted_sample(
+            rd.from_pandas(df).repartition(9), k=50
+        ).to_pandas()
+
+        u = np.array(
+            [
+                int(hashlib.md5(f"{d}:7".encode()).hexdigest()[:8], 16)
+                / 2**32
+                for d in df["doc_id"]
+            ]
+        )
+        score = u ** (1.0 / df["n_chars"].to_numpy())
+        ref = (
+            pd.DataFrame({"doc_id": df["doc_id"], "s": score})
+            .sort_values(["s", "doc_id"], ascending=[False, True])
+            .head(50)
+        )
+        assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert np.allclose(
+            out["sample_score"].to_numpy(), ref["s"].round(6).to_numpy(),
+            atol=1e-9,
+        )
+
+    def test_weight_bias(self, ray_session):
+        """Heavier rows must be sampled far more often: weights 1000 vs 1,
+        half the corpus each -> the k=200 sample should be mostly heavy."""
+        from ocr_platform_ray.functions.dedup import weighted_sample
+
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "n_chars": np.where(np.arange(n) % 2 == 0, 1000, 1).astype(
+                    np.int64
+                ),
+            }
+        )
+        out = weighted_sample(rd.from_pandas(df), k=200).to_pandas()
+        heavy = (out["doc_id"] % 2 == 0).mean()
+        assert heavy > 0.95
+
+    def test_nonpositive_weight_raises(self, ray_session):
+        import pytest
+        import ray
+
+        from ocr_platform_ray.functions.dedup import weighted_sample
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "n_chars": [10, 0, 5]}
+        )
+        with pytest.raises(ray.exceptions.RayTaskError, match="non-positive"):
+            weighted_sample(rd.from_pandas(df)).materialize()
