@@ -185,6 +185,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_image_dups", q.q_image_dups),
         ("q_range_window_sum", q.q_range_window_sum),
         ("q_weighted_sample", q.q_weighted_sample),
+        ("q_cms_token_counts", q.q_cms_token_counts),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -724,3 +724,99 @@ def grouped_mad_outliers(
     return ds.select_columns([id_col, key_col, val_col]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+
+
+def cms_token_counts(
+    ds: rd.Dataset,
+    probe_tokens: list[str],
+    width: int = 1 << 13,
+) -> pa.Table:
+    """Count-min sketch token-frequency estimation (Cormode & Muthukrishnan
+    2005, public algorithm) — the third mergeable sketch next to HLL
+    (distinct) and the equi-depth quantile summary: ONE ``depth x width``
+    int64 counter grid summarizes the whole corpus's token counts in
+    ~256 KB, with the one-sided guarantee ``true <= est <= true + eN``
+    (e = e/width... width 8192 -> overestimate <= 0.03% of total tokens
+    per row, min over 4 rows in practice far tighter). Use it when you
+    need ad-hoc frequency probes at 100 TB without a vocabulary-sized
+    shuffle: the exact paths (``top_tokens``/``heavy_hitter_tokens``)
+    move one row per distinct token per batch; the sketch moves a
+    constant-size grid per batch, pre-merged in 64 hash buckets so no
+    reducer ever sees more than a bucket's worth.
+
+    Hashing is the library's pinned md5 contract (four independent u32
+    words from one digest — :func:`~ocr_platform_ray.md5np.md5_u32x4`),
+    and the grid is a pure SUM of per-batch grids, so estimates are
+    bit-identical under ANY partitioning — golden-pinnable, unlike
+    per-batch-capacity candidate tracking.
+
+    Returns one row per probe token: (token, est_n). Estimates for the
+    probe set only (callers pick probes from an exact pass or a domain
+    list); the sketch itself never stores tokens."""
+    import polars as pl
+
+    from ..md5np import md5_u32x4
+    from .textstats import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = (
+            pl.DataFrame({"t": pl.from_arrow(col)})
+            .select(pl.col("t").str.extract_all(TOKEN_RE).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+        )
+        grid = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+        if len(counts):
+            h = md5_u32x4(counts["tok"].to_arrow()) % np.uint32(width)
+            n = counts["len"].to_numpy().astype(np.int64)
+            for d in range(CMS_DEPTH):
+                np.add.at(grid[d], h[:, d], n)
+        # 64-way deterministic pre-merge key: grid content hash
+        cb = int(grid.sum() % 64)
+        return pa.Table.from_pydict(
+            {"cb": [cb], "payload": [grid.tobytes()]},
+            schema=pa.schema([("cb", pa.int64()), ("payload", pa.binary())]),
+        )
+
+    def merge_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        acc = np.zeros(CMS_DEPTH * width, dtype=np.int64)
+        for p in g["payload"]:
+            acc += np.frombuffer(p, dtype=np.int64)
+        return pd.DataFrame({"payload": [acc.tobytes()]})
+
+    parts = (
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .take_all()
+    )
+    grid = np.zeros(CMS_DEPTH * width, dtype=np.int64)
+    for r in parts:
+        grid += np.frombuffer(r["payload"], dtype=np.int64)
+    grid = grid.reshape(CMS_DEPTH, width)
+
+    probes = sorted(set(probe_tokens))
+    if probes:
+        h = md5_u32x4(pa.array(probes, pa.string())) % np.uint32(width)
+        est = np.min(
+            np.stack([grid[d, h[:, d]] for d in range(CMS_DEPTH)]), axis=0
+        )
+    else:
+        est = np.array([], dtype=np.int64)
+    return pa.Table.from_pydict(
+        {"token": pa.array(probes, pa.string()),
+         "est_n": pa.array(est.astype(np.int64), pa.int64())}
+    )

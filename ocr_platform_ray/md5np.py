@@ -142,3 +142,19 @@ def md5_u32(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
         | (d[:, 2].astype(np.uint32) << 8)
         | d[:, 3].astype(np.uint32)
     )
+
+
+def md5_u32x4(col: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """All 16 MD5 digest bytes as four big-endian uint32 words per row,
+    shape (n, 4) — four INDEPENDENT pinned hash functions from one digest
+    pass (count-min sketch rows). Word 0 == :func:`md5_u32`."""
+    d = _digest_rows(col)
+    out = np.empty((d.shape[0], 4), dtype=np.uint32)
+    for w in range(4):
+        out[:, w] = (
+            (d[:, 4 * w].astype(np.uint32) << 24)
+            | (d[:, 4 * w + 1].astype(np.uint32) << 16)
+            | (d[:, 4 * w + 2].astype(np.uint32) << 8)
+            | d[:, 4 * w + 3].astype(np.uint32)
+        )
+    return out

@@ -1370,6 +1370,19 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_cms_token_counts(sf_dir: str) -> "pa.Table":
+    """Count-min sketch frequency probes for the exact top-50 tokens:
+    constant-size mergeable grids per batch (never a vocabulary shuffle),
+    pinned md5 hashing -> partition-independent estimates (golden)."""
+    from .functions.sketches import cms_token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    probes = [
+        r["token"] for r in textstats.top_tokens(docs, k=50).take_all()
+    ]
+    return cms_token_counts(docs, probes)
+
+
 def q_weighted_sample(sf_dir: str) -> rd.Dataset:
     """Deterministic A-ES weighted sample (k=100, weight = n_chars): per-
     batch md5-uniform scoring + local top-k pre-trim, k-row global sort."""
@@ -1470,7 +1483,6 @@ def queries() -> dict:
         "q_revenue_by_customer": q_revenue_by_customer,
         "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
-        "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
@@ -1504,6 +1516,7 @@ def queries() -> dict:
         "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
         "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
+        "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
         # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
         # q_approx_distinct_users, q_price_quantiles_sketch — displaced
@@ -1512,6 +1525,7 @@ def queries() -> dict:
         # with tools/check_correctness.py each round, see BENCH/BASELINE.md)
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
+        "q_detect_boxes": q_detect_boxes,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_quality_buckets": q_quality_buckets,

@@ -370,3 +370,62 @@ class TestWeightedSample:
         )
         with pytest.raises(ray.exceptions.RayTaskError, match="non-positive"):
             weighted_sample(rd.from_pandas(df)).materialize()
+
+
+class TestCountMinSketch:
+    def test_bounds_vs_exact(self, ray_session):
+        """CMS one-sided guarantee: est >= true for every probe, and the
+        overestimate is bounded by e/width x total tokens per row."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.functions.sketches import cms_token_counts
+        from ocr_platform_ray.functions.textstats import TOKEN_RE
+
+        texts = (
+            pq.read_table(
+                "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+            )
+            .column("text")
+            .to_pylist()
+        )
+        from collections import Counter
+
+        pat = re.compile(TOKEN_RE)
+        true = Counter(t for s in texts for t in pat.findall(s))
+        total = sum(true.values())
+        probes = [t for t, _ in true.most_common(40)] + ["zzz_absent_token"]
+
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )
+        out = cms_token_counts(ds, probes).to_pandas()
+        width = 1 << 13
+        import math
+
+        bound = math.e / width * total  # per-row CM bound (min is tighter)
+        for _, r in out.iterrows():
+            t = true.get(r["token"], 0)
+            assert r["est_n"] >= t
+            assert r["est_n"] <= t + max(bound, 1) * 3  # min-of-4 slack
+
+    def test_partition_independent(self, ray_session):
+        """The merged grid is a pure sum -> identical estimates under any
+        partitioning."""
+        from ocr_platform_ray.functions.sketches import cms_token_counts
+
+        probes = ["the", "and", "data"]
+        a = cms_token_counts(
+            rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+            ).repartition(3),
+            probes,
+        ).to_pandas()
+        b = cms_token_counts(
+            rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+            ).repartition(17),
+            probes,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(a, b)

@@ -46,6 +46,7 @@ GOLDEN_QUERIES = [
     "q_bpe_merges",
     "q_bpe_encode",
     "q_image_dups",
+    "q_cms_token_counts",
 ]
 
 
