@@ -1500,3 +1500,133 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("n_emails", n_emails)
     out = out.append_column("n_ips", n_ips)
     return out.append_column("n_phones", n_phones)
+
+
+def js_divergence_by_source(
+    ds,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_sources: int = 64,
+    n_buckets: int | None = None,
+):
+    """Pairwise Jensen-Shannon divergence (bits) between the token
+    distributions of every two corpus slices — the distribution-drift
+    diagnostic run before mixing sources into a training set (public
+    measure; Lin 1991). JS = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2,
+    over the full shared vocabulary (a token absent from one side
+    contributes p/2 mass to M — no smoothing constant to tune).
+
+    Scale shape: (1) per-batch (source, token, n) combiner rows — the
+    shuffle carries vocabulary partials, never text — materialized ONCE
+    (the heavy-hitters lesson: two consumers would otherwise re-tokenize
+    the corpus); (2) per-source totals are a tiny groupby collected under
+    the loud ``max_sources`` guard; (3) tokens hash-bucket and each
+    bucket pivots to a token x source count matrix and emits one partial
+    JS sum per (pair, bucket) — C(S,2) x n_buckets bounded rows; (4) the
+    driver sorts partials (deterministic float accumulation) and sums.
+    6dp half-away round on both engines absorbs libm ln() ulps."""
+    import pandas as pd
+    import polars as pl
+
+    import ray.data as rd  # noqa: F401
+
+    from . import bucketed_group_apply, round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(
+            batch.select([source_col, text_col])
+        ).with_columns(pl.col(text_col).str.extract_all(TOKEN_RE).alias("tok"))
+        return (
+            t.select([source_col, "tok"])
+            .explode("tok")
+            .drop_nulls()
+            .group_by([source_col, "tok"])
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    partials = ds.select_columns([source_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).materialize()
+
+    # per-source token totals: one <=max_sources-row partial per block,
+    # merged on the DRIVER — integer sums are order-free so no Ray
+    # groupby is needed (a groupby here measured 2.5 s of fixed shuffle
+    # overhead on a 38k-row partials table). Driver rows are bounded by
+    # max_sources x n_blocks; insert one compaction map_batches before
+    # the collect if a corpus ever makes that matter.
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .group_by(source_col)
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    tot_rows = partials.map_batches(
+        tot_partial, batch_format="pyarrow"
+    ).take_all()
+    acc: dict = {}
+    for r in tot_rows:
+        acc[r[source_col]] = acc.get(r[source_col], 0) + int(r["n"])
+    if len(acc) > max_sources:
+        raise ValueError(
+            f"js_divergence_by_source: > {max_sources} sources — the "
+            "pairwise output is quadratic; raise max_sources deliberately"
+        )
+    sources = sorted(acc)
+    totals = {s: float(n) for s, n in acc.items()}
+    pairs = [
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1:]
+    ]
+
+    src_index = {s: i for i, s in enumerate(sources)}
+    tot_vec = np.array([totals[s] for s in sources])
+    pair_a = pa.array([a for a, _ in pairs], pa.string())
+    pair_b = pa.array([b for _, b in pairs], pa.string())
+    ii = np.array([src_index[a] for a, _ in pairs])
+    jj = np.array([src_index[b] for _, b in pairs])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # token x source probability matrix, then EVERY pair's KL terms in
+        # one broadcast: ta[t,i,j] = P[t,i] * ln(2 P[t,i] / (P[t,i] +
+        # P[t,j])) and the j-side term is its transpose, so js_mat =
+        # 0.5 (ta.sum(0) + ta.sum(0).T) — no per-pair Python loop. Arrow
+        # in/out: emitting per-group PANDAS string frames from map_groups
+        # measured 10.4 s for 27 tiny buckets at sf0.1; the identical
+        # arrow-block output runs in ~2 s.
+        gd = g.to_pandas()
+        tok_codes, _ = pd.factorize(gd["tok"], sort=True)
+        src_codes = gd[source_col].map(src_index).to_numpy()
+        T = int(tok_codes.max()) + 1 if len(gd) else 0
+        P = np.zeros((T, len(sources)))
+        np.add.at(P, (tok_codes, src_codes), gd["n"].to_numpy(dtype=np.float64))
+        P /= tot_vec
+        X = P[:, :, None]
+        S_ = X + P[:, None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(X > 0, X * np.log(np.where(X > 0, 2.0 * X / S_, 1.0)), 0.0)
+        half = ta.sum(axis=0)
+        js_mat = 0.5 * (half + half.T) / np.log(2.0)
+        return pa.table(
+            {"src_a": pair_a, "src_b": pair_b,
+             "part": pa.array(js_mat[ii, jj])}
+        )
+
+    rows = bucketed_group_apply(
+        partials, "tok", per_bucket, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).take_all()
+    df = pd.DataFrame(rows).sort_values(
+        ["src_a", "src_b", "part"], kind="mergesort"
+    )
+    agg = df.groupby(["src_a", "src_b"], as_index=False)["part"].sum()
+    return pa.Table.from_pydict(
+        {
+            "src_a": agg["src_a"].tolist(),
+            "src_b": agg["src_b"].tolist(),
+            "js_bits": [round_half_away(v, 6) for v in agg["part"]],
+        }
+    )

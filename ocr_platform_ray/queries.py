@@ -1370,6 +1370,17 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_js_divergence(sf_dir: str) -> "pa.Table":
+    """Pairwise Jensen-Shannon divergence (bits) between per-source token
+    distributions — one tokenize pass (vocabulary partials materialized
+    once), token-bucketed pair partials, bounded driver merge."""
+    return textstats.js_divergence_by_source(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 def q_cms_token_counts(sf_dir: str) -> "pa.Table":
     """Count-min sketch frequency probes for the exact top-50 tokens:
     constant-size mergeable grids per batch (never a vocabulary shuffle),
@@ -1515,6 +1526,7 @@ def queries() -> dict:
         "q_length_outliers": q_length_outliers,  # new in r5 -> record now
         "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
         "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
+        "q_js_divergence": q_js_divergence,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
@@ -2375,6 +2387,30 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_js_divergence": (
+            "WITH tok AS (SELECT source, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS t FROM documents),"
+            " cnt AS (SELECT source, t, count(*) AS n FROM tok"
+            " GROUP BY source, t),"
+            " tot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS N FROM cnt"
+            " GROUP BY source),"
+            " p AS (SELECT c.source, c.t, c.n / tot.N AS p FROM cnt c"
+            " JOIN tot ON c.source = tot.source),"
+            " pairs AS (SELECT a.source AS sa, b.source AS sb FROM tot a"
+            " JOIN tot b ON a.source < b.source),"
+            " tv AS (SELECT pr.sa, pr.sb, v.t, coalesce(a.p, 0) AS pa,"
+            " coalesce(b.p, 0) AS pb FROM pairs pr"
+            " CROSS JOIN (SELECT DISTINCT t FROM cnt) v"
+            " LEFT JOIN p a ON a.source = pr.sa AND a.t = v.t"
+            " LEFT JOIN p b ON b.source = pr.sb AND b.t = v.t"
+            " WHERE coalesce(a.p, 0) + coalesce(b.p, 0) > 0)"
+            " SELECT sa AS src_a, sb AS src_b,"
+            " round(sum(0.5 * (CASE WHEN pa > 0 THEN"
+            " pa * ln(2 * pa / (pa + pb)) ELSE 0 END"
+            " + CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb))"
+            " ELSE 0 END)) / ln(2), 6) AS js_bits"
+            " FROM tv GROUP BY sa, sb"
         ),
         "q_weighted_sample": (
             "WITH s AS (SELECT doc_id, n_chars,"

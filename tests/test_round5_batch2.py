@@ -429,3 +429,72 @@ class TestCountMinSketch:
             probes,
         ).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestJsDivergence:
+    def test_properties_and_bruteforce(self, ray_session):
+        """JS properties: symmetric input handling, 0 for identical
+        slices, <= 1 bit always; plus a brute-force check on a tiny
+        corpus."""
+        from collections import Counter
+
+        from ocr_platform_ray.functions.textstats import (
+            js_divergence_by_source,
+        )
+
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 3 + ["b"] * 3 + ["c"] * 3,
+                "text": [
+                    "x y z", "x x y", "z z q",       # a
+                    "x y z", "x x y", "z z q",       # b: identical to a
+                    "m m m", "n n n", "m n o",       # c: disjoint-ish
+                ],
+            }
+        )
+        out = js_divergence_by_source(
+            rd.from_pandas(df).repartition(5)
+        ).to_pandas()
+        ab = out[(out.src_a == "a") & (out.src_b == "b")]["js_bits"].iloc[0]
+        ac = out[(out.src_a == "a") & (out.src_b == "c")]["js_bits"].iloc[0]
+        assert ab == 0.0
+        assert 0.9 <= ac <= 1.0  # fully disjoint vocab -> 1 bit
+
+        # brute force a-c
+        def dist(srcs):
+            c = Counter(
+                t
+                for s, txt in zip(df.source, df.text)
+                if s in srcs
+                for t in txt.split()
+            )
+            n = sum(c.values())
+            return {k: v / n for k, v in c.items()}
+
+        pa_, pc_ = dist({"a"}), dist({"c"})
+        toks = set(pa_) | set(pc_)
+        js = 0.0
+        for t in toks:
+            x, y = pa_.get(t, 0.0), pc_.get(t, 0.0)
+            m = 0.5 * (x + y)
+            if x > 0:
+                js += 0.5 * x * np.log(x / m)
+            if y > 0:
+                js += 0.5 * y * np.log(y / m)
+        assert abs(ac - js / np.log(2)) < 2e-6
+
+    def test_max_sources_guard(self, ray_session):
+        import pytest
+
+        from ocr_platform_ray.functions.textstats import (
+            js_divergence_by_source,
+        )
+
+        df = pd.DataFrame(
+            {
+                "source": [f"s{i}" for i in range(70)],
+                "text": ["x y"] * 70,
+            }
+        )
+        with pytest.raises(ValueError, match="max_sources"):
+            js_divergence_by_source(rd.from_pandas(df))
