@@ -96,6 +96,14 @@ def bucketed_group_apply(ds, key_cols, fn, n_buckets: int | None = None,
             h = hc if h is None else h ^ hc
         return d.with_columns((h % n_buckets).cast(pl.Int64).alias("cb")).to_arrow()
 
+    # NOTE (measured, round 5): per-group OUTPUT block format matters in
+    # the tails — many TINY string frames from map_groups are pathological
+    # as pandas blocks (27 buckets x 190 string rows: 10.4 s pandas vs
+    # ~2 s arrow — q_js_divergence, which therefore uses
+    # batch_format="pyarrow"), but a blanket from_pandas conversion here
+    # REGRESSED large-output buckets ~1.5x (q_line_dedup 3.1 -> 4.6 s:
+    # extra copy). Pick the format per operator: arrow for many-small-
+    # group outputs, pandas when fn's output is a large pandas frame.
     if batch_format == "pandas":
         def run(g):
             return fn(g.drop(columns=["cb"]))
