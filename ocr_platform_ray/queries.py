@@ -1494,7 +1494,6 @@ def queries() -> dict:
         "q_revenue_by_customer": q_revenue_by_customer,
         "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
-        "q_extract_summary": q_extract_summary,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
         "q_video_frame_features": q_video_frame_features,  # new in r5 -> record now
@@ -1538,6 +1537,7 @@ def queries() -> dict:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_detect_boxes": q_detect_boxes,
+        "q_extract_summary": q_extract_summary,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_quality_buckets": q_quality_buckets,
