@@ -187,6 +187,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_weighted_sample", q.q_weighted_sample),
         ("q_cms_token_counts", q.q_cms_token_counts),
         ("q_js_divergence", q.q_js_divergence),
+        ("q_orders_rollup", q.q_orders_rollup),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

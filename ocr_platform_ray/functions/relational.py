@@ -632,3 +632,84 @@ def corr_by_group(
         .groupby("g")
         .map_groups(co_merge, batch_format="pandas")
     )
+
+
+def rollup_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
+    """GROUP BY ROLLUP(year, priority) over orders — the hierarchy-
+    subtotal report (leaf rows + per-year subtotals + grand total) in ONE
+    corpus pass: SQL computes each rollup level over the raw rows; here
+    every level derives from the LEAF partials, which is algebraically
+    identical for sums/counts (and float-safe at whole-unit rounding, the
+    q_pricing contract).
+
+    Scale shape: per-batch (year, priority, n, revenue) partials — the
+    shuffle carries |years x priorities| rows per batch; the merged leaf
+    table collects under a loud ``max_leaves`` guard (a true hierarchy is
+    small by definition; a million-leaf rollup is a groupby, not a
+    report) and the driver emits all three levels with deterministic
+    key-sorted accumulation. Rolled-up columns use the 'ALL' sentinel
+    (both engines COALESCE, sidestepping NULL-vs-NaN hashing drift)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(zero_copy_only=False)
+        # EXACT integer cents: prices sit on the .01 grid, so float sums
+        # routinely end in .50 and round differently per accumulation
+        # order — a leaf-derived year subtotal flipped vs DuckDB's
+        # raw-row sum at sf0.01 (caught by the two-scale sweep). Integer
+        # sums are order-free; the oracle casts to cents the same way.
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "year": yr.astype(np.int64),
+                "priority": batch.column("o_orderpriority").to_pylist(),
+                "cents": cents,
+            }
+        )
+        agg = df.groupby(["year", "priority"], as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    leaves = (
+        ds.select_columns(["o_orderdate", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_leaves + 1)
+    )
+    if len(leaves) > max_leaves:
+        raise ValueError(
+            f"rollup_orders: > {max_leaves} leaf partials — this is a "
+            "groupby-sized key space, not a rollup report; raise "
+            "max_leaves deliberately"
+        )
+    df = pd.DataFrame(leaves)
+    leaf = df.groupby(["year", "priority"], as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum")
+    )
+    yearly = leaf.groupby("year", as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum")
+    )
+    yearly["priority"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "year": [-1],
+            "priority": ["ALL"],
+            "n_orders": [int(yearly["n_orders"].sum())],
+            "cents": [int(yearly["cents"].sum())],
+        }
+    )
+    out = pd.concat([leaf, yearly, grand], ignore_index=True)
+    out["year"] = out["year"].map(lambda y: "ALL" if y == -1 else str(y))
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = round_half_away_np(
+        out["cents"].to_numpy(dtype=np.float64) / 100.0, 0
+    )
+    out = out.drop(columns=["cents"])
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            out[["year", "priority", "n_orders", "revenue"]],
+            preserve_index=False,
+        )
+    )

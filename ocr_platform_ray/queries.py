@@ -1370,6 +1370,20 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_orders_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(year, priority) in one pass: leaf partials
+    shuffle; subtotal levels derive from merged leaves (bounded driver
+    table); 'ALL' sentinels on rolled-up columns."""
+    from .functions.relational import rollup_orders
+
+    return rollup_orders(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        )
+    )
+
+
 def q_js_divergence(sf_dir: str) -> "pa.Table":
     """Pairwise Jensen-Shannon divergence (bits) between per-source token
     distributions — one tokenize pass (vocabulary partials materialized
@@ -1492,7 +1506,6 @@ def queries() -> dict:
         "q_orders_by_nation": q_orders_by_nation,
         "q_orders_by_nation_bucketed": q_orders_by_nation_bucketed,
         "q_revenue_by_customer": q_revenue_by_customer,
-        "q_media_features": q_media_features,
         "q_extract_flagship": q_extract_flagship,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
@@ -1526,6 +1539,7 @@ def queries() -> dict:
         "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
         "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
         "q_js_divergence": q_js_divergence,  # new in r5 -> record now
+        "q_orders_rollup": q_orders_rollup,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
@@ -1538,6 +1552,7 @@ def queries() -> dict:
         "q_bpe_encode": q_bpe_encode,
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
+        "q_media_features": q_media_features,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_quality_buckets": q_quality_buckets,
@@ -2387,6 +2402,17 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        # exact integer-cents sums on both sides: float subtotal sums land
+        # on .50 and round differently per accumulation order (caught at
+        # sf0.01 by the two-scale sweep)
+        "q_orders_rollup": (
+            "SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')"
+            " AS year, coalesce(o_orderpriority, 'ALL') AS priority,"
+            " count(*) AS n_orders,"
+            " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0,"
+            " 0) AS revenue FROM orders"
+            " GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"
         ),
         "q_js_divergence": (
             "WITH tok AS (SELECT source, unnest(regexp_extract_all(text,"

@@ -498,3 +498,67 @@ class TestJsDivergence:
         )
         with pytest.raises(ValueError, match="max_sources"):
             js_divergence_by_source(rd.from_pandas(df))
+
+
+class TestOrdersRollup:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.relational import rollup_orders
+
+        rng = np.random.RandomState(2)
+        n = 1500
+        df = pd.DataFrame(
+            {
+                "o_orderdate": pd.to_datetime(
+                    rng.randint(0, 4 * 365, n) * 86_400_000_000 * 1, unit="us"
+                ).astype("datetime64[us]"),
+                "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n),
+                # cents-grid prices INCLUDING .50-boundary sums
+                "o_totalprice": rng.randint(100, 10_000_000, n) / 100.0,
+            }
+        )
+        out = (
+            rollup_orders(rd.from_pandas(df).repartition(7))
+            .to_pandas()
+            .sort_values(["year", "priority"])
+            .reset_index(drop=True)
+        )
+        cents = (df["o_totalprice"] * 100).round().astype(np.int64)
+        yr = df["o_orderdate"].dt.year.astype(str)
+        leaf = (
+            pd.DataFrame({"year": yr, "priority": df["o_orderpriority"], "c": cents})
+            .groupby(["year", "priority"], as_index=False)
+            .agg(n_orders=("c", "size"), c=("c", "sum"))
+        )
+        yearly = leaf.groupby("year", as_index=False).agg(
+            n_orders=("n_orders", "sum"), c=("c", "sum")
+        )
+        yearly["priority"] = "ALL"
+        grand = pd.DataFrame(
+            {"year": ["ALL"], "priority": ["ALL"],
+             "n_orders": [len(df)], "c": [cents.sum()]}
+        )
+        ref = pd.concat([leaf, yearly, grand], ignore_index=True)
+        ref["revenue"] = np.floor(np.abs(ref["c"] / 100.0) + 0.5)
+        ref = (
+            ref.drop(columns=["c"])[["year", "priority", "n_orders", "revenue"]]
+            .sort_values(["year", "priority"])
+            .reset_index(drop=True)
+        )
+        ref["n_orders"] = ref["n_orders"].astype(np.int64)
+        pd.testing.assert_frame_equal(out, ref)
+
+    def test_levels_consistent(self, ray_session):
+        from ocr_platform_ray.functions.relational import rollup_orders
+
+        out = rollup_orders(
+            rd.read_parquet(
+                "/root/testdata/sf0.001/orders.parquet",
+                columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+            )
+        ).to_pandas()
+        leaf = out[(out.year != "ALL") & (out.priority != "ALL")]
+        yearly = out[(out.year != "ALL") & (out.priority == "ALL")]
+        grand = out[(out.year == "ALL")]
+        assert len(grand) == 1
+        assert leaf["n_orders"].sum() == grand["n_orders"].iloc[0]
+        assert yearly["n_orders"].sum() == grand["n_orders"].iloc[0]
