@@ -188,6 +188,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_cms_token_counts", q.q_cms_token_counts),
         ("q_js_divergence", q.q_js_divergence),
         ("q_orders_rollup", q.q_orders_rollup),
+        ("q_event_type_lift", q.q_event_type_lift),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

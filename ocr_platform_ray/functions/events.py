@@ -422,3 +422,109 @@ def range_window_sum(
         per_bucket,
         n_buckets=n_buckets,
     )
+
+
+def event_type_lift(ds: rd.Dataset, max_types: int = 1000) -> pa.Table:
+    """Market-basket association lift between event types over users:
+    ``lift(a,b) = P(a,b) / (P(a) P(b))`` with probabilities over DISTINCT
+    users — the co-occurrence affinity report (lift > 1: types attract;
+    < 1: repel). All inputs to the float expression are exact
+    order-free integer counts, so the 6dp-rounded lift is a pure
+    function of the data — bit-identical to the SQL oracle.
+
+    Scale shape: per-batch distinct (user, type) combiner rows; users
+    hash-bucket (one user's types co-locate, each user counted in
+    exactly one bucket), and each bucket emits integer partials — per-
+    type user counts, per-PAIR co-occurrence counts (vectorized polars
+    self-join on the deduped bucket), and its distinct-user count. The
+    driver merges <= (types^2 + types + 1) x n_buckets int rows under a
+    loud ``max_types`` guard; raw events never shuffle."""
+    import polars as pl
+
+    from . import bucketed_group_apply, round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(["user_id", "event_type"])
+            .unique()
+            .to_arrow()
+        )
+
+    partials = ds.select_columns(["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow in/out: tiny per-group pandas string frames are the
+        # measured map_groups pathology (see the q_js_divergence BENCH
+        # note) — this operator went 7.4 s -> ~2 s on the switch
+        d = pl.from_arrow(g).unique()
+        singles = d.group_by("event_type").agg(
+            pl.col("user_id").n_unique().alias("c")
+        )
+        pairs = (
+            d.join(d, on="user_id")
+            .filter(pl.col("event_type") < pl.col("event_type_right"))
+            .group_by(["event_type", "event_type_right"])
+            .len()
+            .rename({"len": "c"})
+        )
+        out = pl.concat(
+            [
+                singles.select(
+                    pl.lit(0, dtype=pl.Int64).alias("kind"),
+                    pl.col("event_type").alias("a"),
+                    pl.lit("").alias("b"),
+                    pl.col("c").cast(pl.Int64),
+                ),
+                pairs.select(
+                    pl.lit(1, dtype=pl.Int64).alias("kind"),
+                    pl.col("event_type").alias("a"),
+                    pl.col("event_type_right").alias("b"),
+                    pl.col("c").cast(pl.Int64),
+                ),
+                pl.DataFrame(
+                    {"kind": [2], "a": [""], "b": [""],
+                     "c": [int(d["user_id"].n_unique())]},
+                    schema={"kind": pl.Int64, "a": pl.String,
+                            "b": pl.String, "c": pl.Int64},
+                ),
+            ]
+        )
+        return out.to_arrow()
+
+    rows = bucketed_group_apply(
+        partials, "user_id", per_bucket, batch_format="pyarrow"
+    ).take_all()
+    df = pd.DataFrame(rows)
+    nu = int(df[df["kind"] == 2]["c"].sum())
+    singles = (
+        df[df["kind"] == 0].groupby("a", as_index=False)["c"].sum()
+    )
+    if len(singles) > max_types:
+        raise ValueError(
+            f"event_type_lift: > {max_types} event types — the pairwise "
+            "report is quadratic; raise max_types deliberately"
+        )
+    sc = dict(zip(singles["a"], singles["c"]))
+    pairs = (
+        df[df["kind"] == 1]
+        .groupby(["a", "b"], as_index=False)["c"]
+        .sum()
+        .sort_values(["a", "b"], kind="mergesort")
+    )
+    lift = [
+        round_half_away(float(c * nu) / float(sc[a] * sc[b]), 6)
+        for a, b, c in zip(pairs["a"], pairs["b"], pairs["c"])
+    ]
+    return pa.Table.from_pydict(
+        {
+            "type_a": pairs["a"].tolist(),
+            "type_b": pairs["b"].tolist(),
+            "n_users_both": pa.array(
+                pairs["c"].astype("int64").tolist(), pa.int64()
+            ),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )

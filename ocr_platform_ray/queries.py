@@ -1370,6 +1370,17 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_event_type_lift(sf_dir: str) -> "pa.Table":
+    """Market-basket lift between event types over distinct users: all
+    inputs are exact order-free integer counts, so the 6dp lift is a
+    pure function of the data; raw events never shuffle."""
+    return events.event_type_lift(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
 def q_orders_rollup(sf_dir: str) -> rd.Dataset:
     """GROUP BY ROLLUP(year, priority) in one pass: leaf partials
     shuffle; subtotal levels derive from merged leaves (bounded driver
@@ -1509,7 +1520,6 @@ def queries() -> dict:
         "q_extract_flagship": q_extract_flagship,
         "q_audio_features": q_audio_features,  # new in r5 -> record now
         "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
-        "q_video_frame_features": q_video_frame_features,  # new in r5 -> record now
         "q_inverted_index": q_inverted_index,  # new in r5 -> record now
         "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
         "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now
@@ -1540,6 +1550,7 @@ def queries() -> dict:
         "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
         "q_js_divergence": q_js_divergence,  # new in r5 -> record now
         "q_orders_rollup": q_orders_rollup,  # new in r5 -> record now
+        "q_event_type_lift": q_event_type_lift,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
@@ -1553,6 +1564,7 @@ def queries() -> dict:
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
         "q_media_features": q_media_features,
+        "q_video_frame_features": q_video_frame_features,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_price_quantiles_sketch": q_price_quantiles_sketch,
         "q_quality_buckets": q_quality_buckets,
@@ -2402,6 +2414,21 @@ def _oracle_sql_base() -> dict:
             " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY c.c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_event_type_lift": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),"
+            " n AS (SELECT count(DISTINCT user_id) AS nu FROM events),"
+            " s AS (SELECT event_type, count(*) AS c FROM ut"
+            " GROUP BY event_type),"
+            " p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,"
+            " count(*) AS c_ab FROM ut a JOIN ut b ON a.user_id = b.user_id"
+            " AND a.event_type < b.event_type GROUP BY type_a, type_b)"
+            " SELECT type_a, type_b, p.c_ab AS n_users_both,"
+            " round((CAST(p.c_ab AS DOUBLE) * n.nu) /"
+            " (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift"
+            " FROM p, n"
+            " JOIN s sa ON sa.event_type = p.type_a"
+            " JOIN s sb ON sb.event_type = p.type_b"
         ),
         # exact integer-cents sums on both sides: float subtotal sums land
         # on .50 and round differently per accumulation order (caught at

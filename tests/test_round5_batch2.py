@@ -562,3 +562,45 @@ class TestOrdersRollup:
         assert len(grand) == 1
         assert leaf["n_orders"].sum() == grand["n_orders"].iloc[0]
         assert yearly["n_orders"].sum() == grand["n_orders"].iloc[0]
+
+
+class TestEventTypeLift:
+    def test_matches_bruteforce(self, ray_session):
+        from itertools import combinations
+
+        from ocr_platform_ray.functions.events import event_type_lift
+
+        df = _events(n=700, users=41, seed=29)
+        out = event_type_lift(rd.from_pandas(df).repartition(9)).to_pandas()
+
+        ut = df[["user_id", "event_type"]].drop_duplicates()
+        nu = ut["user_id"].nunique()
+        singles = ut.groupby("event_type")["user_id"].nunique()
+        by_user = ut.groupby("user_id")["event_type"].agg(set)
+        types = sorted(singles.index)
+        for a, b in combinations(types, 2):
+            both = sum(1 for s in by_user if a in s and b in s)
+            row = out[(out.type_a == a) & (out.type_b == b)]
+            if both == 0:
+                assert row.empty
+                continue
+            assert int(row["n_users_both"].iloc[0]) == both
+            assert abs(
+                row["lift"].iloc[0]
+                - round(both * nu / (singles[a] * singles[b]), 6)
+            ) < 1e-9
+
+    def test_independent_types_lift_near_one(self, ray_session):
+        """Types assigned independently at random -> lift ~ 1."""
+        from ocr_platform_ray.functions.events import event_type_lift
+
+        rng = np.random.RandomState(4)
+        n = 20000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 500, n).astype(np.int64),
+                "event_type": rng.choice(["a", "b", "c"], n),
+            }
+        )
+        out = event_type_lift(rd.from_pandas(df).repartition(11)).to_pandas()
+        assert ((out["lift"] - 1.0).abs() < 0.05).all()
