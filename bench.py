@@ -189,6 +189,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_js_divergence", q.q_js_divergence),
         ("q_orders_rollup", q.q_orders_rollup),
         ("q_event_type_lift", q.q_event_type_lift),
+        ("q_pivot_lang_by_source", q.q_pivot_lang_by_source),
+        ("q_compact_latest", q.q_compact_latest),
+        ("q_gini_by_source", q.q_gini_by_source),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -528,3 +528,42 @@ def event_type_lift(ds: rd.Dataset, max_types: int = 1000) -> pa.Table:
             "lift": pa.array(lift, pa.float64()),
         }
     )
+
+
+def compact_latest(
+    ds: rd.Dataset,
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Latest-record compaction (the CDC/upsert pattern, reference
+    semantics: a job row's newest state wins —
+    apps/api/app/api/v1/routes_jobs.py keeps one current row per job):
+    keep exactly the row with the greatest ``order_cols`` tuple per
+    ``key_cols`` group; the last ``order_cols`` column must make the
+    order total (unique per key) so the survivor — and any SQL engine's
+    ``row_number() = 1`` — is deterministic.
+
+    Scale shape: a per-batch combiner first reduces every batch to one
+    row per key it contains (the raw log never shuffles), then the
+    per-key-bucket merge applies the SAME argmax once per bucket — the
+    idempotent-combiner pattern every windowed merge in this module
+    uses. Shuffle volume is O(distinct keys x batches), independent of
+    log length."""
+    from . import bucketed_group_apply
+
+    keys = key_cols or ["user_id", "event_type"]
+    order = order_cols or ["ts", "event_id"]
+
+    def newest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            keys + order,
+            ascending=[True] * len(keys) + [False] * len(order),
+            kind="mergesort",
+        )
+        return df.drop_duplicates(keys, keep="first")
+
+    combined = ds.map_batches(
+        lambda b: pa.Table.from_pandas(newest(b.to_pandas()), preserve_index=False),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_apply(combined, keys, newest)

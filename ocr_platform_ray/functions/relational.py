@@ -713,3 +713,58 @@ def rollup_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
             preserve_index=False,
         )
     )
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    row_col: str,
+    col_col: str,
+    values: list[str],
+    max_rows: int = 100_000,
+) -> rd.Dataset:
+    """SQL ``PIVOT ... IN (values)`` analogue: the wide crosstab of row
+    counts — one output row per distinct ``row_col`` value, one int64
+    column ``n_<v>`` per PINNED pivot value (SQL PIVOT requires the IN
+    list too; rows whose ``col_col`` is outside ``values`` are ignored,
+    matching ``sum(CASE WHEN col = v THEN 1 ELSE 0 END)``).
+
+    Scale shape: per-batch (row, col) count partials — the shuffle
+    carries at most ``|rows| x |values|`` tiny int rows per batch, never
+    the corpus; the merged long table collects on the driver under a
+    loud ``max_rows`` guard (a pivot report with a million row labels is
+    a groupby, not a pivot) and the wide layout is a driver-side
+    reshape of that tiny table. All-integer math, so the result is
+    bit-exact vs any SQL engine."""
+    import numpy as np
+
+    vset = list(dict.fromkeys(values))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={row_col: "r", col_col: "c"})
+        df = df[df["c"].isin(vset)]
+        agg = df.groupby(["r", "c"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_rows + 1)
+    )
+    if len(long) > max_rows:
+        raise ValueError(
+            f"pivot_counts: > {max_rows} long partials — this key space "
+            "is groupby-sized, not a pivot report; raise max_rows "
+            "deliberately"
+        )
+    df = pd.DataFrame(long, columns=["r", "c", "size"])
+    merged = df.groupby(["r", "c"])["size"].sum()
+    wide = merged.unstack("c", fill_value=0)
+    # every pinned value gets a column even when absent from the data,
+    # exactly like the CASE-WHEN oracle
+    for v in vset:
+        if v not in wide.columns:
+            wide[v] = 0
+    wide = wide[vset].astype(np.int64)
+    wide.columns = [f"n_{v}" for v in vset]
+    out = wide.reset_index().rename(columns={"r": row_col}).sort_values(row_col)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -820,3 +820,69 @@ def cms_token_counts(
         {"token": pa.array(probes, pa.string()),
          "est_n": pa.array(est.astype(np.int64), pa.int64())}
     )
+
+
+def gini_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Exact per-group Gini coefficient of an integer measure (the
+    inequality audit of a training mix: how concentrated document length
+    / token budget is within each source). Uses the rank form
+    ``G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))`` over the
+    ascending-sorted values — with ties the rank sum is invariant to tie
+    order (equal x share the index block), so ANY row_number order by
+    value reproduces it, which is what makes an exact SQL window oracle
+    possible.
+
+    Scale shape: no sort and no per-row shuffle — each batch emits
+    (group, value, count) histogram partials (integer measures have
+    bounded distinct values: doc lengths, token counts), the merged
+    histogram collects under a loud ``max_cells`` guard, and the driver
+    computes each group's exact rank sum from cumulative counts with
+    PYTHON INTEGER math (no overflow, no float accumulation): a distinct
+    value v with count c starting at 1-based rank p contributes
+    ``v * (c*p + c*(c-1)/2)`` to sum(i * x_i). One float division at the
+    end, rounded 6dp half-away like every ratio oracle in this repo."""
+    from . import round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={group_col: "g", val_col: "v"})
+        agg = df.groupby(["g", "v"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = (
+        ds.select_columns([group_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_cells + 1)
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"gini_by_group: > {max_cells} histogram partials — the "
+            "measure is not low-cardinality enough for the histogram "
+            "path; bin it first or raise max_cells deliberately"
+        )
+    df = pd.DataFrame(cells, columns=["g", "v", "size"])
+    hist = df.groupby(["g", "v"])["size"].sum().reset_index()
+    hist = hist.sort_values(["g", "v"], kind="mergesort")
+
+    groups, ginis = [], []
+    for g, sub in hist.groupby("g", sort=True):
+        v = [int(x) for x in sub["v"]]
+        c = [int(x) for x in sub["size"]]
+        n = sum(c)
+        s = sum(vi * ci for vi, ci in zip(v, c))
+        p = 1  # 1-based rank where the next value block starts
+        sr = 0  # sum of rank_i * x_i, exact
+        for vi, ci in zip(v, c):
+            sr += vi * (ci * p + ci * (ci - 1) // 2)
+            p += ci
+        num = 2 * sr - (n + 1) * s
+        groups.append(g)
+        ginis.append(float(num) / float(n * s))
+    out = pd.DataFrame(
+        {group_col: groups, "gini": round_half_away_np(np.array(ginis), 6)}
+    )
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -1491,6 +1491,46 @@ def q_length_outliers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_pivot_lang_by_source(sf_dir: str) -> rd.Dataset:
+    """SQL PIVOT analogue: wide source x lang document-count crosstab —
+    per-batch (row, col) count partials, driver reshape of the tiny
+    merged long table; all-integer, bit-exact vs the CASE-WHEN oracle."""
+    from .functions.relational import pivot_counts
+
+    return pivot_counts(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        ),
+        "source",
+        "lang",
+        values=["de", "en", "es", "fr", "zh"],
+    )
+
+
+def q_compact_latest(sf_dir: str) -> rd.Dataset:
+    """Latest-record (CDC/upsert) compaction: one surviving row per
+    (user_id, event_type) — the newest by (ts, event_id). Per-batch
+    argmax combiner (the raw log never shuffles), bucketed exact merge."""
+    from .functions.events import compact_latest
+
+    return compact_latest(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_gini_by_source(sf_dir: str) -> rd.Dataset:
+    """Exact per-source Gini coefficient of doc length (training-mix
+    inequality audit) — histogram partials + integer rank-sum math, no
+    sort; exact SQL window oracle (rank form is tie-order invariant)."""
+    from .functions.sketches import gini_by_group
+
+    return gini_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        ),
+        "source",
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1551,6 +1591,9 @@ def queries() -> dict:
         "q_js_divergence": q_js_divergence,  # new in r5 -> record now
         "q_orders_rollup": q_orders_rollup,  # new in r5 -> record now
         "q_event_type_lift": q_event_type_lift,  # new in r5 -> record now
+        "q_pivot_lang_by_source": q_pivot_lang_by_source,  # new in r5 -> record now
+        "q_compact_latest": q_compact_latest,  # new in r5 -> record now
+        "q_gini_by_source": q_gini_by_source,  # new in r5 -> record now
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
@@ -2524,5 +2567,34 @@ def _oracle_sql_base() -> dict:
             " SELECT d.doc_id, d.lang,"
             " CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END AS is_outlier"
             " FROM d JOIN md ON d.lang = md.lang"
+        ),
+        # all-integer crosstab (SQL PIVOT ... IN semantics)
+        "q_pivot_lang_by_source": (
+            "SELECT source,"
+            " sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,"
+            " sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,"
+            " sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,"
+            " sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,"
+            " sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh"
+            " FROM documents GROUP BY source"
+        ),
+        # (ts, event_id) makes the order total, so row_number is
+        # deterministic and the survivor set is engine-independent
+        "q_compact_latest": (
+            "SELECT event_id, ts, user_id, event_type, value, props"
+            " FROM events QUALIFY row_number() OVER ("
+            " PARTITION BY user_id, event_type"
+            " ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        # rank-form Gini: sum(rn * x) is invariant to tie order (equal x
+        # share the index block), so any ORDER BY n_chars reproduces it;
+        # integer aggregates, one float division, 6dp
+        "q_gini_by_source": (
+            "WITH r AS (SELECT source, n_chars, row_number() OVER ("
+            " PARTITION BY source ORDER BY n_chars) AS rn FROM documents)"
+            " SELECT source, round((2 * sum(rn * n_chars) -"
+            " (count(*) + 1) * sum(n_chars)) /"
+            " (count(*) * sum(n_chars)), 6) AS gini"
+            " FROM r GROUP BY source"
         ),
     }
