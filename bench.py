@@ -192,6 +192,11 @@ def run_queries(sf_dir: str) -> dict:
         ("q_pivot_lang_by_source", q.q_pivot_lang_by_source),
         ("q_compact_latest", q.q_compact_latest),
         ("q_gini_by_source", q.q_gini_by_source),
+        ("q_edit_pairs", q.q_edit_pairs),
+        ("q_length_islands", q.q_length_islands),
+        ("q_modal_event_type", q.q_modal_event_type),
+        ("q_source_fingerprint", q.q_source_fingerprint),
+        ("q_compression_stats", q.q_compression_stats),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

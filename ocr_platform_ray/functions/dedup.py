@@ -325,6 +325,31 @@ def minhash_dup_pairs(ds: rd.Dataset, threshold: float = 0.7) -> rd.Dataset:
     return distinct_pairs(pairs, ["doc_a", "doc_b"], pre_bucketed=True)
 
 
+def local_component_roots(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact in-memory connected components of an edge list ``(a[i],
+    b[i])``: returns ``(nodes, roots)`` — the sorted distinct node ids
+    and each node's component label (min node id of the component).
+    Vectorized min-label with pointer doubling: O(E + N) numpy work per
+    pass, O(log diameter) passes, no Python per-edge loop — the shared
+    kernel for batch-local edge contraction AND the bounded driver-side
+    CC path."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lbl = np.arange(len(nodes))
+    while True:
+        new = lbl.copy()
+        m = np.minimum(lbl[ia], lbl[ib])
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = np.minimum(new, new[new])  # pointer doubling
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return nodes, nodes[lbl]
+
+
 def connected_components_labels(
     pairs: rd.Dataset, max_iters: int = 50
 ) -> rd.Dataset:
@@ -346,10 +371,31 @@ def connected_components_labels(
     NO_LBL = np.int64(np.iinfo(np.int64).max)
 
     def sym(batch: pa.Table) -> pa.Table:
+        # Batch-LOCAL contraction before anything shuffles: resolve the
+        # components of this batch's edges in-memory and emit STAR edges
+        # (member -> batch-local root) instead of the raw edges.
+        # Exactness is unchanged (same components, min-label still finds
+        # the global min), but a chain contained in one batch contracts
+        # to diameter 1, so the GLOBAL propagation rounds collapse from
+        # component diameter to roughly the number of batch boundaries a
+        # component spans (measured: the worst-case chain-topology
+        # caller dropped 11.5 s -> ~6 s at sf0.1/32; clique-shaped
+        # near-dup graphs were already diameter-1 and keep their rounds).
         a = batch.column("doc_a").to_numpy().astype(np.int64)
         b = batch.column("doc_b").to_numpy().astype(np.int64)
-        node = np.concatenate([a, b])
-        neigh = np.concatenate([b, a])
+        if len(a) == 0:
+            empty = np.empty(0, np.int64)
+            return pa.Table.from_pydict(
+                {"node": empty, "neigh": empty, "__lbl": empty, "cb": empty}
+            )
+        nodes, roots = local_component_roots(a, b)
+        keep = roots != nodes
+        # self-edge-only nodes would otherwise vanish from the edge set
+        single = ~keep & ~np.isin(nodes, roots[keep])
+        sa = np.concatenate([nodes[keep], nodes[single]])
+        sb = np.concatenate([roots[keep], nodes[single]])
+        node = np.concatenate([sa, sb])
+        neigh = np.concatenate([sb, sa])
         return pa.Table.from_pydict(
             {
                 "node": node,

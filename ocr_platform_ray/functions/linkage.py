@@ -1,0 +1,277 @@
+"""Record-linkage operators: blocked edit-distance pair verification and
+a full-coverage connected-components labeling — the "are these two rows
+the same entity" layer of a training-data pipeline (reference analogue:
+the dedup/idempotency checks around result rows,
+apps/api/app/api/v1/routes_jobs.py's one-current-row-per-job contract,
+re-expressed as corpus-scale operators).
+
+Ray-Data-first shape: candidate pairs come from cheap SQL-expressible
+BLOCKING keys (never all-pairs), the O(len^2) edit-distance DP runs
+vectorized ACROSS pairs inside each bucket (numpy min-plus scan — the
+only Python loop is over DP rows), and component labels ride the
+existing distributed min-label propagation in
+:func:`~ocr_platform_ray.functions.dedup.connected_components_labels`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import bucketed_group_apply, round_half_away_np
+
+
+def levenshtein_bytes_block(A: list[bytes], B: list[bytes]) -> np.ndarray:
+    """Exact Levenshtein distances for n ``(A[i], B[i])`` byte-string
+    pairs at once, vectorized across the PAIR axis.
+
+    Unit contract: BYTES of the UTF-8 encoding — DuckDB's
+    ``levenshtein()`` is byte-based (``levenshtein('café','cafe') = 2``),
+    and matching the oracle exactly is the point.
+
+    The classic row-rolling DP has a sequential dependency along j
+    (``cur[j] = min(..., cur[j-1]+1)``); that chain is a min-plus prefix
+    scan, so with ``D[j] = min(prev[j]+1, prev[j-1]+cost)`` it resolves
+    as ``cur[j] = j + cummin(D[k]-k)`` — one ``np.minimum.accumulate``
+    per DP row. Total work is O(maxlen_A) vector steps of width
+    (n_pairs x maxlen_B): the Python interpreter is on the short axis,
+    every O(len^2 x pairs) cell stays in numpy."""
+    n = len(A)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.array([len(a) for a in A], np.int64)
+    lb = np.array([len(b) for b in B], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    Am = np.zeros((n, max(La, 1)), np.uint8)
+    Bm = np.zeros((n, max(Lb, 1)), np.uint8)
+    for i, (a, b) in enumerate(zip(A, B)):
+        if a:
+            Am[i, : len(a)] = np.frombuffer(a, np.uint8)
+        if b:
+            Bm[i, : len(b)] = np.frombuffer(b, np.uint8)
+    j = np.arange(Lb + 1, dtype=np.int32)
+    prev = np.broadcast_to(j, (n, Lb + 1)).copy()
+    out = np.empty(n, np.int64)
+    base = la == 0
+    out[base] = lb[base]
+    for i in range(1, La + 1):
+        cost = (Am[:, i - 1 : i] != Bm[:, :Lb]).astype(np.int32)
+        D = np.empty((n, Lb + 1), np.int32)
+        D[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=D[:, 1:])
+        T = D - j
+        np.minimum.accumulate(T, axis=1, out=T)
+        cur = T + j
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]].astype(np.int64)
+        prev = cur
+    return out
+
+
+def edit_distance_pairs(
+    ds: rd.Dataset,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    len_bucket: int = 10,
+    max_pairs_per_bucket: int = 200_000,
+) -> rd.Dataset:
+    """Blocked edit-distance near-dup verification: for every pair of
+    rows sharing ``(block_cols..., len_col // len_bucket)`` emit
+    ``(doc_a, doc_b, dist, sim)`` with the exact byte-Levenshtein
+    distance and ``sim = round(1 - dist / max(byte_len), 6)``.
+
+    Scale shape: blocking keys co-locate via the repo's coarse-bucket
+    groupby (`bucketed_group_apply`), so candidate generation is
+    per-block all-pairs — never corpus all-pairs — and the DP runs once
+    per BUCKET over every pair it contains (pair-axis vectorized).
+    A loud ``max_pairs_per_bucket`` guard catches degenerate blocking
+    (one giant block is an O(n^2) bug, not a workload)."""
+    blk = list(block_cols) + ["__lb"]
+
+    def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
+        ia: list[np.ndarray] = []
+        ib: list[np.ndarray] = []
+        n_pairs = 0
+        groups = []
+        for _, sub in df.groupby(blk, sort=False):
+            m = len(sub)
+            if m < 2:
+                continue
+            sub = sub.sort_values(id_col, kind="mergesort")
+            iu, iv = np.triu_indices(m, k=1)
+            n_pairs += len(iu)
+            if n_pairs > max_pairs_per_bucket:
+                raise ValueError(
+                    f"edit_distance_pairs: > {max_pairs_per_bucket} "
+                    "candidate pairs in one bucket — the blocking key is "
+                    "degenerate (near-constant); tighten block_cols or "
+                    "raise max_pairs_per_bucket deliberately"
+                )
+            groups.append(sub)
+            ia.append(iu)
+            ib.append(iv)
+        if not groups:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "dist": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        A: list[bytes] = []
+        B: list[bytes] = []
+        da: list[np.ndarray] = []
+        db: list[np.ndarray] = []
+        for sub, iu, iv in zip(groups, ia, ib):
+            enc = [t.encode("utf-8") for t in sub[text_col]]
+            ids = sub[id_col].to_numpy()
+            A.extend(enc[i] for i in iu)
+            B.extend(enc[i] for i in iv)
+            da.append(ids[iu])
+            db.append(ids[iv])
+        dist = levenshtein_bytes_block(A, B)
+        mx = np.maximum(
+            np.array([len(a) for a in A], np.int64),
+            np.array([len(b) for b in B], np.int64),
+        )
+        sim = np.where(mx > 0, 1.0 - dist / np.maximum(mx, 1), 1.0)
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(da).astype(np.int64),
+                "doc_b": np.concatenate(db).astype(np.int64),
+                "dist": dist,
+                "sim": round_half_away_np(sim, 6),
+            }
+        )
+
+    def add_lb(batch: pa.Table) -> pa.Table:
+        lb = pa.compute.divide(
+            batch.column(len_col), pa.scalar(len_bucket, pa.int64())
+        )
+        return batch.append_column("__lb", lb)
+
+    prepped = ds.select_columns(
+        list(block_cols) + [id_col, text_col, len_col]
+    ).map_batches(add_lb, batch_format="pyarrow")
+    return bucketed_group_apply(prepped, blk, pairs_of)
+
+
+def length_island_components(
+    ds: rd.Dataset, bucket_div: int = 100, cc_mode: str = "auto"
+) -> rd.Dataset:
+    """Full-coverage connected components over a deterministic,
+    SQL-checkable graph: within each ``(lang, source)`` stream (docs in
+    ``doc_id`` order), consecutive docs are linked when they share a
+    length bucket (``n_chars // bucket_div``). Components are therefore
+    maximal same-bucket RUNS — the gaps-and-islands shape — so an exact
+    window-SQL oracle exists, while the ENGINE path is the real
+    distributed min-label propagation over multi-hop chain edges (the
+    worst-case topology for label propagation: diameter == run length).
+    Docs with no edge are their own singleton component.
+
+    Returns ``(doc_id, component)`` for EVERY doc, component = min
+    doc_id of the island. ``cc_mode``: "auto" resolves the edge set on
+    the driver while it fits (<= CC_DRIVER_MAX_PAIRS, the minhash-keep
+    policy) and falls back to distributed propagation past that;
+    "driver" / "distributed" pin a path (tests pin two-path equality).
+
+    Scale shape: edges per (lang, source) come from one coarse-bucketed
+    groupby; distributed propagation shuffles only the (batch-contracted)
+    edge set per round; the label join-back is the repo's bucketed merge
+    join keyed on doc_id, or a broadcast searchsorted fill on the driver
+    path."""
+    from .dedup import connected_components_labels
+    from .joins import bucketed_merge_join
+
+    def edges_of(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, sub in df.groupby(["lang", "source"], sort=False):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            ids = sub["doc_id"].to_numpy()
+            lb = (sub["n_chars"].to_numpy() // bucket_div).astype(np.int64)
+            link = lb[1:] == lb[:-1]
+            outs_a.append(ids[:-1][link])
+            outs_b.append(ids[1:][link])
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)}
+        )
+
+    import ray
+
+    from .dedup import CC_DRIVER_MAX_PAIRS, local_component_roots
+
+    docs = ds.select_columns(["doc_id", "lang", "source", "n_chars"])
+    edges = bucketed_group_apply(docs, ["lang", "source"], edges_of).materialize()
+    n_edges = edges.count()
+
+    if n_edges == 0 or edges.schema() is None:
+        # no edges anywhere (Ray drops the schema of an all-empty
+        # dataset): every doc is its own singleton component
+        return ds.select_columns(["doc_id"]).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"doc_id": b.column("doc_id"), "component": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    if cc_mode == "auto":
+        cc_mode = (
+            "driver" if n_edges <= CC_DRIVER_MAX_PAIRS else "distributed"
+        )
+
+    if cc_mode == "driver":
+        # bounded driver-side resolve (the minhash-keep policy): the
+        # vectorized kernel labels a few million edges in-memory, and the
+        # (sorted nodes, roots) pair broadcasts so the corpus-wide label
+        # fill is one searchsorted per batch — no join shuffle at all
+        rows = edges.take_all()
+        a = np.fromiter((r["doc_a"] for r in rows), np.int64, n_edges)
+        b = np.fromiter((r["doc_b"] for r in rows), np.int64, n_edges)
+        nodes, roots = local_component_roots(a, b)
+        lk_ref = ray.put((nodes, roots))
+
+        def fill_broadcast(batch: pa.Table) -> pa.Table:
+            from . import resolve_broadcast
+
+            nd, rt = resolve_broadcast(lk_ref)
+            ids = batch.column("doc_id").to_numpy().astype(np.int64)
+            pos = np.searchsorted(nd, ids)
+            hit = pos < len(nd)
+            hit[hit] = nd[pos[hit]] == ids[hit]
+            comp = ids.copy()
+            comp[hit] = rt[pos[hit]]
+            return pa.Table.from_pydict(
+                {"doc_id": batch.column("doc_id"), "component": comp}
+            )
+
+        return ds.select_columns(["doc_id"]).map_batches(
+            fill_broadcast, batch_format="pyarrow"
+        )
+
+    # edge set too big for the driver: real distributed min-label
+    # propagation (batch-contracted stars), then a bucketed merge join
+    # back onto the corpus
+    labels = connected_components_labels(edges)
+    joined = bucketed_merge_join(
+        ds.select_columns(["doc_id"]), labels, on="doc_id", how="left"
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        comp = pa.compute.coalesce(
+            pa.compute.cast(batch.column("label"), pa.int64()),
+            batch.column("doc_id"),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "component": comp}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -768,3 +768,43 @@ def pivot_counts(
     wide.columns = [f"n_{v}" for v in vset]
     out = wide.reset_index().rename(columns={"r": row_col}).sort_values(row_col)
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def mode_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    count_name: str = "n",
+) -> rd.Dataset:
+    """Per-group MODE with a deterministic tie-break: the most frequent
+    ``val_col`` per ``group_col`` (ties -> smallest value), plus its
+    count — the ``row_number() OVER (ORDER BY count DESC, val)``-equals-1
+    shape every SQL engine reproduces exactly (all-integer counts).
+
+    Scale shape: per-batch (group, value) count partials first — the
+    shuffle carries one int row per distinct (group, value) per batch,
+    never the raw rows — then the per-group argmax runs once per coarse
+    bucket (`bucketed_group_apply`), not once per key."""
+    import numpy as np
+
+    from . import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby([group_col, val_col], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby([group_col, val_col], as_index=False)["size"].sum()
+        merged = merged.sort_values(
+            [group_col, "size", val_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(group_col, keep="first")
+        merged[count_name] = merged.pop("size").astype(np.int64)
+        return merged
+
+    partials = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, group_col, argmax)

@@ -886,3 +886,50 @@ def gini_by_group(
         {group_col: groups, "gini": round_half_away_np(np.array(ginis), 6)}
     )
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def group_fingerprint(
+    ds: rd.Dataset,
+    group_col: str,
+    content_col: str,
+) -> rd.Dataset:
+    """Per-group order-insensitive content checksum — the anti-entropy /
+    cross-cluster table-verification primitive: ``n_rows`` plus the
+    BIGINT SUM of each row's pinned md5 32-bit prefix
+    (``('0x' || substr(md5(x), 1, 8))::UBIGINT`` in SQL, `md5np.md5_u32`
+    here — the same version-stable digest contract the split/sample
+    family uses). Addition is commutative, so the checksum is
+    partition-order independent by construction, and all-integer, so two
+    engines either match bit-exactly or genuinely differ.
+
+    Scale shape: each batch emits one (group, n, sum) partial — the
+    shuffle carries a few ints per group per batch; the group merge is a
+    tiny groupby. Sum bound: 2^32 per row -> overflows int64 only past
+    ~2^31 rows per group; uint64 accumulation + a documented BIGINT cast
+    keeps the SQL comparison exact far beyond any real shard size."""
+    from ..md5np import md5_u32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u32 = md5_u32(batch.column(content_col)).astype(np.uint64)
+        df = pd.DataFrame(
+            {"g": batch.column(group_col).to_pandas(), "h": u32.astype(np.int64)}
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n_rows=("h", "size"), checksum=("h", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("g", as_index=False).agg(
+            n_rows=("n_rows", "sum"), checksum=("checksum", "sum")
+        )
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        out["checksum"] = out["checksum"].astype(np.int64)
+        return out.rename(columns={"g": group_col})
+
+    from . import bucketed_group_apply
+
+    partials = ds.select_columns([group_col, content_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, "g", merge)

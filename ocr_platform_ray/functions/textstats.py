@@ -1630,3 +1630,67 @@ def js_divergence_by_source(
             "js_bits": [round_half_away(v, 6) for v in agg["part"]],
         }
     )
+
+
+def compression_stats(
+    ds,
+    group_col: str = "source",
+    level: int = 6,
+    dup_ratio_pct: int = 35,
+):
+    """Per-group zlib compressibility audit — the cheap repetition /
+    boilerplate signal web-scale curation uses alongside the Gopher
+    rules (highly compressible text is template or repeated content): per
+    group emit ``n_docs``, total raw and deflate(level)-compressed UTF-8
+    byte counts, the aggregate ``compression_ratio`` (compressed/raw,
+    6dp), and ``n_highly_compressible`` — docs whose per-doc ratio falls
+    below ``dup_ratio_pct``/100 (compared in INTEGERS:
+    ``100*comp < pct*raw``, no float boundary).
+
+    Not SQL-expressible (no deflate in DuckDB) -> golden-pinned,
+    rows-only at the driver. Determinism: zlib output is fixed for a
+    given level and library build, and every aggregate here is an
+    INTEGER sum (partition-order independent); the one float division
+    happens after the merge. Scale shape: the compressor is C-speed and
+    streams per batch (the unavoidable per-row Python loop hands each
+    text straight to zlib — cost is dominated by the compression
+    itself); partials are a few ints per group per batch."""
+    import zlib
+
+    import pandas as pd
+
+    from . import bucketed_group_apply, round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+            np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "n_docs": 1,
+                "raw_bytes": raw,
+                "comp_bytes": comp,
+                "n_highly_compressible": (100 * comp < dup_ratio_pct * raw
+                                          ).astype(np.int64),
+            }
+        )
+        agg = df.groupby("g", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("g", as_index=False).sum()
+        for c in ("n_docs", "raw_bytes", "comp_bytes", "n_highly_compressible"):
+            out[c] = out[c].astype(np.int64)
+        out["compression_ratio"] = round_half_away_np(
+            out["comp_bytes"].to_numpy() / out["raw_bytes"].to_numpy(), 6
+        )
+        return out.rename(columns={"g": group_col})
+
+    partials = ds.select_columns([group_col, "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, "g", merge)

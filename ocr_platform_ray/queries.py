@@ -1531,6 +1531,83 @@ def q_gini_by_source(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_edit_pairs(sf_dir: str) -> rd.Dataset:
+    """Blocked edit-distance near-dup verification: exact byte-level
+    Levenshtein (+ 6dp normalized sim) for every doc pair sharing
+    (lang, source, n_chars//10) — pair-axis-vectorized DP (min-plus
+    scan), blocking keys co-located by coarse-bucket groupby. Matches
+    DuckDB's byte-based levenshtein() exactly."""
+    from .functions.linkage import edit_distance_pairs
+
+    return edit_distance_pairs(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+        block_cols=["lang", "source"],
+    )
+
+
+def q_length_islands(sf_dir: str) -> rd.Dataset:
+    """Full-coverage connected components over deterministic chain edges
+    (consecutive same-length-bucket docs per (lang, source)) — drives the
+    REAL distributed min-label propagation on its worst-case topology
+    (diameter == run length) against an exact gaps-and-islands window
+    oracle; singletons label themselves."""
+    from .functions.linkage import length_island_components
+
+    return length_island_components(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+    )
+
+
+def q_modal_event_type(sf_dir: str) -> rd.Dataset:
+    """Per-user MODE of event_type (ties -> smallest type) with its
+    count — per-batch (user, type) count partials, bucketed argmax;
+    all-integer, exact QUALIFY oracle."""
+    from .functions.relational import mode_by_group
+
+    return mode_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        "user_id",
+        "event_type",
+    )
+
+
+def q_source_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Per-source order-insensitive content checksum (anti-entropy table
+    verification): n_rows + BIGINT sum of the pinned md5 32-bit prefix
+    of text — commutative integer sums, bit-exact vs the SQL md5
+    substring form."""
+    from .functions.sketches import group_fingerprint
+
+    return group_fingerprint(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ),
+        "source",
+        "text",
+    )
+
+
+def q_compression_stats(sf_dir: str) -> rd.Dataset:
+    """Per-source zlib compressibility audit (boilerplate/repetition
+    curation signal): integer byte partials + one post-merge division;
+    golden-pinned (no deflate in SQL)."""
+    from .functions.textstats import compression_stats
+
+    return compression_stats(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1594,6 +1671,11 @@ def queries() -> dict:
         "q_pivot_lang_by_source": q_pivot_lang_by_source,  # new in r5 -> record now
         "q_compact_latest": q_compact_latest,  # new in r5 -> record now
         "q_gini_by_source": q_gini_by_source,  # new in r5 -> record now
+        "q_edit_pairs": q_edit_pairs,  # new in r5 -> record now
+        "q_length_islands": q_length_islands,  # new in r5 -> record now
+        "q_modal_event_type": q_modal_event_type,  # new in r5 -> record now
+        "q_source_fingerprint": q_source_fingerprint,  # new in r5 -> record now
+        "q_compression_stats": q_compression_stats,  # new in r5; golden-pinned
         "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
         "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
         # --- ~50-entry driver cap: below here everything was recorded in
@@ -2596,5 +2678,47 @@ def _oracle_sql_base() -> dict:
             " (count(*) + 1) * sum(n_chars)) /"
             " (count(*) * sum(n_chars)), 6) AS gini"
             " FROM r GROUP BY source"
+        ),
+        # DuckDB levenshtein is BYTE-based (levenshtein('café','cafe')=2),
+        # matching the engine's UTF-8-byte DP; strlen is bytes too
+        "q_edit_pairs": (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " levenshtein(a.text, b.text)::BIGINT AS dist,"
+            " round(1 - levenshtein(a.text, b.text)::DOUBLE /"
+            "  greatest(strlen(a.text), strlen(b.text)), 6) AS sim"
+            " FROM documents a JOIN documents b"
+            " ON a.lang = b.lang AND a.source = b.source"
+            " AND a.n_chars // 10 = b.n_chars // 10"
+            " AND a.doc_id < b.doc_id"
+        ),
+        # components == maximal same-length-bucket runs per (lang,
+        # source) stream: the gaps-and-islands window form is exact
+        "q_length_islands": (
+            "WITH s AS (SELECT doc_id, lang, source,"
+            "  CASE WHEN lag(n_chars // 100) OVER w = n_chars // 100"
+            "   THEN 0 ELSE 1 END AS brk,"
+            "  row_number() OVER w AS rn"
+            " FROM documents WINDOW w AS ("
+            "  PARTITION BY lang, source ORDER BY doc_id)),"
+            " g AS (SELECT doc_id, lang, source,"
+            "  sum(brk) OVER (PARTITION BY lang, source ORDER BY rn) AS isl"
+            " FROM s)"
+            " SELECT doc_id, min(doc_id) OVER ("
+            "  PARTITION BY lang, source, isl) AS component FROM g"
+        ),
+        "q_modal_event_type": (
+            "SELECT user_id, event_type, n FROM ("
+            " SELECT user_id, event_type, count(*)::BIGINT AS n"
+            " FROM events GROUP BY user_id, event_type)"
+            " QUALIFY row_number() OVER (PARTITION BY user_id"
+            " ORDER BY n DESC, event_type) = 1"
+        ),
+        # commutative integer sum of the pinned md5 32-bit prefix ->
+        # order-independent, bit-exact cross-engine checksum
+        "q_source_fingerprint": (
+            "SELECT source, count(*)::BIGINT AS n_rows,"
+            " sum(('0x' || substr(md5(text), 1, 8))::UBIGINT)::BIGINT"
+            "  AS checksum"
+            " FROM documents GROUP BY source"
         ),
     }

@@ -47,6 +47,7 @@ GOLDEN_QUERIES = [
     "q_bpe_encode",
     "q_image_dups",
     "q_cms_token_counts",
+    "q_compression_stats",
 ]
 
 
