@@ -197,6 +197,15 @@ def run_queries(sf_dir: str) -> dict:
         ("q_modal_event_type", q.q_modal_event_type),
         ("q_source_fingerprint", q.q_source_fingerprint),
         ("q_compression_stats", q.q_compression_stats),
+        ("q_retention", q.q_retention),
+        ("q_ref_integrity", q.q_ref_integrity),
+        ("q_shipping_priority", q.q_shipping_priority),
+        ("q_texts_except", q.q_texts_except),
+        ("q_user_paths", q.q_user_paths),
+        ("q_event_transitions", q.q_event_transitions),
+        ("q_texts_intersect", q.q_texts_intersect),
+        ("q_orders_cube", q.q_orders_cube),
+        ("q_first_digit", q.q_first_digit),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

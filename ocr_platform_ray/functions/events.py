@@ -567,3 +567,175 @@ def compact_latest(
         batch_format="pyarrow",
     )
     return bucketed_group_apply(combined, keys, newest)
+
+
+def retention_counts(
+    ds: rd.Dataset, offsets: tuple[int, ...] = (1, 7)
+) -> rd.Dataset:
+    """Cohort retention: for each cohort day (a user's FIRST active day),
+    the cohort size and how many of those users were active again exactly
+    ``d0 + k`` days later, per offset k — the day-1/day-7 retention table
+    every event warehouse computes. All-integer counts -> bit-exact vs
+    the SQL DISTINCT-join oracle.
+
+    Scale shape: (1) per-batch DISTINCT (user, day) rows — the shuffle
+    never carries raw events, at most |users| x |days| rows per batch;
+    (2) users hash-bucket (`bucketed_group_apply`), each bucket resolves
+    d0 = min(day) per user and pre-counts cohort size and per-offset
+    hits per DAY — emitting <= |days| x (1 + |offsets|) rows per bucket;
+    (3) tiny (day, col, n) partials sum in a final day-bucketed pass."""
+    from . import bucketed_group_apply
+
+    DAY_US = 86_400_000_000
+    offs = list(offsets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "day": (
+                    batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+                ).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "day"])
+        d0 = df.groupby("user_id")["day"].min().rename("d0")
+        dfj = df.join(d0, on="user_id")
+        out = d0.value_counts().rename("n_users").to_frame()
+        out.index.name = "day_id"
+        for k in offs:
+            hit = dfj[dfj["day"] == dfj["d0"] + k]
+            out[f"ret_{k}"] = hit.groupby("d0")["user_id"].size()
+        out = out.fillna(0).astype(np.int64)
+        return out.reset_index()
+
+    day_partials = bucketed_group_apply(partials, "user_id", per_user_bucket)
+
+    def per_day_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day_id", as_index=False).sum()
+        day_us = agg.pop("day_id").to_numpy() * DAY_US
+        cols = {
+            "cohort_day": np.array(day_us, dtype="datetime64[us]").astype(
+                "datetime64[D]"
+            ).astype(str)
+        }
+        cols["n_users"] = agg["n_users"].astype(np.int64)
+        for k in offs:
+            cols[f"ret_{k}"] = agg[f"ret_{k}"].astype(np.int64)
+        return pd.DataFrame(cols)
+
+    return bucketed_group_apply(day_partials, "day_id", per_day_bucket)
+
+
+def user_paths(ds: rd.Dataset, max_steps: int = 20, sep: str = "->") -> rd.Dataset:
+    """Per-user journey string: the first ``max_steps`` event types in
+    (ts, event_id) order joined with ``sep`` — the SQL
+    ``string_agg(... ORDER BY rn) WHERE rn <= K`` session-path report.
+    (ts, event_id) is a total order, so the string is deterministic and
+    engine-independent.
+
+    Scale shape: a per-batch combiner first trims every user to its
+    max_steps EARLIEST events in that batch (keeping a superset of the
+    global head is safe: the bucket-side trim re-applies the same rule),
+    so the shuffle carries <= max_steps rows per user per batch instead
+    of the full log; the path assembles once per user inside the user
+    bucket."""
+    from . import bucketed_group_apply
+
+    cols = ["user_id", "event_type", "ts", "event_id"]
+
+    def trim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "event_type": batch.column("event_type").to_pylist(),
+                "ts": batch.column("ts").cast(pa.int64()).to_numpy(),
+                "event_id": batch.column("event_id").to_numpy(),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("user_id").head(max_steps), preserve_index=False
+        )
+
+    def per_bucket(tb: pa.Table) -> pa.Table:
+        df = tb.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df.groupby("user_id").head(max_steps)
+        agg = df.groupby("user_id")["event_type"].agg(sep.join)
+        return pa.Table.from_pandas(
+            agg.rename("path").reset_index(), preserve_index=False
+        )
+
+    trimmed = ds.select_columns(cols).map_batches(
+        trim, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        trimmed, "user_id", per_bucket, batch_format="pyarrow"
+    )
+
+
+def event_transitions(
+    ds: rd.Dataset, max_pairs: int = 1_000_000
+) -> pa.Table:
+    """Global first-order transition matrix: counts of consecutive
+    (prev_type -> next_type) steps per user in (ts, event_id) order —
+    the Markov-chain summary of an event log. All-integer counts.
+
+    Scale shape: adjacency spans batch boundaries, so each user's rows
+    co-locate once (the user-bucketed shuffle every per-user window op
+    here uses); each bucket LAGs within users vectorized and emits
+    <= |types|^2 count partials; partials merge on the driver under a
+    loud ``max_pairs`` guard (|distinct types|^2 is report-sized by
+    definition)."""
+    from . import bucketed_group_apply
+
+    cols = ["user_id", "event_type", "ts", "event_id"]
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    def per_bucket(tb: pa.Table) -> pa.Table:
+        # arrow group OUTPUT: tiny per-bucket string frames are the
+        # known pandas-block pathology (q_js_divergence finding)
+        df = tb.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["event_type"].shift()
+        m = prev.notna()
+        t = pd.DataFrame(
+            {"prev_type": prev[m], "next_type": df["event_type"][m]}
+        )
+        agg = t.groupby(["prev_type", "next_type"], as_index=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    partials = bucketed_group_apply(
+        ds.select_columns(cols).map_batches(to_cols, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        batch_format="pyarrow",
+    ).take(max_pairs + 1)
+    if len(partials) > max_pairs:
+        raise ValueError(
+            f"event_transitions: > {max_pairs} (type, type) partials — "
+            "the type vocabulary is not report-sized; raise max_pairs "
+            "deliberately"
+        )
+    df = pd.DataFrame(partials, columns=["prev_type", "next_type", "n"])
+    agg = df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    agg["n"] = agg["n"].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)

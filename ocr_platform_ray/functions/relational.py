@@ -808,3 +808,410 @@ def mode_by_group(
         partial, batch_format="pyarrow"
     )
     return bucketed_group_apply(partials, group_col, argmax)
+
+
+def fk_orphan_audit(
+    edges: list[tuple[str, rd.Dataset, str, rd.Dataset, str]],
+) -> rd.Dataset:
+    """Referential-integrity audit over integer FK -> PK edges: for each
+    ``(name, fact, fk_col, dim, pk_col)`` edge report the number of
+    DISTINCT FK values and how many of them have no PK match (orphans) —
+    the data-quality gate a warehouse runs before trusting a join (the
+    reference trusts Postgres FK constraints; a lake has to audit).
+
+    Scale shape: ALL edges resolve in ONE key-bucketed shuffle — each
+    side emits per-batch DISTINCT (edge, key, side) partials (side 0 =
+    FK, 1 = PK; one int row per distinct key per batch), the tagged
+    union co-locates by (edge, key) hash, and every bucket pre-counts
+    its FK keys and side-0-only orphans; the <= n_buckets x |edges|
+    count partials merge on the driver. The first cut (per-edge anti
+    merge-joins + streaming counts) was 12 sequential shuffle stages and
+    14.7 s at sf0.1/32; this single-pass form runs the same audit in one."""
+    import numpy as np
+
+    from . import bucketed_group_apply
+
+    def tag(edge: int, side: int, col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"fk_orphan_audit: key column {col!r} must be integer"
+                )
+            u = np.unique(v).astype(np.int64)
+            n = len(u)
+            return pa.Table.from_pydict(
+                {
+                    "e": np.full(n, edge, np.int64),
+                    "k": u,
+                    "side": np.full(n, side, np.int64),
+                }
+            )
+
+        return fn
+
+    parts = []
+    for ei, (name, fact, fk_col, dim, pk_col) in enumerate(edges):
+        parts.append(
+            fact.select_columns([fk_col]).map_batches(
+                tag(ei, 0, fk_col), batch_format="pyarrow"
+            )
+        )
+        parts.append(
+            dim.select_columns([pk_col]).map_batches(
+                tag(ei, 1, pk_col), batch_format="pyarrow"
+            )
+        )
+    u = parts[0].union(*parts[1:])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for e, sub in df.groupby("e", sort=False):
+            piv = sub.groupby("k")["side"].agg(["min", "max"])
+            is_fk = piv["min"] == 0
+            out.append(
+                (int(e), int(is_fk.sum()),
+                 int((is_fk & (piv["max"] == 0)).sum()))
+            )
+        return pd.DataFrame(out, columns=["e", "n_keys", "n_orphans"])
+
+    from .dedup import shuffle_blocks
+
+    # the union carries ~6 x 64 tiny blocks; compacting first keeps the
+    # groupby's per-block fixed costs off the critical path (measured
+    # 15 s -> ~2 s for the bucketed pass at sf0.1/32)
+    partials = bucketed_group_apply(
+        u.repartition(shuffle_blocks()), ["e", "k"], per_bucket
+    )
+    tiny = pd.DataFrame(
+        partials.take_all(), columns=["e", "n_keys", "n_orphans"]
+    )
+    agg = tiny.groupby("e").sum()
+    names = [e[0] for e in edges]
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "fk": pa.array(names, pa.string()),
+                "n_keys": pa.array(
+                    [int(agg.loc[i, "n_keys"]) if i in agg.index else 0
+                     for i in range(len(edges))],
+                    pa.int64(),
+                ),
+                "n_orphans": pa.array(
+                    [int(agg.loc[i, "n_orphans"]) if i in agg.index else 0
+                     for i in range(len(edges))],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
+def shipping_priority(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> rd.Dataset:
+    """TPC-H Q3-shaped shipping-priority query: top-k orders by revenue
+    (sum of l_extendedprice * (1 - l_discount) over post-cutoff
+    lineitems) among orders placed before the cutoff by customers of one
+    market segment. Revenue is EXACT: per-row half-away cent rounding to
+    BIGINT, integer sums everywhere, one /100 at the end — the
+    rollup_orders float contract.
+
+    Scale shape: the segment's custkeys broadcast as one sorted int
+    array (1/|segments| of customer — broadcast-sized far beyond sf1;
+    swap to joins.hash_join at true warehouse scale, same note as Q5);
+    orders filter to (date, segment-member) and carry only 3 columns;
+    lineitem pre-aggregates cents per l_orderkey INSIDE map_batches
+    before the one fact⋈fact hash join; per-order totals finalize in an
+    orderkey-bucketed pass that emits only its local top-k, and the
+    <= k x n_buckets candidates resolve with a k-row sort.limit."""
+    import numpy as np
+
+    import ray
+
+    from . import bucketed_group_apply, resolve_broadcast
+    from .joins import hash_join
+
+    seg_keys = np.sort(
+        np.unique(
+            np.concatenate(
+                [
+                    b.column("c_custkey")
+                    .filter(pc.equal(b.column("c_mktsegment"), segment))
+                    .to_numpy(zero_copy_only=False)
+                    for b in customer.select_columns(
+                        ["c_custkey", "c_mktsegment"]
+                    ).iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+    ).astype(np.int64)
+    seg_ref = ray.put(seg_keys)
+    cut = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    # generator UDFs: a selective filter leaves some batches EMPTY, and
+    # an empty block's schema is dropped — which breaks the hash join's
+    # key resolution on the right side. Yielding nothing skips the block.
+    def order_side(batch: pa.Table):
+        batch = batch.filter(pc.less(batch.column("o_orderdate"), cut))
+        keys = resolve_broadcast(seg_ref)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        ok = pos < len(keys)
+        ok[ok] = keys[pos[ok]] == ck[ok]
+        batch = batch.filter(pa.array(ok))
+        if batch.num_rows:
+            yield batch.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def line_side(batch: pa.Table):
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
+        if batch.num_rows == 0:
+            return
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        cents = np.floor(np.abs(rev) * 100.0 + 0.5).astype(np.int64) * np.where(
+            rev >= 0, 1, -1
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "cents": cents,
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False)["cents"].sum()
+        yield pa.Table.from_pandas(agg, preserve_index=False)
+
+    o = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_side, batch_format="pyarrow")
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_side, batch_format="pyarrow")
+    # the selective order filter leaves schema-less EMPTY blocks behind
+    # (even with a generator UDF, Ray emits one per yield-less task) and
+    # the join's right-key resolution trips over them; compacting the
+    # (already small: one date window x one segment) side into uniform
+    # schema'd blocks removes them. Distinct key names for the same reason.
+    from .dedup import shuffle_blocks
+
+    joined = hash_join(
+        li, o.repartition(shuffle_blocks()), on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def topk_of(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["cents"].sum()
+        tot = tot.sort_values(
+            ["cents", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return tot
+
+    cands = bucketed_group_apply(joined, "l_orderkey", topk_of)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = batch.column("cents").to_numpy()
+        rev = np.floor(np.abs(cents)) / 100.0 * np.where(cents >= 0, 1.0, -1.0)
+        return batch.drop_columns(["cents"]).append_column(
+            "revenue", pa.array(rev, pa.float64())
+        )
+
+    # deterministic k-row resolve: exact integer cents make ties stable
+    return (
+        cands.sort(["cents", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _schema_seeded(src: rd.Dataset, col: str, out: rd.Dataset) -> rd.Dataset:
+    """Union a 0-row explicitly-typed seed block in front of ``out`` so an
+    all-empty result (e.g. a disjoint INTERSECT) keeps its schema — Ray
+    drops the schema of an all-empty dataset, which fails the driver's
+    column check even though 0 rows match the oracle."""
+    import numpy as np
+
+    sch = src.schema()
+    typ = dict(zip(sch.names, sch.types))[col]
+    if not isinstance(typ, pa.DataType):
+        # pandas-backed datasets report Python types, not Arrow ones
+        typ = (
+            pa.string()
+            if typ in (str, object)
+            else pa.from_numpy_dtype(np.dtype(typ))
+        )
+    seed = rd.from_arrow(pa.Table.from_pydict({col: pa.array([], typ)}))
+    return seed.union(out)
+
+
+def except_distinct(
+    left: rd.Dataset, right: rd.Dataset, col: str
+) -> rd.Dataset:
+    """SQL ``EXCEPT`` (set difference with distinct semantics) on one
+    column: the distinct ``col`` values of ``left`` that never appear in
+    ``right``. One key-bucketed shuffle of PRE-DISTINCTED values: each
+    side first reduces to unique values per batch (tagged 0/1), the union
+    co-locates by value hash, and a per-bucket groupby keeps values whose
+    max tag is 0 — exact, duplicate-safe, no driver collection."""
+    import numpy as np
+
+    from . import bucketed_group_apply
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+            return pa.Table.from_pydict(
+                {col: pa.array(u), "__side": np.full(len(u), side, np.int64)}
+            )
+
+        return fn
+
+    u = left.select_columns([col]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([col]).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        # arrow group OUTPUT: many tiny pandas string frames from
+        # map_groups are pathological (the q_js_divergence finding)
+        df = t.to_pandas()
+        mx = df.groupby(col)["__side"].max()
+        return pa.Table.from_pandas(
+            mx[mx == 0].index.to_frame(index=False), preserve_index=False
+        )
+
+    from .dedup import shuffle_blocks
+
+    compact = u.repartition(shuffle_blocks())
+    return _schema_seeded(
+        left, col,
+        bucketed_group_apply(compact, col, keep, batch_format="pyarrow"),
+    )
+
+
+def intersect_distinct(
+    left: rd.Dataset, right: rd.Dataset, col: str
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` (set intersection with distinct semantics) on
+    one column — the sibling of :func:`except_distinct`, same one-shuffle
+    tagged-union shape: keep values whose bucket group saw BOTH tags."""
+    import numpy as np
+
+    from . import bucketed_group_apply
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+            return pa.Table.from_pydict(
+                {col: pa.array(u), "__side": np.full(len(u), side, np.int64)}
+            )
+
+        return fn
+
+    u = left.select_columns([col]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([col]).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ag = df.groupby(col)["__side"].agg(["min", "max"])
+        return pa.Table.from_pandas(
+            ag[(ag["min"] == 0) & (ag["max"] == 1)].index.to_frame(
+                index=False
+            ),
+            preserve_index=False,
+        )
+
+    from .dedup import shuffle_blocks
+
+    compact = u.repartition(shuffle_blocks())
+    return _schema_seeded(
+        left, col,
+        bucketed_group_apply(compact, col, keep, batch_format="pyarrow"),
+    )
+
+
+def cube_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
+    """GROUP BY CUBE(year, priority) — all four grouping sets (leaf, per
+    year, per priority, grand total) derived from ONE corpus pass of
+    integer-cents leaf partials, the :func:`rollup_orders` contract
+    extended with the per-priority axis (CUBE = every subset of the
+    grouping columns; deriving subtotals from merged leaves is
+    algebraically exact for integer sums/counts)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "year": yr.astype(np.int64),
+                "priority": batch.column("o_orderpriority").to_pylist(),
+                "cents": cents,
+            }
+        )
+        agg = df.groupby(["year", "priority"], as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    leaves = (
+        ds.select_columns(["o_orderdate", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_leaves + 1)
+    )
+    if len(leaves) > max_leaves:
+        raise ValueError(
+            f"cube_orders: > {max_leaves} leaf partials — this is a "
+            "groupby-sized key space, not a cube report; raise "
+            "max_leaves deliberately"
+        )
+    df = pd.DataFrame(leaves)
+    leaf = df.groupby(["year", "priority"], as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum")
+    )
+    yearly = leaf.groupby("year", as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum")
+    )
+    yearly["priority"] = "ALL"
+    by_prio = leaf.groupby("priority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum")
+    )
+    by_prio["year"] = -1
+    grand = pd.DataFrame(
+        {
+            "year": [-1],
+            "priority": ["ALL"],
+            "n_orders": [int(leaf["n_orders"].sum())],
+            "cents": [int(leaf["cents"].sum())],
+        }
+    )
+    out = pd.concat([leaf, yearly, by_prio, grand], ignore_index=True)
+    out["year"] = out["year"].map(lambda y: "ALL" if y == -1 else str(y))
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = round_half_away_np(
+        out["cents"].to_numpy(dtype=np.float64) / 100.0, 0
+    )
+    out = out.drop(columns=["cents"])
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            out[["year", "priority", "n_orders", "revenue"]],
+            preserve_index=False,
+        )
+    )

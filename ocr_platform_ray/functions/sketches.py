@@ -933,3 +933,40 @@ def group_fingerprint(
         partial, batch_format="pyarrow"
     )
     return bucketed_group_apply(partials, "g", merge)
+
+
+def first_digit_counts(
+    ds: rd.Dataset, group_col: str, val_col: str
+) -> rd.Dataset:
+    """Benford-style first-significant-digit audit of a positive integer
+    measure: per (group, leading digit) row counts — the classic
+    fabricated-data / pipeline-bug screen (a corpus whose length
+    distribution suddenly loses its Benford shape usually gained a
+    generator or a truncation bug). Digits come from the decimal string
+    (exactly SQL's ``substr(CAST(v AS VARCHAR), 1, 1)`` — no float log10
+    boundary risk); rows with v <= 0 are excluded on both sides.
+    All-integer counts; per-batch (group, digit) partials then a tiny
+    bucketed merge."""
+    from . import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "v": batch.column(val_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[df["v"] > 0]
+        df["digit"] = df["v"].astype(np.int64).astype(str).str[0].astype(np.int64)
+        agg = df.groupby(["g", "digit"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["g", "digit"], as_index=False)["size"].sum()
+        out["n"] = out.pop("size").astype(np.int64)
+        return out.rename(columns={"g": group_col})
+
+    partials = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, ["g", "digit"], merge)

@@ -1608,16 +1608,248 @@ def q_compression_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_retention(sf_dir: str) -> rd.Dataset:
+    """Day-1/day-7 cohort retention: per cohort day (first active day),
+    cohort size + users active again exactly k days later — distinct
+    (user, day) partials, user-bucketed cohort resolve, day-bucketed
+    integer sums; exact DISTINCT-join oracle."""
+    from .functions.events import retention_counts
+
+    return retention_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+def q_ref_integrity(sf_dir: str) -> rd.Dataset:
+    """Referential-integrity audit over three FK edges (orders->customer,
+    lineitem->orders, lineitem->supplier): distinct-FK partials + bucketed
+    anti merge-join per edge; all-integer counts, exact LEFT-JOIN-null
+    oracle."""
+    from .functions.relational import fk_orphan_audit
+
+    return fk_orphan_audit(
+        [
+            (
+                "orders.o_custkey->customer",
+                rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+                "o_custkey",
+                rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+                "c_custkey",
+            ),
+            (
+                "lineitem.l_orderkey->orders",
+                rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+                "l_orderkey",
+                rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+                "o_orderkey",
+            ),
+            (
+                "lineitem.l_suppkey->supplier",
+                rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]),
+                "l_suppkey",
+                rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]),
+                "s_suppkey",
+            ),
+        ]
+    )
+
+
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3-shaped: top-10 orders by post-cutoff lineitem revenue for
+    pre-cutoff orders of one customer segment — broadcast segment keys,
+    per-batch cents pre-aggregation before the single orderkey hash join,
+    bucketed per-order totals with local top-k, k-row global resolve.
+    Exact integer-cents revenue."""
+    from .functions.relational import shipping_priority
+
+    return shipping_priority(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ),
+    )
+
+
+def q_texts_except(sf_dir: str) -> rd.Dataset:
+    """SQL EXCEPT set-op: distinct texts exclusive to src0 (never seen in
+    any other source) — pre-distincted tagged union, one value-bucketed
+    keep-if-max-tag-is-left pass; exact EXCEPT oracle."""
+    from .functions.relational import except_distinct
+
+    return except_distinct(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=(pc.field("source") == "src0"),
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=(pc.field("source") != "src0"),
+        ),
+        "text",
+    )
+
+
+def q_user_paths(sf_dir: str) -> rd.Dataset:
+    """Per-user journey string (string_agg ORDER BY shape): first 20
+    event types in (ts, event_id) order joined with '->' — per-batch
+    head-trim combiner, user-bucketed assembly; deterministic total
+    order, exact oracle."""
+    from .functions.events import user_paths
+
+    return user_paths(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_transitions(sf_dir: str) -> "pa.Table":
+    """Markov transition matrix: counts of consecutive
+    (prev_type -> next_type) steps per user in (ts, event_id) order —
+    user-bucketed vectorized LAG, |types|^2 count partials, bounded
+    driver merge; exact LAG-window oracle."""
+    from .functions.events import event_transitions
+
+    return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _schema_safe_table(ds: rd.Dataset) -> "pa.Table":
+    """Driver-gate materialization that keeps the schema of an all-empty
+    result: ``Dataset.to_pandas()`` on an empty dataset returns a
+    COLUMN-LESS frame (fails the gate's column check even when 0 rows is
+    the correct answer), while ``ds.schema()`` still knows the columns."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow"))
+    tbls = [t for t in tbls if t.num_rows]
+    if tbls:
+        return pa.concat_tables(tbls, promote_options="default")
+    sch = ds.schema()
+    return pa.Table.from_pydict(
+        {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+    )
+
+
+def q_texts_intersect(sf_dir: str) -> "pa.Table":
+    """SQL INTERSECT set-op: distinct texts seen in BOTH src0 and the
+    rest of the corpus — one tagged-union bucketed pass; exact oracle.
+    May legitimately be EMPTY (sf0.01 has no cross-source dup texts), so
+    the result materializes schema-safe."""
+    from .functions.relational import intersect_distinct
+
+    return _schema_safe_table(intersect_distinct(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=(pc.field("source") == "src0"),
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=(pc.field("source") != "src0"),
+        ),
+        "text",
+    ))
+
+
+def q_orders_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(year, priority): all four grouping sets derived
+    from one integer-cents leaf pass (the rollup contract + the
+    per-priority axis); exact oracle."""
+    from .functions.relational import cube_orders
+
+    return cube_orders(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        )
+    )
+
+
+def q_first_digit(sf_dir: str) -> rd.Dataset:
+    """Benford-style first-significant-digit audit of doc lengths per
+    source — decimal-string digits (exactly SQL substr semantics),
+    all-integer counts; exact oracle."""
+    from .functions.sketches import first_digit_counts
+
+    return first_digit_counts(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        ),
+        "source",
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
-    """Driver registry. ORDER IS A ROTATION SCHEDULE: the driver records
-    only the first ~50 entries per round, so entries NOT recorded last
-    round come first (the 22 absent from CORRECTNESS_r04), then this
-    round's touched queries, then the remaining oracle-bearing ones —
-    every oracle query is checked in the union of the last two rounds.
-    Re-derive the order against the newest CORRECTNESS_r0N when rotating."""
+    """Driver registry. ORDER IS A RECORDING SCHEDULE: the driver records
+    only the first ~50 entries per round, so the queries whose ONLY
+    possible driver record is r05 come first — the 42 new-in-r5
+    oracle-bearing queries, then the oracle queries r04's cap rotated out
+    (q_revenue_by_customer leading: no driver round had ever checked it
+    before the r4 judge's manual run). Golden-pinned queries sort below
+    oracle ones (the driver's rows-only check adds little over their
+    pinned sf0.001 goldens), and everything recorded in r04 comes last.
+    Every oracle query is ALSO swept locally at sf0.01 and sf0.1 via
+    tools/check_correctness.py (results in BENCH/BASELINE.md)."""
     return {
+    # --- r05 recording window: new-in-r5 oracle queries (never
+    # driver-recorded before) come first, then the oracle queries the
+    # 50-entry cap rotated out of r04.
+        "q_user_paths": q_user_paths,
+        "q_event_transitions": q_event_transitions,
+        "q_texts_intersect": q_texts_intersect,
+        "q_orders_cube": q_orders_cube,
+        "q_first_digit": q_first_digit,
+        "q_inverted_index": q_inverted_index,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_quality_percentile": q_quality_percentile,
+        "q_duplicate_ngrams": q_duplicate_ngrams,
+        "q_remove_dup_ngrams": q_remove_dup_ngrams,
+        "q_dup_coverage": q_dup_coverage,
+        "q_dup_spans": q_dup_spans,
+        "q_cross_source_dups": q_cross_source_dups,
+        "q_bm25": q_bm25,
+        "q_centroid_dist": q_centroid_dist,
+        "q_event_gaps": q_event_gaps,
+        "q_rolling_avg": q_rolling_avg,
+        "q_distinct_texts_per_source": q_distinct_texts_per_source,
+        "q_word_entropy": q_word_entropy,
+        "q_token_budget": q_token_budget,
+        "q_quality_zscore": q_quality_zscore,
+        "q_bigram_lm_score": q_bigram_lm_score,
+        "q_gopher_rules": q_gopher_rules,
+        "q_temperature_weights": q_temperature_weights,
+        "q_dsir_scores": q_dsir_scores,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_new_users_by_day": q_new_users_by_day,
+        "q_funnel": q_funnel,
+        "q_supplier_volume": q_supplier_volume,
+        "q_corr_by_group": q_corr_by_group,
+        "q_length_outliers": q_length_outliers,
+        "q_range_window_sum": q_range_window_sum,
+        "q_weighted_sample": q_weighted_sample,
+        "q_js_divergence": q_js_divergence,
+        "q_orders_rollup": q_orders_rollup,
+        "q_event_type_lift": q_event_type_lift,
+        "q_pivot_lang_by_source": q_pivot_lang_by_source,
+        "q_compact_latest": q_compact_latest,
+        "q_gini_by_source": q_gini_by_source,
+        "q_edit_pairs": q_edit_pairs,
+        "q_length_islands": q_length_islands,
+        "q_modal_event_type": q_modal_event_type,
+        "q_source_fingerprint": q_source_fingerprint,
+        "q_retention": q_retention,
+        "q_ref_integrity": q_ref_integrity,
+        "q_shipping_priority": q_shipping_priority,
+        "q_texts_except": q_texts_except,
+        "q_revenue_by_customer": q_revenue_by_customer,
+        "q_orders_by_nation_bucketed": q_orders_by_nation_bucketed,
         "q_sessions": q_sessions,
         "q_running_total": q_running_total,
         "q_value_histogram": q_value_histogram,
@@ -1632,66 +1864,23 @@ def queries() -> dict:
         "q_top_events": q_top_events,
         "q_lineitem_agg": q_lineitem_agg,
         "q_orders_by_nation": q_orders_by_nation,
-        "q_orders_by_nation_bucketed": q_orders_by_nation_bucketed,
-        "q_revenue_by_customer": q_revenue_by_customer,
         "q_extract_flagship": q_extract_flagship,
-        "q_audio_features": q_audio_features,  # new in r5 -> record now
-        "q_media_features_jpeg": q_media_features_jpeg,  # new in r5 -> record now
-        "q_inverted_index": q_inverted_index,  # new in r5 -> record now
-        "q_pmi_pairs": q_pmi_pairs,  # new in r5 -> record now
-        "q_quality_percentile": q_quality_percentile,  # new in r5 -> record now
-        "q_duplicate_ngrams": q_duplicate_ngrams,  # new in r5 -> record now
-        "q_remove_dup_ngrams": q_remove_dup_ngrams,  # new in r5 -> record now
-        "q_dup_coverage": q_dup_coverage,  # new in r5 -> record now
-        "q_dup_spans": q_dup_spans,  # new in r5 -> record now
-        "q_cross_source_dups": q_cross_source_dups,  # new in r5 -> record now
-        "q_bm25": q_bm25,  # new in r5 -> record now
-        "q_centroid_dist": q_centroid_dist,  # new in r5 -> record now
-        "q_event_gaps": q_event_gaps,  # new in r5 -> record now
-        "q_rolling_avg": q_rolling_avg,  # new in r5 -> record now
-        "q_distinct_texts_per_source": q_distinct_texts_per_source,  # new in r5
-        "q_word_entropy": q_word_entropy,  # new in r5 -> record now
-        "q_token_budget": q_token_budget,  # new in r5 -> record now
-        "q_quality_zscore": q_quality_zscore,  # new in r5 -> record now
-        "q_bigram_lm_score": q_bigram_lm_score,  # new in r5 -> record now
-        "q_gopher_rules": q_gopher_rules,  # new in r5 -> record now
-        "q_temperature_weights": q_temperature_weights,  # new in r5 -> record now
-        "q_dsir_scores": q_dsir_scores,  # new in r5 -> record now
-        "q_hybrid_rrf": q_hybrid_rrf,  # new in r5 -> record now
-        "q_new_users_by_day": q_new_users_by_day,  # new in r5 -> record now
-        "q_funnel": q_funnel,  # new in r5 -> record now
-        "q_supplier_volume": q_supplier_volume,  # new in r5 -> record now
-        "q_corr_by_group": q_corr_by_group,  # new in r5 -> record now
-        "q_length_outliers": q_length_outliers,  # new in r5 -> record now
-        "q_range_window_sum": q_range_window_sum,  # new in r5 -> record now
-        "q_weighted_sample": q_weighted_sample,  # new in r5 -> record now
-        "q_js_divergence": q_js_divergence,  # new in r5 -> record now
-        "q_orders_rollup": q_orders_rollup,  # new in r5 -> record now
-        "q_event_type_lift": q_event_type_lift,  # new in r5 -> record now
-        "q_pivot_lang_by_source": q_pivot_lang_by_source,  # new in r5 -> record now
-        "q_compact_latest": q_compact_latest,  # new in r5 -> record now
-        "q_gini_by_source": q_gini_by_source,  # new in r5 -> record now
-        "q_edit_pairs": q_edit_pairs,  # new in r5 -> record now
-        "q_length_islands": q_length_islands,  # new in r5 -> record now
-        "q_modal_event_type": q_modal_event_type,  # new in r5 -> record now
-        "q_source_fingerprint": q_source_fingerprint,  # new in r5 -> record now
-        "q_compression_stats": q_compression_stats,  # new in r5; golden-pinned
-        "q_image_dups": q_image_dups,  # new in r5; golden-pinned, so first below the cap
-        "q_cms_token_counts": q_cms_token_counts,  # new in r5; golden-pinned
-        # --- ~50-entry driver cap: below here everything was recorded in
-        # r04 or is golden-pinned (q_bpe_*, q_video_frame_features,
-        # q_approx_distinct_users, q_price_quantiles_sketch — displaced
-        # rows-only entries; their correctness is pinned by goldens +
-        # property tests, and the full registry is swept at both scales
-        # with tools/check_correctness.py each round, see BENCH/BASELINE.md)
-        "q_bpe_merges": q_bpe_merges,
-        "q_bpe_encode": q_bpe_encode,
         "q_detect_boxes": q_detect_boxes,
         "q_extract_summary": q_extract_summary,
         "q_media_features": q_media_features,
-        "q_video_frame_features": q_video_frame_features,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_price_quantiles_sketch": q_price_quantiles_sketch,
+        "q_audio_features": q_audio_features,
+        "q_media_features_jpeg": q_media_features_jpeg,
+        "q_compression_stats": q_compression_stats,
+        "q_image_dups": q_image_dups,
+        "q_cms_token_counts": q_cms_token_counts,
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
+        "q_video_frame_features": q_video_frame_features,
+    # --- ~50-entry driver cap: everything below was driver-recorded in
+    # r04 (and every oracle here is additionally swept locally at sf0.01
+    # AND sf0.1 with tools/check_correctness.py each round).
         "q_quality_buckets": q_quality_buckets,
         "q_decontaminate": q_decontaminate,
         "q_decontaminate_sharded": q_decontaminate_sharded,
@@ -2720,5 +2909,95 @@ def _oracle_sql_base() -> dict:
             " sum(('0x' || substr(md5(text), 1, 8))::UBIGINT)::BIGINT"
             "  AS checksum"
             " FROM documents GROUP BY source"
+        ),
+        # distinct (user, day) first so every count is a plain count(*)
+        # over set-semantics rows; engine mirrors day = ts // 86400e6
+        "q_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id,"
+            "  date_trunc('day', ts) AS day FROM events),"
+            " f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id)"
+            " SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,"
+            " count(DISTINCT f.user_id)::BIGINT AS n_users,"
+            " count(DISTINCT CASE WHEN ud.day = f.d0 + INTERVAL 1 DAY"
+            "  THEN ud.user_id END)::BIGINT AS ret_1,"
+            " count(DISTINCT CASE WHEN ud.day = f.d0 + INTERVAL 7 DAY"
+            "  THEN ud.user_id END)::BIGINT AS ret_7"
+            " FROM f JOIN ud ON ud.user_id = f.user_id"
+            " GROUP BY f.d0"
+        ),
+        "q_ref_integrity": (
+            "SELECT 'orders.o_custkey->customer' AS fk,"
+            " count(*)::BIGINT AS n_keys,"
+            " sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            "  AS n_orphans"
+            " FROM (SELECT DISTINCT o_custkey FROM orders) o"
+            " LEFT JOIN customer ON o_custkey = c_custkey"
+            " UNION ALL"
+            " SELECT 'lineitem.l_orderkey->orders', count(*)::BIGINT,"
+            " sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            " FROM (SELECT DISTINCT l_orderkey FROM lineitem) l"
+            " LEFT JOIN orders ON l_orderkey = o_orderkey"
+            " UNION ALL"
+            " SELECT 'lineitem.l_suppkey->supplier', count(*)::BIGINT,"
+            " sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            " FROM (SELECT DISTINCT l_suppkey FROM lineitem) l"
+            " LEFT JOIN supplier ON l_suppkey = s_suppkey"
+        ),
+        # exact integer-cents revenue (the rollup contract); the LIMIT
+        # tie-break is total (cents, date, orderkey) on both engines
+        "q_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority,"
+            " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            "  AS BIGINT)) / 100.0 AS revenue"
+            " FROM customer, orders, lineitem"
+            " WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey"
+            " AND l_orderkey = o_orderkey"
+            " AND o_orderdate < TIMESTAMP '1995-03-15'"
+            " AND l_shipdate > TIMESTAMP '1995-03-15'"
+            " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+            " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
+            "  * 100) AS BIGINT)) DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "q_texts_except": (
+            "SELECT DISTINCT text FROM documents WHERE source = 'src0'"
+            " EXCEPT"
+            " SELECT text FROM documents WHERE source <> 'src0'"
+        ),
+        # (ts, event_id) is a total order -> the path string and the
+        # transition counts are engine-independent
+        "q_user_paths": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            " FROM events)"
+            " SELECT user_id, string_agg(event_type, '->' ORDER BY rn)"
+            "  AS path"
+            " FROM r WHERE rn <= 20 GROUP BY user_id"
+        ),
+        "q_event_transitions": (
+            "WITH t AS (SELECT event_type, lag(event_type) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+            " FROM events)"
+            " SELECT prev AS prev_type, event_type AS next_type,"
+            " count(*)::BIGINT AS n FROM t WHERE prev IS NOT NULL"
+            " GROUP BY prev, event_type"
+        ),
+        "q_texts_intersect": (
+            "SELECT DISTINCT text FROM documents WHERE source = 'src0'"
+            " INTERSECT"
+            " SELECT text FROM documents WHERE source <> 'src0'"
+        ),
+        "q_orders_cube": (
+            "SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')"
+            " AS year, coalesce(o_orderpriority, 'ALL') AS priority,"
+            " count(*) AS n_orders,"
+            " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0,"
+            " 0) AS revenue FROM orders"
+            " GROUP BY CUBE(year(o_orderdate), o_orderpriority)"
+        ),
+        "q_first_digit": (
+            "SELECT source,"
+            " CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT)"
+            "  AS digit, count(*)::BIGINT AS n"
+            " FROM documents WHERE n_chars > 0 GROUP BY source, digit"
         ),
     }
