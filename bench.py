@@ -206,6 +206,15 @@ def run_queries(sf_dir: str) -> dict:
         ("q_texts_intersect", q.q_texts_intersect),
         ("q_orders_cube", q.q_orders_cube),
         ("q_first_digit", q.q_first_digit),
+        ("q_winsorized_value", q.q_winsorized_value),
+        ("q_vocab_overlap", q.q_vocab_overlap),
+        ("q_systematic_sample", q.q_systematic_sample),
+        ("q_source_balance_chi2", q.q_source_balance_chi2),
+        ("q_value_trend", q.q_value_trend),
+        ("q_daily_pct_change", q.q_daily_pct_change),
+        ("q_geomean_length", q.q_geomean_length),
+        ("q_ship_latency", q.q_ship_latency),
+        ("q_dup_cluster_histogram", q.q_dup_cluster_histogram),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2025,3 +2025,61 @@ def weighted_sample(
         .limit(k)
         .map_batches(round_score, batch_format="pyarrow")
     )
+
+
+def systematic_sample(
+    ds: rd.Dataset, every: int = 50, id_col: str = "doc_id", seed: int = 7
+) -> rd.Dataset:
+    """Systematic (every k-th) sampling along the deterministic seeded
+    shuffle order — the fixed-rate corpus probe whose membership any SQL
+    engine reproduces (``row_number() OVER (ORDER BY md5(id || ':seed'),
+    id)`` modulo k). Composes :func:`seeded_shuffle_rank` (distributed
+    exact rank, no global sort) with a row-local modulo filter."""
+    ranked = seeded_shuffle_rank(ds, id_col=id_col, seed=seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pos = batch.column("shuffle_pos").to_numpy()
+        return batch.filter(pa.array(pos % every == 0)).select([id_col])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+def dup_cluster_histogram(ds: rd.Dataset) -> rd.Dataset:
+    """Histogram of exact-duplicate-text cluster sizes — the dedup audit
+    (how much of the corpus is 2x, 3x, Nx repeated?): one row per
+    cluster size with the number of clusters of that size. The shuffle
+    carries (md5(text), count) integer partials, never text; per-digest
+    counts merge in a digest-bucketed pass that emits per-size partial
+    histograms, and the tiny (size, n) rows reduce in one final pass.
+    All-integer -> bit-exact vs the nested GROUP BY oracle."""
+    from ..md5np import md5_hex
+    from . import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_hex(batch.column("text"))
+        df = pd.DataFrame({"h": h.to_pandas()})
+        agg = df.groupby("h", as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.select_columns(["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_digest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("h")["size"].sum()
+        hist = per.value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": hist.index.astype(np.int64),
+                "n": hist.to_numpy().astype(np.int64),
+            }
+        )
+
+    sizes = bucketed_group_apply(partials, "h", per_digest_bucket)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("cluster_size", as_index=False)["n"].sum()
+        agg["n_clusters"] = agg.pop("n").astype(np.int64)
+        return agg
+
+    return bucketed_group_apply(sizes, "cluster_size", final)

@@ -739,3 +739,57 @@ def event_transitions(
     agg = df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
     agg["n"] = agg["n"].astype(np.int64)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def daily_counts_pct_change(ds: rd.Dataset) -> rd.Dataset:
+    """Day-over-day percent change of event volume per type — the
+    monitoring series every pipeline dashboard draws. Per-batch
+    (type, day) integer count partials, per-type-bucketed LAG over the
+    (tiny: |types| x |days|) aggregated series; the first day of each
+    type is dropped (no predecessor). pct = (n - prev) / prev, one float
+    division per point, 6dp."""
+    from . import bucketed_group_apply, round_half_away_np
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "day_id": (
+                    batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+                ).astype(np.int64),
+            }
+        )
+        agg = df.groupby(["event_type", "day_id"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(tb: pa.Table) -> pa.Table:
+        df = tb.to_pandas()
+        agg = df.groupby(["event_type", "day_id"], as_index=False)["size"].sum()
+        agg = agg.sort_values(["event_type", "day_id"], kind="mergesort")
+        prev = agg.groupby("event_type")["size"].shift()
+        m = prev.notna()
+        day_us = agg["day_id"][m].to_numpy() * DAY_US
+        out = pd.DataFrame(
+            {
+                "event_type": agg["event_type"][m],
+                "day": np.array(day_us, dtype="datetime64[us]").astype(
+                    "datetime64[D]"
+                ).astype(str),
+                "n": agg["size"][m].astype(np.int64),
+                "pct_change": round_half_away_np(
+                    (agg["size"][m].to_numpy() - prev[m].to_numpy())
+                    / prev[m].to_numpy(),
+                    6,
+                ),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        partials, "event_type", per_bucket, batch_format="pyarrow"
+    )

@@ -1215,3 +1215,131 @@ def cube_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
             preserve_index=False,
         )
     )
+
+
+def regr_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_groups: int = 100_000,
+    x_scale: float = 1.0,
+) -> rd.Dataset:
+    """Per-group simple OLS regression of y on x — slope, intercept and
+    r2, the trend-detection diagnostic (is value drifting over time per
+    event type?). Same mergeable CENTERED co-moment scheme as
+    :func:`corr_by_group` (two streamed passes, broadcast means, exact
+    re-centering correction), matching DuckDB's regr_slope /
+    regr_intercept / regr_r2 population co-moments. ``x_scale`` divides
+    x up front (e.g. microseconds -> seconds) so magnitudes stay sane;
+    apply the same scaling in the oracle."""
+    import numpy as np
+
+    import ray
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "x": batch.column(x_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64) / x_scale,
+                "y": batch.column(y_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def mean_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [g["g"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sx": [float(g["sx"].sum())],
+                "sy": [float(g["sy"].sum())],
+            }
+        )
+
+    cols = ds.select_columns([group_col, x_col, y_col])
+    rows = (
+        cols.map_batches(mean_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(mean_merge, batch_format="pandas")
+        .take(max_groups + 1)
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"regr_by_group: > {max_groups} groups — raise max_groups "
+            "deliberately or pre-filter"
+        )
+    keys = np.array(sorted(r["g"] for r in rows))
+    by = {r["g"]: r for r in rows}
+    mx = np.array([by[k]["sx"] / by[k]["n"] for k in keys])
+    my = np.array([by[k]["sy"] / by[k]["n"] for k in keys])
+    means_ref = ray.put((keys, mx, my))
+
+    def co_partial(batch: pa.Table) -> pa.Table:
+        k, cx, cy = resolve_broadcast(means_ref)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(
+            k.dtype
+        )
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) / x_scale
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pos = np.searchsorted(k, g)
+        dx = x - cx[pos]
+        dy = y - cy[pos]
+        df = pd.DataFrame(
+            {
+                "g": g,
+                "dx": dx,
+                "dy": dy,
+                "dxx": dx * dx,
+                "dyy": dy * dy,
+                "dxy": dx * dy,
+            }
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("dx", "size"), sdx=("dx", "sum"), sdy=("dy", "sum"),
+            sxx=("dxx", "sum"), syy=("dyy", "sum"), sxy=("dxy", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def co_merge(g: pd.DataFrame) -> pd.DataFrame:
+        k, cx, cy = resolve_broadcast(means_ref)
+        g = g.sort_values(["g", "sxy"], kind="mergesort")
+        n = int(g["n"].sum())
+        sdx, sdy = float(g["sdx"].sum()), float(g["sdy"].sum())
+        sxx = float(g["sxx"].sum()) - sdx * sdx / n
+        syy = float(g["syy"].sum()) - sdy * sdy / n
+        sxy = float(g["sxy"].sum()) - sdx * sdy / n
+        pos = int(np.searchsorted(k, g["g"].iloc[0]))
+        mx_t = cx[pos] + sdx / n
+        my_t = cy[pos] + sdy / n
+        if sxx > 0:
+            slope = sxy / sxx
+            icpt = my_t - slope * mx_t
+            r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else float("nan")
+            out = [round_half_away(slope, 6), round_half_away(icpt, 6),
+                   round_half_away(r2, 6) if r2 == r2 else float("nan")]
+        else:
+            out = [float("nan")] * 3
+        return pd.DataFrame(
+            {
+                group_col: [g["g"].iloc[0]],
+                "slope": [out[0]],
+                "intercept": [out[1]],
+                "r2": [out[2]],
+            }
+        )
+
+    return (
+        cols.map_batches(co_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(co_merge, batch_format="pandas")
+    )

@@ -970,3 +970,223 @@ def first_digit_counts(
         partial, batch_format="pyarrow"
     )
     return bucketed_group_apply(partials, ["g", "digit"], merge)
+
+
+def winsorized_mean_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> rd.Dataset:
+    """Per-group winsorized mean: values clipped to the group's exact
+    [q_lo, q_hi] quantile_cont band before averaging — the robust-mean
+    calibration a scoring pipeline uses when a few outliers would drag a
+    plain mean. Two streamed passes: (1) exact per-group cuts via
+    :func:`grouped_quantiles` (DuckDB's weighted interpolation form),
+    broadcast as a tiny dict; (2) per-batch clip + (sum, n) partials,
+    merged with value-sorted accumulation so the 6dp-rounded mean is a
+    pure function of the data."""
+    import ray
+
+    from . import bucketed_group_apply, resolve_broadcast, round_half_away_np
+
+    cuts = grouped_quantiles(ds, group_col, val_col, qs=(lo, hi))
+    lo_name = f"q{int(round(lo * 100))}"
+    hi_name = f"q{int(round(hi * 100))}"
+    cut_map = {
+        r[group_col]: (r[lo_name], r[hi_name]) for r in cuts.take_all()
+    }
+    cut_ref = ray.put(cut_map)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = resolve_broadcast(cut_ref)
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "v": batch.column(val_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        lo_v = df["g"].map(lambda g: cm[g][0]).to_numpy()
+        hi_v = df["g"].map(lambda g: cm[g][1]).to_numpy()
+        df["v"] = np.minimum(np.maximum(df["v"].to_numpy(), lo_v), hi_v)
+        df = df.sort_values(["g", "v"], kind="mergesort")
+        agg = df.groupby("g", as_index=False).agg(
+            s=("v", "sum"), n=("v", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g", "s"], kind="mergesort")
+        agg = df.groupby("g", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        out = pd.DataFrame(
+            {
+                group_col: agg["g"],
+                "wmean": round_half_away_np(
+                    agg["s"].to_numpy() / agg["n"].to_numpy(), 6
+                ),
+            }
+        )
+        return out
+
+    partials = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, "g", merge)
+
+
+def source_balance_chi2(ds: rd.Dataset, max_cells: int = 100_000) -> rd.Dataset:
+    """Per-source chi-square statistic against the corpus-wide lang
+    distribution — the mix-balance audit (a source whose language mix
+    drifts from the corpus shows up as a large chi2). All counts are
+    exact integer (source, lang) crosstab partials; the driver evaluates
+    sum over langs (in sorted-lang order, matched by the oracle's
+    per-group accumulation) of (o - e)^2 / e with e = n_s * n_l / N,
+    rounded 6dp."""
+    from . import bucketed_group_apply, round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "lang": batch.column("lang").to_pandas(),
+            }
+        )
+        agg = df.groupby(["source", "lang"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = (
+        ds.select_columns(["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_cells + 1)
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"source_balance_chi2: > {max_cells} crosstab partials — "
+            "not a report-sized key space; raise max_cells deliberately"
+        )
+    df = pd.DataFrame(cells, columns=["source", "lang", "size"])
+    c = df.groupby(["source", "lang"])["size"].sum()
+    wide = c.unstack("lang", fill_value=0).sort_index(axis=1)
+    ns = wide.sum(axis=1).astype(np.int64)
+    nl = wide.sum(axis=0).astype(np.int64)
+    N = int(ns.sum())
+    out_g, out_chi = [], []
+    for g in wide.index:
+        chi = 0.0
+        for lang in wide.columns:  # sorted lang order on both sides
+            e = int(ns[g]) * int(nl[lang]) / N
+            o = int(wide.loc[g, lang])
+            chi += (o - e) ** 2 / e
+        out_g.append(g)
+        out_chi.append(round_half_away(chi, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"source": pa.array(out_g, pa.string()),
+             "chi2": pa.array(out_chi, pa.float64())}
+        )
+    )
+
+
+def geomean_by_group(
+    ds: rd.Dataset, group_col: str, val_col: str
+) -> rd.Dataset:
+    """Per-group geometric mean of a positive measure
+    (``exp(avg(ln v))`` — the right average for ratio-like quality
+    scores). Per-batch (sum of logs, n) partials with group-sorted
+    accumulation, one exp at the end, 6dp. Rows with v <= 0 are excluded
+    on both engine and oracle sides (ln undefined)."""
+    from . import bucketed_group_apply, round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "v": batch.column(val_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        df = df[df["v"] > 0]
+        df["lv"] = np.log(df["v"].to_numpy())
+        df = df.sort_values(["g", "lv"], kind="mergesort")
+        agg = df.groupby("g", as_index=False).agg(s=("lv", "sum"), n=("lv", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g", "s"], kind="mergesort")
+        agg = df.groupby("g", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        return pd.DataFrame(
+            {
+                group_col: agg["g"],
+                "geomean": round_half_away_np(
+                    np.exp(agg["s"].to_numpy() / agg["n"].to_numpy()), 6
+                ),
+            }
+        )
+
+    partials = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(partials, "g", merge)
+
+
+def grouped_hist_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    qs: tuple = (0.5, 0.95),
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Exact per-group quantile_cont of an INTEGER measure from
+    histogram partials — the :func:`gini_by_group` trade applied to
+    quantiles: bounded distinct values mean the shuffle carries
+    (group, value, count) rows, never the measure column, and the exact
+    positional interpolation (DuckDB's weighted lo*(1-f)+hi*f form) runs
+    on the driver from cumulative counts under a loud ``max_cells``
+    guard. Use :func:`grouped_quantiles` when values are continuous."""
+    from . import bucketed_group_apply, round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "v": batch.column(val_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["g", "v"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = (
+        ds.select_columns([group_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take(max_cells + 1)
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"grouped_hist_quantiles: > {max_cells} histogram partials — "
+            "the measure is not low-cardinality; use grouped_quantiles "
+            "or raise max_cells deliberately"
+        )
+    df = pd.DataFrame(cells, columns=["g", "v", "size"])
+    hist = df.groupby(["g", "v"])["size"].sum().reset_index()
+    hist = hist.sort_values(["g", "v"], kind="mergesort")
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    out = {group_col: [], **{nm: [] for nm in names}}
+    for g, sub in hist.groupby("g", sort=True):
+        v = sub["v"].to_numpy(dtype=np.float64)
+        c = sub["size"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out[group_col].append(g)
+        for nm, q in zip(names, qs):
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            i_lo = int(np.searchsorted(cum, lo + 1))
+            i_hi = int(np.searchsorted(cum, min(lo + 1, n - 1) + 1))
+            val = v[i_lo] * (1.0 - frac) + v[i_hi] * frac
+            out[nm].append(round_half_away(float(val), 6))
+    tbl = {group_col: pa.array(out[group_col])}
+    for nm in names:
+        tbl[nm] = pa.array(out[nm], pa.float64())
+    return rd.from_arrow(pa.Table.from_pydict(tbl))

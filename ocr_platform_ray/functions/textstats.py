@@ -1694,3 +1694,96 @@ def compression_stats(
         partial, batch_format="pyarrow"
     )
     return bucketed_group_apply(partials, "g", merge)
+
+
+def vocab_overlap_by_source(ds, max_pairs: int = 100_000):
+    """Pairwise Jaccard similarity between per-source VOCABULARIES
+    (distinct token sets) — the set-overlap counterpart of the
+    distributional JS divergence: how much two sources share words at
+    all, regardless of frequency. All-integer co-occurrence math, one
+    float division per pair (6dp).
+
+    Scale shape: per-batch DISTINCT (source, token) partials, then ONE
+    token-bucketed pass — every bucket dedups its (source, token) rows
+    exactly, emits per-token source-pair co-occurrence counts AND
+    per-source distinct-token counts (as diagonal (s, s, n) rows); the
+    <= (|sources|^2) x n_buckets partials merge on the driver under a
+    loud guard. The corpus never shuffles — only (source, token) rows."""
+    import pandas as pd
+
+    from . import bucketed_group_apply, round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pl.DataFrame(
+            {"source": pl.Series(src), "t": pl.Series(col)}
+        ).with_columns(pl.col("t").str.extract_all(TOKEN_RE))
+        out = d.explode("t").drop_nulls("t").unique(["source", "t"])
+        return out.to_arrow()
+
+    def per_bucket(tb: pa.Table) -> pa.Table:
+        df = tb.to_pandas().drop_duplicates(["source", "t"])
+        # per-source distinct-token partials ride as diagonal rows
+        diag = df.groupby("source", as_index=False).size()
+        diag = pd.DataFrame(
+            {"src_a": diag["source"], "src_b": diag["source"],
+             "n": diag["size"].astype(np.int64)}
+        )
+        rows_a, rows_b = [], []
+        for _, sub in df.groupby("t", sort=False):
+            ss = np.sort(sub["source"].to_numpy())
+            if len(ss) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ss), k=1)
+            rows_a.append(ss[iu])
+            rows_b.append(ss[iv])
+        if rows_a:
+            pairs = pd.DataFrame(
+                {"src_a": np.concatenate(rows_a),
+                 "src_b": np.concatenate(rows_b)}
+            ).groupby(["src_a", "src_b"], as_index=False).size()
+            pairs["n"] = pairs.pop("size").astype(np.int64)
+            out = pd.concat([diag, pairs], ignore_index=True)
+        else:
+            out = diag
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = (
+        ds.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    rows = bucketed_group_apply(
+        partials, "t", per_bucket, batch_format="pyarrow"
+    ).take(max_pairs + 1)
+    if len(rows) > max_pairs:
+        raise ValueError(
+            f"vocab_overlap_by_source: > {max_pairs} pair partials — "
+            "too many sources for the all-pairs report; raise max_pairs "
+            "deliberately"
+        )
+    df = pd.DataFrame(rows, columns=["src_a", "src_b", "n"])
+    agg = df.groupby(["src_a", "src_b"])["n"].sum()
+    totals = {a: int(v) for (a, b), v in agg.items() if a == b}
+    pairs = agg[[a != b for a, b in agg.index]].reset_index()
+    co = pairs["n"].to_numpy().astype(np.int64)
+    na = pairs["src_a"].map(totals).to_numpy().astype(np.int64)
+    nb = pairs["src_b"].map(totals).to_numpy().astype(np.int64)
+    jac = round_half_away_np(co / (na + nb - co), 6)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "src_a": pa.array(pairs["src_a"].tolist(), pa.string()),
+                "src_b": pa.array(pairs["src_b"].tolist(), pa.string()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+    )

@@ -1784,6 +1784,150 @@ def q_first_digit(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_winsorized_value(sf_dir: str) -> rd.Dataset:
+    """Per-event-type winsorized mean of value (clipped to the exact
+    [p5, p95] quantile_cont band): two streamed passes — grouped exact
+    cuts broadcast, then clip + (sum, n) partials; 6dp."""
+    from .functions.sketches import winsorized_mean_by_group
+
+    return winsorized_mean_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "event_type",
+        "value",
+    )
+
+
+def q_vocab_overlap(sf_dir: str) -> rd.Dataset:
+    """Pairwise Jaccard between per-source vocabularies (distinct token
+    sets): distinct (source, token) partials, one token-bucketed
+    co-occurrence pass, all-integer counts; exact oracle."""
+    from .functions.textstats import vocab_overlap_by_source
+
+    return vocab_overlap_by_source(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
+def q_systematic_sample(sf_dir: str) -> rd.Dataset:
+    """Every-50th-doc systematic sample along the seeded md5 shuffle
+    order — distributed exact rank (no global sort) + row-local modulo;
+    exact QUALIFY oracle."""
+    from .functions.dedup import systematic_sample
+
+    return systematic_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+
+
+def q_source_balance_chi2(sf_dir: str) -> rd.Dataset:
+    """Per-source chi-square vs the corpus lang distribution (mix-drift
+    audit): exact integer crosstab partials, sorted-lang driver
+    evaluation, 6dp."""
+    from .functions.sketches import source_balance_chi2
+
+    return source_balance_chi2(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+    )
+
+
+def q_value_trend(sf_dir: str) -> rd.Dataset:
+    """Per-event-type OLS trend of value over time (x in DAYS since
+    epoch): slope / intercept / r2 via mergeable centered co-moments
+    (the corr_by_group scheme); matches regr_slope / regr_intercept /
+    regr_r2 at 6dp."""
+    from .functions.relational import regr_by_group
+
+    return regr_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ),
+        "event_type",
+        "ts",
+        "value",
+        x_scale=86_400_000_000.0,  # microseconds -> days
+    )
+
+
+def q_daily_pct_change(sf_dir: str) -> rd.Dataset:
+    """Day-over-day percent change of event volume per type — integer
+    count partials, per-type LAG over the tiny aggregated series."""
+    from .functions.events import daily_counts_pct_change
+
+    return daily_counts_pct_change(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    )
+
+
+def q_geomean_length(sf_dir: str) -> rd.Dataset:
+    """Per-lang geometric mean of doc length (exp of the mean log) —
+    log-sum partials, group-sorted accumulation, 6dp."""
+    from .functions.sketches import geomean_by_group
+
+    return geomean_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        ),
+        "lang",
+        "n_chars",
+    )
+
+
+def q_ship_latency(sf_dir: str) -> rd.Dataset:
+    """Order-to-ship latency percentiles per priority: one orderkey hash
+    join, integer day diffs, exact histogram quantile_cont (bounded
+    distinct day values — the shuffle never carries the measure)."""
+    import numpy as np
+
+    from .functions.joins import hash_join
+    from .functions.sketches import grouped_hist_quantiles
+
+    DAY_US = 86_400_000_000
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = hash_join(li, o, on="l_orderkey", right_on="o_orderkey")
+
+    def diff(batch: "pa.Table") -> "pa.Table":
+        d = (
+            batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+            - batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        ) // DAY_US
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "d_days": d.astype(np.int64),
+            }
+        )
+
+    return grouped_hist_quantiles(
+        joined.map_batches(diff, batch_format="pyarrow"),
+        "o_orderpriority",
+        "d_days",
+        qs=(0.5, 0.95),
+    )
+
+
+def q_dup_cluster_histogram(sf_dir: str) -> rd.Dataset:
+    """Exact-duplicate cluster-size histogram (dedup audit): md5-digest
+    count partials, digest-bucketed merge, tiny (size, n) reduce —
+    all-integer, text never shuffles."""
+    from .functions.dedup import dup_cluster_histogram
+
+    return dup_cluster_histogram(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1803,6 +1947,15 @@ def queries() -> dict:
     # 50-entry cap rotated out of r04.
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
+        "q_winsorized_value": q_winsorized_value,
+        "q_value_trend": q_value_trend,
+        "q_daily_pct_change": q_daily_pct_change,
+        "q_geomean_length": q_geomean_length,
+        "q_ship_latency": q_ship_latency,
+        "q_dup_cluster_histogram": q_dup_cluster_histogram,
+        "q_vocab_overlap": q_vocab_overlap,
+        "q_systematic_sample": q_systematic_sample,
+        "q_source_balance_chi2": q_source_balance_chi2,
         "q_texts_intersect": q_texts_intersect,
         "q_orders_cube": q_orders_cube,
         "q_first_digit": q_first_digit,
@@ -2999,5 +3152,92 @@ def _oracle_sql_base() -> dict:
             " CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT)"
             "  AS digit, count(*)::BIGINT AS n"
             " FROM documents WHERE n_chars > 0 GROUP BY source, digit"
+        ),
+        # exact quantile_cont cuts (the grouped_quantiles interpolation
+        # contract), then a clipped mean, 6dp
+        "q_winsorized_value": (
+            "WITH c AS (SELECT event_type,"
+            " quantile_cont(value, 0.05) AS lo,"
+            " quantile_cont(value, 0.95) AS hi"
+            " FROM events GROUP BY event_type)"
+            " SELECT e.event_type,"
+            " round(avg(greatest(c.lo, least(c.hi, e.value))), 6) AS wmean"
+            " FROM events e JOIN c ON e.event_type = c.event_type"
+            " GROUP BY e.event_type"
+        ),
+        # all-integer set-overlap math, one division per pair
+        "q_vocab_overlap": (
+            "WITH tok AS (SELECT source, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS t FROM documents),"
+            " st AS (SELECT DISTINCT source, t FROM tok),"
+            " n AS (SELECT source, count(*)::BIGINT AS n FROM st"
+            "  GROUP BY source),"
+            " co AS (SELECT a.source AS src_a, b.source AS src_b,"
+            "  count(*)::BIGINT AS co FROM st a JOIN st b"
+            "  ON a.t = b.t AND a.source < b.source GROUP BY 1, 2)"
+            " SELECT co.src_a, co.src_b,"
+            " round(co.co / (na.n + nb.n - co.co), 6) AS jaccard"
+            " FROM co JOIN n na ON na.source = co.src_a"
+            " JOIN n nb ON nb.source = co.src_b"
+        ),
+        "q_systematic_sample": (
+            "SELECT doc_id FROM documents QUALIFY"
+            " (row_number() OVER (ORDER BY"
+            "  md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1)"
+            " % 50 = 0"
+        ),
+        # x in days since epoch (matches the engine's x_scale)
+        "q_value_trend": (
+            "SELECT event_type,"
+            " round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,"
+            " round(regr_intercept(value, epoch(ts) / 86400.0), 6)"
+            "  AS intercept,"
+            " round(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2"
+            " FROM events GROUP BY event_type"
+        ),
+        "q_daily_pct_change": (
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " w AS (SELECT event_type, day, n, lag(n) OVER ("
+            " PARTITION BY event_type ORDER BY day) AS prev FROM d)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " round((n - prev) / (1.0 * prev), 6) AS pct_change"
+            " FROM w WHERE prev IS NOT NULL"
+        ),
+        "q_geomean_length": (
+            "SELECT lang, round(exp(avg(ln(n_chars))), 6) AS geomean"
+            " FROM documents WHERE n_chars > 0 GROUP BY lang"
+        ),
+        # dates are midnight-aligned, so integer epoch-day diff ==
+        # calendar date_diff
+        "q_ship_latency": (
+            "WITH j AS (SELECT o_orderpriority,"
+            " date_diff('day', o_orderdate, l_shipdate) AS d"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+            " SELECT o_orderpriority,"
+            " round(quantile_cont(d, 0.5), 6) AS q50,"
+            " round(quantile_cont(d, 0.95), 6) AS q95"
+            " FROM j GROUP BY o_orderpriority"
+        ),
+        "q_dup_cluster_histogram": (
+            "SELECT c AS cluster_size, count(*)::BIGINT AS n_clusters"
+            " FROM (SELECT count(*)::BIGINT AS c FROM documents"
+            " GROUP BY text) GROUP BY c"
+        ),
+        # e = ns*nl/N; sorted-lang accumulation on both engines
+        "q_source_balance_chi2": (
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS o"
+            " FROM documents GROUP BY source, lang),"
+            " s AS (SELECT source, sum(o)::BIGINT AS ns FROM c"
+            "  GROUP BY source),"
+            " l AS (SELECT lang, sum(o)::BIGINT AS nl FROM c"
+            "  GROUP BY lang),"
+            " t AS (SELECT sum(o)::BIGINT AS n FROM c),"
+            " grid AS (SELECT s.source, l.lang, s.ns, l.nl, t.n,"
+            "  coalesce(c.o, 0) AS o FROM s CROSS JOIN l CROSS JOIN t"
+            "  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang)"
+            " SELECT source, round(sum(pow(o - ns * nl / (1.0 * n), 2)"
+            "  / (ns * nl / (1.0 * n)) ORDER BY lang), 6) AS chi2"
+            " FROM grid GROUP BY source"
         ),
     }

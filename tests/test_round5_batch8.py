@@ -1,0 +1,174 @@
+"""Round-5 batch-8 operators pinned against brute-force references:
+per-group OLS regression, day-over-day percent change, geometric means,
+histogram quantile_cont, and the dup-cluster-size histogram."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+DAY_US = 86_400_000_000
+
+
+class TestRegrByGroup:
+    def test_matches_numpy_ols(self, ray_session):
+        from ocr_platform_ray.functions.relational import regr_by_group
+
+        rng = np.random.RandomState(3)
+        n = 900
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b"], n),
+                "x": rng.rand(n) * 10,
+                "y": None,
+            }
+        )
+        df["y"] = 2.5 * df["x"] - 1.0 + rng.randn(n) * 0.1
+        out = (
+            regr_by_group(rd.from_pandas(df).repartition(9), "g", "x", "y")
+            .to_pandas()
+            .set_index("g")
+        )
+        for g, sub in df.groupby("g"):
+            beta, icpt = np.polyfit(sub["x"], sub["y"], 1)
+            r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert out.loc[g, "slope"] == pytest.approx(beta, abs=1e-5)
+            assert out.loc[g, "intercept"] == pytest.approx(icpt, abs=1e-5)
+            assert out.loc[g, "r2"] == pytest.approx(r * r, abs=1e-5)
+
+    def test_constant_x_is_nan(self, ray_session):
+        from ocr_platform_ray.functions.relational import regr_by_group
+
+        df = pd.DataFrame({"g": ["a"] * 20, "x": 3.0, "y": np.arange(20.0)})
+        out = regr_by_group(rd.from_pandas(df), "g", "x", "y").to_pandas()
+        assert np.isnan(out.loc[0, "slope"])
+
+
+class TestDailyPctChange:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.events import daily_counts_pct_change
+
+        rng = np.random.RandomState(5)
+        n = 1500
+        df = pd.DataFrame(
+            {
+                "event_type": rng.choice(["v", "c"], n),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10 * DAY_US, n), unit="us"
+                ).astype("datetime64[us]"),
+            }
+        )
+        out = (
+            daily_counts_pct_change(rd.from_pandas(df).repartition(7))
+            .to_pandas()
+            .set_index(["event_type", "day"])
+        )
+        d = df.copy()
+        d["day_id"] = d["ts"].astype(np.int64) // DAY_US
+        cnt = d.groupby(["event_type", "day_id"]).size().rename("n").reset_index()
+        cnt = cnt.sort_values(["event_type", "day_id"])
+        cnt["prev"] = cnt.groupby("event_type")["n"].shift()
+        cnt = cnt[cnt["prev"].notna()]
+        assert len(out) == len(cnt)
+        for _, r in cnt.iterrows():
+            day = str(
+                np.int64(r["day_id"] * DAY_US).astype("datetime64[us]").astype(
+                    "datetime64[D]"
+                )
+            )
+            k = (r["event_type"], day)
+            assert out.loc[k, "n"] == r["n"]
+            assert out.loc[k, "pct_change"] == pytest.approx(
+                (r["n"] - r["prev"]) / r["prev"], abs=1e-6
+            )
+
+
+class TestGeomean:
+    def test_matches_bruteforce_and_drops_nonpositive(self, ray_session):
+        from ocr_platform_ray.functions.sketches import geomean_by_group
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "lang": rng.choice(["en", "fr"], 400),
+                "n_chars": rng.randint(-3, 500, 400).astype(np.int64),
+            }
+        )
+        out = (
+            geomean_by_group(
+                rd.from_pandas(df).repartition(9), "lang", "n_chars"
+            )
+            .to_pandas()
+            .set_index("lang")["geomean"]
+        )
+        for g, sub in df.groupby("lang"):
+            v = sub.loc[sub["n_chars"] > 0, "n_chars"].to_numpy(np.float64)
+            assert out[g] == pytest.approx(np.exp(np.log(v).mean()), abs=1e-5)
+
+
+class TestGroupedHistQuantiles:
+    def test_matches_quantile_cont(self, ray_session):
+        from ocr_platform_ray.functions.sketches import grouped_hist_quantiles
+
+        rng = np.random.RandomState(13)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 700),
+                "v": rng.randint(0, 40, 700).astype(np.int64),
+            }
+        )
+        out = (
+            grouped_hist_quantiles(
+                rd.from_pandas(df).repartition(9), "g", "v", qs=(0.5, 0.95)
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+
+        def qcont(x, q):
+            x = np.sort(np.asarray(x, np.float64))
+            pos = (len(x) - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            hi = min(lo + 1, len(x) - 1)
+            return x[lo] * (1 - frac) + x[hi] * frac
+
+        for g, sub in df.groupby("g"):
+            assert out.loc[g, "q50"] == pytest.approx(
+                qcont(sub["v"], 0.5), abs=1e-6
+            )
+            assert out.loc[g, "q95"] == pytest.approx(
+                qcont(sub["v"], 0.95), abs=1e-6
+            )
+
+    def test_guard_fires(self, ray_session):
+        from ocr_platform_ray.functions.sketches import grouped_hist_quantiles
+
+        df = pd.DataFrame(
+            {"g": ["a"] * 100, "v": np.arange(100, dtype=np.int64)}
+        )
+        with pytest.raises(ValueError, match="grouped_hist_quantiles"):
+            grouped_hist_quantiles(
+                rd.from_pandas(df).repartition(4), "g", "v", max_cells=10
+            )
+
+
+class TestDupClusterHistogram:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.dedup import dup_cluster_histogram
+
+        rng = np.random.RandomState(17)
+        texts = [f"text body {i}" for i in rng.randint(0, 60, 200)]
+        df = pd.DataFrame({"text": texts})
+        out = (
+            dup_cluster_histogram(rd.from_pandas(df).repartition(9))
+            .to_pandas()
+            .set_index("cluster_size")["n_clusters"]
+        )
+        sizes = pd.Series(texts).value_counts().value_counts()
+        assert len(out) == len(sizes)
+        for sz, n in sizes.items():
+            assert out[sz] == n
+        # conservation: sum(size * n_clusters) == corpus rows
+        assert (out.index.to_numpy() * out.to_numpy()).sum() == len(df)
