@@ -275,3 +275,98 @@ def length_island_components(
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def minhash_edit_verified_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.7,
+    min_sim: float = 0.4,
+    max_candidates: int = 200_000,
+) -> pa.Table:
+    """The LSH-then-verify composition: MinHash+LSH candidate pairs
+    (recall stage) re-scored with the EXACT byte-Levenshtein normalized
+    similarity (precision stage) — the standard two-stage near-dup
+    pipeline, here wiring the repo's two components together. Keeps
+    pairs with ``sim >= min_sim``; output (doc_a, doc_b, est_jaccard,
+    sim) sorted by (doc_a, doc_b).
+
+    Scale shape: candidates are LSH-capped (orders of magnitude smaller
+    than the corpus) and collect under a loud ``max_candidates`` guard;
+    the needed texts broadcast once via ray.put (the
+    verify_pairs_jaccard pattern), and the DP runs pair-axis-vectorized
+    per batch of pairs. Not SQL-expressible (LSH) -> golden-pinned."""
+    import ray
+
+    from . import round_half_away_np
+    from .dedup import minhash_dup_pairs
+
+    cands = (
+        minhash_dup_pairs(ds, threshold)
+        .select_columns(["doc_a", "doc_b", "est_jaccard"])
+        .take(max_candidates + 1)
+    )
+    if len(cands) > max_candidates:
+        raise ValueError(
+            f"minhash_edit_verified_pairs: > {max_candidates} LSH "
+            "candidates — raise max_candidates deliberately"
+        )
+    if not cands:
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    needed = sorted({r["doc_a"] for r in cands} | {r["doc_b"] for r in cands})
+
+    def collect(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(
+            batch.column("doc_id"), value_set=pa.array(needed)
+        )
+        return batch.filter(mask)
+
+    small = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(collect, batch_format="pyarrow")
+        .take_all()
+    )
+    lk_ref = ray.put(
+        {r["doc_id"]: r["text"].encode("utf-8") for r in small}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        lk = resolve_broadcast(lk_ref)
+        A = [lk[a] for a in batch.column("doc_a").to_pylist()]
+        B = [lk[b] for b in batch.column("doc_b").to_pylist()]
+        dist = levenshtein_bytes_block(A, B)
+        mx = np.maximum(
+            np.array([len(a) for a in A], np.int64),
+            np.array([len(b) for b in B], np.int64),
+        )
+        sim = np.where(mx > 0, 1.0 - dist / np.maximum(mx, 1), 1.0)
+        return batch.append_column(
+            "sim", pa.array(round_half_away_np(sim, 6), pa.float64())
+        )
+
+    pair_tbl = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([r["doc_a"] for r in cands], pa.int64()),
+            "doc_b": pa.array([r["doc_b"] for r in cands], pa.int64()),
+            "est_jaccard": pa.array(
+                [r["est_jaccard"] for r in cands], pa.float64()
+            ),
+        }
+    )
+    scored = (
+        rd.from_arrow(pair_tbl)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    scored = scored[scored["sim"] >= min_sim].sort_values(
+        ["doc_a", "doc_b"], kind="mergesort"
+    )
+    return pa.Table.from_pandas(scored, preserve_index=False)

@@ -1928,6 +1928,17 @@ def q_dup_cluster_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
+    """Two-stage near-dup pipeline composition: MinHash+LSH candidates
+    (recall) re-scored with exact byte-Levenshtein normalized similarity
+    (precision), keep sim >= 0.4. LSH -> not SQL; golden-pinned."""
+    from .functions.linkage import minhash_edit_verified_pairs
+
+    return minhash_edit_verified_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2031,6 +2042,7 @@ def queries() -> dict:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_video_frame_features": q_video_frame_features,
+        "q_minhash_edit_verified": q_minhash_edit_verified,
     # --- ~50-entry driver cap: everything below was driver-recorded in
     # r04 (and every oracle here is additionally swept locally at sf0.01
     # AND sf0.1 with tools/check_correctness.py each round).

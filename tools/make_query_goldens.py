@@ -48,6 +48,7 @@ GOLDEN_QUERIES = [
     "q_image_dups",
     "q_cms_token_counts",
     "q_compression_stats",
+    "q_minhash_edit_verified",
 ]
 
 
