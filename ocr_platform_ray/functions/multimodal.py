@@ -21,11 +21,13 @@ layout — is real and tested. Codecs:
   pinned against libjpeg-produced bytes. Being lossy, it is a codec
   seam for real-world corpora, not a bench-path payload format (the
   media table carries the lossless npy/png pair);
-- ``mp4``: REAL container demux + raw-frame decode — pure-stdlib
+- ``mp4``: REAL container demux + frame decode — pure-stdlib
   ISO/IEC 14496-12 box walk (``ocr_platform_ray.mp4codec``: general
   stsd/stts/stsc/stsz/stco|co64 sample-table parsing over any
   conforming mp4) with frames carried as the private raw-grayscale
-  ``gry8`` sample entry. COMPRESSED bitstreams (avc1/hev1/…) raise
+  ``gry8`` sample entry OR as Motion-JPEG (standard ``jpeg``/``mjpa``
+  entries, each sample an independent baseline JPEG decoded by
+  ``jpegcodec``). INTER-FRAME bitstreams (avc1/hev1/…) raise
   NotImplementedError naming the fourcc — bitstream decode needs
   ffmpeg and is the single remaining marked seam; the video PATH
   (mux -> demux -> :class:`FrameSample` -> features) runs end-to-end
@@ -124,13 +126,13 @@ def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
     if codec == "mp4":
         from ..mp4codec import decode_mp4
 
-        # raises NotImplementedError naming the fourcc for compressed
+        # raises NotImplementedError naming the fourcc for inter-frame
         # bitstreams (avc1/...) — the remaining marked seam
         return decode_mp4(payload)
     raise NotImplementedError(
         f"codec {codec!r} needs a media library not present in this "
         "environment; 'npy', 'png', 'jpeg', 'wav' and 'mp4' (raw-gray "
-        "samples) decode here (see module doc)"
+        "or Motion-JPEG samples) decode here (see module doc)"
     )
 
 

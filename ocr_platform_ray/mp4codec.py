@@ -11,12 +11,15 @@ Scope — an honest split of what is container vs codec:
   track's sample table (stsd/stts/stsc/stsz/stco|co64) and returns the
   per-sample byte ranges, timing and the sample-entry fourcc. That is
   everything a frame-sampling pipeline needs short of bitstream decode.
-- **Bitstream decode is NOT general**: compressed codecs (avc1/hev1/…)
-  need a real decoder; :func:`decode_mp4` decodes only the private
-  ``gry8`` sample entry written by :func:`mux_mp4` (raw 8-bit grayscale,
-  one sample per frame, VisualSampleEntry layout) and raises
-  NotImplementedError NAMING the fourcc for anything else — the single
-  remaining marked seam of the media layer.
+- **Bitstream decode covers intra-frame codecs only**: :func:`decode_mp4`
+  decodes the private ``gry8`` sample entry written by :func:`mux_mp4`
+  (raw 8-bit grayscale, one sample per frame, VisualSampleEntry layout)
+  AND Motion-JPEG tracks (``jpeg`` / ``mjpa`` sample entries — each
+  sample is an independent baseline JPEG, decoded by the repo's
+  pure-stdlib ``jpegcodec``; :func:`mux_mp4_mjpeg` writes them).
+  Inter-frame codecs (avc1/hev1/…) need a real decoder and raise
+  NotImplementedError NAMING the fourcc — the single remaining marked
+  seam of the media layer.
 
 The muxer writes spec-shaped boxes (ftyp/mdat/moov with a full
 trak/mdia/minf/stbl chain) so the demuxer is exercised against real
@@ -33,6 +36,10 @@ import numpy as np
 # private sample-entry fourcc: raw 8-bit grayscale frames, row-major
 RAW_GRAY_FOURCC = "gry8"
 
+# standard Photo-/Motion-JPEG sample entries (QuickTime File Format spec
+# "jpeg"; "mjpa" is MJPEG-A with an identical per-sample JPEG payload)
+MJPEG_FOURCCS = ("jpeg", "mjpa")
+
 _MVHD_MATRIX = (
     struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
 )
@@ -48,6 +55,21 @@ def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
 
 # ---------------------------------------------------------------------- mux
 
+def _sample_entry(fourcc: str, w: int, h: int, depth: int) -> bytes:
+    """VisualSampleEntry (ISO 14496-12 §12.1.3)."""
+    return _box(
+        fourcc.encode(),
+        b"\x00" * 6 + struct.pack(">H", 1)           # reserved, data_ref_index
+        + b"\x00" * 16                               # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                       # frame_count
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", depth, -1),             # depth, pre_defined
+    )
+
+
 def mux_mp4(frames: np.ndarray, fps: int = 12) -> bytes:
     """Mux raw grayscale frames — (n, h, w) uint8 — into an ISO BMFF file:
     one video track, one sample per frame, all samples in one chunk, the
@@ -61,9 +83,48 @@ def mux_mp4(frames: np.ndarray, fps: int = 12) -> bytes:
         raise ValueError("empty frame stack")
     if fps <= 0:
         raise ValueError("fps must be positive")
+    return _mux_samples(
+        [a[i].tobytes() for i in range(n)], w, h, fps,
+        _sample_entry(RAW_GRAY_FOURCC, w, h, 8),
+    )
 
+
+def mux_mp4_mjpeg(frames: np.ndarray, fps: int = 12,
+                  quality: int = 85) -> bytes:
+    """Motion-JPEG mux: each frame — (n, h, w) gray or (n, h, w, 3) RGB
+    uint8 — becomes an independent baseline-JPEG sample (the repo's
+    pure-stdlib encoder) under the standard ``jpeg`` sample entry, so
+    any Photo-JPEG-capable player demuxes the result and
+    :func:`decode_mp4` roundtrips it without a private fourcc."""
+    a = np.ascontiguousarray(frames)
+    if a.dtype != np.uint8 or a.ndim not in (3, 4) or (
+        a.ndim == 4 and a.shape[3] != 3
+    ):
+        raise ValueError(
+            f"mux_mp4_mjpeg needs (n,h,w)[,3] uint8, got {a.dtype} {a.shape}"
+        )
+    n, h, w = a.shape[:3]
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("empty frame stack")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    from .jpegcodec import encode_jpeg
+
+    samples = [encode_jpeg(a[i], quality=quality) for i in range(n)]
+    depth = 24 if a.ndim == 4 else 8
+    return _mux_samples(
+        samples, w, h, fps, _sample_entry("jpeg", w, h, depth)
+    )
+
+
+def _mux_samples(samples: list, w: int, h: int, fps: int,
+                 entry: bytes) -> bytes:
+    """Assemble the container: one video track, one sample per frame,
+    all samples in one chunk; uniform stsz when every sample has the
+    same size (the raw-gray layout), per-sample stsz otherwise."""
+    n = len(samples)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
-    mdat = _box(b"mdat", a.tobytes())
+    mdat = _box(b"mdat", b"".join(samples))
     mdat_payload_offset = len(ftyp) + 8  # first sample byte in the file
 
     mvhd = _full(
@@ -92,22 +153,17 @@ def mux_mp4(frames: np.ndarray, fps: int = 12) -> bytes:
         struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
     )
 
-    # VisualSampleEntry (ISO 14496-12 §12.1.3) under the private fourcc
-    entry = _box(
-        RAW_GRAY_FOURCC.encode(),
-        b"\x00" * 6 + struct.pack(">H", 1)           # reserved, data_ref_index
-        + b"\x00" * 16                               # pre_defined/reserved
-        + struct.pack(">HH", w, h)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)                       # frame_count
-        + b"\x00" * 32                               # compressorname
-        + struct.pack(">Hh", 8, -1),                 # depth 8-bit, pre_defined
-    )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
-    stsz = _full(b"stsz", 0, 0, struct.pack(">III", h * w, n, 0))
+    sizes = [len(s) for s in samples]
+    if len(set(sizes)) == 1:
+        stsz = _full(b"stsz", 0, 0, struct.pack(">III", sizes[0], n, 0))
+    else:
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+        )
     stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_payload_offset))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
@@ -291,20 +347,43 @@ def extract_samples(payload: bytes, track: dict) -> list[bytes]:
 
 
 def decode_mp4(payload: bytes) -> np.ndarray:
-    """Decode the first video track to (n, h, w) uint8. Only the private
-    raw-grayscale ``gry8`` sample entry decodes here; compressed codecs
-    raise loudly with their fourcc (bitstream decode needs ffmpeg — the
-    documented remaining media seam)."""
+    """Decode the first video track to (n, h, w) uint8. The private
+    raw-grayscale ``gry8`` entry and Motion-JPEG (``jpeg``/``mjpa``,
+    every sample an independent baseline JPEG) decode here; color MJPEG
+    samples reduce to BT.601 luma so the frame-stack contract stays
+    (n, h, w). Inter-frame codecs raise loudly with their fourcc
+    (bitstream decode needs ffmpeg — the documented remaining seam)."""
     info = demux_mp4(payload)
     vids = [t for t in info["tracks"] if t.get("fourcc")]
     if not vids:
         raise ValueError("mp4 has no sampled track")
     t = vids[0]
+    if t["fourcc"] in MJPEG_FOURCCS:
+        from .jpegcodec import decode_jpeg
+
+        frames = []
+        for i, raw in enumerate(extract_samples(payload, t)):
+            a = decode_jpeg(raw)
+            if a.ndim == 3:  # BT.601 luma, same coefficients the encoder uses
+                a = np.clip(
+                    np.round(
+                        0.299 * a[..., 0]
+                        + 0.587 * a[..., 1]
+                        + 0.114 * a[..., 2]
+                    ),
+                    0, 255,
+                ).astype(np.uint8)
+            frames.append(a)
+        shapes = {f.shape for f in frames}
+        if len(shapes) != 1:
+            raise ValueError(f"mjpeg samples disagree on dims: {shapes}")
+        return np.stack(frames)
     if t["fourcc"] != RAW_GRAY_FOURCC:
         raise NotImplementedError(
             f"mp4 sample entry {t['fourcc']!r} needs a bitstream decoder "
             "not present in this environment (container demux succeeded; "
-            f"only {RAW_GRAY_FOURCC!r} raw-grayscale decodes here)"
+            f"{RAW_GRAY_FOURCC!r} raw-grayscale and Motion-JPEG "
+            f"{MJPEG_FOURCCS} decode here)"
         )
     h, w = t["height"], t["width"]
     if h <= 0 or w <= 0:

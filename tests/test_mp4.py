@@ -194,3 +194,124 @@ class TestVideoPipeline:
         # frame 0 of each video is the unrolled base image; its features
         # must match decoding the mp4 directly
         assert (out["width"] > 0).all() and (out["height"] > 0).all()
+
+
+class TestMJPEG:
+    """Motion-JPEG tracks: standard 'jpeg' sample entries, each sample an
+    independent baseline JPEG decoded by the repo's jpegcodec."""
+
+    def test_gray_roundtrip_near_lossless(self):
+        from ocr_platform_ray.mp4codec import mux_mp4_mjpeg
+
+        # smooth gradient -> quality-95 jpeg is within a couple of levels
+        g = np.tile(np.linspace(0, 255, 32, dtype=np.uint8), (3, 24, 1))
+        payload = mux_mp4_mjpeg(g, fps=5, quality=95)
+        t = demux_mp4(payload)["tracks"][0]
+        assert t["fourcc"] == "jpeg"
+        # every sample is a self-contained JPEG (SOI..EOI)
+        for raw in extract_samples(payload, t):
+            assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        dec = decode_mp4(payload)
+        assert dec.shape == g.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+    def test_color_samples_reduce_to_bt601_luma(self):
+        from ocr_platform_ray.mp4codec import mux_mp4_mjpeg
+
+        c = np.zeros((2, 16, 16, 3), np.uint8)
+        c[..., 0], c[..., 1], c[..., 2] = 200, 100, 50
+        dec = decode_mp4(mux_mp4_mjpeg(c, quality=95))
+        assert dec.shape == (2, 16, 16)
+        luma = round(0.299 * 200 + 0.587 * 100 + 0.114 * 50)
+        assert abs(dec.astype(int).mean() - luma) <= 2
+
+    def test_variable_sample_sizes_use_per_sample_stsz(self):
+        from ocr_platform_ray.mp4codec import mux_mp4_mjpeg
+
+        rng = np.random.default_rng(11)
+        # one flat frame + one noisy frame -> different jpeg sizes
+        f = np.stack([
+            np.full((16, 16), 128, np.uint8),
+            rng.integers(0, 256, size=(16, 16), dtype=np.uint8),
+        ])
+        t = demux_mp4(mux_mp4_mjpeg(f, quality=85))["tracks"][0]
+        sizes = t["sample_sizes"].tolist()
+        assert len(sizes) == 2 and sizes[0] != sizes[1]
+
+    def test_hand_assembled_container_with_libjpeg_sample(self):
+        """Interop both ways: container assembled HERE (independent byte
+        layout) around a real libjpeg-produced sample — decode_mp4 must
+        equal the luma of decoding that fixture directly."""
+        import os
+
+        from ocr_platform_ray.jpegcodec import decode_jpeg
+
+        path = os.path.join(os.path.dirname(__file__), "goldens",
+                            "flower_of_life.jpg")
+        jpg = open(path, "rb").read()
+        ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+        mdat = _box(b"mdat", jpg)
+        off = len(ftyp) + 8
+        stsd = _full(
+            b"stsd",
+            struct.pack(">I", 1)
+            + _box(
+                b"jpeg",
+                b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", 161, 161) + b"\x00" * 46,
+            ),
+        )
+        stts = _full(b"stts", struct.pack(">III", 1, 1, 1))
+        stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+        stsz = _full(b"stsz", struct.pack(">III", len(jpg), 1, 0))
+        stco = _full(b"stco", struct.pack(">II", 1, off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+        mdia = _box(b"mdia", hdlr + minf)
+        tkhd = _full(
+            b"tkhd",
+            struct.pack(">IIIII", 0, 0, 1, 0, 1) + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0) + b"\x00" * 36
+            + struct.pack(">II", 161 << 16, 161 << 16),
+        )
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _full(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, 12, 1)
+            + struct.pack(">iHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+            + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        payload = ftyp + mdat + _box(b"moov", mvhd + trak)
+
+        dec = decode_mp4(payload)
+        ref = decode_jpeg(jpg).astype(np.float64)
+        luma = np.clip(
+            np.round(
+                0.299 * ref[..., 0] + 0.587 * ref[..., 1]
+                + 0.114 * ref[..., 2]
+            ),
+            0, 255,
+        ).astype(np.uint8)
+        assert dec.shape == (1, 161, 161)
+        assert np.array_equal(dec[0], luma)
+
+    def test_mjpeg_mux_validates_input(self):
+        from ocr_platform_ray.mp4codec import mux_mp4_mjpeg
+
+        with pytest.raises(ValueError, match="uint8"):
+            mux_mp4_mjpeg(np.zeros((2, 4, 4), np.float32))
+        with pytest.raises(ValueError, match="uint8"):
+            mux_mp4_mjpeg(np.zeros((2, 4, 4, 2), np.uint8))
+        with pytest.raises(ValueError, match="empty"):
+            mux_mp4_mjpeg(np.zeros((0, 4, 4), np.uint8))
+
+    def test_mjpeg_through_media_decode_stage(self):
+        """The multimodal _decode_payload mp4 branch handles an mjpeg
+        track transparently (first-frame features downstream)."""
+        from ocr_platform_ray.functions.multimodal import _decode_payload
+        from ocr_platform_ray.mp4codec import mux_mp4_mjpeg
+
+        g = np.tile(np.linspace(0, 255, 16, dtype=np.uint8), (2, 12, 1))
+        arr = _decode_payload("mp4", mux_mp4_mjpeg(g, quality=95))
+        assert arr.shape == (2, 12, 16)
