@@ -381,15 +381,26 @@ def audio_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128)
 
 
-def video_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Dataset:
+def video_table_from_documents(sf_dir: str, limit: int | None = None,
+                               codec: str = "gry8") -> rd.Dataset:
     """Binary VIDEO media table: one mp4 payload per document with a real
     ISO BMFF container (``mp4codec.mux_mp4``). Frames are deterministic:
     the doc's first rendered image span, horizontally rolled per frame
     index (2-4 frames keyed by doc id) — same no-external-data contract
-    as the image/audio tables, but the payload is a true mp4."""
+    as the image/audio tables, but the payload is a true mp4.
+    ``codec='mjpeg'`` muxes the same frames as Motion-JPEG samples
+    (``mux_mp4_mjpeg``, quality 90) instead of raw grayscale — the
+    standard-fourcc, lossy codec-seam variant."""
     from .. import media as media_mod
     from ..corpus import spans_from_document
-    from ..mp4codec import mux_mp4
+    from ..mp4codec import mux_mp4, mux_mp4_mjpeg
+
+    if codec not in ("gry8", "mjpeg"):
+        raise ValueError(f"codec must be 'gry8' or 'mjpeg', got {codec!r}")
+    mux = (
+        mux_mp4 if codec == "gry8"
+        else lambda clip, fps: mux_mp4_mjpeg(clip, fps=fps, quality=90)
+    )
 
     def build(batch: pa.Table) -> pa.Table:
         rows = {"media_id": [], "kind": [], "codec": [], "payload": [], "meta": []}
@@ -408,7 +419,7 @@ def video_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
             rows["media_id"].append(f"video-{int(d):08d}")
             rows["kind"].append("video")
             rows["codec"].append("mp4")
-            rows["payload"].append(mux_mp4(clip, fps=12))
+            rows["payload"].append(mux(clip, fps=12))
             rows["meta"].append(
                 {
                     "width": base.shape[1],
@@ -430,7 +441,7 @@ def video_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
 
 
 def video_frame_features(sf_dir: str, every_k: int = 2,
-                         limit: int = 256) -> rd.Dataset:
+                         limit: int = 256, codec: str = "gry8") -> rd.Dataset:
     """Video pipeline: mp4 table -> demux + frame-sample every k-th frame
     -> per-frame image features. Capped at ``limit`` docs by design (the
     mp4 table is a codec-seam validation path like the jpeg one; the
@@ -443,7 +454,7 @@ def video_frame_features(sf_dir: str, every_k: int = 2,
     # MediaDecodeFeatures holding 4/4 CPUs, 1 task queued forever), so
     # both pools run at half a CPU — demux/feature kernels are cheap and
     # the path is capped at `limit` docs, so oversubscription is moot
-    ds = video_table_from_documents(sf_dir, limit=limit)
+    ds = video_table_from_documents(sf_dir, limit=limit, codec=codec)
     frames = ds.map_batches(
         FrameSample,
         batch_format="pyarrow",

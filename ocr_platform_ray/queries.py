@@ -1290,6 +1290,18 @@ def q_video_frame_features(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------- extraction (non-SQL ops)
 
+def q_video_frame_features_mjpeg(sf_dir: str) -> rd.Dataset:
+    """Motion-JPEG variant of the video pipeline: mp4 payloads carry
+    standard 'jpeg' sample entries (per-sample baseline JPEG, per-sample
+    stsz) instead of the private raw-gray fourcc — same demux ->
+    FrameSample -> features path, capped smaller because the sequential
+    entropy coder makes mjpeg a codec/interop seam, not a throughput
+    payload. Not SQL-expressible -> golden-pinned."""
+    from .functions import multimodal
+
+    return multimodal.video_frame_features(sf_dir, limit=96, codec="mjpeg")
+
+
 def q_extract_flagship(sf_dir: str) -> rd.Dataset:
     """The flagship interleaved-extraction pipeline over the corpus derived
     from the documents table (rows-only driver check; the real conformance
@@ -2042,6 +2054,7 @@ def queries() -> dict:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_video_frame_features": q_video_frame_features,
+        "q_video_frame_features_mjpeg": q_video_frame_features_mjpeg,
         "q_minhash_edit_verified": q_minhash_edit_verified,
     # --- ~50-entry driver cap: everything below was driver-recorded in
     # r04 (and every oracle here is additionally swept locally at sf0.01

@@ -49,6 +49,7 @@ GOLDEN_QUERIES = [
     "q_cms_token_counts",
     "q_compression_stats",
     "q_minhash_edit_verified",
+    "q_video_frame_features_mjpeg",
 ]
 
 
