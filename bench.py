@@ -217,6 +217,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_dup_cluster_histogram", q.q_dup_cluster_histogram),
         ("q_minhash_edit_verified", q.q_minhash_edit_verified),
         ("q_video_frame_features_mjpeg", q.q_video_frame_features_mjpeg),
+        ("q_value_shape", q.q_value_shape),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

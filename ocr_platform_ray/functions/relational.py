@@ -634,6 +634,127 @@ def corr_by_group(
     )
 
 
+def shape_moments_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Per-group sample skewness and excess kurtosis — the distribution-
+    shape diagnostic (is this source's value distribution heavy-tailed?
+    did a pipeline change skew a feature?) with the bias corrections
+    DuckDB's ``skewness()`` / ``kurtosis()`` apply (Fisher g1/g2
+    adjusted: n/((n-1)(n-2))·M3/s³ and the (n-2)(n-3)-corrected M4
+    form).
+
+    Same two-streamed-pass scheme as :func:`corr_by_group`: pass 1
+    collects per-group means under the loud ``max_groups`` guard and
+    broadcasts them; pass 2 accumulates CENTERED power sums per batch
+    (n, Σd, Σd², Σd³, Σd⁴ with d = x − m̂) — centering keeps the 3rd/4th
+    powers near zero so float64 carries them exactly where raw Σx⁴
+    would lose digits — and the merge re-centers algebraically at the
+    true mean (δ = Σd/n):  M2 = Σd² − nδ²,  M3 = Σd³ − 3δΣd² + 2nδ³,
+    M4 = Σd⁴ − 4δΣd³ + 6δ²Σd² − 3nδ⁴. NULL contract matches DuckDB:
+    skewness needs n ≥ 3, kurtosis n ≥ 4, both need nonzero variance."""
+    import numpy as np
+    import ray
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "x": batch.column(value_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def mean_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [g["g"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sx": [float(g["sx"].sum())],
+            }
+        )
+
+    cols = ds.select_columns([group_col, value_col])
+    rows = (
+        cols.map_batches(mean_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(mean_merge, batch_format="pandas")
+        .take(max_groups + 1)
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"shape_moments_by_group: > {max_groups} groups — raise "
+            "max_groups deliberately or pre-filter"
+        )
+    keys = np.array(sorted(r["g"] for r in rows))
+    by = {r["g"]: r for r in rows}
+    means = np.array([by[k]["sx"] / by[k]["n"] for k in keys])
+    means_ref = ray.put((keys, means))
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        k, m = resolve_broadcast(means_ref)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(
+            k.dtype
+        )
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = x - m[np.searchsorted(k, g)]
+        d2 = d * d
+        df = pd.DataFrame(
+            {"g": g, "d": d, "d2": d2, "d3": d2 * d, "d4": d2 * d2}
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("d", "size"), sd=("d", "sum"), s2=("d2", "sum"),
+            s3=("d3", "sum"), s4=("d4", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def moment_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["g", "s2"], kind="mergesort")
+        n = int(g["n"].sum())
+        sd = float(g["sd"].sum())
+        s2, s3, s4 = (float(g[c].sum()) for c in ("s2", "s3", "s4"))
+        delta = sd / n
+        m2 = s2 - n * delta * delta
+        m3 = s3 - 3.0 * delta * s2 + 2.0 * n * delta**3
+        m4 = s4 - 4.0 * delta * s3 + 6.0 * delta * delta * s2 - 3.0 * n * delta**4
+        var = m2 / (n - 1) if n > 1 else 0.0
+        skew = (
+            round_half_away(
+                n / ((n - 1.0) * (n - 2.0)) * m3 / var**1.5, 6
+            )
+            if n >= 3 and var > 0
+            else float("nan")
+        )
+        kurt = (
+            round_half_away(
+                n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+                * m4 / (var * var)
+                - 3.0 * (n - 1.0) ** 2 / ((n - 2.0) * (n - 3.0)),
+                6,
+            )
+            if n >= 4 and var > 0
+            else float("nan")
+        )
+        return pd.DataFrame(
+            {group_col: [g["g"].iloc[0]], "skew": [skew], "kurt": [kurt]}
+        )
+
+    return (
+        cols.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(moment_merge, batch_format="pandas")
+    )
+
+
 def rollup_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
     """GROUP BY ROLLUP(year, priority) over orders — the hierarchy-
     subtotal report (leaf rows + per-year subtotals + grand total) in ONE

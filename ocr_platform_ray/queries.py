@@ -1940,6 +1940,21 @@ def q_dup_cluster_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_value_shape(sf_dir: str) -> rd.Dataset:
+    """Per-event-type sample skewness + excess kurtosis of value — the
+    distribution-shape drift monitor, DuckDB-bias-corrected (Fisher
+    g1/g2), via two streamed passes of mergeable centered power sums."""
+    from .functions.relational import shape_moments_by_group
+
+    return shape_moments_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "event_type",
+        "value",
+    )
+
+
 def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
     """Two-stage near-dup pipeline composition: MinHash+LSH candidates
     (recall) re-scored with exact byte-Levenshtein normalized similarity
@@ -1976,6 +1991,7 @@ def queries() -> dict:
         "q_geomean_length": q_geomean_length,
         "q_ship_latency": q_ship_latency,
         "q_dup_cluster_histogram": q_dup_cluster_histogram,
+        "q_value_shape": q_value_shape,
         "q_vocab_overlap": q_vocab_overlap,
         "q_systematic_sample": q_systematic_sample,
         "q_source_balance_chi2": q_source_balance_chi2,
@@ -3004,6 +3020,11 @@ def _oracle_sql_base() -> dict:
             "SELECT l_returnflag,"
             " round(corr(l_quantity, l_extendedprice), 6) AS corr_xy"
             " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_value_shape": (
+            "SELECT event_type, round(skewness(value), 6) AS skew,"
+            " round(kurtosis(value), 6) AS kurt"
+            " FROM events GROUP BY event_type"
         ),
         "q_length_outliers": (
             "WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med"

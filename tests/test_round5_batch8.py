@@ -172,3 +172,83 @@ class TestDupClusterHistogram:
             assert out[sz] == n
         # conservation: sum(size * n_clusters) == corpus rows
         assert (out.index.to_numpy() * out.to_numpy()).sum() == len(df)
+
+
+class TestShapeMoments:
+    """shape_moments_by_group: DuckDB-bias-corrected skewness/kurtosis
+    from mergeable centered power sums (q_value_shape exact oracle)."""
+
+    def test_matches_scipy_style_reference(self, ray_session):
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import shape_moments_by_group
+
+        rng = np.random.RandomState(7)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                # large offset + heavy tail: the regime the centered
+                # power sums exist for
+                "x": np.exp(rng.randn(n)) * 10 + 1e6,
+            }
+        )
+        out = (
+            shape_moments_by_group(rd.from_pandas(df).repartition(11), "g", "x")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+        def ref(d):
+            x = d.to_numpy(float)
+            nn, m = len(x), x.mean()
+            e = x - m
+            M2, M3, M4 = (e**2).sum(), (e**3).sum(), (e**4).sum()
+            var = M2 / (nn - 1)
+            g1 = nn / ((nn - 1) * (nn - 2)) * M3 / var**1.5
+            g2 = (
+                nn * (nn + 1) / ((nn - 1) * (nn - 2) * (nn - 3)) * M4 / var**2
+                - 3 * (nn - 1) ** 2 / ((nn - 2) * (nn - 3))
+            )
+            return g1, g2
+
+        for _, row in out.iterrows():
+            g1, g2 = ref(df.loc[df.g == row["g"], "x"])
+            assert abs(row["skew"] - g1) < 2e-6
+            assert abs(row["kurt"] - g2) < 2e-6
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import shape_moments_by_group
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {"g": rng.choice(["u", "v"], 500), "x": rng.rand(500) * 9}
+        )
+        a = (
+            shape_moments_by_group(rd.from_pandas(df).repartition(2), "g", "x")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        b = (
+            shape_moments_by_group(rd.from_pandas(df).repartition(17), "g", "x")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_null_contract_matches_duckdb(self, ray_session):
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import shape_moments_by_group
+
+        df = pd.DataFrame(
+            {
+                "g": ["two"] * 2 + ["three"] * 3 + ["flat"] * 5,
+                "x": [1.0, 2.0] + [1.0, 2.0, 4.0] + [5.0] * 5,
+            }
+        )
+        out = shape_moments_by_group(rd.from_pandas(df), "g", "x").to_pandas()
+        r = out.set_index("g")
+        # n=2 -> both NULL; n=3 -> skew defined, kurt NULL; zero variance -> both NULL
+        assert np.isnan(r.loc["two", "skew"]) and np.isnan(r.loc["two", "kurt"])
+        assert not np.isnan(r.loc["three", "skew"])
+        assert np.isnan(r.loc["three", "kurt"])
+        assert np.isnan(r.loc["flat", "skew"]) and np.isnan(r.loc["flat", "kurt"])
