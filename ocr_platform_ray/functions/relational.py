@@ -755,6 +755,97 @@ def shape_moments_by_group(
     )
 
 
+def ntile_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 4,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Exact SQL ``NTILE(k) OVER (PARTITION BY g ORDER BY v, id)`` —
+    the rank-based equal-population bucketing (quartile labels for
+    curriculum mixing, tier assignment) — WITHOUT a global sort.
+
+    DuckDB's fill rule is matched exactly: with n rows and q = n//k,
+    r = n%k, the first r tiles hold q+1 rows, the rest q (verified
+    against ntile() directly; n < k degenerates to tile = rank+1).
+
+    Distributed shape: pass 1 collects per-(g, v) counts — per-batch
+    pre-aggregated, so the shuffle carries |groups x distinct v| rows
+    per batch, and the merged table lands on the driver under the loud
+    ``max_cells`` guard (the pivot/rollup bounded-driver-state trade:
+    an integer order column has bounded cardinality; for an unbounded
+    float measure, quantile-bucket it first). The driver derives each
+    tie-group's exclusive prefix offset within its group and broadcasts
+    one small frame via ray.put. Pass 2 is ONE coarse-bucketed pass
+    over (g, v) tie-groups (``bucketed_group_apply``): rank within the
+    tie by id (deterministic total order), add the broadcast offset,
+    and apply the fill rule vectorized."""
+    import numpy as np
+    import ray
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select([group_col, order_col]))
+            .group_by([group_col, order_col])
+            .len()
+            .rename({"len": "n"})
+            .to_arrow()
+        )
+
+    cols = ds.select_columns([group_col, order_col, id_col])
+    parts = (
+        cols.map_batches(cnt, batch_format="pyarrow")
+        .take(max_cells + 1)
+    )
+    if len(parts) > max_cells:
+        raise ValueError(
+            f"ntile_by_group: > {max_cells} (group, order-value) cells — "
+            "quantile-bucket the order column first or raise max_cells"
+        )
+    cells = (
+        pd.DataFrame(parts)
+        .groupby([group_col, order_col], as_index=False)["n"]
+        .sum()
+        .sort_values([group_col, order_col], kind="mergesort")
+    )
+    grp = cells.groupby(group_col)["n"]
+    cells["off"] = grp.cumsum() - cells["n"]
+    n_by_g = grp.sum().to_dict()
+    ref = ray.put((cells[[group_col, order_col, "off"]], n_by_g))
+
+    def assign(bucket: pd.DataFrame) -> pd.DataFrame:
+        off_df, totals = resolve_broadcast(ref)
+        d = bucket.merge(off_df, on=[group_col, order_col], how="left")
+        d = d.sort_values(
+            [group_col, order_col, id_col], kind="mergesort"
+        )
+        pos = (
+            d["off"].to_numpy(np.int64)
+            + d.groupby([group_col, order_col]).cumcount().to_numpy()
+        )
+        n = d[group_col].map(totals).to_numpy(np.int64)
+        q, r = n // k, n % k
+        big = pos < r * (q + 1)
+        tile = np.where(
+            big,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - r * (q + 1)) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(),
+                group_col: d[group_col].to_numpy(),
+                "tile": tile.astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(cols, [group_col, order_col], assign)
+
+
 def rollup_orders(ds: rd.Dataset, max_leaves: int = 100_000) -> rd.Dataset:
     """GROUP BY ROLLUP(year, priority) over orders — the hierarchy-
     subtotal report (leaf rows + per-year subtotals + grand total) in ONE

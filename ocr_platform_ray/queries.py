@@ -1955,6 +1955,24 @@ def q_value_shape(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_doc_ntiles(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) quartile label per document within its language, ordered
+    by (n_chars, doc_id) — exact SQL window semantics, distributed via
+    per-(lang, n_chars) count offsets + one coarse-bucketed tie pass."""
+    from .functions.relational import ntile_by_group
+
+    return ntile_by_group(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        ),
+        "lang",
+        "n_chars",
+        "doc_id",
+        k=4,
+    )
+
+
 def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
     """Two-stage near-dup pipeline composition: MinHash+LSH candidates
     (recall) re-scored with exact byte-Levenshtein normalized similarity
@@ -1992,6 +2010,7 @@ def queries() -> dict:
         "q_ship_latency": q_ship_latency,
         "q_dup_cluster_histogram": q_dup_cluster_histogram,
         "q_value_shape": q_value_shape,
+        "q_doc_ntiles": q_doc_ntiles,
         "q_vocab_overlap": q_vocab_overlap,
         "q_systematic_sample": q_systematic_sample,
         "q_source_balance_chi2": q_source_balance_chi2,
@@ -3025,6 +3044,11 @@ def _oracle_sql_base() -> dict:
             "SELECT event_type, round(skewness(value), 6) AS skew,"
             " round(kurtosis(value), 6) AS kurt"
             " FROM events GROUP BY event_type"
+        ),
+        "q_doc_ntiles": (
+            "SELECT doc_id, lang,"
+            " ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)"
+            " AS tile FROM documents"
         ),
         "q_length_outliers": (
             "WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med"

@@ -252,3 +252,57 @@ class TestShapeMoments:
         assert not np.isnan(r.loc["three", "skew"])
         assert np.isnan(r.loc["three", "kurt"])
         assert np.isnan(r.loc["flat", "skew"]) and np.isnan(r.loc["flat", "kurt"])
+
+
+class TestNtileByGroup:
+    """ntile_by_group: DuckDB NTILE fill rule (first n%k tiles get one
+    extra row), deterministic (v, id) total order, no global sort."""
+
+    def test_matches_duckdb_ntile(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import ntile_by_group
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 700),
+                "v": rng.randint(0, 40, 700),
+                "id": np.arange(700),
+            }
+        )
+        out = (
+            ntile_by_group(rd.from_pandas(df).repartition(9), "g", "v", "id", k=5)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        ref = duckdb.sql(
+            "SELECT id, g, ntile(5) OVER (PARTITION BY g ORDER BY v, id)"
+            " AS tile FROM df ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[["id", "g", "tile"]].astype({"tile": "int64"}),
+            ref.astype({"tile": "int64"}),
+        )
+
+    def test_fewer_rows_than_tiles(self, ray_session):
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import ntile_by_group
+
+        df = pd.DataFrame({"g": ["x"] * 3, "v": [9, 7, 8], "id": [1, 2, 3]})
+        out = (
+            ntile_by_group(rd.from_pandas(df), "g", "v", "id", k=10)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        # rank order is by v: id2 (v=7) -> tile 1, id3 (v=8) -> 2,
+        # id1 (v=9) -> 3
+        assert out["tile"].tolist() == [3, 1, 2]
+
+    def test_cell_guard_raises(self, ray_session):
+        import ray.data as rd
+        from ocr_platform_ray.functions.relational import ntile_by_group
+
+        df = pd.DataFrame({"g": ["a"] * 50, "v": np.arange(50), "id": np.arange(50)})
+        with pytest.raises(ValueError, match="cells"):
+            ntile_by_group(
+                rd.from_pandas(df), "g", "v", "id", k=4, max_cells=10
+            ).to_pandas()
