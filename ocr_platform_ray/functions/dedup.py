@@ -2083,3 +2083,195 @@ def dup_cluster_histogram(ds: rd.Dataset) -> rd.Dataset:
         return agg
 
     return bucketed_group_apply(sizes, "cluster_size", final)
+
+
+# --------------------------------------------- Bloom-gated incremental dedup
+
+def _bloom_positions(texts, m_bits: int, n_probes: int) -> np.ndarray:
+    """(n, n_probes) uint64 Bloom probe positions per text, via double
+    hashing h1 + i*h2 over two independent 64-bit halves of the PINNED
+    md5 digest (version-stable across worker processes, unlike polars'
+    Series.hash — the decontaminate-shard lesson applies doubly here: a
+    seen/new hash mismatch would silently turn duplicates into "novel").
+    h2 is forced odd so for power-of-two m the probe stride never
+    collapses onto one position."""
+    from ..md5np import md5_u32x4
+
+    w = md5_u32x4(texts).astype(np.uint64)
+    h1 = (w[:, 0] << np.uint64(32)) | w[:, 1]
+    h2 = ((w[:, 2] << np.uint64(32)) | w[:, 3]) | np.uint64(1)
+    i = np.arange(n_probes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _digest128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 halves of the full 128-bit md5 digest — the exact
+    identity key used by the verify pass (the dup_cluster_histogram
+    digest-identity contract: a full-width md5 collision, not a Bloom
+    collision, is the only way two distinct texts merge)."""
+    from ..md5np import md5_u32x4
+
+    w = md5_u32x4(texts).astype(np.uint64)
+    return (w[:, 0] << np.uint64(32)) | w[:, 1], (w[:, 2] << np.uint64(32)) | w[:, 3]
+
+
+def _pack128(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Pack (hi, lo) uint64 pairs into lexicographically sortable 16-byte
+    void scalars (big-endian), so 128-bit membership tests run as ONE
+    vectorized searchsorted instead of a Python set loop per row."""
+    a = np.empty((len(hi), 2), dtype=">u8")
+    a[:, 0] = hi
+    a[:, 1] = lo
+    return np.ascontiguousarray(a).view("V16").ravel()
+
+
+def _member128(packed: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Vectorized membership of packed 128-bit keys in a sorted packed set."""
+    if len(sorted_set) == 0:
+        return np.zeros(len(packed), dtype=bool)
+    idx = np.searchsorted(sorted_set, packed)
+    ok = idx < len(sorted_set)
+    ok[ok] = sorted_set[idx[ok]] == packed[ok]
+    return ok
+
+
+def bloom_novel_docs(
+    ds_new: rd.Dataset,
+    ds_seen: rd.Dataset,
+    m_bits: int = 1 << 23,
+    n_probes: int = 7,
+    max_candidates: int = 2_000_000,
+) -> rd.Dataset:
+    """Incremental exact dedup of a NEW batch against an already-ingested
+    SEEN corpus: returns the (doc_id) rows of ``ds_new`` whose text does
+    not appear anywhere in ``ds_seen`` — SQL ``SELECT d.doc_id FROM new d
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = d.text)`` —
+    with EXACT semantics (the Bloom filter only prunes; every positive is
+    re-verified against the seen corpus by full 128-bit digest).
+
+    This is the 10^12-document ingest pattern (reference analogue: the
+    job-resume manifest anti-join, checkpoint.py, generalized from
+    doc_ids to content): a fixed-size bit array stands in for the
+    unboundedly large seen-key set, so the steady-state cost of "is this
+    document new?" is one broadcast-bitmap probe per row with NO join and
+    NO shuffle. Four streamed passes, zero all-to-all:
+
+      1. seen -> Bloom bitmap: per-batch UNIQUE probe positions (the
+         combiner; positions are ≤ n_probes x rows uint64s, far smaller
+         than shipping per-batch 1 MiB bitmaps), compacted to
+         shuffle_blocks() blocks, OR'd into one bitmap per block, final
+         OR on the driver (bounded: shuffle_blocks() x m_bits/8 bytes).
+      2. new -> candidate digests: probe the ray.put-broadcast bitmap;
+         rows with any probe bit clear are DEFINITELY novel. The
+         all-bits-set survivors (true dups + the m/n-tunable false
+         positives) are collected under the loud ``max_candidates``
+         driver guard — at 10 bits/key the FP mass is ~1% of |new|.
+      3. seen -> matched digests: re-stream seen (the decontaminate
+         re-stream trade: scan twice rather than materialize a 100 TB
+         text column), keeping only digests in the broadcast candidate
+         set — one vectorized searchsorted per batch.
+      4. new -> novel doc_ids: candidates whose digest did NOT match any
+         seen row are novel after all (Bloom false positives), emitted
+         together with the step-2 definite-novels in one final pass.
+
+    At two cluster sizes the whole operator scales like a map: every
+    pass is an embarrassingly parallel scan against broadcast state
+    (bitmap / sorted digest arrays), so throughput follows CPU count
+    with no shuffle barrier anywhere.
+    """
+    import ray
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+
+    # ---- pass 1: seen -> bitmap ------------------------------------
+    def seen_positions(batch: pa.Table) -> pa.Table:
+        pos = _bloom_positions(batch.column("text"), m_bits, n_probes)
+        return pa.Table.from_pydict({"p": np.unique(pos)})
+
+    def or_block(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        pos = batch.column("p").to_numpy()
+        np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+        return pa.Table.from_pydict({"bm": [words.tobytes()]})
+
+    bm_rows = (
+        ds_seen.select_columns(["text"])
+        .map_batches(seen_positions, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .map_batches(or_block, batch_format="pyarrow")
+        .take_all()
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in bm_rows:
+        words |= np.frombuffer(r["bm"], dtype=np.uint64)
+    bm_ref = ray.put(words)
+
+    # ---- pass 2: new -> candidate digests --------------------------
+    def candidates(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        bm = resolve_broadcast(bm_ref)
+        pos = _bloom_positions(batch.column("text"), m_bits, n_probes)
+        hit = ((bm[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)).all(axis=1)
+        hi, lo = _digest128(batch.column("text"))
+        return pa.Table.from_pydict({"hi": hi[hit], "lo": lo[hit]})
+
+    cand = (
+        ds_new.select_columns(["text"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .take_all()
+    )
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"bloom_novel_docs: {len(cand)} candidates exceed max_candidates="
+            f"{max_candidates}; raise m_bits (lower FP rate) or the cap"
+        )
+    cand_set = np.sort(
+        np.unique(
+            _pack128(
+                np.array([r["hi"] for r in cand], dtype=np.uint64),
+                np.array([r["lo"] for r in cand], dtype=np.uint64),
+            )
+        )
+    )
+    cand_ref = ray.put(cand_set)
+
+    # ---- pass 3: seen -> digests that really exist ------------------
+    def matched(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        cs = resolve_broadcast(cand_ref)
+        hi, lo = _digest128(batch.column("text"))
+        keep = _member128(_pack128(hi, lo), cs)
+        return pa.Table.from_pydict({"hi": hi[keep], "lo": lo[keep]})
+
+    dup_rows = (
+        ds_seen.select_columns(["text"])
+        .map_batches(matched, batch_format="pyarrow")
+        .take_all()
+    )
+    dup_set = np.sort(
+        np.unique(
+            _pack128(
+                np.array([r["hi"] for r in dup_rows], dtype=np.uint64),
+                np.array([r["lo"] for r in dup_rows], dtype=np.uint64),
+            )
+        )
+    )
+    dup_ref = ray.put(dup_set)
+
+    # ---- pass 4: new -> novel doc_ids --------------------------------
+    def novel(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        ds_ = resolve_broadcast(dup_ref)
+        hi, lo = _digest128(batch.column("text"))
+        keep = ~_member128(_pack128(hi, lo), ds_)
+        return pa.Table.from_pydict({"doc_id": batch.column("doc_id").to_numpy()[keep]})
+
+    return ds_new.select_columns(["doc_id", "text"]).map_batches(
+        novel, batch_format="pyarrow"
+    )

@@ -1239,6 +1239,27 @@ def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
     return dedup.minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), threshold=0.85)
 
 
+def q_bloom_novel(sf_dir: str) -> rd.Dataset:
+    """Bloom-gated incremental exact dedup: the doc_id%3==0 "new ingest
+    batch" docs whose text never appears in the doc_id%3!=0 "already
+    ingested" corpus. The Bloom bitmap only prunes — every positive is
+    re-verified against the seen corpus, so the result equals the SQL
+    NOT EXISTS anti-join exactly."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _part(is_new: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            rem0 = batch.column("doc_id").to_numpy() % 3 == 0
+            return batch.filter(pa.array(rem0 if is_new else ~rem0))
+
+        return pick
+
+    return dedup.bloom_novel_docs(
+        docs.map_batches(_part(True), batch_format="pyarrow"),
+        docs.map_batches(_part(False), batch_format="pyarrow"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
@@ -2017,6 +2038,7 @@ def queries() -> dict:
         "q_texts_intersect": q_texts_intersect,
         "q_orders_cube": q_orders_cube,
         "q_first_digit": q_first_digit,
+        "q_bloom_novel": q_bloom_novel,
         "q_inverted_index": q_inverted_index,
         "q_pmi_pairs": q_pmi_pairs,
         "q_quality_percentile": q_quality_percentile,
@@ -2727,6 +2749,12 @@ def _oracle_sql_base() -> dict:
         ),
         "q_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q_bloom_novel": (
+            "SELECT d.doc_id FROM documents d"
+            " WHERE d.doc_id % 3 = 0 AND NOT EXISTS ("
+            "SELECT 1 FROM documents s"
+            " WHERE s.doc_id % 3 <> 0 AND s.text = d.text)"
         ),
         "q_train_test_split": (
             "SELECT doc_id, CASE"
