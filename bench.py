@@ -220,6 +220,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_value_shape", q.q_value_shape),
         ("q_doc_ntiles", q.q_doc_ntiles),
         ("q_bloom_novel", q.q_bloom_novel),
+        ("q_novel_sharded", q.q_novel_sharded),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

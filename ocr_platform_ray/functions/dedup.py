@@ -2275,3 +2275,100 @@ def bloom_novel_docs(
     return ds_new.select_columns(["doc_id", "text"]).map_batches(
         novel, batch_format="pyarrow"
     )
+
+
+def novel_docs_sharded(
+    ds_new: rd.Dataset,
+    ds_seen: rd.Dataset,
+    n_shards: int = 8,
+) -> rd.Dataset:
+    """Corpus-scale variant of :func:`bloom_novel_docs`: the seen-corpus
+    digest set is hash-partitioned across ``n_shards`` membership actors
+    instead of flowing through driver collects, so there is NO
+    ``max_candidates`` ceiling and no broadcast-bitmap size limit — both
+    sides can be 100 TB. Same semantics (novel = text appears nowhere in
+    seen, by full 128-bit pinned-md5 digest identity; the tests pin
+    equality against the Bloom path and brute force).
+
+    Two streamed passes, zero shuffle (the decontaminate_sharded shape
+    with documents in place of n-grams):
+
+    1. seen INGEST: each batch's unique digests route by
+       ``hi64 % n_shards`` (md5 is stable by spec across processes and
+       library builds) with one rpc per owning actor per batch; actors
+       accumulate raw packed bytes, then ``seal()`` into one sorted
+       array for searchsorted probes.
+    2. new CHECK: each batch's digests probe the same shards; masks
+       recombine row-locally and the novel doc_ids emit directly.
+
+    Raw Ray actors are the documented escape hatch (state/dedup_index.py
+    pattern): a build-then-probe mutable index is cross-batch state the
+    Dataset API cannot express. Prefer :func:`bloom_novel_docs` when the
+    seen side fits a broadcast bitmap — its probes are rpc-free.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)  # memory-resident index; CPU slots would
+    class DigestShard:       # deadlock small clusters (see GramShard)
+        def __init__(self):
+            self.chunks: list[bytes] | None = []
+            self.arr: np.ndarray | None = None
+
+        def add(self, packed: bytes) -> int:
+            self.chunks.append(packed)
+            return len(self.chunks)
+
+        def seal(self) -> int:
+            raw = b"".join(self.chunks)
+            self.arr = np.unique(np.frombuffer(raw, dtype="V16"))
+            self.chunks = None
+            return len(self.arr)
+
+        def contains(self, packed: bytes) -> np.ndarray:
+            return _member128(np.frombuffer(packed, dtype="V16"), self.arr)
+
+    actors = [DigestShard.remote() for _ in range(n_shards)]
+
+    def _route(hi: np.ndarray) -> np.ndarray:
+        return (hi % np.uint64(n_shards)).astype(np.int64)
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        hi, lo = _digest128(batch.column("text"))
+        packed = np.unique(_pack128(hi, lo))
+        sh = _route(
+            np.frombuffer(packed.tobytes(), dtype=">u8").reshape(-1, 2)[:, 0]
+            .astype(np.uint64)
+        )
+        futs = [
+            actors[a].add.remote(packed[sh == a].tobytes())
+            for a in range(n_shards)
+            if (sh == a).any()
+        ]
+        ray.get(futs)  # a batch counts done only once its digests are indexed
+        return pa.Table.from_pydict({"n": pa.array([len(packed)], pa.int64())})
+
+    ds_seen.select_columns(["text"]).map_batches(
+        ingest, batch_format="pyarrow"
+    ).take_all()
+    ray.get([a.seal.remote() for a in actors])
+
+    def check(batch: pa.Table) -> pa.Table:
+        hi, lo = _digest128(batch.column("text"))
+        packed = _pack128(hi, lo)
+        sh = _route(hi)
+        seen = np.zeros(len(packed), dtype=bool)
+        futs, masks = {}, {}
+        for a in range(n_shards):
+            m = sh == a
+            if m.any():
+                masks[a] = m
+                futs[a] = actors[a].contains.remote(packed[m].tobytes())
+        for a, fut in futs.items():
+            seen[masks[a]] = ray.get(fut)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id").to_numpy()[~seen]}
+        )
+
+    return ds_new.select_columns(["doc_id", "text"]).map_batches(
+        check, batch_format="pyarrow", batch_size=512
+    )

@@ -1260,6 +1260,26 @@ def q_bloom_novel(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_novel_sharded(sf_dir: str) -> rd.Dataset:
+    """Actor-sharded variant of q_bloom_novel (same NOT EXISTS oracle):
+    the seen-corpus digest index lives across membership actors, so
+    neither side pays a driver collect or a broadcast size ceiling —
+    the both-sides-100TB path."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _part(is_new: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            rem0 = batch.column("doc_id").to_numpy() % 3 == 0
+            return batch.filter(pa.array(rem0 if is_new else ~rem0))
+
+        return pick
+
+    return dedup.novel_docs_sharded(
+        docs.map_batches(_part(True), batch_format="pyarrow"),
+        docs.map_batches(_part(False), batch_format="pyarrow"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
@@ -2039,6 +2059,7 @@ def queries() -> dict:
         "q_orders_cube": q_orders_cube,
         "q_first_digit": q_first_digit,
         "q_bloom_novel": q_bloom_novel,
+        "q_novel_sharded": q_novel_sharded,
         "q_inverted_index": q_inverted_index,
         "q_pmi_pairs": q_pmi_pairs,
         "q_quality_percentile": q_quality_percentile,
@@ -2751,6 +2772,12 @@ def _oracle_sql_base() -> dict:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "q_bloom_novel": (
+            "SELECT d.doc_id FROM documents d"
+            " WHERE d.doc_id % 3 = 0 AND NOT EXISTS ("
+            "SELECT 1 FROM documents s"
+            " WHERE s.doc_id % 3 <> 0 AND s.text = d.text)"
+        ),
+        "q_novel_sharded": (
             "SELECT d.doc_id FROM documents d"
             " WHERE d.doc_id % 3 = 0 AND NOT EXISTS ("
             "SELECT 1 FROM documents s"

@@ -95,3 +95,31 @@ class TestBloomNovel:
         assert (p1[0] == p1[3]).all()  # same text -> same probes
         # double hashing: distinct probe positions for a healthy m
         assert len(np.unique(p1[0])) == 7
+
+
+class TestNovelSharded:
+    def test_equals_bloom_path_and_brute_force(self, ray_session):
+        from ocr_platform_ray.functions.dedup import novel_docs_sharded
+
+        new, seen = _corpus(seed=31)
+        sharded = novel_docs_sharded(
+            rd.from_pandas(new).repartition(7),
+            rd.from_pandas(seen).repartition(9),
+            n_shards=4,
+        ).to_pandas()
+        bloom = bloom_novel_docs(
+            rd.from_pandas(new).repartition(7),
+            rd.from_pandas(seen).repartition(9),
+        ).to_pandas()
+        want = _brute_novel(new, seen)
+        assert set(sharded["doc_id"]) == want
+        assert set(bloom["doc_id"]) == want
+
+    def test_empty_seen(self, ray_session):
+        from ocr_platform_ray.functions.dedup import novel_docs_sharded
+
+        new, seen = _corpus(n_seen=4, n_new=20, overlap=0)
+        got = novel_docs_sharded(
+            rd.from_pandas(new), rd.from_pandas(seen.iloc[:0]), n_shards=2
+        ).to_pandas()
+        assert set(got["doc_id"]) == set(new["doc_id"])
