@@ -336,6 +336,24 @@ def exact_quantile(
     ``b - (b-a)*(1-t)`` fixup for t>=0.5; "duckdb" uses quantile_cont's
     weighted ``lo*(1-frac) + hi*frac`` — use it when the cut is compared
     against values an SQL oracle also buckets (q_quality_buckets)."""
+    return exact_quantiles(ds, col, [q], n_bins, collect_cap, interpolation)[0]
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    n_bins: int = 8192,
+    collect_cap: int = 4_000_000,
+    interpolation: str = "numpy",
+) -> list[float]:
+    """:func:`exact_quantile` for SEVERAL fractions in the SAME three
+    streaming passes: the range scan, the histogram scan and the
+    candidate-value collect are shared, so k cuts cost what one does —
+    at 100 TB each pass is a full-corpus scan and paying it per fraction
+    is pure waste (q_quality_buckets' two tercile cuts went from 6 to 3
+    dataset executions). Per-fraction arithmetic (order statistics,
+    interpolation) is bit-identical to the scalar path."""
     proj = ds.select_columns([col])
 
     def minmax(batch: pa.Table) -> pa.Table:
@@ -360,7 +378,7 @@ def exact_quantile(
     lo = min(p["lo"] for p in nonempty)
     hi = max(p["hi"] for p in nonempty)
     if lo == hi:
-        return float(lo)
+        return [float(lo)] * len(qs)
     edges = np.linspace(lo, hi, n_bins + 1)
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -373,13 +391,17 @@ def exact_quantile(
     counts = np.zeros(n_bins, dtype=np.int64)
     for p in proj.map_batches(hist, batch_format="pyarrow").take_all():
         counts += np.frombuffer(p["counts"], dtype=np.int64)
-    h = (n - 1) * q
-    k = int(np.floor(h))
-    frac = h - k
     cum = np.cumsum(counts)
-    b_k = int(np.searchsorted(cum, k + 1))
-    b_k1 = int(np.searchsorted(cum, k + 2)) if k + 1 < n else b_k
-    want = {b_k, b_k1}
+    per_q = []  # (k, frac, b_k, b_k1) per fraction
+    want: set[int] = set()
+    for q in qs:
+        h = (n - 1) * q
+        k = int(np.floor(h))
+        frac = h - k
+        b_k = int(np.searchsorted(cum, k + 1))
+        b_k1 = int(np.searchsorted(cum, k + 2)) if k + 1 < n else b_k
+        per_q.append((k, frac, b_k, b_k1))
+        want |= {b_k, b_k1}
     if sum(int(counts[b]) for b in want) > collect_cap:
         raise ValueError(
             "exact_quantile: candidate bucket exceeds collect_cap "
@@ -398,17 +420,33 @@ def exact_quantile(
             [r[col] for r in proj.map_batches(pick, batch_format="pyarrow").take_all()]
         )
     )
-    before = int(cum[b_k - 1]) if b_k > 0 else 0
-    x_k = vals[k - before]
-    x_k1 = vals[k + 1 - before] if k + 1 < n else x_k
-    if interpolation == "duckdb":
-        return float(x_k * (1.0 - frac) + x_k1 * frac)
-    # numpy/pandas lerp, INCLUDING its frac>=0.5 precision fixup (numpy
-    # computes b - (b-a)*(1-t) there; the naive a + t*(b-a) form can land
-    # one ulp away — a hypothesis-found divergence at n=2, q=0.5)
-    diff = x_k1 - x_k
-    res = x_k1 - diff * (1.0 - frac) if frac >= 0.5 else x_k + frac * diff
-    return float(res)
+    # vals holds the UNION of all fractions' candidate buckets, so the
+    # index of the k-th order statistic within vals is k minus the values
+    # in bins below b_k that were NOT collected: k - cum[<b_k] + (counts
+    # of collected bins below b_k). For a single fraction this reduces to
+    # the original k - before arithmetic.
+    want_arr = np.array(sorted(want))
+
+    def order_stat(k: int, b: int) -> float:
+        below = int(cum[b - 1]) if b > 0 else 0
+        coll_below = int(counts[want_arr[want_arr < b]].sum())
+        return float(vals[k - below + coll_below])
+
+    out = []
+    for k, frac, b_k, b_k1 in per_q:
+        x_k = order_stat(k, b_k)
+        x_k1 = order_stat(k + 1, b_k1) if k + 1 < n else x_k
+        if interpolation == "duckdb":
+            out.append(float(x_k * (1.0 - frac) + x_k1 * frac))
+            continue
+        # numpy/pandas lerp, INCLUDING its frac>=0.5 precision fixup
+        # (numpy computes b - (b-a)*(1-t) there; the naive a + t*(b-a)
+        # form can land one ulp away — a hypothesis-found divergence at
+        # n=2, q=0.5)
+        diff = x_k1 - x_k
+        res = x_k1 - diff * (1.0 - frac) if frac >= 0.5 else x_k + frac * diff
+        out.append(float(res))
+    return out
 
 
 def percent_rank_transform(

@@ -438,14 +438,15 @@ def q_quality_buckets(sf_dir: str) -> rd.Dataset:
     (interpolation="duckdb"), so a 6dp quality_score exactly equal to a
     tercile cut buckets identically on both engines — the numpy lerp
     form can land an ulp away at some fracs and flip a <= on a tie."""
-    from .functions.sketches import exact_quantile
+    from .functions.sketches import exact_quantiles
 
     scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         textstats.quality_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "quality_score"])
     scored = scored.materialize()  # consumed 3x: two cuts + assignment
-    c1 = exact_quantile(scored, "quality_score", 1.0 / 3.0, interpolation="duckdb")
-    c2 = exact_quantile(scored, "quality_score", 2.0 / 3.0, interpolation="duckdb")
+    c1, c2 = exact_quantiles(
+        scored, "quality_score", [1.0 / 3.0, 2.0 / 3.0], interpolation="duckdb"
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -2030,7 +2031,7 @@ def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
 def queries() -> dict:
     """Driver registry. ORDER IS A RECORDING SCHEDULE: the driver records
     only the first ~50 entries per round, so the queries whose ONLY
-    possible driver record is r05 come first — the 42 new-in-r5
+    possible driver record is r05 come first — the new-in-r5
     oracle-bearing queries, then the oracle queries r04's cap rotated out
     (q_revenue_by_customer leading: no driver round had ever checked it
     before the r4 judge's manual run). Golden-pinned queries sort below

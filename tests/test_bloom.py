@@ -123,3 +123,23 @@ class TestNovelSharded:
             rd.from_pandas(new), rd.from_pandas(seen.iloc[:0]), n_shards=2
         ).to_pandas()
         assert set(got["doc_id"]) == set(new["doc_id"])
+
+
+class TestExactQuantilesShared:
+    def test_multi_equals_scalar_bitwise(self, ray_session):
+        from ocr_platform_ray.functions.sketches import (
+            exact_quantile,
+            exact_quantiles,
+        )
+
+        rng = np.random.RandomState(7)
+        v = np.round(rng.lognormal(0, 1.3, 4000), 6)
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(11)
+        qs = [0.0, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.9, 1.0]
+        for interp in ("numpy", "duckdb"):
+            multi = exact_quantiles(ds, "x", qs, interpolation=interp)
+            for q, got in zip(qs, multi):
+                assert got == exact_quantile(ds, "x", q, interpolation=interp)
+        # and against numpy directly for the pinned form
+        for q, got in zip(qs, exact_quantiles(ds, "x", qs)):
+            assert got == float(np.quantile(v, q))
