@@ -918,3 +918,129 @@ def topk_cosine_int8(
         .sort(["cos_sim", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------- PCA
+
+_PCA_SCALE = 1 << 20  # fixed-point quantum for split-invariant moments
+
+
+def pca_fit(
+    ds: rd.Dataset, col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an embedding column in ONE streamed pass of mergeable
+    second-moment partials: per batch (n, Σx, ΣxxT) — d + d² numbers per
+    batch, never rows — then a d×d driver eigendecomposition (d is the
+    embedding dim: 64 here, a few thousand for real models — always
+    driver-sized; the ROW count is what's unbounded).
+
+    Split-invariance contract: embeddings are quantized to int64
+    fixed-point (2^-20 quantum ≈ 1e-6, below the output rounding) and the
+    moments accumulate as EXACT integers (driver merge in Python bigints,
+    so 10^12-row sums can't overflow int64) — the fitted components are
+    bit-identical regardless of how Ray splits blocks, unlike a float
+    partial sum whose value depends on block boundaries. Component sign
+    is pinned (largest-|coefficient| entry made positive) so the
+    eigenbasis is deterministic too.
+
+    Returns (mean d, components k=d rows ordered by descending
+    eigenvalue, eigenvalues descending).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch, col)
+        if x.size == 0:
+            return pa.Table.from_pydict(
+                {"n": pa.array([], pa.int64()),
+                 "sx": pa.array([], pa.list_(pa.int64())),
+                 "sxx": pa.array([], pa.list_(pa.int64()))}
+            )
+        xq = np.rint(x * _PCA_SCALE).astype(np.int64)
+        sxx = xq.T @ xq  # int64: |x|~1 -> entries < n_batch * 2^40
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(xq)], pa.int64()),
+                "sx": pa.array([xq.sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "sxx": pa.array([sxx.ravel().tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    if not rows:
+        raise ValueError("pca_fit: empty dataset")
+    n = 0
+    sx = None
+    sxx = None
+    for r in rows:
+        n += int(r["n"])
+        bsx = [int(v) for v in r["sx"]]
+        bsxx = [int(v) for v in r["sxx"]]
+        if sx is None:
+            sx, sxx = bsx, bsxx
+        else:
+            sx = [a + b for a, b in zip(sx, bsx)]
+            sxx = [a + b for a, b in zip(sxx, bsxx)]
+    d = len(sx)
+    if n < 2:
+        raise ValueError("pca_fit: need >= 2 rows")
+    # cov_ij = (n*SXX_ij - SX_i*SX_j) / (n*(n-1)*S²), numerator exact
+    s2 = _PCA_SCALE * _PCA_SCALE
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        ri = sxx[i * d: (i + 1) * d]
+        si = sx[i]
+        for j in range(d):
+            cov[i, j] = float(n * ri[j] - si * sx[j]) / (n * (n - 1) * s2)
+    mean = np.array([float(v) for v in sx]) / (n * _PCA_SCALE)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval, kind="stable")[::-1]
+    eigval = eigval[order]
+    comps = eigvec[:, order].T.copy()
+    for i in range(d):  # sign pin: largest-|coefficient| entry positive
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, eigval
+
+
+def pca_project(
+    ds: rd.Dataset,
+    k: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Project every row onto the top-k principal components: pca_fit's
+    one moments pass, then a second streamed pass computing the row-local
+    (x - mean) @ compsᵀ — the corpus is never collected or shuffled.
+    Output (id_col, pc1..pck) rounded half-away at ``round_dp``."""
+    import ray
+
+    from . import round_half_away_np
+
+    mean, comps, _ = pca_fit(ds, col)
+    if k > len(comps):
+        raise ValueError(f"pca_project: k={k} > dim={len(comps)}")
+    model_ref = ray.put((mean, comps[:k]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        mu, c = resolve_broadcast(model_ref)
+        x = _emb_matrix(batch, col)
+        out = {id_col: batch.column(id_col)}
+        if x.size == 0:
+            proj = np.zeros((batch.num_rows, len(c)))
+        else:
+            proj = (x - mu) @ c.T
+        for i in range(len(c)):
+            out[f"pc{i + 1}"] = pa.array(
+                round_half_away_np(proj[:, i], round_dp)
+            )
+        return pa.Table.from_pydict(out)
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow"
+    )

@@ -754,6 +754,16 @@ def q_kmeans_summary(sf_dir: str) -> rd.Dataset:
     return similarity.kmeans_summary(_emb(sf_dir), n_clusters=8)
 
 
+def q_embedding_pca(sf_dir: str) -> rd.Dataset:
+    """Top-2 PCA projection of the embeddings table: one mergeable
+    second-moment pass (exact int64 fixed-point partials, so the fit is
+    bit-identical across block splits) + a d×d driver eigh + one
+    row-local projection pass. No SQL eigendecomposition — rows-only,
+    pinned by the sf0.001 golden + brute-force-equality/invariance
+    tests (tests/test_pca.py)."""
+    return similarity.pca_project(_emb(sf_dir), k=2)
+
+
 def q_centroid_dist(sf_dir: str) -> rd.Dataset:
     """Per-vector euclidean distance to its label centroid (embedding
     outlier signal) — exact DuckDB unnest/avg/join oracle."""
@@ -1513,6 +1523,58 @@ def q_supplier_volume(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_nation_pagerank(sf_dir: str) -> rd.Dataset:
+    """Weighted PageRank over the nation-level trade graph: one directed
+    edge customer-nation -> supplier-nation per lineitem (weight =
+    lineitem count via orders ⋈ lineitem), 5 damped power iterations
+    (d=0.85) with dangling mass redistributed. The oracle runs the SAME
+    five iterations unrolled as SQL CTEs (see _pagerank_sql)."""
+    from .functions.graphs import nation_trade_pagerank
+
+    return nation_trade_pagerank(sf_dir, damping=0.85, n_iter=5)
+
+
+def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle for q_nation_pagerank: edge
+    aggregation via the same joins, then one (dangling-mass, rank) CTE
+    pair per iteration — identical arithmetic to pagerank_kernel."""
+    parts = [
+        "WITH co AS (SELECT o.o_orderkey AS k,"
+        " CAST(c.c_nationkey AS BIGINT) AS src"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),"
+        " sl AS (SELECT l.l_orderkey AS k,"
+        " CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w"
+        " FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2),"
+        " e AS (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w"
+        " FROM co JOIN sl USING (k) GROUP BY 1, 2),"
+        " outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),"
+        " nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS v, n_name"
+        " FROM nation),"
+        " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),"
+        " r0 AS (SELECT v, 1.0/(SELECT n FROM nn) AS r FROM nodes)"
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f", d{t} AS (SELECT coalesce(sum(r), 0) AS dm FROM r{t}"
+            f" WHERE v NOT IN (SELECT src FROM outw))"
+            f", r{t + 1} AS (SELECT nodes.v,"
+            f" (1 - {d})/(SELECT n FROM nn)"
+            f" + {d}*(coalesce(inc.s, 0)"
+            f" + (SELECT dm FROM d{t})/(SELECT n FROM nn)) AS r"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT e.dst AS v2, sum(r{t}.r * e.w / outw.ow) AS s"
+            f" FROM e JOIN r{t} ON e.src = r{t}.v"
+            f" JOIN outw ON outw.src = e.src"
+            f" GROUP BY e.dst) inc ON inc.v2 = nodes.v)"
+        )
+    parts.append(
+        f" SELECT nodes.n_name, round(r{n_iter}.r, 6) AS pagerank"
+        f" FROM r{n_iter} JOIN nodes ON nodes.v = r{n_iter}.v"
+    )
+    return "".join(parts)
+
+
 def q_corr_by_group(sf_dir: str) -> rd.Dataset:
     """Per-returnflag Pearson corr(l_quantity, l_extendedprice) via
     mergeable CENTERED co-moments (two streamed passes, no row shuffle)."""
@@ -2085,6 +2147,7 @@ def queries() -> dict:
         "q_new_users_by_day": q_new_users_by_day,
         "q_funnel": q_funnel,
         "q_supplier_volume": q_supplier_volume,
+        "q_nation_pagerank": q_nation_pagerank,
         "q_corr_by_group": q_corr_by_group,
         "q_length_outliers": q_length_outliers,
         "q_range_window_sum": q_range_window_sum,
@@ -2184,6 +2247,7 @@ def queries() -> dict:
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_label_centroids": q_label_centroids,
         "q_kmeans_summary": q_kmeans_summary,
+        "q_embedding_pca": q_embedding_pca,
         "q_semantic_dedup": q_semantic_dedup,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
@@ -3091,6 +3155,7 @@ def _oracle_sql_base() -> dict:
             " AND o_orderdate < TIMESTAMP '1996-01-01'"
             " GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
+        "q_nation_pagerank": _pagerank_sql(n_iter=5, d=0.85),
         "q_corr_by_group": (
             "SELECT l_returnflag,"
             " round(corr(l_quantity, l_extendedprice), 6) AS corr_xy"

@@ -50,6 +50,7 @@ GOLDEN_QUERIES = [
     "q_compression_stats",
     "q_minhash_edit_verified",
     "q_video_frame_features_mjpeg",
+    "q_embedding_pca",
 ]
 
 
