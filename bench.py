@@ -221,6 +221,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_doc_ntiles", q.q_doc_ntiles),
         ("q_bloom_novel", q.q_bloom_novel),
         ("q_novel_sharded", q.q_novel_sharded),
+        ("q_nation_pagerank", q.q_nation_pagerank),
+        ("q_embedding_pca", q.q_embedding_pca),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2105,6 +2105,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_nation_pagerank": q_nation_pagerank,
+        "q_embedding_pca": q_embedding_pca,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
         "q_winsorized_value": q_winsorized_value,
@@ -2147,7 +2149,6 @@ def queries() -> dict:
         "q_new_users_by_day": q_new_users_by_day,
         "q_funnel": q_funnel,
         "q_supplier_volume": q_supplier_volume,
-        "q_nation_pagerank": q_nation_pagerank,
         "q_corr_by_group": q_corr_by_group,
         "q_length_outliers": q_length_outliers,
         "q_range_window_sum": q_range_window_sum,
@@ -2247,7 +2248,6 @@ def queries() -> dict:
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_label_centroids": q_label_centroids,
         "q_kmeans_summary": q_kmeans_summary,
-        "q_embedding_pca": q_embedding_pca,
         "q_semantic_dedup": q_semantic_dedup,
         "q_embedding_dups": q_embedding_dups,
         "q_embedding_dups_exact": q_embedding_dups_exact,
