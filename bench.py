@@ -223,6 +223,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_novel_sharded", q.q_novel_sharded),
         ("q_nation_pagerank", q.q_nation_pagerank),
         ("q_embedding_pca", q.q_embedding_pca),
+        ("q_logreg_label", q.q_logreg_label),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -754,6 +754,24 @@ def q_kmeans_summary(sf_dir: str) -> rd.Dataset:
     return similarity.kmeans_summary(_emb(sf_dir), n_clusters=8)
 
 
+def q_logreg_label(sf_dir: str) -> rd.Dataset:
+    """Distributed logistic-regression training (one-vs-rest on the
+    embeddings table's label column, 8 full-batch GD iterations): one
+    streamed gradient pass per iteration with per-ROW int64 fixed-point
+    quantization, so the fitted weights are bit-identical across block
+    splits. Iterative — not SQL-expressible; pinned by the sf0.001
+    golden + brute-force-equality/invariance tests (tests/test_ml.py)."""
+    from .functions.ml import logreg_label_query
+
+    return logreg_label_query(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        ),
+        target_label=0,
+    )
+
+
 def q_embedding_pca(sf_dir: str) -> rd.Dataset:
     """Top-2 PCA projection of the embeddings table: one mergeable
     second-moment pass (exact int64 fixed-point partials, so the fit is
@@ -2107,6 +2125,7 @@ def queries() -> dict:
     # 50-entry cap rotated out of r04.
         "q_nation_pagerank": q_nation_pagerank,
         "q_embedding_pca": q_embedding_pca,
+        "q_logreg_label": q_logreg_label,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
         "q_winsorized_value": q_winsorized_value,

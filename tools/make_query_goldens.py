@@ -51,6 +51,7 @@ GOLDEN_QUERIES = [
     "q_minhash_edit_verified",
     "q_video_frame_features_mjpeg",
     "q_embedding_pca",
+    "q_logreg_label",
 ]
 
 
