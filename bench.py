@@ -224,6 +224,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_nation_pagerank", q.q_nation_pagerank),
         ("q_embedding_pca", q.q_embedding_pca),
         ("q_logreg_label", q.q_logreg_label),
+        ("q_returned_items", q.q_returned_items),
+        ("q_daily_filled", q.q_daily_filled),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -793,3 +793,72 @@ def daily_counts_pct_change(ds: rd.Dataset) -> rd.Dataset:
     return bucketed_group_apply(
         partials, "event_type", per_bucket, batch_format="pyarrow"
     )
+
+
+def daily_counts_filled(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Gap-filled per-type daily volume: one row per (event_type, day)
+    for EVERY day in the corpus's global [min_day, max_day] range — days
+    with no events of a type appear with n = 0 (the
+    generate_series ⨯ types LEFT JOIN report; resampling a sparse event
+    log onto a dense calendar is the standard prep for any
+    time-series / control-chart stage downstream).
+
+    Scale shape: per-batch (type, day) int count partials — the collect
+    moves one row per distinct (type, day) per batch, never events —
+    merged on the driver under a loud ``max_cells`` guard (the dense
+    calendar grid is |types| x |days|: bounded by construction for any
+    log a human reads as a daily series; a million-cell grid is a
+    groupby, not a calendar report). All-integer, engine-exact."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "day_id": batch.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        )
+        agg = df.groupby(["event_type", "day_id"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"daily_counts_filled: > {max_cells} (type, day) partials — "
+            "this is not calendar-report-shaped; raise max_cells "
+            "deliberately"
+        )
+    if not long:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"event_type": pa.array([], pa.string()),
+                 "day": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        )
+    df = pd.DataFrame(long, columns=["event_type", "day_id", "size"])
+    agg = df.groupby(["event_type", "day_id"])["size"].sum()
+    types = sorted(df["event_type"].unique())
+    days = np.arange(df["day_id"].min(), df["day_id"].max() + 1)
+    grid = agg.reindex(
+        pd.MultiIndex.from_product([types, days],
+                                   names=["event_type", "day_id"]),
+        fill_value=0,
+    ).reset_index()
+    day_str = (grid["day_id"].to_numpy() * DAY_US).astype(
+        "datetime64[us]"
+    ).astype("datetime64[D]").astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(grid["event_type"], pa.string()),
+                "day": pa.array(day_str, pa.string()),
+                "n": pa.array(grid["size"].to_numpy(np.int64)),
+            }
+        )
+    )

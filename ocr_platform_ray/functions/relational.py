@@ -1555,3 +1555,128 @@ def regr_by_group(
         .groupby("g")
         .map_groups(co_merge, batch_format="pandas")
     )
+
+
+def returned_item_report(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> rd.Dataset:
+    """TPC-H Q10-shaped returned-item report: top-k customers by revenue
+    lost to returned lineitems (l_returnflag = 'R') of one order-date
+    quarter, with the customer's name/balance/nation attached. Revenue
+    is EXACT (per-row half-away cent rounding to BIGINT, integer sums,
+    one /100 at the end — the shipping_priority float contract), so the
+    (revenue DESC, c_custkey) top-k is deterministic across engines.
+
+    Scale shape: orders filter to the quarter and carry only
+    (orderkey, custkey); lineitem filters to 'R' rows and pre-aggregates
+    cents per l_orderkey INSIDE map_batches before the one fact⋈fact
+    orderkey hash join; per-customer totals finalize in a
+    custkey-bucketed pass emitting only its local top-k, the
+    <= k x n_buckets candidates resolve with a k-row sort.limit, and the
+    name/acctbal/nation attributes attach to the FINAL k rows only (a
+    k-row driver lookup against a filtered customer read — the big
+    attribute columns never enter the join)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+    from .joins import hash_join
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    def order_side(batch: pa.Table):
+        m = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        batch = batch.filter(m)
+        if batch.num_rows:
+            yield batch.select(["o_orderkey", "o_custkey"])
+
+    def line_side(batch: pa.Table):
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R")
+        )
+        if batch.num_rows == 0:
+            return
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        cents = np.floor(np.abs(rev) * 100.0 + 0.5).astype(
+            np.int64
+        ) * np.where(rev >= 0, 1, -1)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "cents": cents,
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False)["cents"].sum()
+        yield pa.Table.from_pandas(agg, preserve_index=False)
+
+    o = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow")
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(line_side, batch_format="pyarrow")
+    # compact the (one-quarter) order side into uniformly schema'd blocks
+    # — the shipping_priority empty-block hazard — and keep key names
+    # distinct across sides
+    joined = hash_join(
+        li, o.repartition(shuffle_blocks()), on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def topk_of(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return tot.sort_values(
+            ["cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cands = bucketed_group_apply(joined, "o_custkey", topk_of)
+    top = (
+        cands.sort(["cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    keys = [int(r["o_custkey"]) for r in top]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)] if keys else None,
+    ).to_pandas().set_index("c_custkey")
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(
+        zip(nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist())
+    )
+    out = pa.Table.from_pydict(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array(
+                [cust.loc[ck, "c_name"] for ck in keys], pa.string()
+            ),
+            "revenue": pa.array(
+                [int(r["cents"]) / 100.0 for r in top], pa.float64()
+            ),
+            "c_acctbal": pa.array(
+                [float(cust.loc[ck, "c_acctbal"]) for ck in keys],
+                pa.float64(),
+            ),
+            "n_name": pa.array(
+                [nname[int(cust.loc[ck, "c_nationkey"])] for ck in keys],
+                pa.string(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)

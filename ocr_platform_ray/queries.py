@@ -1788,6 +1788,39 @@ def q_ref_integrity(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_returned_items(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    ('R') lineitems of one order-date quarter, name/balance/nation
+    attached to the final k rows only. Exact integer-cents revenue, so
+    the (revenue DESC, custkey) top-k is deterministic."""
+    from .functions.relational import returned_item_report
+
+    return returned_item_report(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_returnflag"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        sf_dir,
+    )
+
+
+def q_daily_filled(sf_dir: str) -> rd.Dataset:
+    """Gap-filled per-type daily volume over the global day range —
+    days with no events of a type appear with n = 0 (the
+    generate_series ⨯ types LEFT JOIN calendar report)."""
+    from .functions.events import daily_counts_filled
+
+    return daily_counts_filled(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
 def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     """TPC-H Q3-shaped: top-10 orders by post-cutoff lineitem revenue for
     pre-cutoff orders of one customer segment — broadcast segment keys,
@@ -2126,6 +2159,8 @@ def queries() -> dict:
         "q_nation_pagerank": q_nation_pagerank,
         "q_embedding_pca": q_embedding_pca,
         "q_logreg_label": q_logreg_label,
+        "q_returned_items": q_returned_items,
+        "q_daily_filled": q_daily_filled,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
         "q_winsorized_value": q_winsorized_value,
@@ -3308,6 +3343,31 @@ def _oracle_sql_base() -> dict:
         ),
         # exact integer-cents revenue (the rollup contract); the LIMIT
         # tie-break is total (cents, date, orderkey) on both engines
+        "q_returned_items": (
+            "SELECT c_custkey, c_name,"
+            " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            "  AS BIGINT)) / 100.0 AS revenue, c_acctbal, n_name"
+            " FROM customer, orders, lineitem, nation"
+            " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-04-01'"
+            " AND l_returnflag = 'R' AND c_nationkey = n_nationkey"
+            " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+            " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
+            "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
+        ),
+        "q_daily_filled": (
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " t AS (SELECT DISTINCT event_type FROM events)"
+            " SELECT t.event_type, strftime(days.day, '%Y-%m-%d') AS day,"
+            " coalesce(d.n, 0) AS n FROM days CROSS JOIN t"
+            " LEFT JOIN d ON d.day = days.day"
+            " AND d.event_type = t.event_type"
+        ),
         "q_shipping_priority": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority,"
             " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
