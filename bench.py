@@ -226,6 +226,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_logreg_label", q.q_logreg_label),
         ("q_returned_items", q.q_returned_items),
         ("q_daily_filled", q.q_daily_filled),
+        ("q_ann_topk_pq", q.q_ann_topk_pq),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

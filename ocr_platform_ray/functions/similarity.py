@@ -1044,3 +1044,218 @@ def pca_project(
     return ds.select_columns([id_col, col]).map_batches(
         project, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- product quantization
+
+_PQ_Q = 1 << 28  # per-row int64 quantum for split-invariant codebook sums
+
+
+def pq_train(
+    ds: rd.Dataset,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks (m subspaces x ksub codes)
+    over the L2-normalized embedding column — the classic ANN memory
+    path: a d-dim float32 vector compresses to m uint8 codes (64 bytes ->
+    8 here), which is what makes a 10^12-vector index object-store-
+    resident at 100 TB scale.
+
+    Scale/determinism shape (the kmeans + logreg contracts combined):
+    initial codebooks come from the ksub vectors with the smallest
+    mix64(id) (partitioning-invariant partial top-k); each Lloyd
+    iteration is ONE streamed pass emitting per-(subspace, code) partial
+    sums with per-ROW int64 fixed-point quantization, merged exactly in
+    Python bigints — codebooks are BIT-IDENTICAL across block splits.
+    Returns codebooks as (m, ksub, d/m) float64.
+    """
+    from ..rng import mix64_np
+
+    import ray
+
+    emb = ds.select_columns([id_col, "embedding"]).materialize()
+
+    def pick_init(batch: pa.Table) -> pa.Table:
+        sk = mix64_np(batch.column(id_col).to_numpy().astype(np.uint64))
+        if batch.num_rows > ksub:
+            keep = np.argpartition(sk, ksub - 1)[:ksub]
+            batch, sk = batch.take(pa.array(keep)), sk[keep]
+        return batch.append_column("__sk", pa.array(sk, pa.uint64()))
+
+    init_rows = sorted(
+        emb.map_batches(pick_init, batch_format="pyarrow")
+        .sort("__sk")
+        .limit(ksub)
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    init = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    init /= np.maximum(np.linalg.norm(init, axis=1), 1e-30)[:, None]
+    d = init.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    ds_sub = d // m
+    books = init.reshape(len(init), m, ds_sub).transpose(1, 0, 2).copy()
+    if len(init) < ksub:
+        raise ValueError("pq_train: fewer rows than ksub")
+
+    for _ in range(n_iter):
+        books_ref = ray.put(books)
+
+        def tpass(batch: pa.Table) -> pa.Table:
+            from . import resolve_broadcast
+
+            x = _emb_matrix(batch)
+            if x.size == 0:
+                return pa.Table.from_pydict(
+                    {"s": pa.array([], pa.int64()),
+                     "code": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64()),
+                     "qsum": pa.array([], pa.list_(pa.int64()))}
+                )
+            bks = resolve_broadcast(books_ref)
+            x = x / np.maximum(np.linalg.norm(x, axis=1), 1e-30)[:, None]
+            xs = x.reshape(len(x), m, ds_sub)
+            out_s, out_c, out_n, out_q = [], [], [], []
+            for s in range(m):
+                sub = xs[:, s, :]
+                # min-L2 assignment: argmax(2 c·x - |c|²)
+                cb = bks[s]
+                score = 2.0 * (sub @ cb.T) - (cb * cb).sum(axis=1)
+                assign = np.argmax(score, axis=1)
+                xq = np.rint(sub * _PQ_Q).astype(np.int64)
+                for c in np.unique(assign):
+                    rows = xq[assign == c]
+                    out_s.append(s)
+                    out_c.append(int(c))
+                    out_n.append(len(rows))
+                    out_q.append(rows.sum(axis=0).tolist())
+            return pa.Table.from_pydict(
+                {"s": pa.array(out_s, pa.int64()),
+                 "code": pa.array(out_c, pa.int64()),
+                 "n": pa.array(out_n, pa.int64()),
+                 "qsum": pa.array(out_q, pa.list_(pa.int64()))}
+            )
+
+        rows = emb.map_batches(tpass, batch_format="pyarrow").take_all()
+        acc: dict = {}
+        for r in rows:
+            key = (int(r["s"]), int(r["code"]))
+            qs = [int(v) for v in r["qsum"]]
+            if key in acc:
+                n0, q0 = acc[key]
+                acc[key] = (n0 + int(r["n"]), [a + b for a, b in zip(q0, qs)])
+            else:
+                acc[key] = (int(r["n"]), qs)
+        new = books.copy()
+        for (s, c), (n, qs) in acc.items():
+            if n:
+                new[s, c] = np.array([float(v) for v in qs]) / (_PQ_Q * n)
+        books = new
+    return books
+
+
+def pq_topk_cosine(
+    ds: rd.Dataset,
+    query: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    rerank_oversample: int = 0,
+) -> rd.Dataset:
+    """Approximate top-k by cosine via PQ asymmetric-distance scan:
+    train codebooks (pq_train), then ONE streamed pass that encodes each
+    row to its m codes and scores it with the query's precomputed
+    (m x ksub) inner-product table — per-batch partial top-k, k-row
+    global resolve. The full-precision corpus is read once per Lloyd
+    pass and once to scan; the SCAN cost model is the point: at serving
+    scale the stored index is the m uint8 codes (m bytes/vector).
+
+    ``rerank_oversample > 0`` adds the standard two-stage retrieval
+    tail: the ADC scan keeps ``k x oversample`` candidates, then ONE
+    targeted pass re-scores only those ids with exact cosine (broadcast
+    sorted id array, vectorized membership) and returns the exact-scored
+    top-k as (id, cos_sim) — recall recovers toward exact while the
+    bulk scan still touches only codes."""
+    import ray
+
+    from . import round_half_away_np
+
+    books = pq_train(ds, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    ds_sub = books.shape[2]
+    table = np.einsum("skd,sd->sk", books, q.reshape(m, ds_sub))
+    model_ref = ray.put((books, table))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast
+
+        bks, tab = resolve_broadcast(model_ref)
+        x = _emb_matrix(batch)
+        if x.size == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "adc_sim": pa.array([], pa.float64())}
+            )
+        x = x / np.maximum(np.linalg.norm(x, axis=1), 1e-30)[:, None]
+        xs = x.reshape(len(x), m, ds_sub)
+        sim = np.zeros(len(x))
+        for s in range(m):
+            cb = bks[s]
+            score = 2.0 * (xs[:, s, :] @ cb.T) - (cb * cb).sum(axis=1)
+            sim += tab[s, np.argmax(score, axis=1)]
+        take = min(k, len(sim))
+        idx = (np.argpartition(-sim, take - 1)[:take]
+               if take else np.array([], int))
+        return pa.Table.from_pydict(
+            {id_col: batch.column(id_col).take(pa.array(idx)),
+             "adc_sim": pa.array(round_half_away_np(sim[idx], 6))}
+        )
+
+    partials = ds.select_columns([id_col, "embedding"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+    if not rerank_oversample:
+        return partials.sort(
+            ["adc_sim", id_col], descending=[True, False]
+        ).limit(k)
+
+    cand = (
+        partials.sort(["adc_sim", id_col], descending=[True, False])
+        .limit(k * rerank_oversample)
+        .take_all()
+    )
+    cand_ids = np.sort(np.array([int(r[id_col]) for r in cand], np.int64))
+    ids_ref = ray.put(cand_ids)
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        from . import resolve_broadcast, round_half_away_np as rnd
+
+        ids = resolve_broadcast(ids_ref)
+        rid = batch.column(id_col).to_numpy().astype(np.int64)
+        pos = np.searchsorted(ids, rid)
+        ok = pos < len(ids)
+        ok[ok] = ids[pos[ok]] == rid[ok]
+        batch = batch.filter(pa.array(ok))
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        x = _emb_matrix(batch)
+        sims = _cosine(x, np.asarray(query, dtype=np.float64))
+        return pa.Table.from_pydict(
+            {id_col: batch.column(id_col),
+             "cos_sim": pa.array(rnd(sims, 6))}
+        )
+
+    exact = ds.select_columns([id_col, "embedding"]).map_batches(
+        rescore, batch_format="pyarrow"
+    )
+    return exact.sort(["cos_sim", id_col], descending=[True, False]).limit(k)

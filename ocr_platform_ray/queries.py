@@ -727,6 +727,20 @@ def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
     return out.sort(["cos_sim", "vec_id"], descending=[True, False])
 
 
+def q_ann_topk_pq(sf_dir: str) -> rd.Dataset:
+    """Product-quantization ANN (the m-bytes-per-vector memory path:
+    split-invariant Lloyd codebooks, asymmetric-distance code scan) with
+    the standard exact re-rank tail over 5x-oversampled candidates —
+    recall@10 = 1.0 vs exact on this corpus (raw ADC 0.6; thresholds
+    pinned in tests/test_pq.py). Iterative training — rows-only, golden
+    pinned."""
+    out = similarity.pq_topk_cosine(
+        _emb(sf_dir), _query_vec(sf_dir), k=10, m=32, ksub=16,
+        rerank_oversample=5,
+    )
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False])
+
+
 def q_ann_topk_int8(sf_dir: str) -> rd.Dataset:
     """Top-k cosine over int8-quantized vectors (4x storage path):
     quantize -> dequantized-grid matmul -> partial top-k. Quantization
@@ -2161,6 +2175,7 @@ def queries() -> dict:
         "q_logreg_label": q_logreg_label,
         "q_returned_items": q_returned_items,
         "q_daily_filled": q_daily_filled,
+        "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
         "q_winsorized_value": q_winsorized_value,

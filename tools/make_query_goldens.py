@@ -52,6 +52,7 @@ GOLDEN_QUERIES = [
     "q_video_frame_features_mjpeg",
     "q_embedding_pca",
     "q_logreg_label",
+    "q_ann_topk_pq",
 ]
 
 
