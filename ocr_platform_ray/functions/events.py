@@ -862,3 +862,81 @@ def daily_counts_filled(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def ewma_daily(
+    ds: rd.Dataset, alpha: float = 0.3, max_cells: int = 200_000
+) -> rd.Dataset:
+    """EWMA control line over the gap-filled per-type daily series:
+    s_0 = n_0, s_t = alpha*n_t + (1-alpha)*s_{t-1} along the dense
+    calendar (the streaming anomaly-detection prep — a spike reads as
+    n_t far above yesterday's smoothed line). The recurrence is a single
+    dependency chain, so the engine's vectorized-across-types day loop
+    computes BIT-identical doubles to the SQL recursive CTE — the oracle
+    is exact, not tolerance-based.
+
+    Scale shape: identical to daily_counts_filled (per-batch (type, day)
+    int partials, loud max_cells driver guard); the recurrence runs over
+    the tiny dense grid, vectorized across types per day step."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "day_id": batch.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        )
+        agg = df.groupby(["event_type", "day_id"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"ewma_daily: > {max_cells} (type, day) partials — raise "
+            "max_cells deliberately"
+        )
+    if not long:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"event_type": pa.array([], pa.string()),
+                 "day": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "ewma": pa.array([], pa.float64())}
+            )
+        )
+    df = pd.DataFrame(long, columns=["event_type", "day_id", "size"])
+    agg = df.groupby(["event_type", "day_id"])["size"].sum()
+    types = sorted(df["event_type"].unique())
+    days = np.arange(df["day_id"].min(), df["day_id"].max() + 1)
+    grid = agg.reindex(
+        pd.MultiIndex.from_product([types, days],
+                                   names=["event_type", "day_id"]),
+        fill_value=0,
+    ).to_numpy(np.int64).reshape(len(types), len(days))
+    ew = np.empty(grid.shape, dtype=np.float64)
+    ew[:, 0] = grid[:, 0].astype(np.float64)
+    for t in range(1, len(days)):
+        # one fused expression per step == the recursive CTE's arithmetic
+        ew[:, t] = alpha * grid[:, t] + (1.0 - alpha) * ew[:, t - 1]
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    from . import round_half_away_np
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.repeat(types, len(days)),
+                                       pa.string()),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "ewma": pa.array(round_half_away_np(ew.ravel(), 6)),
+            }
+        )
+    )

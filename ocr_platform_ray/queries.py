@@ -1835,6 +1835,21 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_ewma_daily(sf_dir: str) -> rd.Dataset:
+    """EWMA control line over the gap-filled per-type daily series
+    (s_t = 0.3 n_t + 0.7 s_{t-1}): a single-dependency-chain recurrence,
+    so the vectorized engine and the SQL recursive CTE compute
+    bit-identical doubles — an EXACT oracle for an iterative/streaming
+    operator."""
+    from .functions.events import ewma_daily
+
+    return ewma_daily(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        alpha=0.3,
+    )
+
+
 def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     """TPC-H Q3-shaped: top-10 orders by post-cutoff lineitem revenue for
     pre-cutoff orders of one customer segment — broadcast segment keys,
@@ -2175,6 +2190,7 @@ def queries() -> dict:
         "q_logreg_label": q_logreg_label,
         "q_returned_items": q_returned_items,
         "q_daily_filled": q_daily_filled,
+        "q_ewma_daily": q_ewma_daily,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3370,6 +3386,28 @@ def _oracle_sql_base() -> dict:
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
+        ),
+        "q_ewma_daily": (
+            "WITH RECURSIVE c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " dd AS (SELECT day, CAST(date_diff('day', (SELECT lo FROM b),"
+            " day) AS BIGINT) AS i FROM days),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, dd.day, dd.i,"
+            " coalesce(c.n, 0) AS n FROM dd CROSS JOIN t"
+            " LEFT JOIN c ON c.day = dd.day"
+            " AND c.event_type = t.event_type),"
+            " r AS (SELECT event_type, i, day, n, CAST(n AS DOUBLE)"
+            " AS ewma FROM grid WHERE i = 0"
+            " UNION ALL SELECT g.event_type, g.i, g.day, g.n,"
+            " 0.3 * g.n + 0.7 * r.ewma FROM grid g"
+            " JOIN r ON g.event_type = r.event_type AND g.i = r.i + 1)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " round(ewma, 6) AS ewma FROM r"
         ),
         "q_daily_filled": (
             "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
