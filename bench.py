@@ -228,6 +228,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_daily_filled", q.q_daily_filled),
         ("q_ann_topk_pq", q.q_ann_topk_pq),
         ("q_ewma_daily", q.q_ewma_daily),
+        ("q_cumulative_users", q.q_cumulative_users),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -940,3 +940,79 @@ def ewma_daily(
             }
         )
     )
+
+
+def cumulative_users_by_day(
+    ds: rd.Dataset, max_cells: int = 200_000
+) -> rd.Dataset:
+    """Cumulative distinct users per calendar day: for every day in the
+    global event range, how many users had been seen at least once by
+    the end of it — the growth-curve complement of new_users_by_day
+    (cumulative count distinct is not windowable in one pass in SQL
+    either; the standard rewrite is first-seen-day + a running sum, and
+    that is exactly the distributed shape here).
+
+    Scale shape: per-batch min-ts-per-user combiner (raw events never
+    shuffle), user-bucketed exact first-day resolve emitting <= |days|
+    int rows per bucket, then a driver cumsum over the dense day grid
+    under a loud ``max_cells`` guard. The global max day comes from one
+    pruned-column streamed Dataset.max. All-integer."""
+    from . import bucketed_group_apply
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "ts": batch.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        agg = df.groupby("user_id", as_index=False).agg(first_ts=("ts", "min"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", as_index=False).agg(
+            first_ts=("first_ts", "min")
+        )
+        day = (first["first_ts"].to_numpy() // DAY_US).astype(np.int64)
+        return pd.DataFrame({"day_id": day}).groupby(
+            "day_id", as_index=False
+        ).agg(n=("day_id", "size"))
+
+    day_rows = bucketed_group_apply(
+        partials, "user_id", per_user_bucket
+    ).take(max_cells + 1)
+    if len(day_rows) > max_cells:
+        raise ValueError(
+            f"cumulative_users_by_day: > {max_cells} (day, n) partials — "
+            "raise max_cells deliberately"
+        )
+    if not day_rows:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"day": pa.array([], pa.string()),
+                 "cum_users": pa.array([], pa.int64())}
+            )
+        )
+    hi_ts = ds.select_columns(["ts"]).max("ts")
+    hi_day = int(pa.scalar(hi_ts).cast(pa.timestamp("us")).cast(
+        pa.int64()
+    ).as_py()) // DAY_US
+    df = pd.DataFrame(day_rows, columns=["day_id", "n"])
+    agg = df.groupby("day_id")["n"].sum()
+    days = np.arange(int(agg.index.min()), hi_day + 1)
+    dense = agg.reindex(days, fill_value=0).to_numpy(np.int64)
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"day": pa.array(day_str, pa.string()),
+             "cum_users": pa.array(np.cumsum(dense))}
+        )
+    )

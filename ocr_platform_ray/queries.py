@@ -1835,6 +1835,19 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_cumulative_users(sf_dir: str) -> rd.Dataset:
+    """Cumulative distinct users per calendar day (first-seen-day +
+    running sum — the one-pass rewrite of windowed COUNT DISTINCT):
+    min-ts-per-user combiner, user-bucketed first-day resolve, driver
+    cumsum over the dense day grid. All-integer, exact oracle."""
+    from .functions.events import cumulative_users_by_day
+
+    return cumulative_users_by_day(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
 def q_ewma_daily(sf_dir: str) -> rd.Dataset:
     """EWMA control line over the gap-filled per-type daily series
     (s_t = 0.3 n_t + 0.7 s_{t-1}): a single-dependency-chain recurrence,
@@ -2191,6 +2204,7 @@ def queries() -> dict:
         "q_returned_items": q_returned_items,
         "q_daily_filled": q_daily_filled,
         "q_ewma_daily": q_ewma_daily,
+        "q_cumulative_users": q_cumulative_users,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3386,6 +3400,18 @@ def _oracle_sql_base() -> dict:
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
+        ),
+        "q_cumulative_users": (
+            "WITH f AS (SELECT user_id, min(ts) AS fts FROM events"
+            " GROUP BY user_id),"
+            " fd AS (SELECT date_trunc('day', fts) AS fday FROM f),"
+            " b AS (SELECT min(date_trunc('day', ts)) AS lo,"
+            " max(date_trunc('day', ts)) AS hi FROM events),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day)"
+            " SELECT strftime(day, '%Y-%m-%d') AS day,"
+            " (SELECT count(*) FROM fd WHERE fday <= day)::BIGINT"
+            " AS cum_users FROM days"
         ),
         "q_ewma_daily": (
             "WITH RECURSIVE c AS (SELECT event_type,"
