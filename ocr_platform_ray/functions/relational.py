@@ -1680,3 +1680,95 @@ def returned_item_report(
         }
     )
     return rd.from_arrow(out)
+
+
+def welch_t_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Per-group Welch two-sample t-statistic of an INTEGER measure vs
+    the rest of the corpus (the is-this-slice-different audit next to
+    the chi-square mix test): t = (m_g - m_r) / sqrt(s2_g/n_g + s2_r/n_r)
+    with Welch-Satterthwaite dof.
+
+    Exactness: one streamed pass of per-batch integer moment partials
+    (n, Σx, Σx²) per group — bigint driver merge, so the doubles both
+    engines derive are computed FROM IDENTICAL integers; the oracle SQL
+    uses the same algebraic variance form ((Σx² - (Σx)²/n)/(n-1)) rather
+    than var_samp's streaming accumulator, making the value-hash match
+    exact, not tolerance-based. Complement-side moments are totals minus
+    the group's — no second scan. Groups with n < 2 on either side emit
+    NULL t (the SQL NULLIF contract)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(val_col).to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {"g": batch.column(group_col).to_pylist(), "x": x, "xx": x * x}
+        )
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"welch_t_by_group: > {max_groups} group partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        g = r["g"]
+        n0, s0, q0 = acc.get(g, (0, 0, 0))
+        acc[g] = (n0 + int(r["n"]), s0 + int(r["sx"]), q0 + int(r["sxx"]))
+    N = sum(v[0] for v in acc.values())
+    S = sum(v[1] for v in acc.values())
+    Q = sum(v[2] for v in acc.values())
+
+    out_g, out_n, out_t, out_dof = [], [], [], []
+    from . import round_half_away
+
+    for g in sorted(acc):
+        n, s, q = acc[g]
+        nr, sr, qr = N - n, S - s, Q - q
+        out_g.append(g)
+        out_n.append(n)
+        if n < 2 or nr < 2:
+            out_t.append(None)
+            out_dof.append(None)
+            continue
+        # all-double arithmetic in the same op order as the oracle SQL
+        # (sums are < 2^53 so the BIGINT -> DOUBLE casts are exact and
+        # every subsequent IEEE op matches DuckDB bit-for-bit)
+        nf, sf, qf = float(n), float(s), float(q)
+        nrf, srf, qrf = float(nr), float(sr), float(qr)
+        m, mr = sf / nf, srf / nrf
+        v = (qf - sf * sf / nf) / (nf - 1.0)
+        vr = (qrf - srf * srf / nrf) / (nrf - 1.0)
+        se2 = v / nf + vr / nrf
+        if se2 <= 0.0:
+            out_t.append(None)
+            out_dof.append(None)
+            continue
+        t = (m - mr) / np.sqrt(se2)
+        dof = se2 * se2 / (
+            (v / nf) * (v / nf) / (nf - 1.0)
+            + (vr / nrf) * (vr / nrf) / (nrf - 1.0)
+        )
+        out_t.append(round_half_away(float(t), 6))
+        out_dof.append(round_half_away(float(dof), 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "t_stat": pa.array(out_t, pa.float64()),
+                "dof": pa.array(out_dof, pa.float64()),
+            }
+        )
+    )

@@ -1835,6 +1835,20 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_welch_t(sf_dir: str) -> rd.Dataset:
+    """Per-lang Welch two-sample t of n_chars vs the rest of the corpus
+    (slice-vs-complement audit): one integer moments pass, bigint merge,
+    all-double finalization in the oracle's exact op order."""
+    from .functions.relational import welch_t_by_group
+
+    return welch_t_by_group(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "n_chars"]),
+        "lang",
+        "n_chars",
+    )
+
+
 def q_cumulative_users(sf_dir: str) -> rd.Dataset:
     """Cumulative distinct users per calendar day (first-seen-day +
     running sum — the one-pass rewrite of windowed COUNT DISTINCT):
@@ -2205,6 +2219,7 @@ def queries() -> dict:
         "q_daily_filled": q_daily_filled,
         "q_ewma_daily": q_ewma_daily,
         "q_cumulative_users": q_cumulative_users,
+        "q_welch_t": q_welch_t,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3400,6 +3415,32 @@ def _oracle_sql_base() -> dict:
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
+        ),
+        "q_welch_t": (
+            "WITH g AS (SELECT lang, count(*)::BIGINT AS n,"
+            " sum(n_chars)::BIGINT AS s,"
+            " sum(n_chars * n_chars)::BIGINT AS q"
+            " FROM documents GROUP BY lang),"
+            " tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(q) AS tq"
+            " FROM g),"
+            " c AS (SELECT lang, n, CAST(n AS DOUBLE) AS nf,"
+            " CAST(s AS DOUBLE) AS sf, CAST(q AS DOUBLE) AS qf,"
+            " CAST((SELECT tn FROM tot) - n AS DOUBLE) AS nrf,"
+            " CAST((SELECT ts FROM tot) - s AS DOUBLE) AS srf,"
+            " CAST((SELECT tq FROM tot) - q AS DOUBLE) AS qrf FROM g),"
+            " v AS (SELECT lang, n, nf, nrf, sf / nf AS m,"
+            " srf / nrf AS mr,"
+            " CASE WHEN n >= 2 THEN (qf - sf * sf / nf) / (nf - 1.0)"
+            " END AS v,"
+            " CASE WHEN nrf >= 2 THEN (qrf - srf * srf / nrf)"
+            " / (nrf - 1.0) END AS vr FROM c)"
+            " SELECT lang, n, CASE WHEN v / nf + vr / nrf > 0 THEN"
+            " round((m - mr) / sqrt(v / nf + vr / nrf), 6) END AS t_stat,"
+            " CASE WHEN v / nf + vr / nrf > 0 THEN"
+            " round((v / nf + vr / nrf) * (v / nf + vr / nrf)"
+            " / ((v / nf) * (v / nf) / (nf - 1.0)"
+            " + (vr / nrf) * (vr / nrf) / (nrf - 1.0)), 6) END AS dof"
+            " FROM v"
         ),
         "q_cumulative_users": (
             "WITH f AS (SELECT user_id, min(ts) AS fts FROM events"
