@@ -230,6 +230,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_ewma_daily", q.q_ewma_daily),
         ("q_cumulative_users", q.q_cumulative_users),
         ("q_welch_t", q.q_welch_t),
+        ("q_vocab_growth", q.q_vocab_growth),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1787,3 +1787,86 @@ def vocab_overlap_by_source(ds, max_pairs: int = 100_000):
             }
         )
     )
+
+
+def vocab_growth(ds, seed: int = 7, n_slices: int = 10):
+    """Heaps-law vocabulary-growth curve: cumulative distinct tokens
+    after each decile of the corpus in the seeded md5 training-shuffle
+    order — the is-more-data-still-adding-vocabulary audit that sizes
+    tokenizer/vocab budgets before a training run.
+
+    Shape: the seeded_shuffle_rank contract assigns every doc its global
+    position (no global sort); ONE orderkey hash join attaches positions
+    to texts; per-batch polars tokenize emits local min-position per
+    token (the shuffle carries one (token, fp) row per distinct token
+    per batch — never token occurrences); a token-bucketed min merge
+    yields each token's first position; the decile histogram is ten
+    integer partials per batch summed on the driver. All-integer, exact
+    vs the SQL min-pos rewrite of cumulative COUNT DISTINCT."""
+    import pandas as pd
+    import polars as pl
+
+    import ray.data as rd
+
+    from . import bucketed_group_apply
+    from .dedup import seeded_shuffle_rank
+    from .joins import hash_join
+
+    ranks = seeded_shuffle_rank(ds.select_columns(["doc_id"]), seed=seed)
+    n_docs = ds.count()
+    # ceil(N*d/10.0) in DOUBLE — the oracle's op order (fraction parts
+    # are >= 0.1 away from integers, so float ceil is exact here)
+    thr = np.ceil(
+        n_docs * np.arange(1, n_slices + 1) / float(n_slices)
+    ).astype(np.int64)
+
+    joined = hash_join(
+        ds.select_columns(["doc_id", "text"]),
+        ranks,
+        on="doc_id",
+    )
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "fp": pa.array([], pa.int64())}
+            )
+        df = (
+            pl.from_arrow(batch.select(["text", "shuffle_pos"]))
+            .with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("tok"))
+            .drop("text")
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by("tok")
+            .agg(pl.col("shuffle_pos").min().alias("fp"))
+            .rename({"tok": "token"})
+        )
+        return df.to_arrow()
+
+    partials = joined.map_batches(tok_partial, batch_format="pyarrow")
+
+    def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["fp"].min()[["fp"]]
+
+    firstpos = bucketed_group_apply(partials, "token", min_merge)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fp").to_numpy()
+        # decile where the token first counts: first threshold > fp
+        d0 = np.searchsorted(thr, fp, side="right")
+        counts = np.bincount(d0, minlength=n_slices)[:n_slices]
+        return pa.Table.from_pydict(
+            {"d": pa.array(np.arange(1, n_slices + 1, dtype=np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    acc = np.zeros(n_slices, dtype=np.int64)
+    for r in firstpos.map_batches(hist, batch_format="pyarrow").take_all():
+        acc[int(r["d"]) - 1] += int(r["n"])
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"decile": pa.array(np.arange(1, n_slices + 1, dtype=np.int64)),
+             "vocab": pa.array(np.cumsum(acc))}
+        )
+    )

@@ -1835,6 +1835,16 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_vocab_growth(sf_dir: str) -> rd.Dataset:
+    """Heaps-law vocabulary-growth curve: cumulative distinct tokens at
+    each decile of the seeded md5 training-shuffle order — min-first-
+    position per token (the SQL rewrite of cumulative COUNT DISTINCT),
+    all-integer decile histogram."""
+    return textstats.vocab_growth(
+        _docs(sf_dir, ["doc_id", "text"]), seed=7
+    )
+
+
 def q_welch_t(sf_dir: str) -> rd.Dataset:
     """Per-lang Welch two-sample t of n_chars vs the rest of the corpus
     (slice-vs-complement audit): one integer moments pass, bigint merge,
@@ -2220,6 +2230,7 @@ def queries() -> dict:
         "q_ewma_daily": q_ewma_daily,
         "q_cumulative_users": q_cumulative_users,
         "q_welch_t": q_welch_t,
+        "q_vocab_growth": q_vocab_growth,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3415,6 +3426,21 @@ def _oracle_sql_base() -> dict:
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
+        ),
+        "q_vocab_growth": (
+            "WITH r AS (SELECT doc_id, text, row_number() OVER"
+            " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
+            " AS pos FROM documents),"
+            " nn AS (SELECT count(*)::BIGINT AS n FROM documents),"
+            " tok AS (SELECT pos, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM r),"
+            " fp AS (SELECT token, min(pos) AS fp FROM tok"
+            " GROUP BY token),"
+            " d AS (SELECT unnest(range(1, 11)) AS decile)"
+            " SELECT decile::BIGINT AS decile,"
+            " (SELECT count(*) FROM fp WHERE fp.fp <"
+            " CAST(ceil((SELECT n FROM nn) * decile / 10.0) AS BIGINT)"
+            " )::BIGINT AS vocab FROM d"
         ),
         "q_welch_t": (
             "WITH g AS (SELECT lang, count(*)::BIGINT AS n,"
