@@ -1870,3 +1870,53 @@ def vocab_growth(ds, seed: int = 7, n_slices: int = 10):
              "vocab": pa.array(np.cumsum(acc))}
         )
     )
+
+
+def langid_confusion(ds, max_cells: int = 100_000):
+    """Confusion matrix of the n-gram langid heuristic against the
+    corpus's ground-truth ``lang`` column — the model-evaluation counts
+    every curation pipeline should emit before trusting a classifier
+    gate (per-class precision/recall derive from these rows by two
+    divisions). One streamed pass: langid per batch (row-local), then
+    (truth, pred) integer count partials merged on the driver under a
+    loud ``max_cells`` guard (|langs|² cells — bounded by construction).
+    All-integer, exact vs the SQL CASE-expression oracle."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = langid_batch(batch)
+        df = pd.DataFrame(
+            {
+                "lang": scored.column("lang").to_pylist(),
+                "pred_lang": scored.column("pred_lang").to_pylist(),
+            }
+        )
+        agg = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"langid_confusion: > {max_cells} cells — raise max_cells "
+            "deliberately"
+        )
+    df = pd.DataFrame(long, columns=["lang", "pred_lang", "size"])
+    agg = (
+        df.groupby(["lang", "pred_lang"], as_index=False)["size"]
+        .sum()
+        .rename(columns={"size": "n"})
+        .sort_values(["lang", "pred_lang"])
+    )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "pred_lang": pa.array(agg["pred_lang"], pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+    )

@@ -1835,6 +1835,16 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Confusion matrix of the langid heuristic vs the ground-truth lang
+    column — classifier-evaluation counts (per-class precision/recall
+    derive by two divisions). All-integer; oracle composes the q_langid
+    CASE expression."""
+    return textstats.langid_confusion(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+    )
+
+
 def q_vocab_growth(sf_dir: str) -> rd.Dataset:
     """Heaps-law vocabulary-growth curve: cumulative distinct tokens at
     each decile of the seeded md5 training-shuffle order — min-first-
@@ -2231,6 +2241,7 @@ def queries() -> dict:
         "q_cumulative_users": q_cumulative_users,
         "q_welch_t": q_welch_t,
         "q_vocab_growth": q_vocab_growth,
+        "q_langid_confusion": q_langid_confusion,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3427,6 +3438,7 @@ def _oracle_sql_base() -> dict:
             " ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)"
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
         ),
+        "q_langid_confusion": ("WITH pred AS (WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id AS pid, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c) SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n FROM documents d JOIN pred p ON d.doc_id = p.pid GROUP BY 1, 2"),
         "q_vocab_growth": (
             "WITH r AS (SELECT doc_id, text, row_number() OVER"
             " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
