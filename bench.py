@@ -232,6 +232,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_welch_t", q.q_welch_t),
         ("q_vocab_growth", q.q_vocab_growth),
         ("q_langid_confusion", q.q_langid_confusion),
+        ("q_rolling_corr", q.q_rolling_corr),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

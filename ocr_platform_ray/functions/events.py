@@ -1016,3 +1016,94 @@ def cumulative_users_by_day(
              "cum_users": pa.array(np.cumsum(dense))}
         )
     )
+
+
+def rolling_corr_daily(
+    ds: rd.Dataset,
+    type_x: str = "view",
+    type_y: str = "click",
+    window: int = 7,
+    max_cells: int = 200_000,
+) -> rd.Dataset:
+    """Rolling cross-series correlation: Pearson corr between two event
+    types' daily volumes over a trailing ROWS window on the dense
+    calendar (do clicks still track views this week? — the
+    relationship-drift audit on top of the gap-filled grid).
+
+    Exactness: window correlation is computed from INTEGER window sums
+    (w·Σxy − Σx·Σy over w·Σx² − (Σx)² ...), derived via int64 cumsums of
+    the same (type, day) count partials daily_counts_filled uses — the
+    oracle SQL uses the identical algebraic form over exact BIGINT
+    window sums (NOT the engine-specific corr() accumulator), so both
+    sides divide the same integers and the value-hash match is exact.
+    Zero-variance windows emit NULL on both sides."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "day_id": batch.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        )
+        df = df[df["event_type"].isin([type_x, type_y])]
+        agg = df.groupby(["event_type", "day_id"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"rolling_corr_daily: > {max_cells} partials — raise "
+            "max_cells deliberately"
+        )
+    empty = pa.Table.from_pydict(
+        {"day": pa.array([], pa.string()),
+         "roll_corr": pa.array([], pa.float64())}
+    )
+    if not long:
+        return rd.from_arrow(empty)
+    df = pd.DataFrame(long, columns=["event_type", "day_id", "size"])
+    agg = df.groupby(["event_type", "day_id"])["size"].sum()
+    days = np.arange(df["day_id"].min(), df["day_id"].max() + 1)
+
+    def dense(t):
+        if t in agg.index.get_level_values(0):
+            return agg.loc[t].reindex(days, fill_value=0).to_numpy(np.int64)
+        return np.zeros(len(days), dtype=np.int64)
+
+    x, y = dense(type_x), dense(type_y)
+
+    def winsum(v: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(np.arange(len(v)) - (window - 1), 0)
+        return c[np.arange(1, len(v) + 1)] - c[lo]
+
+    w_n = np.minimum(np.arange(len(days)) + 1, window).astype(np.int64)
+    sx, sy = winsum(x), winsum(y)
+    sxx, syy, sxy = winsum(x * x), winsum(y * y), winsum(x * y)
+    num = (w_n * sxy - sx * sy).astype(np.float64)
+    den = ((w_n * sxx - sx * sx) * (w_n * syy - sy * sy)).astype(np.float64)
+    ok = den > 0.0
+    from . import round_half_away_np
+
+    corr = np.where(ok, num / np.sqrt(np.where(ok, den, 1.0)), np.nan)
+    corr = np.where(ok, round_half_away_np(corr, 6), np.nan)
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "day": pa.array(day_str, pa.string()),
+                "roll_corr": pa.array(
+                    [None if not o else float(c)
+                     for o, c in zip(ok, corr)], pa.float64()
+                ),
+            }
+        )
+    )

@@ -1835,6 +1835,20 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_rolling_corr(sf_dir: str) -> rd.Dataset:
+    """7-day rolling Pearson correlation between view and click daily
+    volumes on the dense calendar — computed from exact integer window
+    sums on both sides (the oracle uses the algebraic form over BIGINT
+    window sums, not corr()'s accumulator), so the match is exact."""
+    from .functions.events import rolling_corr_daily
+
+    return rolling_corr_daily(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        "view", "click", window=7,
+    )
+
+
 def q_langid_confusion(sf_dir: str) -> rd.Dataset:
     """Confusion matrix of the langid heuristic vs the ground-truth lang
     column — classifier-evaluation counts (per-class precision/recall
@@ -2242,6 +2256,7 @@ def queries() -> dict:
         "q_welch_t": q_welch_t,
         "q_vocab_growth": q_vocab_growth,
         "q_langid_confusion": q_langid_confusion,
+        "q_rolling_corr": q_rolling_corr,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3439,6 +3454,32 @@ def _oracle_sql_base() -> dict:
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
         ),
         "q_langid_confusion": ("WITH pred AS (WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id AS pid, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c) SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n FROM documents d JOIN pred p ON d.doc_id = p.pid GROUP BY 1, 2"),
+        "q_rolling_corr": (
+            "WITH e AS (SELECT event_type, date_trunc('day', ts) AS day"
+            " FROM events WHERE event_type IN ('view', 'click')),"
+            " c AS (SELECT day,"
+            " (count(*) FILTER (WHERE event_type = 'view'))::BIGINT"
+            " AS nx,"
+            " (count(*) FILTER (WHERE event_type = 'click'))::BIGINT"
+            " AS ny FROM e GROUP BY 1),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " g AS (SELECT days.day, coalesce(c.nx, 0) AS nx,"
+            " coalesce(c.ny, 0) AS ny FROM days"
+            " LEFT JOIN c ON c.day = days.day),"
+            " w AS (SELECT day, count(*) OVER win AS wn,"
+            " sum(nx) OVER win AS sx, sum(ny) OVER win AS sy,"
+            " sum(nx * nx) OVER win AS sxx,"
+            " sum(ny * ny) OVER win AS syy,"
+            " sum(nx * ny) OVER win AS sxy FROM g WINDOW win AS"
+            " (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
+            " SELECT strftime(day, '%Y-%m-%d') AS day,"
+            " CASE WHEN (wn * sxx - sx * sx) * (wn * syy - sy * sy) > 0"
+            " THEN round(CAST(wn * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST((wn * sxx - sx * sx) * (wn * syy - sy * sy)"
+            " AS DOUBLE)), 6) END AS roll_corr FROM w"
+        ),
         "q_vocab_growth": (
             "WITH r AS (SELECT doc_id, text, row_number() OVER"
             " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
