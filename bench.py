@@ -233,6 +233,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_vocab_growth", q.q_vocab_growth),
         ("q_langid_confusion", q.q_langid_confusion),
         ("q_rolling_corr", q.q_rolling_corr),
+        ("q_psi_by_source", q.q_psi_by_source),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1920,3 +1920,65 @@ def langid_confusion(ds, max_cells: int = 100_000):
             }
         )
     )
+
+
+def psi_by_source(ds, n_bins: int = 10, max_cells: int = 100_000):
+    """Population Stability Index of each source's quality-score
+    distribution against the whole corpus — the drift monitor run
+    between pipeline snapshots (PSI > 0.25 is the classic
+    retrain/investigate threshold). Laplace-smoothed:
+    psi = Σ_b (p_b − q_b)·ln(p_b/q_b), p_b = (n_sb+1)/(n_s+B),
+    q_b = (n_cb+1)/(N+B).
+
+    One streamed pass: row-local quality score (the q_quality kernel,
+    6dp-rounded so both engines bin identically), equal-width bin on
+    [0,1], (source, bin) integer count partials merged on the driver
+    under a loud guard; the PSI itself is |sources| × B trivial double
+    ops from exact integers, mirrored op-for-op in the oracle SQL."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = quality_batch(batch)
+        score = scored.column("quality_score").to_numpy()
+        b = np.minimum(np.floor(score * 10).astype(np.int64), n_bins - 1)
+        df = pd.DataFrame(
+            {"source": batch.column("source").to_pylist(), "b": b}
+        )
+        agg = df.groupby(["source", "b"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["text", "source"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"psi_by_source: > {max_cells} cells — raise max_cells "
+            "deliberately"
+        )
+    from . import round_half_away
+
+    df = pd.DataFrame(long, columns=["source", "b", "size"])
+    agg = df.groupby(["source", "b"])["size"].sum()
+    sources = sorted(df["source"].unique())
+    grid = agg.reindex(
+        pd.MultiIndex.from_product([sources, range(n_bins)],
+                                   names=["source", "b"]),
+        fill_value=0,
+    ).to_numpy(np.int64).reshape(len(sources), n_bins)
+    tot = grid.sum(axis=0)          # corpus bin counts
+    n_src = grid.sum(axis=1)
+    n_all = int(tot.sum())
+    out = []
+    for i, src in enumerate(sources):
+        p = (grid[i] + 1.0) / (n_src[i] + float(n_bins))
+        q = (tot + 1.0) / (n_all + float(n_bins))
+        psi = float(((p - q) * np.log(p / q)).sum())
+        out.append(round_half_away(psi, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"source": pa.array(sources, pa.string()),
+             "psi": pa.array(out, pa.float64())}
+        )
+    )

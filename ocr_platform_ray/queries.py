@@ -1835,6 +1835,14 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_psi_by_source(sf_dir: str) -> rd.Dataset:
+    """Population Stability Index of each source's quality-score
+    distribution vs the corpus (Laplace-smoothed, 10 equal-width bins on
+    the 6dp-rounded score so both engines bin identically) — the
+    distribution-drift monitor."""
+    return textstats.psi_by_source(_docs(sf_dir, ["text", "source"]))
+
+
 def q_rolling_corr(sf_dir: str) -> rd.Dataset:
     """7-day rolling Pearson correlation between view and click daily
     volumes on the dense calendar — computed from exact integer window
@@ -2257,6 +2265,7 @@ def queries() -> dict:
         "q_vocab_growth": q_vocab_growth,
         "q_langid_confusion": q_langid_confusion,
         "q_rolling_corr": q_rolling_corr,
+        "q_psi_by_source": q_psi_by_source,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_user_paths": q_user_paths,
         "q_event_transitions": q_event_transitions,
@@ -3454,6 +3463,7 @@ def _oracle_sql_base() -> dict:
             "  * 100) AS BIGINT)) DESC, c_custkey LIMIT 20"
         ),
         "q_langid_confusion": ("WITH pred AS (WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id AS pid, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c) SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n FROM documents d JOIN pred p ON d.doc_id = p.pid GROUP BY 1, 2"),
+        "q_psi_by_source": ("WITH s AS (SELECT source, least(CAST(floor(round(least(len(regexp_extract_all(text, '[a-z0-9]+')) / 100.0, 1.0) * (len(regexp_extract_all(text, '[a-z]')) * 1.0 / greatest(length(text), 1)), 6) * 10) AS BIGINT), 9) AS b FROM documents), sb AS (SELECT source, b, count(*)::BIGINT AS n FROM s GROUP BY 1, 2), tot AS (SELECT b, sum(n) AS n FROM sb GROUP BY 1), ns AS (SELECT source, sum(n) AS n FROM sb GROUP BY 1), nn AS (SELECT sum(n) AS n FROM sb), bins AS (SELECT unnest(range(0, 10)) AS b), grid AS (SELECT ns.source, bins.b, coalesce(sb.n, 0) AS nsb, coalesce(tot.n, 0) AS ncb, ns.n AS nsrc FROM ns CROSS JOIN bins LEFT JOIN sb ON sb.source = ns.source AND sb.b = bins.b LEFT JOIN tot ON tot.b = bins.b) SELECT source, round(sum(((nsb + 1.0) / (nsrc + 10.0) - (ncb + 1.0) / ((SELECT n FROM nn) + 10.0)) * ln(((nsb + 1.0) / (nsrc + 10.0)) / ((ncb + 1.0) / ((SELECT n FROM nn) + 10.0)))), 6) AS psi FROM grid GROUP BY source"),
         "q_rolling_corr": (
             "WITH e AS (SELECT event_type, date_trunc('day', ts) AS day"
             " FROM events WHERE event_type IN ('view', 'click')),"
