@@ -234,6 +234,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_langid_confusion", q.q_langid_confusion),
         ("q_rolling_corr", q.q_rolling_corr),
         ("q_psi_by_source", q.q_psi_by_source),
+        ("q_props_stats", q.q_props_stats),
+        ("q_ks_by_source", q.q_ks_by_source),
+        ("q_mannwhitney_lang", q.q_mannwhitney_lang),
+        ("q_weighted_median_qty", q.q_weighted_median_qty),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

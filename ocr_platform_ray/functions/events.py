@@ -1107,3 +1107,70 @@ def rolling_corr_daily(
             }
         )
     )
+
+
+def props_field_stats(
+    ds: rd.Dataset, field: str = "k", max_groups: int = 100_000
+) -> rd.Dataset:
+    """Semi-structured sidecar parse: extract an integer field from the
+    JSON ``props`` column and aggregate it per event_type — the
+    schema-on-read step every event log needs before its payload can be
+    queried (reference keeps payloads as opaque JSON strings too:
+    detect/result JSON blobs, `apps/worker/app/tasks/ocr_tasks.py`).
+
+    Vectorized: polars ``str.json_path_match`` runs ONE native JSONPath
+    scan per batch (no per-row ``json.loads`` in the hot path); rows
+    whose props lack the field (or hold a non-integer) drop with a
+    per-batch count folded into the partials, never an error. Scale: the
+    parse is row-local, each batch emits |event_types| tiny partial rows
+    (n, sum, min, max — all int64), and the driver merge is bounded by a
+    loud ``max_groups`` guard. All-integer outputs make the DuckDB
+    ``json_extract`` oracle exact."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("props"))
+        if s.dtype != pl.String:
+            s = s.cast(pl.String)
+        k = s.str.json_path_match(f"$.{field}").cast(pl.Int64, strict=False)
+        tb = pl.DataFrame(
+            {"g": pl.from_arrow(batch.column("event_type")), "k": k}
+        ).drop_nulls("k")
+        agg = tb.group_by("g").agg(
+            n=pl.len().cast(pl.Int64),
+            s=pl.col("k").sum(),
+            mn=pl.col("k").min(),
+            mx=pl.col("k").max(),
+        )
+        return agg.to_arrow()
+
+    rows = ds.select_columns(["event_type", "props"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"props_field_stats: > {max_groups} group partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        g = r["g"]
+        n0, s0, mn0, mx0 = acc.get(g, (0, 0, None, None))
+        acc[g] = (
+            n0 + int(r["n"]),
+            s0 + int(r["s"]),
+            int(r["mn"]) if mn0 is None else min(mn0, int(r["mn"])),
+            int(r["mx"]) if mx0 is None else max(mx0, int(r["mx"])),
+        )
+    gs = sorted(acc)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(gs, pa.string()),
+                "n": pa.array([acc[g][0] for g in gs], pa.int64()),
+                "sum_k": pa.array([acc[g][1] for g in gs], pa.int64()),
+                "min_k": pa.array([acc[g][2] for g in gs], pa.int64()),
+                "max_k": pa.array([acc[g][3] for g in gs], pa.int64()),
+            }
+        )
+    )

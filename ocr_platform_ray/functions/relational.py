@@ -1772,3 +1772,145 @@ def welch_t_by_group(
             }
         )
     )
+
+
+def mannwhitney_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group Mann–Whitney U (rank-sum) statistic of an INTEGER
+    measure vs the rest of the corpus — the nonparametric sibling of
+    welch_t_by_group for skewed measures where a mean test misleads.
+
+    U_g = R_g − n_g(n_g+1)/2 with tie-averaged ranks. Exactness: one
+    streamed pass of (group, value) integer count partials (driver merge
+    under a loud guard); tie-averaged ranks are half-integers derived
+    from exact cumulative counts, so every product/sum both engines
+    compute is exactly representable (< 2^53) and the value-hash match
+    is exact with NO op-order mirroring needed. Scale: like ks_by_source
+    the value domain bounds driver state — pre-bin at 100 TB, the guard
+    is loud."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pylist(),
+                "v": batch.column(val_col).to_numpy().astype(np.int64),
+            }
+        )
+        agg = df.groupby(["g", "v"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"mannwhitney_by_group: > {max_cells} (group, value) "
+            "partials — pre-bin the value column or raise max_cells "
+            "deliberately"
+        )
+    df = pd.DataFrame(rows, columns=["g", "v", "size"])
+    cnt = df.groupby(["g", "v"])["size"].sum()
+    groups = sorted(df["g"].unique())
+    vals = np.sort(df["v"].unique())
+    grid = cnt.reindex(
+        pd.MultiIndex.from_product([groups, vals], names=["g", "v"]),
+        fill_value=0,
+    ).to_numpy(np.int64).reshape(len(groups), len(vals))
+    tot = grid.sum(axis=0)
+    cum = tot.cumsum()
+    # tie-averaged rank of every occurrence of value v:
+    #   (count before v) + (count at v + 1)/2 — a half-integer
+    avg_rank = (cum - tot).astype(np.float64) + (
+        tot + 1
+    ).astype(np.float64) / 2.0
+    from . import round_half_away
+
+    out_u: list = []
+    out_n: list = []
+    for i in range(len(groups)):
+        ng = int(grid[i].sum())
+        out_n.append(ng)
+        rsum = float((grid[i].astype(np.float64) * avg_rank).sum())
+        u = rsum - float(ng) * float(ng + 1) / 2.0
+        out_u.append(round_half_away(u, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "u_stat": pa.array(out_u, pa.float64()),
+            }
+        )
+    )
+
+
+def weighted_median_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group weighted median: the smallest value whose cumulative
+    INTEGER weight reaches half the group's total (2·cumw ≥ totw — an
+    all-integer comparison, so the tie/threshold edge is exact on both
+    engines). The weight column must already be integral (int64);
+    callers convert currency to cents etc. in a row-local map first.
+
+    One streamed pass of (group, value) weight-sum partials, driver
+    merge under a loud guard, then a cumsum scan per group over the
+    sorted value grid. Scale: driver state is |groups| × |distinct
+    values| — for low-cardinality measures (quantities, grades, bins)
+    this is tiny at any corpus size; pre-bin wide domains."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pylist(),
+                "v": batch.column(val_col).to_numpy(),
+                "w": batch.column(weight_col).to_numpy().astype(np.int64),
+            }
+        )
+        agg = df.groupby(["g", "v"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([group_col, val_col, weight_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"weighted_median_by_group: > {max_cells} (group, value) "
+            "partials — pre-bin the value column or raise max_cells "
+            "deliberately"
+        )
+    df = pd.DataFrame(rows, columns=["g", "v", "w"])
+    agg = df.groupby(["g", "v"])["w"].sum().reset_index()
+    out_g: list = []
+    out_v: list = []
+    for g, sub in agg.groupby("g"):
+        sub = sub.sort_values("v")
+        w = sub["w"].to_numpy(np.int64)
+        cw = w.cumsum()
+        tw = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tw))
+        out_g.append(g)
+        out_v.append(float(sub["v"].to_numpy()[idx]))
+    order = np.argsort(np.asarray(out_g, dtype=object))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(
+                    [out_g[i] for i in order], pa.string()
+                ),
+                "wmedian": pa.array(
+                    [out_v[i] for i in order], pa.float64()
+                ),
+            }
+        )
+    )

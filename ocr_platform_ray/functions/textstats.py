@@ -1982,3 +1982,83 @@ def psi_by_source(ds, n_bins: int = 10, max_cells: int = 100_000):
              "psi": pa.array(out, pa.float64())}
         )
     )
+
+
+def ks_by_source(
+    ds,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+    max_cells: int = 1_000_000,
+):
+    """Two-sample Kolmogorov–Smirnov D statistic of each group's INTEGER
+    measure distribution vs its complement (rest of corpus) — the
+    nonparametric drift monitor next to [[psi]]/JS/chi2: D is the max
+    ECDF gap, sensitive to location AND shape shifts that binned PSI
+    smooths away.
+
+    Exactness: one streamed pass of per-batch (group, value) integer
+    count partials; the driver merges them under a loud ``max_cells``
+    guard and evaluates both ECDFs on the shared sorted value grid, so
+    every double each engine derives comes FROM IDENTICAL integers via
+    the same op order (cast, divide, subtract, abs, max, round) — the
+    value-hash match is exact. Groups whose complement is empty emit
+    NULL. Scale: at 100 TB the value domain must be pre-binned (PSI's
+    move); the guard makes an unbinned overflow loud, never silent."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pylist(),
+                "v": batch.column(val_col).to_numpy().astype(np.int64),
+            }
+        )
+        agg = df.groupby(["g", "v"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"ks_by_source: > {max_cells} (group, value) partials — "
+            "pre-bin the value column or raise max_cells deliberately"
+        )
+    df = pd.DataFrame(rows, columns=["g", "v", "size"])
+    cnt = df.groupby(["g", "v"])["size"].sum()
+    groups = sorted(df["g"].unique())
+    vals = np.sort(df["v"].unique())
+    grid = cnt.reindex(
+        pd.MultiIndex.from_product([groups, vals], names=["g", "v"]),
+        fill_value=0,
+    ).to_numpy(np.int64).reshape(len(groups), len(vals))
+    ct = grid.sum(axis=0).cumsum()          # corpus cumulative counts
+    n_all = int(ct[-1])
+    from . import round_half_away
+
+    out_d: list = []
+    ns_out: list = []
+    for i in range(len(groups)):
+        cs = grid[i].cumsum()
+        ns = int(cs[-1])
+        nr = n_all - ns
+        ns_out.append(ns)
+        if nr == 0:
+            out_d.append(None)
+            continue
+        d = np.abs(
+            cs.astype(np.float64) / float(ns)
+            - (ct - cs).astype(np.float64) / float(nr)
+        ).max()
+        out_d.append(round_half_away(float(d), 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "n": pa.array(ns_out, pa.int64()),
+                "ks_d": pa.array(out_d, pa.float64()),
+            }
+        )
+    )

@@ -2237,6 +2237,73 @@ def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
     )
 
 
+def q_props_stats(sf_dir: str) -> rd.Dataset:
+    """Schema-on-read over the JSON props sidecar: vectorized JSONPath
+    extraction of props.k (polars native scan per batch, no per-row
+    json.loads) + all-integer per-event_type stats — exact DuckDB
+    json_extract oracle."""
+    from .functions.events import props_field_stats
+
+    return props_field_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+    )
+
+
+def q_ks_by_source(sf_dir: str) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov D of each source's n_chars
+    distribution vs its complement — nonparametric drift monitor next
+    to PSI/JS/chi2; exact oracle (shared integer grid, mirrored op
+    order)."""
+    from .functions.textstats import ks_by_source
+
+    return ks_by_source(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "n_chars"])
+    )
+
+
+def q_mannwhitney_lang(sf_dir: str) -> rd.Dataset:
+    """Per-lang Mann-Whitney U of n_chars vs the rest of the corpus —
+    the rank-based slice audit (robust to the heavy length tail that
+    skews q_welch_t); half-integer tie-averaged ranks make the oracle
+    match exact."""
+    from .functions.relational import mannwhitney_by_group
+
+    return mannwhitney_by_group(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "n_chars"]),
+        "lang",
+        "n_chars",
+    )
+
+
+def q_weighted_median_qty(sf_dir: str) -> rd.Dataset:
+    """Revenue-weighted median order quantity per returnflag: weights
+    are exact integer cents (row-local round(price*100) map), so the
+    2*cumw >= totw threshold comparison is all-integer on both
+    engines."""
+    from .functions.relational import weighted_median_by_group
+
+    def cents(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        w = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        return batch.drop_columns(["l_extendedprice"]).append_column(
+            "w_cents", pa.array(w, pa.int64())
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(cents, batch_format="pyarrow")
+    return weighted_median_by_group(
+        ds, "l_returnflag", "l_quantity", "w_cents"
+    ).rename_columns(["l_returnflag", "wmedian_qty"])
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2254,6 +2321,10 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_props_stats": q_props_stats,
+        "q_ks_by_source": q_ks_by_source,
+        "q_mannwhitney_lang": q_mannwhitney_lang,
+        "q_weighted_median_qty": q_weighted_median_qty,
         "q_nation_pagerank": q_nation_pagerank,
         "q_embedding_pca": q_embedding_pca,
         "q_logreg_label": q_logreg_label,
@@ -2434,6 +2505,67 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_props_stats": (
+            "WITH e AS (SELECT event_type,"
+            " CAST(json_extract(props, '$.k') AS BIGINT) AS k"
+            " FROM events)"
+            " SELECT event_type, count(*)::BIGINT AS n,"
+            " sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,"
+            " max(k)::BIGINT AS max_k FROM e WHERE k IS NOT NULL"
+            " GROUP BY event_type"
+        ),
+        "q_ks_by_source": (
+            "WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT"
+            " AS n FROM documents GROUP BY 1, 2),"
+            " srcs AS (SELECT source, sum(n)::BIGINT AS ns FROM c"
+            " GROUP BY 1),"
+            " vals AS (SELECT DISTINCT v FROM c),"
+            " tot AS (SELECT v, sum(n)::BIGINT AS n FROM c GROUP BY 1),"
+            " nn AS (SELECT sum(n)::BIGINT AS n FROM c),"
+            " grid AS (SELECT s.source, s.ns, vals.v,"
+            " coalesce(c.n, 0)::BIGINT AS nsv, tot.n AS ntv"
+            " FROM srcs s CROSS JOIN vals"
+            " JOIN tot ON tot.v = vals.v"
+            " LEFT JOIN c ON c.source = s.source AND c.v = vals.v),"
+            " cum AS (SELECT source, ns,"
+            " (sum(nsv) OVER (PARTITION BY source ORDER BY v))::BIGINT"
+            " AS cs,"
+            " (sum(ntv) OVER (PARTITION BY source ORDER BY v))::BIGINT"
+            " AS ct FROM grid)"
+            " SELECT source, ns AS n,"
+            " CASE WHEN (SELECT n FROM nn) - ns = 0 THEN NULL ELSE"
+            " round(max(abs(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)"
+            " - CAST(ct - cs AS DOUBLE)"
+            " / CAST((SELECT n FROM nn) - ns AS DOUBLE))), 6)"
+            " END AS ks_d FROM cum GROUP BY source, ns"
+        ),
+        "q_mannwhitney_lang": (
+            "WITH c AS (SELECT lang, n_chars AS v, count(*)::BIGINT"
+            " AS n FROM documents GROUP BY 1, 2),"
+            " tot AS (SELECT v, sum(n)::BIGINT AS n FROM c GROUP BY 1),"
+            " r AS (SELECT v, n, (sum(n) OVER (ORDER BY v))::BIGINT"
+            " AS cum FROM tot),"
+            " ar AS (SELECT v, CAST(cum - n AS DOUBLE)"
+            " + CAST(n + 1 AS DOUBLE) / 2.0 AS avg_rank FROM r)"
+            " SELECT c.lang, sum(c.n)::BIGINT AS n,"
+            " round(sum(CAST(c.n AS DOUBLE) * ar.avg_rank)"
+            " - CAST(sum(c.n) AS DOUBLE)"
+            " * CAST(sum(c.n) + 1 AS DOUBLE) / 2.0, 6) AS u_stat"
+            " FROM c JOIN ar ON ar.v = c.v GROUP BY c.lang"
+        ),
+        "q_weighted_median_qty": (
+            "WITH g AS (SELECT l_returnflag, l_quantity AS v,"
+            " sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT"
+            " AS w FROM lineitem GROUP BY 1, 2),"
+            " c AS (SELECT l_returnflag, v,"
+            " (sum(w) OVER (PARTITION BY l_returnflag ORDER BY v))"
+            "::BIGINT AS cw,"
+            " (sum(w) OVER (PARTITION BY l_returnflag))::BIGINT AS tw"
+            " FROM g)"
+            " SELECT l_returnflag, CAST(min(v) AS DOUBLE)"
+            " AS wmedian_qty FROM c WHERE 2 * cw >= tw"
+            " GROUP BY l_returnflag"
+        ),
         "q_normalize_docs": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
         "q_langid": "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS c_de, len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS c_en, len(regexp_extract_all(text, '\\b(el|los|de|y|que|en|es)\\b')) AS c_es, len(regexp_extract_all(text, '\\b(le|la|et|les|des|un|est)\\b')) AS c_fr, len(regexp_extract_all(text, '\\b(de|shi|le|zai|you|wo|ta)\\b')) AS c_zh FROM documents) SELECT doc_id, CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred_lang, round(greatest(c_de, c_en, c_es, c_fr, c_zh) * 1.0 / greatest(c_de + c_en + c_es + c_fr + c_zh, 1), 6) AS lang_conf FROM c",
 
