@@ -238,6 +238,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_ks_by_source", q.q_ks_by_source),
         ("q_mannwhitney_lang", q.q_mannwhitney_lang),
         ("q_weighted_median_qty", q.q_weighted_median_qty),
+        ("q_q6_revenue", q.q_q6_revenue),
+        ("q_large_orders", q.q_large_orders),
+        ("q_k_anonymity", q.q_k_anonymity),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

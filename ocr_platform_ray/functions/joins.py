@@ -58,6 +58,30 @@ def hash_join(
     )
 
 
+def _as_arrow_type(t) -> pa.DataType:
+    """Coerce a Dataset.schema() entry to an Arrow DataType. Arrow schemas
+    pass through; pandas-block schemas carry numpy dtypes or python classes
+    (object-dtype string columns arrive as ``object``/``str``)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, object):
+        return pa.string()
+    if t is bytes:
+        return pa.binary()
+    if t is bool:
+        return pa.bool_()
+    if t is int:
+        return pa.int64()
+    if t is float:
+        return pa.float64()
+    import numpy as np
+
+    dt = np.dtype(t)
+    if dt.kind == "O":
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def bucketed_merge_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -65,6 +89,8 @@ def bucketed_merge_join(
     right_on: str | None = None,
     n_buckets: int = 64,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join: both sides get bucket =
     hash(key) % B (polars/Rust hash — key-type generic: int, string, date,
@@ -74,15 +100,29 @@ def bucketed_merge_join(
 
     ``how``: "inner" | "left" (unmatched left rows keep nulls in right
     columns) | "semi" (left rows WITH a match, left columns only) |
-    "anti" (left rows WITHOUT a match, left columns only)."""
+    "anti" (left rows WITHOUT a match, left columns only).
+
+    ``left_schema``/``right_schema``: pass explicitly when known — it
+    skips the ``Dataset.schema()`` peek (which partially EXECUTES a lazy
+    upstream) and is REQUIRED when a side can be statically empty (a
+    filter that may keep nothing yields ``schema() is None``)."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
-    lsch, rsch = left.schema(), right.schema()
+    lsch = left_schema if left_schema is not None else left.schema()
+    rsch = right_schema if right_schema is not None else right.schema()
+    if lsch is None or rsch is None:
+        raise ValueError(
+            "bucketed_merge_join: a side is statically empty and its schema "
+            "is unknowable — pass left_schema/right_schema explicitly"
+        )
     lcols = list(lsch.names)
     rcols = list(rsch.names)
-    types = {n: t for n, t in zip(lsch.names, lsch.types)}
-    types.update({n: t for n, t in zip(rsch.names, rsch.types)})
+    # Dataset.schema() on pandas blocks (e.g. a map_groups output feeding a
+    # second join) reports numpy dtypes / python classes, not Arrow types —
+    # normalize so the null-padding below works for any upstream block kind
+    types = {n: _as_arrow_type(t) for n, t in zip(lsch.names, lsch.types)}
+    types.update({n: _as_arrow_type(t) for n, t in zip(rsch.names, rsch.types)})
     all_cols = lcols + [c for c in rcols if c not in lcols]
     out_cols = lcols if how in ("semi", "anti") else all_cols
     out_fields = [(c, types[c]) for c in out_cols]

@@ -1914,3 +1914,128 @@ def weighted_median_by_group(
             }
         )
     )
+
+
+def large_orders(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    min_qty: int = 300,
+) -> rd.Dataset:
+    """TPC-H Q18-shaped "large volume customer" report: orders whose
+    total line-item quantity exceeds ``min_qty``, annotated with the
+    buying customer. Reference parity: the OCR platform's job listing
+    joins job rows to their owning tenant the same way
+    (apps/api/app/api/v1/routes_jobs.py job+user read path).
+
+    Scale shape: lineitem (the 100 TB side) is reduced FIRST — a
+    vectorized per-batch polars partial sum per l_orderkey, then the
+    coarse-bucketed exact sum — so only (orderkey, sum_qty) partials
+    ever shuffle, and only the >min_qty survivors (a tiny fraction)
+    enter the two hash joins. Quantities sit on an integer grid, so the
+    partial sums are exact int64 (order-free) on both engines."""
+    import numpy as np  # noqa: F401 — parity with sibling helpers
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(batch).with_columns(
+            pl.col("l_quantity").round(0).cast(pl.Int64).alias("q")
+        )
+        agg = d.group_by("l_orderkey").agg(pl.col("q").sum().alias("sum_qty"))
+        return agg.select(["l_orderkey", "sum_qty"]).to_arrow()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        g = g[g["sum_qty"] > min_qty]
+        return g.astype({"l_orderkey": "int64", "sum_qty": "int64"})
+
+    big = bucketed_group_apply(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey",
+        per_bucket,
+    )
+    from .joins import bucketed_merge_join
+
+    # explicit schemas: the survivor set can be statically EMPTY (every
+    # order under the threshold), and passing them skips the schema-peek
+    # partial execution of the upstream aggregation
+    big_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]
+    )
+    orders_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+    with_orders = bucketed_merge_join(
+        big,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=big_schema,
+        right_schema=orders_schema,
+    )
+    out = bucketed_merge_join(
+        with_orders,
+        customer,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            list(zip(big_schema.names, big_schema.types))
+            + list(zip(orders_schema.names, orders_schema.types))
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]
+        ),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def k_anonymity_audit(ds: rd.Dataset, quasi_cols: list[str], k: int = 10) -> rd.Dataset:
+    """Governance/privacy audit: quasi-identifier combinations shared by
+    FEWER than ``k`` rows — the groups whose members are re-identifiable
+    under the k-anonymity model (Sweeney 2002, public). Mirrors the
+    reference's tenant-scoped listing guarantees (SURVEY §2 J3) turned
+    into a corpus-wide audit.
+
+    Scale shape: exact integer crosstab partials inside map_batches
+    (one row per distinct quasi-tuple per batch), then the coarse-bucketed
+    exact merge — the shuffle carries at most (distinct tuples x batches)
+    counter rows, never data rows, and the audit output is bounded by the
+    number of rare tuples. No driver collection."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(batch.select(quasi_cols))
+        return d.group_by(quasi_cols).agg(pl.len().cast(pl.Int64).alias("n")).to_arrow()
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # Arrow/polars all the way down: the audit is usually EMPTY on a
+        # healthy corpus, and polars keeps the column types on a 0-row
+        # frame (an empty pandas object column would degrade to null).
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t)
+            .group_by(quasi_cols)
+            .agg(pl.col("n").sum().alias("n"))
+            .filter(pl.col("n") < k)
+        )
+        return g.select([*quasi_cols, "n"]).to_arrow()
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        quasi_cols,
+        per_bucket,
+        batch_format="pyarrow",
+    )

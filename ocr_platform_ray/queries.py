@@ -2304,6 +2304,93 @@ def q_weighted_median_qty(sf_dir: str) -> rd.Dataset:
     ).rename_columns(["l_returnflag", "wmedian_qty"])
 
 
+def q_q6_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 forecast-revenue: ONE filtered scan, ZERO shuffle — the
+    ship-year / discount-band / quantity-cap predicate is pushed into the
+    parquet read (row groups outside it never leave storage), each batch
+    reduces to a single exact-integer partial (cents x discount-cents =
+    10^-4 units, order-free int64), and the single-key groupby merges a
+    handful of partial rows. The 100 TB cost is the pruned scan itself."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar("1996-01-01").cast(pa.timestamp("us")))
+            & (pc.field("l_shipdate") < pa.scalar("1997-01-01").cast(pa.timestamp("us")))
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], pa.int64()),
+                "units": pa.array([int((price_c * disc_c).sum())], pa.int64()),
+                "n_items": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue": [round_half_away(float(g["units"].sum()) / 1e4, 2)],
+                "n_items": [int(g["n_items"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_large_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 large-volume-customer report: orders whose summed line
+    quantity exceeds 300, joined to the buying customer. The 100 TB
+    lineitem side reduces to (orderkey, sum_qty) partials before any
+    shuffle; only the rare survivors enter the two hash joins."""
+    return relational.large_orders(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        min_qty=300,
+    )
+
+
+def q_k_anonymity(sf_dir: str) -> "pa.Table":
+    """k-anonymity governance audit over the customer quasi-identifiers
+    (nationkey, mktsegment): the combinations shared by fewer than k=10
+    customers — the re-identifiable slices a release review must flag.
+    Exact integer crosstab partials; counter rows, not data rows, shuffle.
+    May legitimately be EMPTY at larger scales (denser quasi-groups), so
+    the result materializes schema-safe."""
+    return _schema_safe_table(relational.k_anonymity_audit(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+        ),
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+    ))
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2321,6 +2408,9 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_q6_revenue": q_q6_revenue,
+        "q_large_orders": q_large_orders,
+        "q_k_anonymity": q_k_anonymity,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -2505,6 +2595,28 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_q6_revenue": (
+            "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)"
+            " AS revenue, count(*)::BIGINT AS n_items FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07"
+            " AND l_quantity < 24"
+        ),
+        "q_large_orders": (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,"
+            " q.sum_qty FROM"
+            " (SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT))"
+            "::BIGINT AS sum_qty FROM lineitem GROUP BY 1"
+            " HAVING sum_qty > 300) q"
+            " JOIN orders o ON o.o_orderkey = q.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        "q_k_anonymity": (
+            "SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n"
+            " FROM customer GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
         "q_props_stats": (
             "WITH e AS (SELECT event_type,"
             " CAST(json_extract(props, '$.k') AS BIGINT) AS k"
