@@ -241,6 +241,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_q6_revenue", q.q_q6_revenue),
         ("q_large_orders", q.q_large_orders),
         ("q_k_anonymity", q.q_k_anonymity),
+        ("q_promo_revenue", q.q_promo_revenue),
+        ("q_nation_profit", q.q_nation_profit),
+        ("q_priority_dedup", q.q_priority_dedup),
+        ("q_top_supplier", q.q_top_supplier),
+        ("q_nation_trade", q.q_nation_trade),
+        ("q_percent_rank", q.q_percent_rank),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2372,3 +2372,52 @@ def novel_docs_sharded(
     return ds_new.select_columns(["doc_id", "text"]).map_batches(
         check, batch_format="pyarrow", batch_size=512
     )
+
+
+def priority_dedup(ds: rd.Dataset) -> rd.Dataset:
+    """Exact dedup with SOURCE PRIORITY: for each distinct text keep the
+    row with the lowest ``prio`` (most-trusted source), tie-broken by
+    min doc_id — the curated-beats-crawl merge step when unioning
+    corpora of different provenance (the Pile / RefinedWeb layering).
+    Input columns: doc_id (int64), text (string), prio (int64).
+
+    Same scale contract as exact_dedup_min_doc: the per-batch combiner
+    keeps one winner per distinct text per batch (the (prio, doc_id)
+    argmin is associative, so batch-local then bucket-global composition
+    is exact), winners co-locate via the coarse-bucketed int64 text
+    hash, and the in-bucket pandas sub-groupby re-applies the same
+    argmin with exact string equality (a hash collision merely
+    co-locates two texts)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["doc_id", "text", "prio"])
+            .to_pandas()
+            .sort_values(["prio", "doc_id"], kind="mergesort")
+            .drop_duplicates("text", keep="first")
+        )
+        cb = (_text_hash64(pa.array(df["text"])) & np.uint64(1023)).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "cb": cb,
+                "text": df["text"],
+                "doc_id": df["doc_id"],
+                "prio": df["prio"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["prio", "doc_id"], kind="mergesort")
+            .drop_duplicates("text", keep="first")[["doc_id"]]
+        )
+
+    return (
+        partials.repartition(shuffle_blocks())
+        .groupby("cb")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -91,6 +91,7 @@ def bucketed_merge_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    compact: bool = False,
 ) -> rd.Dataset:
     """Explicit partitioned hash join: both sides get bucket =
     hash(key) % B (polars/Rust hash — key-type generic: int, string, date,
@@ -192,7 +193,18 @@ def bucketed_merge_join(
                              null_l.reindex(columns=out_cols)])
         return _typed(out.reindex(columns=out_cols))
 
-    return lb.union(rb).groupby("__bucket").map_groups(merge, batch_format="pandas")
+    u = lb.union(rb)
+    if compact:
+        # tiny-intermediate compaction (the dedup shuffle_blocks idiom):
+        # the sort shuffle pays O(input blocks x reduce groups) scheduling,
+        # so when both sides are pre-aggregated partials in many small
+        # blocks, coalescing first is a measured win. NOT safe to force on
+        # full-table joins — a 100 TB side squeezed into ncpu/2 blocks
+        # would blow worker heaps.
+        from .dedup import shuffle_blocks
+
+        u = u.repartition(shuffle_blocks())
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
 def _add_key_bucket(key: str, n_buckets: int = 256):

@@ -1970,6 +1970,11 @@ def large_orders(
             ("o_totalprice", pa.float64()),
         ]
     )
+    # compact=True: both union sides here are narrow — (orderkey,
+    # sum_qty) partials and the 3-int-column pruned orders projection —
+    # and the compaction width scales with cluster CPUs; measured 26%
+    # faster at sf0.1/8 (3.38 -> 2.49 s). Revisit if a side approaches
+    # corpus scale (see bucketed_merge_join docstring).
     with_orders = bucketed_merge_join(
         big,
         orders,
@@ -1977,6 +1982,7 @@ def large_orders(
         right_on="o_orderkey",
         left_schema=big_schema,
         right_schema=orders_schema,
+        compact=True,
     )
     out = bucketed_merge_join(
         with_orders,
@@ -1990,6 +1996,7 @@ def large_orders(
         right_schema=pa.schema(
             [("c_custkey", pa.int64()), ("c_name", pa.string())]
         ),
+        compact=True,
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2039,3 +2046,447 @@ def k_anonymity_audit(ds: rd.Dataset, quasi_cols: list[str], k: int = 10) -> rd.
         per_bucket,
         batch_format="pyarrow",
     )
+
+
+def promo_revenue_share(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    promo_type: str = "PROMO",
+) -> rd.Dataset:
+    """TPC-H Q14-shaped promotion-effect metric: the percentage of
+    window revenue earned by parts of the promo type (the caller pushes
+    the ship-date window into the lineitem read).
+
+    Scale shape: lineitem pre-aggregates exact integer revenue units
+    (cents x (100 - discount-cents) = 10^-4 units, order-free int64)
+    per l_partkey INSIDE map_batches, so the partkey join moves one row
+    per (batch, partkey), not one per lineitem; part brings only
+    (p_partkey, p_type); the joined partials collapse to two global
+    int64 counters, and the final percentage divides identical integers
+    on both engines so round(.., 6) is exact. int64 headroom: a row
+    contributes <= ~1e9 units, so ~9e9 window rows per counter —
+    the date window keeps real workloads far inside that."""
+    import numpy as np
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch.column("l_partkey").to_numpy(),
+                "units": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("l_partkey", as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from .joins import bucketed_merge_join
+
+    joined = bucketed_merge_join(
+        lineitem.map_batches(per_part, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("units", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_type", pa.string())]
+        ),
+        # compact=True: per-partkey partials ⋈ the 2-column part catalog
+        compact=True,
+    )
+
+    def reduce_batch(batch: pa.Table) -> pa.Table:
+        units = batch.column("units").to_numpy(zero_copy_only=False)
+        promo_mask = pc.equal(
+            batch.column("p_type"), pa.scalar(promo_type)
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], pa.int64()),
+                "promo_units": pa.array([int(units[promo_mask].sum())], pa.int64()),
+                "total_units": pa.array([int(units.sum())], pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        promo = int(g["promo_units"].sum())
+        total = int(g["total_units"].sum())
+        pct = 100.0 * promo / total if total else 0.0
+        return pd.DataFrame({"promo_pct": [round_half_away(pct, 6)]})
+
+    return (
+        joined.map_batches(reduce_batch, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def nation_profit(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    sf_dir: str,
+    name_token: str = "bolt",
+) -> rd.Dataset:
+    """TPC-H Q9-shaped product-line profit: revenue per (supplier
+    nation, order year) restricted to parts whose name contains
+    ``name_token``.
+
+    Scale composition (all repo idioms): the part restriction is a
+    bucketed SEMI join on partkey (no part payload travels; works even
+    when the matching-part set outgrows a broadcast); supplier->nation
+    is a broadcast dimension lookup applied in the SAME pass that
+    pre-aggregates exact integer revenue units per (orderkey, nation);
+    the single big-big edge (orderkey -> order year) is one bucketed
+    hash join over those partials; the final (nation, year) groupby is
+    a few hundred keys. Exact int64 cents x (100-disc) units."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucketed_merge_join
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), name_token),
+    )
+    li = bucketed_merge_join(
+        lineitem,
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk_to_name = dict(
+        zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+        )
+    )
+    supp_ref = ray.put(
+        dict(
+            zip(
+                supp.column("s_suppkey").to_pylist(),
+                [
+                    nk_to_name[nk]
+                    for nk in supp.column("s_nationkey").to_pylist()
+                ],
+            )
+        )
+    )
+
+    def per_order_nation(batch: pa.Table) -> pa.Table:
+        lk = resolve_broadcast(supp_ref)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "n_name": pd.Series(
+                    batch.column("l_suppkey").to_numpy()
+                ).map(lk),
+                "units": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby(["l_orderkey", "n_name"], as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = li.map_batches(per_order_nation, batch_format="pyarrow")
+    joined = bucketed_merge_join(
+        partials,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("n_name", pa.string()),
+                ("units", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+        # compact=True: (orderkey, nation, units) partials ⋈ the 2-column
+        # pruned orders projection — both narrow; width scales with CPUs
+        compact=True,
+    )
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        years = (
+            batch.column("o_orderdate")
+            .to_pandas()
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "n_name": batch.column("n_name").to_pandas(),
+                "o_year": years,
+                "units": batch.column("units").to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["n_name", "o_year"], as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["n_name", "o_year"], as_index=False)["units"].sum()
+        agg["revenue"] = round_half_away_np(
+            agg["units"].to_numpy(np.float64) / 1e4, 2
+        )
+        return agg[["n_name", "o_year", "revenue"]]
+
+    return bucketed_group_apply(
+        joined.map_batches(per_group, batch_format="pyarrow"),
+        ["n_name", "o_year"],
+        final,
+    )
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    sf_dir: str,
+) -> rd.Dataset:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    revenue in the caller's ship-date window — the distributed
+    argmax-with-ties pattern WITHOUT a global sort: per-supplier exact
+    integer partials inside map_batches, one coarse-bucketed sum (the
+    shuffle carries one int row per (batch, supplier)), a scalar
+    Dataset.max over the per-supplier sums (driver receives ONE number),
+    then a row-local == filter keeps every tied winner. Supplier names
+    are a broadcast dimension lookup."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    import ray
+
+    def per_supp(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_suppkey": batch.column("l_suppkey").to_numpy(),
+                "units": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("l_suppkey", as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False)["units"].sum()
+        return g.astype({"l_suppkey": "int64", "units": "int64"})
+
+    sums = bucketed_group_apply(
+        lineitem.map_batches(per_supp, batch_format="pyarrow"),
+        "l_suppkey",
+        per_bucket,
+    ).materialize()  # tiny (one row per supplier); consumed twice below
+
+    best = sums.max("units")
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    name_ref = ray.put(
+        dict(
+            zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_name").to_pylist(),
+            )
+        )
+    )
+
+    def winners(batch: pa.Table) -> pa.Table:
+        lk = resolve_broadcast(name_ref)
+        df = batch.to_pandas()
+        df = df[df["units"] == best]
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(df["l_suppkey"], pa.int64()),
+                "s_name": pa.array(
+                    df["l_suppkey"].map(lk), pa.string()
+                ),
+                "total_revenue": pa.array(
+                    round_half_away_np(
+                        df["units"].to_numpy(np.float64) / 1e4, 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return sums.map_batches(winners, batch_format="pyarrow")
+
+
+def nation_trade_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7-shaped trade-volume matrix: exact revenue per
+    (customer nation, supplier nation, order year).
+
+    Same composition as nation_trade_pagerank's edge pass (cited there):
+    customer/supplier nation maps broadcast once (sorted searchsorted
+    gather), lineitem pre-aggregates integer units per (orderkey,
+    supp-nation) inside map_batches, ONE orderkey hash join, then
+    (src, dst, year) partials into a ~|nations|² x years groupby."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from . import resolve_broadcast
+    from .joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {
+        int(k): n
+        for k, n in zip(
+            nat.column("n_nationkey").to_numpy().astype(np.int64),
+            nat.column("n_name").to_pylist(),
+        )
+    }
+
+    def sorted_pair(path: str, k: str, v: str):
+        t = pq.read_table(path, columns=[k, v])
+        keys = t.column(k).to_numpy()
+        vals = t.column(v).to_numpy().astype(np.int64)
+        order = np.argsort(keys, kind="mergesort")
+        return keys[order], vals[order]
+
+    cust_ref = ray.put(
+        sorted_pair(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    )
+    sup_ref = ray.put(
+        sorted_pair(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keys, vals = resolve_broadcast(cust_ref)
+        ck = batch.column("o_custkey").to_numpy()
+        years = (
+            batch.column("o_orderdate")
+            .to_pandas()
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "src": pa.array(vals[np.searchsorted(keys, ck)], pa.int64()),
+                "o_year": pa.array(years, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keys, vals = resolve_broadcast(sup_ref)
+        sk = batch.column("l_suppkey").to_numpy()
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "dst": vals[np.searchsorted(keys, sk)],
+                "units": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby(["l_orderkey", "dst"], as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    joined = hash_join(lines, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": batch.column("src").to_numpy(),
+                "dst": batch.column("dst").to_numpy(),
+                "o_year": batch.column("o_year").to_numpy(),
+                "units": batch.column("units").to_numpy(),
+            }
+        )
+        agg = df.groupby(["src", "dst", "o_year"], as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["src", "dst", "o_year"], as_index=False)["units"].sum()
+        agg["cust_nation"] = agg["src"].map(names)
+        agg["supp_nation"] = agg["dst"].map(names)
+        agg["revenue"] = round_half_away_np(
+            agg["units"].to_numpy(np.float64) / 1e4, 2
+        )
+        return agg[["cust_nation", "supp_nation", "o_year", "revenue"]]
+
+    return bucketed_group_apply(
+        joined.map_batches(per_cell, batch_format="pyarrow"),
+        ["src", "dst", "o_year"],
+        final,
+    )
+
+
+def percent_rank_by_group(
+    ds: rd.Dataset, group_col: str, value_col: str, out_col: str = "pr"
+) -> rd.Dataset:
+    """SQL percent_rank() OVER (PARTITION BY group ORDER BY value):
+    (rank - 1) / (n - 1) with min-rank ties, 0 for single-row groups.
+    Coarse-bucketed per-group evaluation (all rows of one group
+    co-locate; the rank is an integer so the division is bit-identical
+    to the oracle's)."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(group_col, sort=False):
+            n = len(g)
+            if n == 1:
+                pr = np.zeros(1)
+            else:
+                rank = g[value_col].rank(method="min").to_numpy(np.float64)
+                pr = (rank - 1.0) / float(n - 1)
+            h = g.copy()
+            h[out_col] = round_half_away_np(pr, 6)
+            out.append(h)
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(ds, group_col, per_bucket)

@@ -2391,6 +2391,103 @@ def q_k_anonymity(sf_dir: str) -> "pa.Table":
     ))
 
 
+def q_promo_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 promotion effect: share of a ship-date window's revenue
+    earned by PROMO-type parts. Lineitem pre-aggregates exact integer
+    revenue units per partkey before the one bucketed partkey join; two
+    global int64 counters finish it."""
+    return relational.promo_revenue_share(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar("1996-03-01").cast(pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar("1996-07-01").cast(pa.timestamp("us")))
+            ),
+        ),
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
+    )
+
+
+def q_nation_profit(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9-shaped product-line profit: revenue per (supplier
+    nation, order year) for parts whose name contains 'bolt' — a
+    semi-join part restriction, broadcast supplier->nation lookup, one
+    bucketed orderkey join over integer partials."""
+    return relational.nation_profit(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ),
+        sf_dir,
+        name_token="bolt",
+    )
+
+
+def q_priority_dedup(sf_dir: str) -> rd.Dataset:
+    """Priority-source exact dedup: one survivor per distinct text, the
+    row whose source index is lowest (curated-beats-crawl), tie-broken
+    by min doc_id. The priority is a row-local int map (source 'srcN' ->
+    N); only (text winner per batch) rows shuffle."""
+    def add_prio(batch: pa.Table) -> pa.Table:
+        prio = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3, 99), pa.int64()
+        )
+        return batch.append_column("prio", prio)
+
+    return dedup.priority_dedup(
+        _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            add_prio, batch_format="pyarrow"
+        )
+    )
+
+
+def q_top_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 top supplier: max-revenue supplier(s) in a 3-month
+    ship window — distributed argmax with ties, no global sort (one
+    scalar leaves the cluster)."""
+    return relational.top_supplier(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar("1996-01-01").cast(pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar("1996-04-01").cast(pa.timestamp("us")))
+            ),
+        ),
+        sf_dir,
+    )
+
+
+def q_nation_trade(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7-shaped trade matrix: exact revenue per (customer
+    nation, supplier nation, order year) — broadcast nation maps, one
+    orderkey hash join over integer partials."""
+    return relational.nation_trade_revenue(sf_dir)
+
+
+def q_percent_rank(sf_dir: str) -> rd.Dataset:
+    """percent_rank() window per language over document length — the
+    relative-position normalization used to compare quality thresholds
+    across languages; integer min-ranks make the oracle bit-exact."""
+    return relational.percent_rank_by_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), "lang", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2411,6 +2508,12 @@ def queries() -> dict:
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
+        "q_promo_revenue": q_promo_revenue,
+        "q_nation_profit": q_nation_profit,
+        "q_priority_dedup": q_priority_dedup,
+        "q_top_supplier": q_top_supplier,
+        "q_nation_trade": q_nation_trade,
+        "q_percent_rank": q_percent_rank,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -2595,6 +2698,67 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_top_supplier": (
+            "WITH r AS (SELECT l_suppkey,"
+            " sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT"
+            " AS su FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)"
+            " SELECT r.l_suppkey AS s_suppkey, s.s_name,"
+            " round(CAST(su AS DOUBLE) / 10000.0, 2) AS total_revenue"
+            " FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey"
+            " WHERE su = (SELECT max(su) FROM r)"
+        ),
+        "q_nation_trade": (
+            "SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,"
+            " CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            " round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " / 10000.0, 2) AS revenue"
+            " FROM lineitem"
+            " JOIN orders ON o_orderkey = l_orderkey"
+            " JOIN customer ON c_custkey = o_custkey"
+            " JOIN nation cn ON cn.n_nationkey = c_nationkey"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " JOIN nation sn ON sn.n_nationkey = s_nationkey"
+            " GROUP BY 1, 2, 3"
+        ),
+        "q_percent_rank": (
+            "SELECT doc_id, lang, n_chars,"
+            " round(percent_rank() OVER (PARTITION BY lang"
+            " ORDER BY n_chars), 6) AS pr FROM documents"
+        ),
+        "q_promo_revenue": (
+            "WITH l AS (SELECT l_partkey,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u"
+            " FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+            " AND l_shipdate < TIMESTAMP '1996-07-01')"
+            " SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'"
+            " THEN u ELSE 0 END) / sum(u), 6) AS promo_pct"
+            " FROM l JOIN part ON p_partkey = l_partkey"
+        ),
+        "q_nation_profit": (
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            " round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " / 10000.0, 2) AS revenue"
+            " FROM lineitem"
+            " JOIN part ON p_partkey = l_partkey"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " JOIN nation ON n_nationkey = s_nationkey"
+            " JOIN orders ON o_orderkey = l_orderkey"
+            " WHERE p_name LIKE '%bolt%'"
+            " GROUP BY 1, 2"
+        ),
+        "q_priority_dedup": (
+            "SELECT doc_id FROM ("
+            " SELECT doc_id, row_number() OVER (PARTITION BY text"
+            " ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) AS rn"
+            " FROM documents) WHERE rn = 1"
+        ),
         "q_q6_revenue": (
             "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
             " * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)"

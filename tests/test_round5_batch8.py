@@ -178,3 +178,136 @@ class TestQ6Revenue:
         assert len(out) == 1
         assert int(out["n_items"].iloc[0]) == int(m.sum()) > 0
         assert out["revenue"].iloc[0] == pytest.approx(units / 1e4, abs=0.011)
+
+
+class TestPriorityDedup:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.dedup import priority_dedup
+
+        rng = np.random.RandomState(5)
+        texts = [f"text {i % 40}" for i in range(300)]  # heavy planted dups
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": texts,
+                "prio": rng.randint(0, 5, 300).astype(np.int64),
+            }
+        )
+        out = sorted(
+            priority_dedup(rd.from_pandas(df).repartition(9))
+            .to_pandas()["doc_id"]
+        )
+        ref = sorted(
+            df.sort_values(["prio", "doc_id"], kind="mergesort")
+            .drop_duplicates("text", keep="first")["doc_id"]
+        )
+        assert out == ref
+        assert len(out) == 40
+
+    def test_prefers_lower_priority_over_lower_id(self, ray_session):
+        from ocr_platform_ray.functions.dedup import priority_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2], dtype=np.int64),
+                "text": ["same", "same"],
+                "prio": np.array([9, 0], dtype=np.int64),
+            }
+        )
+        out = priority_dedup(rd.from_pandas(df).repartition(2)).to_pandas()
+        assert list(out["doc_id"]) == [2]
+
+
+class TestPromoRevenueShare:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.relational import promo_revenue_share
+
+        li = _lineitem(400, seed=8, orders=50).rename(
+            columns={"l_orderkey": "l_partkey"}
+        )[["l_partkey", "l_extendedprice", "l_discount"]]
+        part = pd.DataFrame(
+            {
+                "p_partkey": np.arange(50, dtype=np.int64),
+                "p_type": ["PROMO" if i % 3 == 0 else "STANDARD" for i in range(50)],
+            }
+        )
+        out = promo_revenue_share(
+            rd.from_pandas(li).repartition(7), rd.from_pandas(part)
+        ).to_pandas()
+        u = (
+            np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.round(li["l_discount"].to_numpy() * 100).astype(np.int64))
+        )
+        promo = u[(li["l_partkey"] % 3 == 0).to_numpy()].sum()
+        want = 100.0 * promo / u.sum()
+        assert len(out) == 1
+        assert out["promo_pct"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+class TestPercentRank:
+    def test_matches_bruteforce(self, ray_session):
+        from ocr_platform_ray.functions.relational import percent_rank_by_group
+
+        rng = np.random.RandomState(17)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(400, dtype=np.int64),
+                "lang": rng.choice(["en", "fr", "zh"], 400),
+                "n_chars": rng.randint(10, 60, 400).astype(np.int64),  # ties
+            }
+        )
+        out = (
+            percent_rank_by_group(
+                rd.from_pandas(df).repartition(9), "lang", "n_chars"
+            )
+            .to_pandas()
+            .set_index("doc_id")["pr"]
+        )
+        for _, g in df.groupby("lang"):
+            rank = g["n_chars"].rank(method="min")
+            want = (rank - 1) / (len(g) - 1)
+            for did, w in zip(g["doc_id"], want):
+                assert out[did] == pytest.approx(w, abs=1e-6)
+
+    def test_single_row_group_is_zero(self, ray_session):
+        from ocr_platform_ray.functions.relational import percent_rank_by_group
+
+        df = pd.DataFrame(
+            {"doc_id": [0], "lang": ["xx"], "n_chars": np.array([5], np.int64)}
+        )
+        out = percent_rank_by_group(rd.from_pandas(df), "lang", "n_chars")
+        assert out.to_pandas()["pr"].iloc[0] == 0.0
+
+
+class TestTopSupplier:
+    def test_ties_are_kept(self, ray_session):
+        from ocr_platform_ray.functions.relational import top_supplier
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        # two suppliers engineered to the same max revenue
+        li = pd.DataFrame(
+            {
+                "l_suppkey": np.array([1, 1, 2, 3], dtype=np.int64),
+                "l_extendedprice": [50.0, 50.0, 100.0, 30.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {
+                        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                        "s_name": pa.array(["s_one", "s_two", "s_three"]),
+                    }
+                ),
+                os.path.join(d, "supplier.parquet"),
+            )
+            out = (
+                top_supplier(rd.from_pandas(li).repartition(3), d)
+                .to_pandas()
+                .sort_values("s_suppkey")
+            )
+        assert list(out["s_suppkey"]) == [1, 2]
+        assert list(out["total_revenue"]) == [100.0, 100.0]
+        assert list(out["s_name"]) == ["s_one", "s_two"]
