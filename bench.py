@@ -247,6 +247,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_top_supplier", q.q_top_supplier),
         ("q_nation_trade", q.q_nation_trade),
         ("q_percent_rank", q.q_percent_rank),
+        ("q_custdist", q.q_custdist),
+        ("q_small_qty_revenue", q.q_small_qty_revenue),
+        ("q_disjunctive_revenue", q.q_disjunctive_revenue),
+        ("q_sales_opportunity", q.q_sales_opportunity),
+        ("q_important_parts", q.q_important_parts),
+        ("q_market_share", q.q_market_share),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2490,3 +2490,651 @@ def percent_rank_by_group(
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_apply(ds, group_col, per_bucket)
+
+
+def customer_order_distribution(
+    orders: rd.Dataset, customer: rd.Dataset
+) -> rd.Dataset:
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly c orders (in the caller's date window), INCLUDING the
+    zero-order bucket a plain inner join would drop.
+
+    Scale shape: the LEFT OUTER JOIN customer->orders never runs — only
+    its aggregate is needed, so orders reduces to (custkey, n) partials
+    inside map_batches, one coarse-bucketed sum yields per-customer
+    counts, and a second two-level count collapses those to the
+    histogram (domain = max orders per customer, tiny). The zero bucket
+    is pure arithmetic: |customer| (a metadata count, no scan) minus the
+    sum of the nonzero histogram (driver-collected, bounded by the
+    count domain). The customer table itself never shuffles.
+
+    Reference shape: TPC-H Q13 (SELECT c_count, count(*) FROM customer
+    LEFT JOIN orders ... GROUP BY c_custkey) GROUP BY c_count)."""
+    import numpy as np
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"c_custkey": batch.column("o_custkey").to_numpy(), "n": 1}
+        )
+        agg = df.groupby("c_custkey", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {"c_count": g["n"].astype("int64")}
+        )
+
+    counts = bucketed_group_apply(
+        orders.map_batches(per_cust_partial, batch_format="pyarrow"),
+        "c_custkey",
+        per_bucket_sum,
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_count": batch.column("c_count").to_numpy(), "m": 1})
+        agg = df.groupby("c_count", as_index=False)["m"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", as_index=False)["m"].sum()
+        return pd.DataFrame(
+            {
+                "c_count": g["c_count"].astype("int64"),
+                "custdist": g["m"].astype("int64"),
+            }
+        )
+
+    hist = bucketed_group_apply(
+        counts.map_batches(hist_partial, batch_format="pyarrow"),
+        "c_count",
+        hist_final,
+    )
+    # the histogram is bounded by the per-customer count domain (tens of
+    # rows at any scale), so driver collection here is safe
+    rows = hist.take_all()
+    n_customers = customer.count()
+    n_nonzero = int(sum(r["custdist"] for r in rows))
+    tbl = pa.Table.from_pydict(
+        {
+            "c_count": pa.array(
+                [int(r["c_count"]) for r in rows] + [0], pa.int64()
+            ),
+            "custdist": pa.array(
+                [int(r["custdist"]) for r in rows]
+                + [int(n_customers - n_nonzero)],
+                pa.int64(),
+            ),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def small_quantity_revenue(
+    lineitem: rd.Dataset, sf_dir: str, brand: str = "Brand#23"
+) -> rd.Dataset:
+    """TPC-H Q17-shaped small-quantity revenue: average yearly revenue
+    lost if orders below 20% of a part's average order quantity were no
+    longer taken, for one brand's parts.
+
+    The reference formulation is a CORRELATED scalar subquery
+    (l_quantity < 0.2 * avg(l_quantity) per part). Distributed shape:
+    the correlation key IS the group key, so the subquery folds into a
+    single group-local pass — a bucketed semi join restricts lineitem
+    to the brand's parts (no part payload travels, no broadcast ceiling
+    on the matching-part set), then one bucketed group-apply per
+    partkey computes the average AND the below-threshold revenue sum in
+    the same vectorized frame. The threshold compare is exact integer
+    arithmetic: qty < 0.2*avg  <=>  qc*5*cnt < sum(qc) in quantity
+    cents, so both engines agree bit-for-bit. Only (bucket, units)
+    counter rows leave the group stage."""
+    import numpy as np
+
+    import pyarrow.parquet as _pq  # noqa: F401 — parity with siblings
+
+    from .joins import bucketed_merge_join
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pc.field("p_brand") == brand,
+    )
+    li = bucketed_merge_join(
+        lineitem,
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        qc = np.round(df["l_quantity"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        pc_ = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        w = pd.DataFrame({"k": df["l_partkey"].to_numpy(), "qc": qc, "pc": pc_})
+        g = w.groupby("k")
+        s = g["qc"].transform("sum").to_numpy(np.int64)
+        c = g["qc"].transform("count").to_numpy(np.int64)
+        mask = w["qc"].to_numpy(np.int64) * 5 * c < s
+        return pd.DataFrame(
+            {"k": [0], "units": [int(w["pc"].to_numpy(np.int64)[mask].sum())]}
+        )
+
+    partials = bucketed_group_apply(li, "l_partkey", per_part)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "avg_yearly": [
+                    round_half_away(
+                        float(df["units"].sum()) / 100.0 / 7.0, 2
+                    )
+                ]
+            }
+        )
+
+    return partials.groupby("k").map_groups(final, batch_format="pandas")
+
+
+def disjunctive_revenue(lineitem: rd.Dataset, part: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: sum of discounted
+    revenue where any of three (brand, size range, quantity range)
+    branch conjunctions holds — predicates that straddle BOTH join
+    sides, so no single side can evaluate them alone.
+
+    Distributed shape: the caller pushes the ENVELOPE of the branches
+    (union of quantity ranges, union of brands/sizes) into the two
+    parquet reads — the cheap, sound part of the disjunction — then one
+    bucketed partkey join co-locates the survivors and the residual
+    branch masks evaluate vectorized (numpy boolean algebra) on the
+    joined batches. Output is two global int64 counters; exact integer
+    cents x (100 - discount-cents) units."""
+    import numpy as np
+
+    from .joins import bucketed_merge_join
+
+    joined = bucketed_merge_join(
+        lineitem,
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("p_size", pa.int32()),
+            ]
+        ),
+        compact=True,
+    )
+
+    BRANCHES = [
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#5", 1, 15, 20.0, 30.0),
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        brand = batch.column("p_brand").to_pandas().to_numpy()
+        keep = np.zeros(len(qty), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in BRANCHES:
+            keep |= (
+                (brand == b)
+                & (size >= s_lo)
+                & (size <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], pa.int64()),
+                "units": pa.array(
+                    [int((price_c * (100 - disc_c)).sum())], pa.int64()
+                ),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue": [
+                    round_half_away(float(g["units"].sum()) / 1e4, 2)
+                ],
+                "n_items": [int(g["n_items"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def sales_opportunity(
+    sf_dir: str, cutoff: str = "2001-01-01"
+) -> rd.Dataset:
+    """TPC-H Q22-shaped sales opportunity: per nation, the count and
+    total balance of customers whose account balance beats the average
+    positive balance but who placed no order since ``cutoff``.
+
+    Distributed shape for the two subqueries: the scalar one (global
+    average positive balance) is a one-pass partial aggregate whose
+    TWO integers (cent sum, count) come back to the driver — the
+    above-average filter then runs row-local as bal_c * n > sum_c,
+    exact in int64, no float average ever compared. The NOT EXISTS
+    becomes a bucketed ANTI join against the date-pruned orders
+    projection (one int64 column travels). The final per-nation rollup
+    is 25 keys — partial counters inside map_batches, tiny groupby."""
+    import numpy as np
+
+    from .joins import bucketed_merge_join
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bc = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = bc[bc > 0]
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([0], pa.int64()),
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["s", "n"])
+        .take_all()
+    )
+    sum_c, n_pos = int(stats[0]["sum(s)"]), int(stats[0]["sum(n)"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bc = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = bc * n_pos > sum_c
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(
+                    batch.column("c_custkey").to_numpy()[keep], pa.int64()
+                ),
+                "c_nationkey": pa.array(
+                    batch.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep],
+                    pa.int64(),
+                ),
+                "bal_c": pa.array(bc[keep], pa.int64()),
+            }
+        )
+
+    candidates = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cust_cols
+    ).map_batches(rich, batch_format="pyarrow")
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate")
+        >= pa.scalar(cutoff).cast(pa.timestamp("us")),
+    )
+    silent = bucketed_merge_join(
+        candidates,
+        recent,
+        on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+        left_schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("bal_c", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": batch.column("c_nationkey").to_numpy(),
+                "numcust": 1,
+                "bal_c": batch.column("bal_c").to_numpy(),
+            }
+        )
+        agg = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("numcust", "sum"), bal_c=("bal_c", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("numcust", "sum"), bal_c=("bal_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "c_nationkey": g["c_nationkey"].astype("int64"),
+                "numcust": g["numcust"].astype("int64"),
+                "totacctbal": round_half_away_np(
+                    g["bal_c"].to_numpy(np.float64) / 100.0, 2
+                ),
+            }
+        )
+
+    return bucketed_group_apply(
+        silent.map_batches(nation_partial, batch_format="pyarrow"),
+        "c_nationkey",
+        final,
+    )
+
+
+def fraction_of_total(
+    lineitem: rd.Dataset, mean_mult_num: int = 5, mean_mult_den: int = 4
+) -> rd.Dataset:
+    """TPC-H Q11-shaped important-stock filter: the part keys whose
+    lineitem revenue exceeds ``mean_mult_num/mean_mult_den`` times the
+    MEAN per-key revenue — a HAVING clause against a scalar subquery
+    over the same aggregation. (TPC-H's fixed global fraction is
+    scale-UNSTABLE — 0.01%/SF of total shrinks per-key as the key count
+    grows and selects nothing at 10x — so the threshold here is
+    relative to the mean share, which keeps the survivor fraction
+    stable at any scale; s > m·mean  <=>  s·n·den > num·total, exact
+    in integers.)
+
+    Distributed shape: the per-key cent sums build once (per-batch
+    partials, one coarse-bucketed sum) and MATERIALIZE — the key-sum
+    table is bounded by |part| rows, orders of magnitude under the
+    lineitem input, and holding it lets all three consumers (the
+    global total, the key count, and the threshold filter) run
+    without a second corpus scan. The total comes back as ONE int via
+    Dataset.sum; the filter is row-local exact integer compare."""
+    import numpy as np
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_partkey": batch.column("l_partkey").to_numpy(), "s": price_c}
+        )
+        agg = df.groupby("l_partkey", as_index=False)["s"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False)["s"].sum()
+        return g.astype({"l_partkey": "int64", "s": "int64"})
+
+    keysums = bucketed_group_apply(
+        lineitem.map_batches(per_part, batch_format="pyarrow"),
+        "l_partkey",
+        per_bucket,
+    ).materialize()  # one row per part key; consumed three times below
+
+    total = int(keysums.sum("s"))
+    n_keys = keysums.count()
+
+    # integer-exact threshold, overflow-free at any scale: for integer s,
+    # s*n*den > num*total  <=>  s > floor(num*total / (n*den)) — the
+    # division happens ONCE in arbitrary-precision Python ints, the
+    # per-row compare stays a single vectorized int64 op
+    thr = (mean_mult_num * total) // (int(n_keys) * mean_mult_den)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = s > thr
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": pa.array(
+                    batch.column("l_partkey").to_numpy()[mask], pa.int64()
+                ),
+                "value": pa.array(
+                    round_half_away_np(s[mask].astype(np.float64) / 100.0, 2),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return keysums.map_batches(keep, batch_format="pyarrow")
+
+
+def market_share(
+    sf_dir: str, region: str = "ASIA", nation: str = "NATION_7"
+) -> rd.Dataset:
+    """TPC-H Q8-shaped market share: per order year, the fraction of
+    ``region``'s customer-side revenue supplied by ``nation`` — the
+    numerator/denominator conditional-aggregation pattern where one
+    groupby carries BOTH sums and one float division lands at the end.
+
+    Distributed shape: supplier->is-target-nation and nation->region
+    are broadcast dimension lookups (tiny); lineitem pre-aggregates
+    exact integer (units, units from the target nation) per orderkey
+    inside map_batches; ONE bucketed orderkey join attaches (year,
+    custkey); a second bucketed custkey join attaches the customer
+    nation — the scale-safe alternative to broadcasting the customer
+    table. The region filter then drops row-local and (year) partials
+    collapse to a handful of rows; the share divides two exact int64
+    sums once."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucketed_merge_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {
+        int(k): n
+        for k, n in zip(
+            reg.column("r_regionkey").to_numpy(),
+            reg.column("r_name").to_pylist(),
+        )
+    }
+    # nationkey -> (is target nation, is in target region)
+    target_nk = {
+        int(k)
+        for k, n in zip(
+            nat.column("n_nationkey").to_numpy(),
+            nat.column("n_name").to_pylist(),
+        )
+        if n == nation
+    }
+    region_nk = {
+        int(k)
+        for k, g in zip(
+            nat.column("n_nationkey").to_numpy(),
+            nat.column("n_regionkey").to_numpy(),
+        )
+        if rk[int(g)] == region
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_target = np.isin(
+        supp.column("s_nationkey").to_numpy().astype(np.int64),
+        np.array(sorted(target_nk), dtype=np.int64),
+    )
+    order_s = np.argsort(sk, kind="mergesort")
+    supp_ref = ray.put((sk[order_s], s_target[order_s]))
+    region_ref = ray.put(np.array(sorted(region_nk), dtype=np.int64))
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        keys, is_t = resolve_broadcast(supp_ref)
+        s = batch.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(keys, s)
+        t = is_t[np.minimum(pos, len(keys) - 1)]
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        units = price_c * (100 - disc_c)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "units": units,
+                "units_n": np.where(t, units, 0),
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False)[
+            ["units", "units_n"]
+        ].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(per_order, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    with_orders = bucketed_merge_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("units", pa.int64()),
+                ("units_n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+        compact=True,
+    )
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        years = (
+            batch.column("o_orderdate")
+            .to_pandas()
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(),
+                "o_year": years,
+                "units": batch.column("units").to_numpy(zero_copy_only=False),
+                "units_n": batch.column("units_n").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        agg = df.groupby(["o_custkey", "o_year"], as_index=False)[
+            ["units", "units_n"]
+        ].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_cust = bucketed_merge_join(
+        with_orders.map_batches(per_cust, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+                ("units", pa.int64()),
+                ("units_n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
+        ),
+        compact=True,
+    )
+
+    def per_year(batch: pa.Table) -> pa.Table:
+        rnk = resolve_broadcast(region_ref)
+        nk = (
+            batch.column("c_nationkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = np.isin(nk, rnk)
+        df = pd.DataFrame(
+            {
+                "o_year": batch.column("o_year").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "units": batch.column("units").to_numpy(zero_copy_only=False)[
+                    keep
+                ],
+                "units_n": batch.column("units_n").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+            }
+        )
+        agg = df.groupby("o_year", as_index=False)[["units", "units_n"]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_year", as_index=False)[["units", "units_n"]].sum()
+        return pd.DataFrame(
+            {
+                "o_year": g["o_year"].astype("int64"),
+                "mkt_share": round_half_away_np(
+                    g["units_n"].to_numpy(np.float64)
+                    / g["units"].to_numpy(np.float64),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_group_apply(
+        with_cust.map_batches(per_year, batch_format="pyarrow"),
+        "o_year",
+        final,
+    )

@@ -2488,6 +2488,95 @@ def q_percent_rank(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_custdist(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 customer distribution: how many customers placed
+    exactly c orders in Q1-1996, INCLUDING the zero bucket — the outer
+    join that never runs (only its aggregate is computed)."""
+    return relational.customer_order_distribution(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=(
+                (pc.field("o_orderdate")
+                 >= pa.scalar("1996-01-01").cast(pa.timestamp("us")))
+                & (pc.field("o_orderdate")
+                   < pa.scalar("1996-04-01").cast(pa.timestamp("us")))
+            ),
+        ),
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+    )
+
+
+def q_small_qty_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17 small-quantity revenue for Brand#23 parts — the
+    correlated per-part average folded into one group-local pass with
+    an exact integer threshold compare."""
+    return relational.small_quantity_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ),
+        sf_dir,
+        brand="Brand#23",
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19 disjunctive-predicate revenue: three (brand, size,
+    quantity) OR-branches straddling the partkey join — envelope pushed
+    to the reads, residual masks vectorized after one bucketed join."""
+    return relational.disjunctive_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+            filter=pc.field("l_quantity") <= 30.0,
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+            filter=(
+                pc.field("p_brand").isin(["Brand#12", "Brand#23", "Brand#5"])
+                & (pc.field("p_size") <= 15)
+            ),
+        ),
+    )
+
+
+def q_sales_opportunity(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22-shaped sales opportunity: per-nation count + balance
+    of above-average-balance customers with no order since 2001 —
+    scalar-subquery broadcast + bucketed anti join."""
+    return relational.sales_opportunity(sf_dir, cutoff="2001-01-01")
+
+
+def q_important_parts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11-shaped important stock: part keys whose revenue
+    exceeds 1.25x the mean per-key revenue (the scale-stable form of
+    Q11's fixed-fraction HAVING) — HAVING vs a scalar subquery, via a
+    materialized key-sum table consumed by the total, the key count
+    and the filter."""
+    return relational.fraction_of_total(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice"],
+        ),
+        mean_mult_num=5,
+        mean_mult_den=4,
+    )
+
+
+def q_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8-shaped market share: NATION_7's share of ASIA-customer
+    revenue per order year — conditional numerator/denominator sums
+    through two bucketed joins and broadcast dimension maps."""
+    return relational.market_share(sf_dir, region="ASIA", nation="NATION_7")
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2514,6 +2603,12 @@ def queries() -> dict:
         "q_top_supplier": q_top_supplier,
         "q_nation_trade": q_nation_trade,
         "q_percent_rank": q_percent_rank,
+        "q_custdist": q_custdist,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_disjunctive_revenue": q_disjunctive_revenue,
+        "q_sales_opportunity": q_sales_opportunity,
+        "q_important_parts": q_important_parts,
+        "q_market_share": q_market_share,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -2758,6 +2853,81 @@ def _oracle_sql_base() -> dict:
             " SELECT doc_id, row_number() OVER (PARTITION BY text"
             " ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) AS rn"
             " FROM documents) WHERE rn = 1"
+        ),
+        "q_custdist": (
+            "WITH oc AS (SELECT o_custkey, count(*)::BIGINT AS c_count"
+            " FROM orders"
+            " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY 1)"
+            " SELECT c_count, count(*)::BIGINT AS custdist FROM ("
+            " SELECT coalesce(oc.c_count, 0)::BIGINT AS c_count"
+            " FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey)"
+            " GROUP BY 1"
+        ),
+        "q_small_qty_revenue": (
+            "WITH f AS (SELECT l_partkey,"
+            " CAST(round(l_quantity * 100) AS BIGINT) AS qc,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS pc"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " WHERE p_brand = 'Brand#23'),"
+            " a AS (SELECT l_partkey, sum(qc)::BIGINT AS s,"
+            " count(*)::BIGINT AS c FROM f GROUP BY 1)"
+            " SELECT round(sum(CASE WHEN f.qc * 5 * a.c < a.s"
+            " THEN f.pc ELSE 0 END) / 100.0 / 7.0, 2) AS avg_yearly"
+            " FROM f JOIN a ON a.l_partkey = f.l_partkey"
+        ),
+        "q_disjunctive_revenue": (
+            "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " / 10000.0, 2) AS revenue, count(*)::BIGINT AS n_items"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+            " AND l_quantity BETWEEN 1 AND 11)"
+            " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+            " AND l_quantity BETWEEN 10 AND 20)"
+            " OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15"
+            " AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q_sales_opportunity": (
+            "WITH st AS (SELECT"
+            " sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS s,"
+            " count(*)::BIGINT AS n FROM customer WHERE c_acctbal > 0)"
+            " SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            " count(*)::BIGINT AS numcust,"
+            " round(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+            " / 100.0, 2) AS totacctbal"
+            " FROM customer"
+            " WHERE CAST(round(c_acctbal * 100) AS BIGINT)"
+            " * (SELECT n FROM st) > (SELECT s FROM st)"
+            " AND c_custkey NOT IN (SELECT o_custkey FROM orders"
+            " WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+            " GROUP BY 1"
+        ),
+        "q_important_parts": (
+            "WITH p AS (SELECT l_partkey,"
+            " sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT"
+            " AS s FROM lineitem GROUP BY 1)"
+            " SELECT l_partkey,"
+            " round(CAST(s AS DOUBLE) / 100.0, 2) AS value FROM p"
+            " WHERE s > (5 * (SELECT sum(s) FROM p))"
+            " // (4 * (SELECT count(*) FROM p))"
+        ),
+        "q_market_share": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            " round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN u"
+            " ELSE 0 END) AS DOUBLE) / CAST(sum(u) AS DOUBLE), 6)"
+            " AS mkt_share FROM ("
+            " SELECT l_orderkey, l_suppkey,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u"
+            " FROM lineitem) l"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " JOIN nation sn ON sn.n_nationkey = s_nationkey"
+            " JOIN orders ON o_orderkey = l_orderkey"
+            " JOIN customer ON c_custkey = o_custkey"
+            " JOIN nation cn ON cn.n_nationkey = c_nationkey"
+            " JOIN region ON r_regionkey = cn.n_regionkey"
+            " WHERE r_name = 'ASIA' GROUP BY 1"
         ),
         "q_q6_revenue": (
             "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
