@@ -253,6 +253,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_sales_opportunity", q.q_sales_opportunity),
         ("q_important_parts", q.q_important_parts),
         ("q_market_share", q.q_market_share),
+        ("q_order_priority", q.q_order_priority),
+        ("q_priority_lines", q.q_priority_lines),
+        ("q_waiting_suppliers", q.q_waiting_suppliers),
+        ("q_part_suppliers", q.q_part_suppliers),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2577,6 +2577,66 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
     return relational.market_share(sf_dir, region="ASIA", nation="NATION_7")
 
 
+def q_order_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 order-priority check (adapted: no l_commitdate, so
+    "late" = any line shipped >30 days after the order date) — the
+    correlated EXISTS rewritten as max(l_shipdate) per order, reduced
+    before the join."""
+    return relational.order_priority_count(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+            filter=(
+                (pc.field("o_orderdate")
+                 >= pa.scalar("1996-01-01").cast(pa.timestamp("us")))
+                & (pc.field("o_orderdate")
+                   < pa.scalar("1996-04-01").cast(pa.timestamp("us")))
+            ),
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        ),
+        grace_days=30,
+    )
+
+
+def q_priority_lines(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12-shaped conditional join aggregate (adapted: the
+    synthetic lineitem has no l_shipmode, so l_returnflag is the axis):
+    high- vs low-priority line counts per return flag for 1997
+    shipments."""
+    return relational.priority_line_counts(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar("1997-01-01").cast(pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar("1998-01-01").cast(pa.timestamp("us")))
+            ),
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        ),
+    )
+
+
+def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21-shaped sole-late-supplier report over finished orders
+    (late = shipped >60 days after the order date)."""
+    return relational.waiting_suppliers(sf_dir, late_days=60, k=20)
+
+
+def q_part_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q16-shaped distinct-supplier census per part descriptor,
+    with the NOT-IN supplier exclusion (acctbal < 1000 stands in for
+    complaints; shipped pairs stand in for partsupp)."""
+    return relational.part_supplier_counts(sf_dir)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2609,6 +2669,10 @@ def queries() -> dict:
         "q_sales_opportunity": q_sales_opportunity,
         "q_important_parts": q_important_parts,
         "q_market_share": q_market_share,
+        "q_order_priority": q_order_priority,
+        "q_priority_lines": q_priority_lines,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_part_suppliers": q_part_suppliers,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -2928,6 +2992,55 @@ def _oracle_sql_base() -> dict:
             " JOIN nation cn ON cn.n_nationkey = c_nationkey"
             " JOIN region ON r_regionkey = cn.n_regionkey"
             " WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        "q_order_priority": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count"
+            " FROM orders o"
+            " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-04-01'"
+            " AND EXISTS (SELECT 1 FROM lineitem l"
+            " WHERE l.l_orderkey = o.o_orderkey"
+            " AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)"
+            " GROUP BY 1"
+        ),
+        "q_priority_lines": (
+            "SELECT l_returnflag,"
+            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END)::BIGINT AS high_line_count,"
+            " sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END)::BIGINT AS low_line_count"
+            " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+            " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY 1"
+        ),
+        "q_waiting_suppliers": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey,"
+            " max(l_shipdate) AS max_ship FROM lineitem GROUP BY 1, 2),"
+            " j AS (SELECT l.l_orderkey, l.l_suppkey,"
+            " (l.max_ship > o.o_orderdate + INTERVAL 60 DAY) AS late"
+            " FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " WHERE o.o_orderstatus = 'F'),"
+            " po AS (SELECT l_orderkey,"
+            " count(DISTINCT l_suppkey)::BIGINT AS n_supp,"
+            " count(DISTINCT CASE WHEN late THEN l_suppkey END)::BIGINT"
+            " AS n_late,"
+            " max(CASE WHEN late THEN l_suppkey END) AS late_supp"
+            " FROM j GROUP BY 1)"
+            " SELECT s_name, count(*)::BIGINT AS numwait"
+            " FROM po JOIN supplier ON s_suppkey = late_supp"
+            " WHERE n_supp > 1 AND n_late = 1"
+            " GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        "q_part_suppliers": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,"
+            " count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt"
+            " FROM lineitem JOIN part ON p_partkey = l_partkey"
+            " WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'"
+            " AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)"
+            " AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier"
+            " WHERE s_acctbal < 1000)"
+            " GROUP BY 1, 2, 3"
         ),
         "q_q6_revenue": (
             "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
