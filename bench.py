@@ -257,6 +257,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_priority_lines", q.q_priority_lines),
         ("q_waiting_suppliers", q.q_waiting_suppliers),
         ("q_part_suppliers", q.q_part_suppliers),
+        ("q_min_cost_supplier", q.q_min_cost_supplier),
+        ("q_accelerating_suppliers", q.q_accelerating_suppliers),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

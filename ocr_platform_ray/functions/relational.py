@@ -3557,3 +3557,326 @@ def part_supplier_counts(
         count_bucket,
         batch_format="pyarrow",
     )
+
+
+def min_cost_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    part_type: str = "STANDARD",
+    max_size: int = 15,
+    k: int = 100,
+) -> rd.Dataset:
+    """TPC-H Q2-shaped minimum-cost supplier (adapted: no partsupp
+    table, so "supply cost" is the MINIMUM observed line price in
+    integer cents per shipped (partkey, suppkey) pair; the part
+    predicate is ``p_type = part_type AND p_size <= max_size``): for
+    each qualifying part, the region's suppliers achieving that part's
+    region-wide minimum cost, with account balance / nation attached —
+    the correlated MIN subquery of Q2 (reference capability:
+    order-by-aggregate listing, `apps/api/app/api/v1/routes_jobs.py`
+    job listing sort) expressed as one per-partkey group pass.
+
+    Scale shape: the region's supplier dimension (bounded) broadcasts
+    once via ray.put — both as an np.isin eligibility filter on the
+    100 TB lineitem scan and as the attribute lookup at the very end;
+    lineitem shrinks per batch to min-cents per (partkey, suppkey)
+    BEFORE the bucketed join with the pruned part dimension; the
+    correlated min + keep-ties runs as ONE bucketed per-partkey group
+    pass (partials re-min inside, all vectorized polars). Cost is
+    exact integer cents end-to-end; the float division happens once on
+    the k output rows. (s_acctbal DESC, n_name, s_name, p_partkey) is
+    a total order (s_name unique per supplier, partkey distinct per
+    supplier row), so the LIMIT cut is deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = reg.column("r_regionkey").filter(
+        pc.equal(reg.column("r_name"), region)
+    )
+    nmask = pc.is_in(nation.column("n_regionkey"), value_set=rkeys)
+    nkeys = nation.column("n_nationkey").filter(nmask)
+    nnames = dict(
+        zip(
+            nation.column("n_nationkey").filter(nmask).to_pylist(),
+            nation.column("n_name").filter(nmask).to_pylist(),
+        )
+    )
+    smask = pc.is_in(
+        supp.column("s_nationkey"), value_set=nkeys.cast(pa.int32())
+    )
+    eligible = supp.filter(smask)
+    attrs = {
+        int(s): (float(b), str(n), nnames[int(nk)])
+        for s, b, n, nk in zip(
+            eligible.column("s_suppkey").to_pylist(),
+            eligible.column("s_acctbal").to_pylist(),
+            eligible.column("s_name").to_pylist(),
+            eligible.column("s_nationkey").to_pylist(),
+        )
+    }
+    keyset = np.sort(np.fromiter(attrs.keys(), dtype=np.int64))
+    keys_ref = ray.put(keyset)
+    attrs_ref = ray.put(attrs)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(
+            (pc.field("p_type") == part_type)
+            & (pc.field("p_size") <= max_size)
+        ),
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def pair_min(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ok = np.isin(
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            resolve_broadcast(keys_ref),
+        )
+        d = pl.from_arrow(batch.filter(pa.array(ok))).with_columns(
+            (pl.col("l_extendedprice") * 100)
+            .round()
+            .cast(pl.Int64)
+            .alias("cost_cents")
+        )
+        return (
+            d.group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("cost_cents").min())
+            .to_arrow()
+        )
+
+    from .joins import bucketed_merge_join
+
+    joined = bucketed_merge_join(
+        lineitem.map_batches(pair_min, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cost_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+        compact=True,
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = (
+            pl.from_arrow(t)
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("cost_cents").min())
+        )
+        return (
+            d.filter(
+                pl.col("cost_cents")
+                == pl.col("cost_cents").min().over("l_partkey")
+            )
+            .to_arrow()
+        )
+
+    winners = bucketed_group_apply(
+        joined, "l_partkey", per_part, batch_format="pyarrow"
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = resolve_broadcast(attrs_ref)
+        rows = [
+            lk[int(s)]
+            for s in batch.column("l_suppkey").to_pylist()
+        ]
+        return pa.table(
+            {
+                "s_acctbal": pa.array(
+                    [r[0] for r in rows], type=pa.float64()
+                ),
+                "s_name": pa.array([r[1] for r in rows], type=pa.string()),
+                "n_name": pa.array([r[2] for r in rows], type=pa.string()),
+                "p_partkey": batch.column("l_partkey"),
+                "min_cost": pc.divide(
+                    pc.cast(batch.column("cost_cents"), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+            }
+        )
+
+    out = winners.map_batches(attach, batch_format="pyarrow")
+    return out.sort(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False],
+    ).limit(k)
+
+
+def accelerating_part_suppliers(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    name_prefix: str = "red ",
+    year: int = 1997,
+) -> rd.Dataset:
+    """TPC-H Q20-shaped "suppliers with excess recent volume" (adapted:
+    no partsupp/availqty, so the correlated-aggregate predicate becomes
+    "the pair's ``year`` shipped quantity exceeds HALF its all-time
+    shipped quantity"; Q20's ``p_name like 'forest%'`` keeps its shape
+    via ``name_prefix``): the DISTINCT names of ``nation``'s suppliers
+    having at least one such accelerating part.
+
+    Scale shape: quantities are summed as integer centi-units (exact —
+    the comparison is ``2*qty_year > qty_all`` in int64, no 0.5 float);
+    the nation's supplier keyset (bounded) broadcasts via ray.put and
+    prunes the 100 TB scan per batch BEFORE the per-(partkey, suppkey)
+    partial sums; partials merge + the threshold test run in one
+    bucketed pass; the prefix-filtered part dimension semi-joins
+    bucketed (LIKE has no parquet pushdown, so the filter is residual
+    on the pruned two-column read). Output is the tiny distinct-name
+    list, totally ordered by the unique s_name."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nat.column("n_nationkey").filter(
+        pc.equal(nat.column("n_name"), nation)
+    )
+    smask = pc.is_in(
+        supp.column("s_nationkey"), value_set=nkeys.cast(pa.int32())
+    )
+    eligible = supp.filter(smask)
+    names = dict(
+        zip(
+            eligible.column("s_suppkey").to_pylist(),
+            eligible.column("s_name").to_pylist(),
+        )
+    )
+    keyset = np.sort(np.fromiter(names.keys(), dtype=np.int64))
+    keys_ref = ray.put(keyset)
+    names_ref = ray.put(names)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.starts_with(t.column("p_name"), name_prefix)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    import datetime as _dt
+
+    y0 = _dt.datetime(year, 1, 1)
+    y1 = _dt.datetime(year + 1, 1, 1)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ok = np.isin(
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            resolve_broadcast(keys_ref),
+        )
+        d = pl.from_arrow(batch.filter(pa.array(ok))).with_columns(
+            (pl.col("l_quantity") * 100)
+            .round()
+            .cast(pl.Int64)
+            .alias("q_c")
+        )
+        d = d.with_columns(
+            pl.when(
+                (pl.col("l_shipdate") >= y0) & (pl.col("l_shipdate") < y1)
+            )
+            .then(pl.col("q_c"))
+            .otherwise(0)
+            .alias("q_y")
+        )
+        return (
+            d.group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("q_c").sum().alias("qty_all"),
+                 pl.col("q_y").sum().alias("qty_year"))
+            .to_arrow()
+        )
+
+    from .joins import bucketed_merge_join
+
+    pairs = bucketed_merge_join(
+        lineitem.map_batches(pair_partial, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("qty_all", pa.int64()),
+                ("qty_year", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+        compact=True,
+    )
+
+    def merge_test(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = (
+            pl.from_arrow(t)
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("qty_all").sum(), pl.col("qty_year").sum())
+        )
+        hits = d.filter(pl.col("qty_year") * 2 > pl.col("qty_all"))
+        return hits.select(pl.col("l_suppkey").unique()).to_arrow()
+
+    winners = bucketed_group_apply(
+        pairs, ["l_partkey", "l_suppkey"], merge_test,
+        batch_format="pyarrow",
+    )
+
+    def to_names(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lk = resolve_broadcast(names_ref)
+        uniq = pl.from_arrow(t)["l_suppkey"].unique().to_list()
+        return pa.table(
+            {"s_name": pa.array(sorted(lk[int(s)] for s in uniq),
+                                type=pa.string())}
+        )
+
+    # the distinct-suppkey set is tiny (bounded by one nation's
+    # suppliers); one single-bucket group pass dedups across buckets and
+    # resolves names in the same call
+    final = bucketed_group_apply(
+        winners, "l_suppkey", to_names, n_buckets=1,
+        batch_format="pyarrow",
+    )
+    return final.sort("s_name")

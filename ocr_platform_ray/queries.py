@@ -2637,6 +2637,26 @@ def q_part_suppliers(sf_dir: str) -> rd.Dataset:
     return relational.part_supplier_counts(sf_dir)
 
 
+def q_min_cost_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2-shaped minimum-cost supplier per qualifying part
+    (adapted: min observed line price in cents stands in for the
+    missing partsupp supplycost; STANDARD parts of size <= 15,
+    suppliers in EUROPE)."""
+    return relational.min_cost_supplier(
+        sf_dir, region="EUROPE", part_type="STANDARD", max_size=15, k=100
+    )
+
+
+def q_accelerating_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q20-shaped excess-recent-volume supplier list (adapted:
+    a pair's 1997 shipped quantity exceeding half its all-time
+    quantity stands in for the availqty comparison; 'red '-prefixed
+    parts, NATION_3 suppliers)."""
+    return relational.accelerating_part_suppliers(
+        sf_dir, nation="NATION_3", name_prefix="red ", year=1997
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2673,6 +2693,8 @@ def queries() -> dict:
         "q_priority_lines": q_priority_lines,
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_part_suppliers": q_part_suppliers,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_accelerating_suppliers": q_accelerating_suppliers,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3041,6 +3063,41 @@ def _oracle_sql_base() -> dict:
             " AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier"
             " WHERE s_acctbal < 1000)"
             " GROUP BY 1, 2, 3"
+        ),
+        "q_min_cost_supplier": (
+            "WITH cost AS (SELECT l_partkey, l_suppkey,"
+            " min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cc"
+            " FROM lineitem GROUP BY 1, 2),"
+            " eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name"
+            " FROM supplier JOIN nation ON n_nationkey = s_nationkey"
+            " JOIN region ON r_regionkey = n_regionkey"
+            " WHERE r_name = 'EUROPE'),"
+            " c2 AS (SELECT cost.*, s_name, s_acctbal, n_name"
+            " FROM cost JOIN eu ON s_suppkey = l_suppkey"
+            " JOIN part ON p_partkey = l_partkey"
+            " WHERE p_type = 'STANDARD' AND p_size <= 15)"
+            " SELECT s_acctbal, s_name, n_name,"
+            " l_partkey AS p_partkey, cc / 100.0 AS min_cost FROM c2"
+            " WHERE cc = (SELECT min(cc) FROM c2 i"
+            " WHERE i.l_partkey = c2.l_partkey)"
+            " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"
+            " LIMIT 100"
+        ),
+        "q_accelerating_suppliers": (
+            "WITH pr AS (SELECT l_partkey, l_suppkey,"
+            " sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_all,"
+            " sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01'"
+            " THEN CAST(round(l_quantity * 100) AS BIGINT)"
+            " ELSE 0 END) AS qty_year"
+            " FROM lineitem GROUP BY 1, 2)"
+            " SELECT DISTINCT s_name FROM pr"
+            " JOIN part ON p_partkey = l_partkey"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " JOIN nation ON n_nationkey = s_nationkey"
+            " WHERE n_name = 'NATION_3' AND p_name LIKE 'red %'"
+            " AND qty_year * 2 > qty_all"
+            " ORDER BY s_name"
         ),
         "q_q6_revenue": (
             "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"

@@ -1,0 +1,171 @@
+"""Round-5 batch-12 operators pinned against planted references and
+DuckDB at sf0.001: TPC-H Q2-shaped minimum-cost supplier (correlated
+MIN with keep-ties) and Q20-shaped accelerating-part supplier list
+(correlated aggregate comparison as an exact integer test)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _write_dims(tmp_path):
+    """One region/two nations/three suppliers; suppliers 1,2 in-region."""
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["EUROPE", "ASIA"]),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["NATION_A", "NATION_B"]),
+                "n_regionkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3"]),
+                "s_acctbal": pa.array([100.0, 200.0, 300.0]),
+                "s_nationkey": pa.array([0, 0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+
+
+class TestMinCostSupplier:
+    def test_planted_min_with_ties(self, ray_session, tmp_path):
+        from ocr_platform_ray.functions.relational import min_cost_supplier
+
+        _write_dims(tmp_path)
+        # part 10 qualifies; part 20 is the wrong type; part 30 too big
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([10, 20, 30], pa.int64()),
+                    "p_type": pa.array(["STANDARD", "PROMO", "STANDARD"]),
+                    "p_size": pa.array([5, 5, 40], pa.int32()),
+                }
+            ),
+            str(tmp_path / "part.parquet"),
+        )
+        # part 10: supp 1 min 3.00 (two lines 3.00/9.99), supp 2 min 3.00
+        # (tie — BOTH kept), supp 3 cheaper but out-of-region (excluded)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array(
+                        [10, 10, 10, 10, 20, 30], pa.int64()
+                    ),
+                    "l_suppkey": pa.array([1, 1, 2, 3, 1, 1], pa.int64()),
+                    "l_extendedprice": pa.array(
+                        [3.0, 9.99, 3.0, 1.0, 2.0, 2.0]
+                    ),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        out = min_cost_supplier(
+            str(tmp_path), region="EUROPE", part_type="STANDARD",
+            max_size=15,
+        ).to_pandas()
+        assert len(out) == 2
+        # sorted by s_acctbal DESC: S2 (200) before S1 (100)
+        assert list(out["s_name"]) == ["S2", "S1"]
+        assert list(out["min_cost"]) == [3.0, 3.0]
+        assert set(out["p_partkey"]) == {10}
+        assert set(out["n_name"]) == {"NATION_A"}
+
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import __ray_entry__ as entry
+
+        out = entry.queries()["q_min_cost_supplier"](SF).to_pandas()
+        ref = _con().execute(entry.oracle_sql()["q_min_cost_supplier"]).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), ref, check_dtype=False
+        )
+        assert len(out) > 0
+
+
+class TestAcceleratingSuppliers:
+    def test_planted_strict_half_boundary(self, ray_session, tmp_path):
+        from ocr_platform_ray.functions.relational import (
+            accelerating_part_suppliers,
+        )
+
+        _write_dims(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([10, 20], pa.int64()),
+                    "p_name": pa.array(["red widget", "blue bolt"]),
+                }
+            ),
+            str(tmp_path / "part.parquet"),
+        )
+        t97 = np.datetime64("1997-06-01", "us")
+        t96 = np.datetime64("1996-06-01", "us")
+        # supp 1 on part 10: 6 of 10 units in 1997 (2*6 > 10 -> in)
+        # supp 2 on part 10: exactly half (2*5 == 10 -> OUT: strict >)
+        # supp 1 on part 20: all in 1997 but the part isn't 'red ' (out)
+        # supp 3: accelerating but out-of-nation (out)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array(
+                        [10, 10, 10, 10, 20, 10], pa.int64()
+                    ),
+                    "l_suppkey": pa.array([1, 1, 2, 2, 1, 3], pa.int64()),
+                    "l_quantity": pa.array([6.0, 4.0, 5.0, 5.0, 9.0, 9.0]),
+                    "l_shipdate": pa.array(
+                        [t97, t96, t97, t96, t97, t97], pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        out = accelerating_part_suppliers(
+            str(tmp_path), nation="NATION_A", name_prefix="red ", year=1997
+        ).to_pandas()
+        assert list(out["s_name"]) == ["S1"]
+
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import __ray_entry__ as entry
+
+        out = entry.queries()["q_accelerating_suppliers"](SF).to_pandas()
+        ref = _con().execute(
+            entry.oracle_sql()["q_accelerating_suppliers"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), ref, check_dtype=False
+        )
