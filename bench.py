@@ -259,6 +259,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_part_suppliers", q.q_part_suppliers),
         ("q_min_cost_supplier", q.q_min_cost_supplier),
         ("q_accelerating_suppliers", q.q_accelerating_suppliers),
+        ("q_snapshot_diff", q.q_snapshot_diff),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

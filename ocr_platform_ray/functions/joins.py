@@ -416,3 +416,104 @@ def asof_join(
         .groupby("__kb")
         .map_groups(match, batch_format="pandas")
     )
+
+
+def snapshot_diff(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """CDC-style diff between two corpus snapshots (crawl N vs crawl
+    N+1): per ``group_col``, how many documents were added, removed,
+    changed, or unchanged. The reference's capability analogue is the
+    job-status delta listing (`apps/api/app/api/v1/routes_jobs.py` list
+    endpoint diffing); at training-data scale this is the standard
+    "what changed between snapshot releases" audit.
+
+    Scale shape: neither snapshot's TEXT ever crosses the wire — each
+    side reduces per batch to (id, group, pinned md5-u32 content hash),
+    the per-id compare is ONE bucketed group pass over the union
+    (both rows of an id land in the same bucket), and the output is the
+    tiny (group, status) count table merged in a single-bucket pass.
+    Each snapshot is assumed unique per id (snapshot semantics — apply
+    a latest-record compaction first if not; see
+    ``relational.compact_latest``). The content hash is the pinned
+    md5 32-bit prefix (``md5np.md5_u32`` == SQL
+    ``('0x' || substr(md5(text), 1, 8))::UBIGINT``), stable across
+    processes and library builds; a 32-bit collision would report
+    'unchanged' for a changed doc identically on engine and oracle
+    sides (the comparison contract IS the hash)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..md5np import md5_u32
+    from . import bucketed_group_apply
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            h = md5_u32(batch.column(text_col)).astype(np.int64)
+            return pa.table(
+                {
+                    "id": pc.cast(batch.column(id_col), pa.int64()),
+                    "g": pc.cast(batch.column(group_col), pa.string()),
+                    "h": pa.array(h, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(batch), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    u = a.map_batches(prep(0), batch_format="pyarrow").union(
+        b.map_batches(prep(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(t)
+        per_id = d.group_by("id").agg(
+            pl.col("h").filter(pl.col("side") == 0).first().alias("ha"),
+            pl.col("h").filter(pl.col("side") == 1).first().alias("hb"),
+            pl.col("g").filter(pl.col("side") == 0).first().alias("ga"),
+            pl.col("g").filter(pl.col("side") == 1).first().alias("gb"),
+        )
+        per_id = per_id.with_columns(
+            pl.coalesce(pl.col("ga"), pl.col("gb")).alias("group"),
+            pl.when(pl.col("ha").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("hb").is_null())
+            .then(pl.lit("removed"))
+            .when(pl.col("ha") != pl.col("hb"))
+            .then(pl.lit("changed"))
+            .otherwise(pl.lit("unchanged"))
+            .alias("status"),
+        )
+        return (
+            per_id.group_by(["group", "status"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    partials = bucketed_group_apply(u, "id", per_bucket,
+                                    batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["group", "status"])
+            .agg(pl.col("n").sum())
+            .rename({"group": group_col})
+            .to_arrow()
+        )
+
+    # (group x status) is tiny — one single-bucket pass merges partials
+    return bucketed_group_apply(
+        partials, ["group", "status"], merge, n_buckets=1,
+        batch_format="pyarrow",
+    )

@@ -2657,6 +2657,42 @@ def q_accelerating_suppliers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """CDC snapshot diff per source: documents (crawl N) vs a
+    deterministically derived crawl N+1 — docs in md5(doc_id) bucket 0
+    removed, bucket 1 re-crawled with changed text, bucket 2 cloned as
+    new docs (id -(doc_id+1)) — counted as added / removed / changed /
+    unchanged WITHOUT shipping text (pinned md5-u32 content hashes)."""
+    import numpy as np
+
+    from .functions.joins import snapshot_diff
+    from .md5np import md5_u32
+
+    cols = ["doc_id", "text", "source"]
+    a = _docs(sf_dir, cols)
+
+    def derive_b(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        bk = (md5_u32(batch.column("doc_id")) % np.uint32(10)).astype(
+            np.int64
+        )
+        d = pl.from_arrow(batch).with_columns(pl.Series("bk", bk))
+        base = d.filter(pl.col("bk") != 0).with_columns(
+            pl.when(pl.col("bk") == 1)
+            .then(pl.col("text") + pl.lit(" [rev2]"))
+            .otherwise(pl.col("text"))
+            .alias("text")
+        )
+        added = d.filter(pl.col("bk") == 2).with_columns(
+            (-(pl.col("doc_id") + 1)).alias("doc_id")
+        )
+        return pl.concat([base, added]).select(cols).to_arrow()
+
+    b = _docs(sf_dir, cols).map_batches(derive_b, batch_format="pyarrow")
+    return snapshot_diff(a, b)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2695,6 +2731,7 @@ def queries() -> dict:
         "q_part_suppliers": q_part_suppliers,
         "q_min_cost_supplier": q_min_cost_supplier,
         "q_accelerating_suppliers": q_accelerating_suppliers,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3098,6 +3135,29 @@ def _oracle_sql_base() -> dict:
             " WHERE n_name = 'NATION_3' AND p_name LIKE 'red %'"
             " AND qty_year * 2 > qty_all"
             " ORDER BY s_name"
+        ),
+        "q_snapshot_diff": (
+            "WITH doc AS (SELECT doc_id, text, source,"
+            " ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+            " % 10 AS bk FROM documents),"
+            " a AS (SELECT doc_id AS id, source,"
+            " ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h FROM doc),"
+            " b AS (SELECT doc_id AS id, source,"
+            " ('0x' || substr(md5(CASE WHEN bk = 1 THEN text || ' [rev2]'"
+            " ELSE text END), 1, 8))::UBIGINT AS h"
+            " FROM doc WHERE bk <> 0"
+            " UNION ALL"
+            " SELECT -(doc_id + 1) AS id, source,"
+            " ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h"
+            " FROM doc WHERE bk = 2)"
+            " SELECT coalesce(a.source, b.source) AS source,"
+            " CASE WHEN a.id IS NULL THEN 'added'"
+            " WHEN b.id IS NULL THEN 'removed'"
+            " WHEN a.h <> b.h THEN 'changed'"
+            " ELSE 'unchanged' END AS status,"
+            " count(*)::BIGINT AS n"
+            " FROM a FULL JOIN b ON a.id = b.id"
+            " GROUP BY 1, 2"
         ),
         "q_q6_revenue": (
             "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"

@@ -169,3 +169,56 @@ class TestAcceleratingSuppliers:
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), ref, check_dtype=False
         )
+
+
+class TestSnapshotDiff:
+    def test_planted_four_statuses(self, ray_session):
+        from ocr_platform_ray.functions.joins import snapshot_diff
+
+        a = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+                "text": ["same", "old", "gone", "keep"],
+                "source": ["s1", "s1", "s2", "s2"],
+            }
+        )
+        b = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 4, 9], dtype=np.int64),
+                "text": ["same", "new", "keep", "brand new"],
+                "source": ["s1", "s1", "s2", "s2"],
+            }
+        )
+        out = snapshot_diff(
+            rd.from_pandas(a).repartition(3),
+            rd.from_pandas(b).repartition(2),
+        ).to_pandas()
+        got = {
+            (r["source"], r["status"]): int(r["n"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            ("s1", "unchanged"): 1,
+            ("s1", "changed"): 1,
+            ("s2", "removed"): 1,
+            ("s2", "unchanged"): 1,
+            ("s2", "added"): 1,
+        }
+
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import __ray_entry__ as entry
+
+        con = _con()
+        con.execute(
+            "CREATE VIEW documents AS SELECT *"
+            f" FROM read_parquet('{SF}/documents.parquet')"
+        )
+        out = entry.queries()["q_snapshot_diff"](SF).to_pandas()
+        ref = con.execute(entry.oracle_sql()["q_snapshot_diff"]).df()
+        pd.testing.assert_frame_equal(
+            _sorted(out), _sorted(ref), check_dtype=False
+        )
+        # every status present at sf0.001 (bucket probabilities ~10-20%)
+        assert set(out["status"]) == {
+            "added", "removed", "changed", "unchanged"
+        }
