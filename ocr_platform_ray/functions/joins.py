@@ -467,8 +467,15 @@ def snapshot_diff(
 
         return f
 
-    u = a.map_batches(prep(0), batch_format="pyarrow").union(
-        b.map_batches(prep(1), batch_format="pyarrow")
+    from .dedup import shuffle_blocks
+
+    # the hashed union is 4 thin columns across 2x the read parallelism
+    # in tiny blocks — compact before the groupby shuffle (measured:
+    # 5.4 s -> ~2 s at sf0.1/32, same plan otherwise)
+    u = (
+        a.map_batches(prep(0), batch_format="pyarrow")
+        .union(b.map_batches(prep(1), batch_format="pyarrow"))
+        .repartition(shuffle_blocks())
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
