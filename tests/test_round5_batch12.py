@@ -222,3 +222,52 @@ class TestSnapshotDiff:
         assert set(out["status"]) == {
             "added", "removed", "changed", "unchanged"
         }
+
+    def test_randomized_matches_bruteforce(self, ray_session):
+        import pytest
+
+        from ocr_platform_ray.functions.joins import snapshot_diff
+
+        for seed in (7, 42, 99):
+            rng = np.random.default_rng(seed)
+            texts = [f"t{i}" for i in range(6)]
+
+            def snap():
+                n = int(rng.integers(20, 120))
+                ids = rng.choice(200, size=n, replace=False).astype(np.int64)
+                return pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "text": rng.choice(texts, size=n),
+                        "source": rng.choice(["sA", "sB", "sC"], size=n),
+                    }
+                )
+
+            a, b = snap(), snap()
+            out = snapshot_diff(
+                rd.from_pandas(a).repartition(4),
+                rd.from_pandas(b).repartition(3),
+            ).to_pandas()
+            m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+            status = np.where(
+                m["text_a"].isna(), "added",
+                np.where(
+                    m["text_b"].isna(), "removed",
+                    np.where(m["text_a"] != m["text_b"],
+                             "changed", "unchanged"),
+                ),
+            )
+            ref = (
+                pd.DataFrame(
+                    {
+                        "source": m["source_a"].fillna(m["source_b"]),
+                        "status": status,
+                    }
+                )
+                .groupby(["source", "status"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"})
+            )
+            got = _sorted(out)
+            want = _sorted(ref)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
