@@ -260,6 +260,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_min_cost_supplier", q.q_min_cost_supplier),
         ("q_accelerating_suppliers", q.q_accelerating_suppliers),
         ("q_snapshot_diff", q.q_snapshot_diff),
+        ("q_main_content", q.q_main_content),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2693,6 +2693,42 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
     return snapshot_diff(a, b)
 
 
+def q_main_content(sf_dir: str) -> rd.Dataset:
+    """HTML main-content extraction (north-rule boilerplate strip / DOM
+    heuristics): each document's text is deterministically wrapped into
+    a full HTML page — head+title, a nav bar of links, the escaped text
+    as the content block, a footer of links — then the link-density
+    block extractor recovers the main text. The oracle is the
+    round-trip invariant itself: main_text == the original text,
+    SQL-checkable without re-implementing the parser."""
+    from .functions.html_extract import escape_html, extract_main_html
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(batch)
+        html = (
+            pl.lit(
+                "<html><head><title>doc</title>"
+                "<style>p{margin:0}</style></head><body>"
+                '<nav><a href="#">Home</a> | <a href="#">About</a> | '
+                '<a href="#">Archive</a></nav><div><p>'
+            )
+            + escape_html(pl.col("text"))
+            + pl.lit(
+                '</p></div><footer><a href="#">Contact</a> '
+                '<a href="#">Terms</a><!-- built --></footer>'
+                "</body></html>"
+            )
+        ).alias("html")
+        return d.select("doc_id", html).to_arrow()
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow"
+    )
+    return extract_main_html(pages)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2732,6 +2768,7 @@ def queries() -> dict:
         "q_min_cost_supplier": q_min_cost_supplier,
         "q_accelerating_suppliers": q_accelerating_suppliers,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_main_content": q_main_content,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3135,6 +3172,11 @@ def _oracle_sql_base() -> dict:
             " WHERE n_name = 'NATION_3' AND p_name LIKE 'red %'"
             " AND qty_year * 2 > qty_all"
             " ORDER BY s_name"
+        ),
+        "q_main_content": (
+            # the oracle is the wrap->extract round-trip invariant:
+            # boilerplate dropped, content block recovered verbatim
+            "SELECT doc_id, text AS main_text FROM documents"
         ),
         "q_snapshot_diff": (
             "WITH doc AS (SELECT doc_id, text, source,"
