@@ -261,6 +261,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_accelerating_suppliers", q.q_accelerating_suppliers),
         ("q_snapshot_diff", q.q_snapshot_diff),
         ("q_main_content", q.q_main_content),
+        ("q_leakage_split", q.q_leakage_split),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -2421,3 +2421,74 @@ def priority_dedup(ds: rd.Dataset) -> rd.Dataset:
         .groupby("cb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def leakage_safe_split(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: tuple[float, float] = (0.8, 0.1),
+) -> rd.Dataset:
+    """Duplicate-cluster-aware train/valid/test split: every EXACT
+    duplicate of a text lands on the SAME side, so no evaluation row is
+    a verbatim copy of a training row (train->test leakage through
+    copies — the failure mode group-aware splitting exists to prevent;
+    :func:`train_test_split` keys on the row id and gives no such
+    guarantee). Cluster id = min(id) over identical text (SQL:
+    ``min(id) OVER (PARTITION BY text)``); the split label is the same
+    md5 two-hex-char cut as :func:`train_test_split`, applied to the
+    CLUSTER id instead of the row id — singleton texts therefore split
+    exactly like ``train_test_split`` of their cluster head.
+
+    Scale shape: text never shuffles — each batch reduces rows to
+    (md5-hex content key, id) thin pairs, ONE digest-bucketed group
+    pass computes the per-cluster min id AND the split label inside the
+    bucket (vectorized), and only (id, split) comes back. Near-dup
+    clusters: feed cluster labels from the minhash CC family as
+    ``text_col`` to get the same guarantee for near-duplicates."""
+    import pyarrow.compute as pc
+
+    from . import bucketed_group_apply
+    from ..md5np import md5_hex
+
+    if fractions[0] < 0 or fractions[1] < 0 or fractions[0] + fractions[1] > 1:
+        raise ValueError(
+            "leakage_safe_split: fractions must be non-negative and sum "
+            "to <= 1"
+        )
+    cut1 = int(fractions[0] * 256)
+    cut2 = int((fractions[0] + fractions[1]) * 256)
+    hex1 = "g" if cut1 >= 256 else format(cut1, "02x")
+    hex2 = "g" if cut2 >= 256 else format(cut2, "02x")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.cast(batch.column(id_col), pa.int64()),
+                "k": md5_hex(batch.column(text_col)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(t).with_columns(
+            pl.col("id").min().over("k").alias("cid")
+        )
+        h2 = pc.utf8_slice_codeunits(
+            md5_hex(d["cid"].cast(pl.Utf8).to_arrow()), 0, 2
+        )
+        split = pc.if_else(
+            pc.less(h2, hex1),
+            pa.scalar("train"),
+            pc.if_else(
+                pc.less(h2, hex2), pa.scalar("valid"), pa.scalar("test")
+            ),
+        )
+        return pa.table(
+            {id_col: d["id"].to_arrow(), "split": split}
+        )
+
+    thin = ds.map_batches(pairs, batch_format="pyarrow")
+    return bucketed_group_apply(thin, "k", per_bucket,
+                                batch_format="pyarrow")

@@ -2729,6 +2729,14 @@ def q_main_content(sf_dir: str) -> rd.Dataset:
     return extract_main_html(pages)
 
 
+def q_leakage_split(sf_dir: str) -> rd.Dataset:
+    """Duplicate-cluster-aware 80/10/10 split: exact copies of a text
+    always land on the same side (no train->test leakage through
+    duplicates); the md5 cut applies to min(doc_id) over identical
+    text."""
+    return dedup.leakage_safe_split(_docs(sf_dir, ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2769,6 +2777,7 @@ def queries() -> dict:
         "q_accelerating_suppliers": q_accelerating_suppliers,
         "q_snapshot_diff": q_snapshot_diff,
         "q_main_content": q_main_content,
+        "q_leakage_split": q_leakage_split,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3177,6 +3186,17 @@ def _oracle_sql_base() -> dict:
             # the oracle is the wrap->extract round-trip invariant:
             # boilerplate dropped, content block recovered verbatim
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        "q_leakage_split": (
+            "WITH c AS (SELECT doc_id,"
+            " min(doc_id) OVER (PARTITION BY text) AS cid"
+            " FROM documents)"
+            " SELECT doc_id, CASE"
+            " WHEN substr(md5(CAST(cid AS VARCHAR)), 1, 2) < 'cc'"
+            " THEN 'train'"
+            " WHEN substr(md5(CAST(cid AS VARCHAR)), 1, 2) < 'e6'"
+            " THEN 'valid'"
+            " ELSE 'test' END AS split FROM c"
         ),
         "q_snapshot_diff": (
             "WITH doc AS (SELECT doc_id, text, source,"

@@ -271,3 +271,59 @@ class TestSnapshotDiff:
             got = _sorted(out)
             want = _sorted(ref)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_coassigned_and_head_keyed(self, ray_session):
+        from ocr_platform_ray.functions.dedup import (
+            leakage_safe_split,
+            train_test_split,
+        )
+
+        # ids 5 and 77 share a text -> both get the split of cluster
+        # head 5; singleton 9 splits exactly like train_test_split(9)
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([5, 77, 9], dtype=np.int64),
+                "text": ["dup text", "dup text", "unique text"],
+            }
+        )
+        out = leakage_safe_split(
+            rd.from_pandas(docs).repartition(3)
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["split"]))
+        assert got[5] == got[77]
+        ref = train_test_split(
+            rd.from_pandas(docs[docs.doc_id.isin([5, 9])])
+        ).to_pandas()
+        head = dict(zip(ref["doc_id"], ref["split"]))
+        assert got[5] == head[5] and got[9] == head[9]
+
+    def test_sf01_no_cross_split_dup_pairs(self, ray_session):
+        """The guarantee itself, on the only sf with real dup texts:
+        zero exact-duplicate pairs straddle a split boundary."""
+        import duckdb
+
+        from ocr_platform_ray.functions.dedup import leakage_safe_split
+
+        sf = "/root/testdata/sf0.1"
+        out = leakage_safe_split(
+            rd.read_parquet(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("assign", out)
+        con.execute(
+            "CREATE VIEW d AS SELECT * FROM"
+            f" read_parquet('{sf}/documents.parquet')"
+        )
+        n_dup_pairs, n_leaked = con.execute(
+            "SELECT count(*),"
+            " sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)"
+            " FROM d a JOIN d b ON a.text = b.text"
+            " AND a.doc_id < b.doc_id"
+            " JOIN assign sa ON sa.doc_id = a.doc_id"
+            " JOIN assign sb ON sb.doc_id = b.doc_id"
+        ).fetchone()
+        assert n_dup_pairs > 0          # the sf actually has dup pairs
+        assert int(n_leaked) == 0
