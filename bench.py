@@ -262,6 +262,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_snapshot_diff", q.q_snapshot_diff),
         ("q_main_content", q.q_main_content),
         ("q_leakage_split", q.q_leakage_split),
+        ("q_leakage_split_neardup", q.q_leakage_split_neardup),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

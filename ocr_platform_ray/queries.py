@@ -2737,6 +2737,46 @@ def q_leakage_split(sf_dir: str) -> rd.Dataset:
     return dedup.leakage_safe_split(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_leakage_split_neardup(sf_dir: str) -> rd.Dataset:
+    """NEAR-dup leakage-safe split: MinHash(0.7) candidate pairs ->
+    distributed connected-component labels -> docs left-joined to their
+    cluster label (singletons keep their own id) -> the same md5
+    cluster-head cut. Rows-only (MinHash isn't SQL-expressible); the
+    guarantee — every candidate pair co-assigned — is pinned in tests
+    at sf0.001."""
+    from .functions.joins import bucketed_merge_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.7).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    labels = dedup.connected_components_labels(pairs)
+    ids = _docs(sf_dir, ["doc_id"])
+    joined = bucketed_merge_join(
+        ids,
+        labels,
+        on="doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("label", pa.int64())]
+        ),
+        compact=True,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        lbl = pc.coalesce(
+            pc.cast(batch.column("label"), pa.int64()),
+            batch.column("doc_id"),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "label": lbl}
+        )
+
+    keyed = joined.map_batches(fill, batch_format="pyarrow")
+    return dedup.leakage_safe_split(keyed, text_col="label")
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2778,6 +2818,7 @@ def queries() -> dict:
         "q_snapshot_diff": q_snapshot_diff,
         "q_main_content": q_main_content,
         "q_leakage_split": q_leakage_split,
+        "q_leakage_split_neardup": q_leakage_split_neardup,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,

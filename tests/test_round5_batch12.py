@@ -327,3 +327,17 @@ class TestLeakageSafeSplit:
         ).fetchone()
         assert n_dup_pairs > 0          # the sf actually has dup pairs
         assert int(n_leaked) == 0
+
+    def test_neardup_pairs_coassigned_sf0001(self, ray_session):
+        """Every MinHash candidate pair lands on one side of the
+        near-dup leakage-safe split."""
+        import __ray_entry__ as entry
+
+        q = entry.queries()
+        split = q["q_leakage_split_neardup"](SF).to_pandas()
+        pairs = q["q_minhash_pairs"](SF).to_pandas()
+        lk = dict(zip(split["doc_id"], split["split"]))
+        assert len(split) == 500
+        assert len(pairs) > 0
+        for _, r in pairs.iterrows():
+            assert lk[r["doc_a"]] == lk[r["doc_b"]]
