@@ -2492,3 +2492,52 @@ def leakage_safe_split(
     thin = ds.map_batches(pairs, batch_format="pyarrow")
     return bucketed_group_apply(thin, "k", per_bucket,
                                 batch_format="pyarrow")
+
+
+def component_labels(
+    pairs: rd.Dataset, cc_mode: str = "auto", max_iters: int = 50
+) -> rd.Dataset:
+    """(doc_a, doc_b) edges -> (doc_id, label) rows for every node of
+    the edge set, label = min doc id of the component — the labeling
+    counterpart of :func:`minhash_dedup_keep`'s survivor filter, shared
+    by cluster-aware consumers (leakage-safe splitting, cluster
+    histograms). Same size policy: the (LSH-capped) pair set resolves
+    with driver union-find while it fits (<= CC_DRIVER_MAX_PAIRS);
+    beyond that, :func:`connected_components_labels` runs distributed
+    min-label propagation with no driver materialization. The pair set
+    is materialized ONCE (count + labeling would otherwise each
+    re-execute the upstream pipeline)."""
+    pairs = pairs.materialize()
+    if cc_mode == "auto":
+        cc_mode = (
+            "driver" if pairs.count() <= CC_DRIVER_MAX_PAIRS else "distributed"
+        )
+    if cc_mode == "distributed":
+        return connected_components_labels(pairs, max_iters=max_iters)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for r in pairs.take_all():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = sorted(nodes)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(out, pa.int64()),
+                "label": pa.array([find(n) for n in out], pa.int64()),
+            }
+        )
+    )

@@ -2750,7 +2750,7 @@ def q_leakage_split_neardup(sf_dir: str) -> rd.Dataset:
     pairs = dedup.minhash_dup_pairs(docs, threshold=0.7).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
-    labels = dedup.connected_components_labels(pairs)
+    labels = dedup.component_labels(pairs)
     ids = _docs(sf_dir, ["doc_id"])
     joined = bucketed_merge_join(
         ids,

@@ -341,3 +341,29 @@ class TestLeakageSafeSplit:
         assert len(pairs) > 0
         for _, r in pairs.iterrows():
             assert lk[r["doc_a"]] == lk[r["doc_b"]]
+
+    def test_component_labels_two_path_equality(self, ray_session):
+        """Driver union-find and distributed propagation produce
+        identical (doc_id, label) rows on the sf0.001 pair set."""
+        from ocr_platform_ray.functions import dedup
+
+        docs = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = dedup.minhash_dup_pairs(docs, threshold=0.7).map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        )
+        a = (
+            dedup.component_labels(pairs, cc_mode="driver")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            dedup.component_labels(pairs, cc_mode="distributed")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
