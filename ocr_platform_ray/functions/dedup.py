@@ -522,55 +522,27 @@ def minhash_dedup_keep(
     drop-set — documents never leave workers."""
     import ray
 
-    # materialize the (LSH-capped, corpus-much-smaller) pair set once:
-    # count() for the mode choice and the CC pass would otherwise each
-    # re-execute the whole minhash pipeline
-    pairs = (
-        minhash_dup_pairs(ds, threshold)
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()
+    labels = component_labels(
+        minhash_dup_pairs(ds, threshold).select_columns(["doc_a", "doc_b"]),
+        cc_mode=cc_mode,
     )
-    if cc_mode == "auto":
-        cc_mode = (
-            "driver" if pairs.count() <= CC_DRIVER_MAX_PAIRS else "distributed"
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        keep_mask = pa.compute.not_equal(
+            batch.column("doc_id"), batch.column("label")
         )
+        return batch.filter(keep_mask).select(["doc_id"])
 
-    if cc_mode == "driver":
-        pair_rows = pairs.take_all()
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for r in pair_rows:
-            a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
-            if a != b:
-                lo, hi = (a, b) if a < b else (b, a)
-                parent[hi] = lo
-        drop = {x for x in parent if find(x) != x}
-        drop_ref = ray.put(np.sort(np.fromiter(drop, np.int64, len(drop))))
-    else:
-        labels = connected_components_labels(pairs)
-
-        def non_roots(batch: pa.Table) -> pa.Table:
-            keep_mask = pa.compute.not_equal(
-                batch.column("doc_id"), batch.column("label")
-            )
-            return batch.filter(keep_mask).select(["doc_id"])
-
-        # the drop set is one int per duplicate doc — still broadcastable
-        # at any pair scale that fits the LSH caps; a corpus where even
-        # THIS overflows would anti-join labels against the corpus instead
-        drop = {
-            int(r["doc_id"])
-            for r in labels.map_batches(
-                non_roots, batch_format="pyarrow"
-            ).take_all()
-        }
-        drop_ref = ray.put(np.sort(np.fromiter(drop, np.int64, len(drop))))
+    # the drop set is one int per duplicate doc — still broadcastable
+    # at any pair scale that fits the LSH caps; a corpus where even
+    # THIS overflows would anti-join labels against the corpus instead
+    drop = {
+        int(r["doc_id"])
+        for r in labels.map_batches(
+            non_roots, batch_format="pyarrow"
+        ).take_all()
+    }
+    drop_ref = ray.put(np.sort(np.fromiter(drop, np.int64, len(drop))))
 
     def keep(batch: pa.Table) -> pa.Table:
         # broadcast drop-set is a SORTED int64 array: membership resolves

@@ -27,18 +27,22 @@ import pyarrow as pa
 import ray.data as rd
 
 # block-level elements end a text block; inline elements (<a>, <b>, …)
-# stay inside so anchor text can be measured per block
+# stay inside so anchor text can be measured per block. The tag NAME
+# must end before attributes/self-close ('(?:[\s/][^>]*)?>'), so <pre>
+# never matches the 'p' alternative, <abbr> never matches 'a', and
+# <header> never matches 'head' (Rust regex: no lookahead available).
 _BLOCK_TAG_RE = (
     r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|nav|footer|header|section|"
-    r"article|aside|table|tbody|tr|td|th|blockquote|body|html)[^>]*>"
+    r"article|aside|table|tbody|tr|td|th|blockquote|body|html)"
+    r"(?:[\s/][^>]*)?>"
 )
 _DROP_RES = (
-    r"(?is)<script[^>]*>.*?</script>",
-    r"(?is)<style[^>]*>.*?</style>",
-    r"(?is)<head[^>]*>.*?</head>",
+    r"(?is)<script(?:[\s/][^>]*)?>.*?</script\s*>",
+    r"(?is)<style(?:[\s/][^>]*)?>.*?</style\s*>",
+    r"(?is)<head(?:[\s/][^>]*)?>.*?</head\s*>",
     r"(?s)<!--.*?-->",
 )
-_ANCHOR_RE = r"(?is)<a[^>]*>.*?</a>"
+_ANCHOR_RE = r"(?is)<a(?:[\s/][^>]*)?>.*?</a\s*>"
 _TAG_RE = r"(?s)<[^>]+>"
 
 
@@ -92,11 +96,15 @@ def extract_main_html(
             .str.strip_chars()
             .alias("__plain")
         )
+        # anchor chars are unescaped like __plain so the density ratio
+        # compares like units (an '&amp;' inside an anchor is 1 char)
         link_chars = (
-            pl.col("__blocks")
-            .str.extract_all(_ANCHOR_RE)
-            .list.join("")
-            .str.replace_all(_TAG_RE, "")
+            _unescape(
+                pl.col("__blocks")
+                .str.extract_all(_ANCHOR_RE)
+                .list.join("")
+                .str.replace_all(_TAG_RE, "")
+            )
             .str.strip_chars()
             .str.len_chars()
             .fill_null(0)

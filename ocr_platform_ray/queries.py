@@ -2700,13 +2700,24 @@ def q_main_content(sf_dir: str) -> rd.Dataset:
     as the content block, a footer of links — then the link-density
     block extractor recovers the main text. The oracle is the
     round-trip invariant itself: main_text == the original text,
-    SQL-checkable without re-implementing the parser."""
+    SQL-checkable without re-implementing the parser. Contract the
+    invariant relies on (holds for the synthetic corpus at every sf;
+    asserted here so a corpus change fails loudly, not as a hash
+    mismatch): texts carry no leading/trailing whitespace (the
+    extractor strips blocks) and no NUL bytes (the block-split
+    sentinel)."""
     from .functions.html_extract import escape_html, extract_main_html
 
     def wrap(batch: pa.Table) -> pa.Table:
         import polars as pl
 
         d = pl.from_arrow(batch)
+        bad = d["text"].str.contains(r"(?s)^\s|\s$|\x00").any()
+        if bad:
+            raise ValueError(
+                "q_main_content round-trip contract violated: a text has "
+                "leading/trailing whitespace or a NUL byte"
+            )
         html = (
             pl.lit(
                 "<html><head><title>doc</title>"

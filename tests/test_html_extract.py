@@ -85,3 +85,36 @@ class TestExtractMainHtml:
         got = out.sort_values("doc_id").reset_index(drop=True)
         want = ref.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTagNamePrecision:
+    def test_inline_tags_sharing_prefix_with_anchor(self, ray_session):
+        # <abbr>/<area> must NOT be treated as anchors: this prose block
+        # has one tiny real link and must be kept
+        page = (
+            "<p><abbr>HTML</abbr> is a long piece of plain prose text"
+            ' here with enough characters <a href="#">x</a></p>'
+        )
+        got = _extract([page])[0]
+        assert got.startswith("HTML is a long piece")
+
+    def test_pre_and_header_not_block_or_head_matched(self, ray_session):
+        # <pre> must not match the 'p' block alternative mid-name, and
+        # <header> must not be swallowed by the <head> dropper
+        page = (
+            "<header><a>Nav</a><a>Bar</a></header>"
+            "<p>keep this prose</p><pre>code text</pre>"
+        )
+        got = _extract([page])[0]
+        assert "keep this prose" in got
+        assert "code text" in got
+        assert "Nav" not in got
+
+    def test_entities_inside_anchor_counted_unescaped(self, ray_session):
+        # anchor text 'R&D' is 3 chars (25% of 'R&D rest here' is wrong
+        # math — of the 12-char plain text) -> keep
+        page = "<p><a>R&amp;D</a> lab notes x</p>"
+        assert _extract([page])[0] == "R&D lab notes x"
+
+    def test_self_closing_br_splits_blocks(self, ray_session):
+        assert _extract(["<p>one<br/>two</p>"])[0] == "one\ntwo"

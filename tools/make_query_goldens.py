@@ -53,6 +53,7 @@ GOLDEN_QUERIES = [
     "q_embedding_pca",
     "q_logreg_label",
     "q_ann_topk_pq",
+    "q_leakage_split_neardup",
 ]
 
 
