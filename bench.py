@@ -263,6 +263,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_main_content", q.q_main_content),
         ("q_leakage_split", q.q_leakage_split),
         ("q_leakage_split_neardup", q.q_leakage_split_neardup),
+        ("q_c4_filter", q.q_c4_filter),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

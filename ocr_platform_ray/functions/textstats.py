@@ -2062,3 +2062,79 @@ def ks_by_source(
             }
         )
     )
+
+
+def c4_line_filter(
+    ds: rd.Dataset,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    batch_size: int = 4096,
+):
+    """C4-style line-level cleaning (Raffel et al. 2020 "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text Transformer"
+    §2.2, public knowledge) — the classic Common-Crawl page filter a web
+    pipeline runs right after main-content extraction (the reference's
+    postprocess hook generalized the same way as :func:`gopher_rules_batch`):
+
+    - a LINE survives iff it ends in terminal punctuation (``.!?``
+      optionally followed by a closing quote/bracket, trailing
+      spaces/tabs ignored), has at least ``min_words`` whitespace words,
+      and does not mention ``javascript`` (case-insensitive);
+    - a DOCUMENT survives iff it does not contain ``{`` or the phrase
+      ``lorem ipsum`` (case-insensitive) anywhere, and at least
+      ``min_kept_lines`` of its lines survive;
+    - surviving documents re-emit as the newline-join of their surviving
+      lines, in order.
+
+    Scale: fully row-local (one vectorized polars pass per batch, Rust
+    regex count/match kernels) — zero shuffle, streams at any corpus
+    size. ``batch_size`` is explicit because the polars list.eval plan
+    has ~40 ms fixed compile cost per CALL: parquet reads of small
+    tables arrive as sub-100-row blocks and per-block batches would pay
+    that fixed cost 64x (measured 2.4 s -> 0.1 s at sf0.1 when bundled
+    to 4096 rows). Returns (id_col, clean_text, n_lines, n_kept) for
+    kept docs."""
+    import polars as pl
+
+    term_re = r'[.!?]["”\')\]]*$'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch)
+        d = d.filter(
+            ~pl.col(text_col).str.to_lowercase().str.contains(
+                "lorem ipsum", literal=True
+            )
+            & ~pl.col(text_col).str.contains("{", literal=True)
+        )
+        d = d.with_columns(pl.col(text_col).str.split("\n").alias("ls"))
+        d = d.with_columns(
+            pl.col("ls")
+            .list.eval(
+                pl.element().filter(
+                    pl.element()
+                    .str.strip_chars_end(" \t")
+                    .str.contains(term_re)
+                    & (pl.element().str.count_matches(r"\S+") >= min_words)
+                    & ~pl.element()
+                    .str.to_lowercase()
+                    .str.contains("javascript", literal=True)
+                )
+            )
+            .alias("kept")
+        )
+        d = d.with_columns(
+            pl.col("ls").list.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("kept").list.len().cast(pl.Int64).alias("n_kept"),
+            pl.col("kept").list.join("\n").alias("clean_text"),
+        )
+        return (
+            d.filter(pl.col("n_kept") >= min_kept_lines)
+            .select(id_col, "clean_text", "n_lines", "n_kept")
+            .to_arrow()
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -2788,6 +2788,68 @@ def q_leakage_split_neardup(sf_dir: str) -> rd.Dataset:
     return dedup.leakage_safe_split(keyed, text_col="label")
 
 
+def q_c4_filter(sf_dir: str) -> rd.Dataset:
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2) over pages
+    deterministically rendered from the corpus, q_main_content-style:
+    each document's tokens are grouped into 8-token lines, each line gets
+    a content-derived ending (char-length mod 5 == 0 -> a trailing
+    " javascript library" bait, else mod 3 picks "." / "!" / bare), and
+    doc_id mod 13 / mod 17 inject the "{" and "lorem ipsum" document
+    baits — so every C4 rule (terminal punctuation, min words,
+    javascript line drop, lorem-ipsum / brace document drop, >= 3 kept
+    lines) is exercised and the oracle can re-render the identical page
+    in SQL list lambdas."""
+    import polars as pl
+
+    from .functions.textstats import c4_line_filter
+
+    def render(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch)
+        e = (
+            d.with_columns(pl.col("text").str.split(" ").alias("toks"))
+            .with_columns(
+                pl.int_ranges(0, pl.col("toks").list.len(), 8).alias("start")
+            )
+            .explode("start")
+            .drop_nulls("start")
+            .with_columns(
+                pl.col("toks")
+                .list.slice(pl.col("start"), 8)
+                .list.join(" ")
+                .alias("s")
+            )
+            .with_columns(
+                pl.when(pl.col("s").str.len_chars() % 5 == 0)
+                .then(pl.col("s") + pl.lit(" javascript library"))
+                .when(pl.col("s").str.len_chars() % 3 == 0)
+                .then(pl.col("s") + pl.lit("."))
+                .when(pl.col("s").str.len_chars() % 3 == 1)
+                .then(pl.col("s") + pl.lit("!"))
+                .otherwise(pl.col("s"))
+                .alias("line")
+            )
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("line").str.join("\n").alias("page"))
+        )
+        e = e.with_columns(
+            pl.when(pl.col("doc_id") % 13 == 0)
+            .then(pl.col("page") + pl.lit("\n{ config }"))
+            .when(pl.col("doc_id") % 17 == 3)
+            .then(pl.lit("Lorem ipsum dolor sit amet.\n") + pl.col("page"))
+            .otherwise(pl.col("page"))
+            .alias("page")
+        )
+        return e.select("doc_id", "page").to_arrow()
+
+    # batch_size bundles the read's sub-100-row blocks: the polars
+    # explode/group_by render plan has the same ~50 ms per-call compile
+    # cost documented on c4_line_filter (3.7 s -> 0.6 s at sf0.1)
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        render, batch_format="pyarrow", batch_size=4096
+    )
+    return c4_line_filter(pages)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2830,6 +2892,7 @@ def queries() -> dict:
         "q_main_content": q_main_content,
         "q_leakage_split": q_leakage_split,
         "q_leakage_split_neardup": q_leakage_split_neardup,
+        "q_c4_filter": q_c4_filter,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3238,6 +3301,42 @@ def _oracle_sql_base() -> dict:
             # the oracle is the wrap->extract round-trip invariant:
             # boilerplate dropped, content block recovered verbatim
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        "q_c4_filter": (
+            # re-render the identical deterministic page in SQL list
+            # lambdas, then apply the same C4 line/doc rules
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM documents),"
+            " r AS (SELECT doc_id, list_transform("
+            "   range(0, CAST(length(toks) AS INT), 8),"
+            "   s -> array_to_string(list_slice(toks, s + 1, s + 8), ' '))"
+            "   AS lines0 FROM t),"
+            " p AS (SELECT doc_id, list_transform(lines0, s ->"
+            "   CASE WHEN length(s) % 5 = 0 THEN s || ' javascript library'"
+            "        WHEN length(s) % 3 = 0 THEN s || '.'"
+            "        WHEN length(s) % 3 = 1 THEN s || '!'"
+            "        ELSE s END) AS lines1 FROM r),"
+            " page AS (SELECT doc_id,"
+            "   CASE WHEN doc_id % 13 = 0"
+            "          THEN array_to_string(lines1, chr(10)) || chr(10)"
+            "               || '{ config }'"
+            "        WHEN doc_id % 17 = 3"
+            "          THEN 'Lorem ipsum dolor sit amet.' || chr(10)"
+            "               || array_to_string(lines1, chr(10))"
+            "        ELSE array_to_string(lines1, chr(10)) END AS page"
+            "   FROM p),"
+            " f AS (SELECT doc_id, string_split(page, chr(10)) AS ls,"
+            "   list_filter(string_split(page, chr(10)), l ->"
+            "     regexp_matches(rtrim(l, ' ' || chr(9)),"
+            "       '[.!?][\"”'')\\]]*$')"
+            "     AND length(regexp_extract_all(l, '\\S+')) >= 5"
+            "     AND NOT contains(lower(l), 'javascript')) AS kept"
+            "   FROM page"
+            "   WHERE NOT contains(lower(page), 'lorem ipsum')"
+            "     AND NOT contains(page, '{'))"
+            " SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,"
+            " length(ls) AS n_lines, length(kept) AS n_kept"
+            " FROM f WHERE length(kept) >= 3"
         ),
         "q_leakage_split": (
             "WITH c AS (SELECT doc_id,"
