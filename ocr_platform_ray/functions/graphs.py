@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources import read_parquet_clean
+
 
 def pagerank_kernel(
     src: np.ndarray,
@@ -196,10 +198,10 @@ def nation_trade_pagerank(
             }
         )
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(order_side, batch_format="pyarrow")
-    lines = rd.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     ).map_batches(line_side, batch_format="pyarrow")
 

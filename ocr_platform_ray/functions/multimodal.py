@@ -47,6 +47,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources import read_parquet_clean
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string()),
@@ -276,7 +278,7 @@ def media_table_from_documents(
             )
         return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if limit:
         # limit() collapses to one block; re-split the (tiny) surviving
         # rows and use small build batches so the build->decode chain
@@ -375,7 +377,7 @@ def audio_table_from_documents(sf_dir: str, limit: int | None = None) -> rd.Data
             )
         return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     if limit:
         ds = ds.limit(limit)
     return ds.map_batches(build, batch_format="pyarrow", batch_size=128)
@@ -430,7 +432,7 @@ def video_table_from_documents(sf_dir: str, limit: int | None = None,
             )
         return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if limit:
         # see media_table_from_documents: re-split post-limit so the
         # fused build->sample->feature chain still fills the pool

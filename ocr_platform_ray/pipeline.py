@@ -99,7 +99,9 @@ def read_corpus(path: str, **kwargs) -> rd.Dataset:
 
         return rd.read_lance(path, **kwargs)
     except ImportError:
-        return rd.read_parquet(path, **kwargs)
+        from .sources import read_parquet_clean
+
+        return read_parquet_clean(path, **kwargs)
 
 
 def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
@@ -138,7 +140,7 @@ def corpus_from_documents(sf_dir: str, replicate: int = 1) -> rd.Dataset:
     except Exception:
         ncpu = 8
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_corpus(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .repartition(max(64, 2 * ncpu))
         .map_batches(to_spans, batch_format="pyarrow", batch_size=256)
     )

@@ -24,8 +24,16 @@ from .pipeline import PipelineOptions, build_extract_pipeline, corpus_from_docum
 from .stages.normalize import normalize_text_array
 
 
+def _read_parquet(*args, **kwargs) -> rd.Dataset:
+    """Metadata-stripped read (sources.read_parquet_clean): see that
+    docstring for why pandas schema metadata must not reach workers."""
+    from .sources import read_parquet_clean
+
+    return read_parquet_clean(*args, **kwargs)
+
+
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------- text / docs
@@ -137,7 +145,7 @@ def q_dsir_scores(sf_dir: str) -> rd.Dataset:
     unigram+bigram bucket log-ratios summed per doc — exact pinned-md5
     bucket oracle."""
     corpus = _docs(sf_dir, ["doc_id", "text"])
-    target = rd.read_parquet(
+    target = _read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filter=(pc.field("lang") == "en"),
@@ -328,7 +336,7 @@ def q_profile_events(sf_dir: str) -> rd.Dataset:
     DuckDB oracle (UNION ALL of per-column aggregates)."""
     from .functions.profiling import profile_columns
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet(f"{sf_dir}/events.parquet")
     return profile_columns(ds, ["event_id", "user_id", "value", "event_type"])
 
 
@@ -397,7 +405,7 @@ def q_top_docs_per_lang(sf_dir: str) -> rd.Dataset:
     no global sort."""
     from .functions.relational import grouped_topk
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
     )
     return grouped_topk(ds, key_col="lang", val_col="n_chars", k=3,
@@ -409,7 +417,7 @@ def q_value_quantiles_by_type(sf_dir: str) -> rd.Dataset:
     (keys hash-bucketed, one vectorized multi-quantile pass per bucket)."""
     from .functions.sketches import grouped_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
     return grouped_quantiles(ds, key_col="event_type", val_col="value")
 
@@ -421,7 +429,7 @@ def q_mixture_sample(sf_dir: str) -> rd.Dataset:
     md5(doc_id) per source — exact QUALIFY oracle."""
     from .functions.dedup import sample_to_mixture
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return sample_to_mixture(
@@ -704,7 +712,7 @@ def _query_vec(sf_dir: str) -> list[float]:
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
+    return _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -755,7 +763,7 @@ def q_label_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label embedding centroid summary (class prototypes): mergeable
     per-batch sum-vectors, one d-dim float64 per label per batch through
     the shuffle — exact DuckDB oracle via unnest + per-dim avg."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
     return similarity.label_centroids(ds).sort("label")
@@ -778,7 +786,7 @@ def q_logreg_label(sf_dir: str) -> rd.Dataset:
     from .functions.ml import logreg_label_query
 
     return logreg_label_query(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding", "label"],
         ),
@@ -799,7 +807,7 @@ def q_embedding_pca(sf_dir: str) -> rd.Dataset:
 def q_centroid_dist(sf_dir: str) -> rd.Dataset:
     """Per-vector euclidean distance to its label centroid (embedding
     outlier signal) — exact DuckDB unnest/avg/join oracle."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "label", "embedding"],
     )
@@ -838,13 +846,13 @@ def q_embedding_dups_exact(sf_dir: str) -> rd.Dataset:
 
 def q_window_counts(sf_dir: str) -> rd.Dataset:
     return events.tumbling_window_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     )
 
 
 def q_sessions(sf_dir: str) -> rd.Dataset:
     return events.sessions_per_user(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     )
 
 
@@ -854,7 +862,7 @@ def q_approx_distinct_users(sf_dir: str) -> rd.Dataset:
     — estimates deviate from exact counts by design, ~1.6% at p=12)."""
     from .functions.sketches import approx_distinct_per_key
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return approx_distinct_per_key(ds, "event_type", "user_id")
 
 
@@ -863,7 +871,7 @@ def q_event_gaps(sf_dir: str) -> rd.Dataset:
     event in (ts, event_id) order; first event per user dropped (exact
     int64 math — no nulls, no float accumulation)."""
     return events.event_gaps(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
         )
     )
@@ -873,7 +881,7 @@ def q_rolling_avg(sf_dir: str) -> rd.Dataset:
     """ROWS-frame window analogue: per-user rolling mean of value over
     (2 PRECEDING .. CURRENT ROW) in (ts, event_id) order, rounded 6dp."""
     return events.rolling_avg_per_user(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "value"],
         )
@@ -887,7 +895,7 @@ def q_distinct_texts_per_source(sf_dir: str) -> rd.Dataset:
     10^12-row corpora don't birthday-collide (64-bit would undercount)."""
     from .functions.sketches import exact_distinct_per_key
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
     return exact_distinct_per_key(ds, "source", "text")
@@ -900,7 +908,7 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
     vectorized rounding — no per-user Ray group, no per-row Python loop."""
     from .functions import bucketed_group_apply, round_half_away_np
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -923,7 +931,7 @@ def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
     head(3) per bucket."""
     from .functions import bucketed_group_apply
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
@@ -937,7 +945,7 @@ def q_first_events_per_user(sf_dir: str) -> rd.Dataset:
 def q_value_histogram(sf_dir: str) -> rd.Dataset:
     """Binned aggregate (histogram) of event values: bucket = floor(v/10),
     per-batch bincount partials -> tiny groupby merge."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -971,11 +979,11 @@ def q_asof_view_before_click(sf_dir: str) -> rd.Dataset:
 
     # row filter pushed to the parquet read (row-group pruning): only
     # click/view rows leave storage, and only the needed columns
-    clicks = rd.read_parquet(
+    clicks = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
         filter=(pc.field("event_type") == "click"),
     )
-    views = rd.read_parquet(
+    views = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
         filter=(pc.field("event_type") == "view"),
     )
@@ -998,11 +1006,11 @@ def q_views_before_click(sf_dir: str) -> rd.Dataset:
     searchsorted counts (no pairwise expansion)."""
     from .functions.joins import range_join_count
 
-    clicks = rd.read_parquet(
+    clicks = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
         filter=(pc.field("event_type") == "click"),
     )
-    views = rd.read_parquet(
+    views = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
         filter=(pc.field("event_type") == "view"),
     )
@@ -1023,8 +1031,8 @@ def q_customers_no_orders(sf_dir: str) -> rd.Dataset:
     unrestricted anti join would be empty and exercise nothing)."""
     from .functions.joins import bucketed_merge_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    orders = rd.read_parquet(
+    cust = _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr="o_totalprice > 300000")
 
@@ -1049,7 +1057,7 @@ def q_pricing(sf_dir: str) -> rd.Dataset:
     # pricing_summary's own filter stays as a correctness guard for direct
     # callers and is a no-op on the pre-filtered rows
     return relational.pricing_summary(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=[
                 "l_returnflag",
@@ -1074,7 +1082,7 @@ def q_price_quantiles_sketch(sf_dir: str) -> rd.Dataset:
     approximate by design; accuracy pinned by unit test + golden)."""
     from .functions.sketches import quantile_sketch_per_key
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
     )
     return quantile_sketch_per_key(
@@ -1086,7 +1094,7 @@ def q_price_quantiles_sketch(sf_dir: str) -> rd.Dataset:
 def q_price_quantiles(sf_dir: str) -> rd.Dataset:
     """Percentile aggregates per group (exact, linear interpolation —
     matches DuckDB quantile_cont)."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
     )
 
@@ -1105,7 +1113,7 @@ def q_price_quantiles(sf_dir: str) -> rd.Dataset:
 
 def q_top_customers(sf_dir: str) -> rd.Dataset:
     out = relational.top_customers(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         ),
         f"{sf_dir}/customer.parquet",
@@ -1116,13 +1124,13 @@ def q_top_customers(sf_dir: str) -> rd.Dataset:
 
 def q_sliding_windows(sf_dir: str) -> rd.Dataset:
     return events.sliding_window_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     )
 
 
 def q_top_events(sf_dir: str) -> rd.Dataset:
     """Distributed sort + limit (A5/top-k analogue over a large table)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
 
 
@@ -1130,7 +1138,7 @@ def q_lineitem_agg(sf_dir: str) -> rd.Dataset:
     """Native ray.data.aggregate API coverage (Sum/Mean/Max/Count)."""
     from ray.data.aggregate import Count, Max, Mean, Sum
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
     )
@@ -1168,10 +1176,10 @@ def q_orders_by_nation(sf_dir: str) -> rd.Dataset:
     probe side shrinks ~10x and the shuffle moves partials, not rows)."""
     from .functions.joins import hash_join
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
 
@@ -1225,10 +1233,10 @@ def q_orders_by_nation_bucketed(sf_dir: str) -> rd.Dataset:
     fallback; same oracle SQL)."""
     from .functions.joins import bucketed_merge_join
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     joined = bucketed_merge_join(orders, cust, on="o_custkey", right_on="c_custkey")
@@ -1264,12 +1272,12 @@ def q_revenue_by_customer(sf_dir: str) -> rd.Dataset:
     orders ⋈ customer, top-20 customers by revenue. The returnflag filter
     is pushed into the parquet read; see relational.revenue_by_customer
     for the per-stage shuffle-minimization."""
-    lineitem = rd.read_parquet(
+    lineitem = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_returnflag") == "R"),
     )
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     return relational.revenue_by_customer(
@@ -1451,7 +1459,7 @@ def q_new_users_by_day(sf_dir: str) -> rd.Dataset:
     user, day-truncated) — exact int math, two bucketed merges, the raw
     event rows never shuffle."""
     return events.new_users_by_day(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     )
 
 
@@ -1460,7 +1468,7 @@ def q_funnel(sf_dir: str) -> "pa.Table":
     per-user-bucket vectorized merge+min passes, bounded 3-int driver
     merge."""
     return events.funnel_counts(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
         )
     )
@@ -1471,7 +1479,7 @@ def q_event_type_lift(sf_dir: str) -> "pa.Table":
     inputs are exact order-free integer counts, so the 6dp lift is a
     pure function of the data; raw events never shuffle."""
     return events.event_type_lift(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
         )
     )
@@ -1484,7 +1492,7 @@ def q_orders_rollup(sf_dir: str) -> rd.Dataset:
     from .functions.relational import rollup_orders
 
     return rollup_orders(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
         )
@@ -1496,7 +1504,7 @@ def q_js_divergence(sf_dir: str) -> "pa.Table":
     distributions — one tokenize pass (vocabulary partials materialized
     once), token-bucketed pair partials, bounded driver merge."""
     return textstats.js_divergence_by_source(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "text"]
         )
     )
@@ -1508,7 +1516,7 @@ def q_cms_token_counts(sf_dir: str) -> "pa.Table":
     pinned md5 hashing -> partition-independent estimates (golden)."""
     from .functions.sketches import cms_token_counts
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     probes = [
         r["token"] for r in textstats.top_tokens(docs, k=50).take_all()
     ]
@@ -1519,7 +1527,7 @@ def q_weighted_sample(sf_dir: str) -> rd.Dataset:
     """Deterministic A-ES weighted sample (k=100, weight = n_chars): per-
     batch md5-uniform scoring + local top-k pre-trim, k-row global sort."""
     return dedup.weighted_sample(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
         )
     )
@@ -1530,7 +1538,7 @@ def q_range_window_sum(sf_dir: str) -> rd.Dataset:
     time-interval window semantic (tie-order independent, SQL peer rows
     included), one bucketed shuffle + composite-key searchsorted pass."""
     return events.range_window_sum(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "value"],
         )
@@ -1543,11 +1551,11 @@ def q_supplier_volume(sf_dir: str) -> rd.Dataset:
     from .functions.relational import supplier_volume_by_nation
 
     return supplier_volume_by_nation(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         ),
@@ -1613,7 +1621,7 @@ def q_corr_by_group(sf_dir: str) -> rd.Dataset:
     from .functions.relational import corr_by_group
 
     return corr_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_quantity", "l_extendedprice"],
         ),
@@ -1630,7 +1638,7 @@ def q_length_outliers(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import grouped_mad_outliers
 
     return grouped_mad_outliers(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         ),
         "lang",
@@ -1646,7 +1654,7 @@ def q_pivot_lang_by_source(sf_dir: str) -> rd.Dataset:
     from .functions.relational import pivot_counts
 
     return pivot_counts(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["lang", "source"]
         ),
         "source",
@@ -1661,7 +1669,7 @@ def q_compact_latest(sf_dir: str) -> rd.Dataset:
     argmax combiner (the raw log never shuffles), bucketed exact merge."""
     from .functions.events import compact_latest
 
-    return compact_latest(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return compact_latest(_read_parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_gini_by_source(sf_dir: str) -> rd.Dataset:
@@ -1671,7 +1679,7 @@ def q_gini_by_source(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import gini_by_group
 
     return gini_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
         ),
         "source",
@@ -1688,7 +1696,7 @@ def q_edit_pairs(sf_dir: str) -> rd.Dataset:
     from .functions.linkage import edit_distance_pairs
 
     return edit_distance_pairs(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source", "n_chars"],
         ),
@@ -1705,7 +1713,7 @@ def q_length_islands(sf_dir: str) -> rd.Dataset:
     from .functions.linkage import length_island_components
 
     return length_island_components(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "lang", "source", "n_chars"],
         )
@@ -1719,7 +1727,7 @@ def q_modal_event_type(sf_dir: str) -> rd.Dataset:
     from .functions.relational import mode_by_group
 
     return mode_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
         ),
         "user_id",
@@ -1735,7 +1743,7 @@ def q_source_fingerprint(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import group_fingerprint
 
     return group_fingerprint(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "text"]
         ),
         "source",
@@ -1750,7 +1758,7 @@ def q_compression_stats(sf_dir: str) -> rd.Dataset:
     from .functions.textstats import compression_stats
 
     return compression_stats(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "text"]
         )
     )
@@ -1764,7 +1772,7 @@ def q_retention(sf_dir: str) -> rd.Dataset:
     from .functions.events import retention_counts
 
     return retention_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     )
 
 
@@ -1779,23 +1787,23 @@ def q_ref_integrity(sf_dir: str) -> rd.Dataset:
         [
             (
                 "orders.o_custkey->customer",
-                rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+                _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
                 "o_custkey",
-                rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+                _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
                 "c_custkey",
             ),
             (
                 "lineitem.l_orderkey->orders",
-                rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+                _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
                 "l_orderkey",
-                rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+                _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
                 "o_orderkey",
             ),
             (
                 "lineitem.l_suppkey->supplier",
-                rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]),
+                _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]),
                 "l_suppkey",
-                rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]),
+                _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]),
                 "s_suppkey",
             ),
         ]
@@ -1810,12 +1818,12 @@ def q_returned_items(sf_dir: str) -> rd.Dataset:
     from .functions.relational import returned_item_report
 
     return returned_item_report(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount",
                      "l_returnflag"],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         ),
@@ -1830,7 +1838,7 @@ def q_daily_filled(sf_dir: str) -> rd.Dataset:
     from .functions.events import daily_counts_filled
 
     return daily_counts_filled(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        _read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_type", "ts"])
     )
 
@@ -1851,7 +1859,7 @@ def q_rolling_corr(sf_dir: str) -> rd.Dataset:
     from .functions.events import rolling_corr_daily
 
     return rolling_corr_daily(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        _read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_type", "ts"]),
         "view", "click", window=7,
     )
@@ -1884,7 +1892,7 @@ def q_welch_t(sf_dir: str) -> rd.Dataset:
     from .functions.relational import welch_t_by_group
 
     return welch_t_by_group(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        _read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["lang", "n_chars"]),
         "lang",
         "n_chars",
@@ -1899,7 +1907,7 @@ def q_cumulative_users(sf_dir: str) -> rd.Dataset:
     from .functions.events import cumulative_users_by_day
 
     return cumulative_users_by_day(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        _read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts"])
     )
 
@@ -1913,7 +1921,7 @@ def q_ewma_daily(sf_dir: str) -> rd.Dataset:
     from .functions.events import ewma_daily
 
     return ewma_daily(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        _read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_type", "ts"]),
         alpha=0.3,
     )
@@ -1928,15 +1936,15 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     from .functions.relational import shipping_priority
 
     return shipping_priority(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         ),
     )
@@ -1949,12 +1957,12 @@ def q_texts_except(sf_dir: str) -> rd.Dataset:
     from .functions.relational import except_distinct
 
     return except_distinct(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["text", "source"],
             filter=(pc.field("source") == "src0"),
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["text", "source"],
             filter=(pc.field("source") != "src0"),
@@ -1970,7 +1978,7 @@ def q_user_paths(sf_dir: str) -> rd.Dataset:
     order, exact oracle."""
     from .functions.events import user_paths
 
-    return user_paths(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return user_paths(_read_parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_event_transitions(sf_dir: str) -> "pa.Table":
@@ -1980,7 +1988,7 @@ def q_event_transitions(sf_dir: str) -> "pa.Table":
     driver merge; exact LAG-window oracle."""
     from .functions.events import event_transitions
 
-    return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return event_transitions(_read_parquet(f"{sf_dir}/events.parquet"))
 
 
 def _schema_safe_table(ds: rd.Dataset) -> "pa.Table":
@@ -2006,12 +2014,12 @@ def q_texts_intersect(sf_dir: str) -> "pa.Table":
     from .functions.relational import intersect_distinct
 
     return _schema_safe_table(intersect_distinct(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["text", "source"],
             filter=(pc.field("source") == "src0"),
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["text", "source"],
             filter=(pc.field("source") != "src0"),
@@ -2027,7 +2035,7 @@ def q_orders_cube(sf_dir: str) -> rd.Dataset:
     from .functions.relational import cube_orders
 
     return cube_orders(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
         )
@@ -2041,7 +2049,7 @@ def q_first_digit(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import first_digit_counts
 
     return first_digit_counts(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
         ),
         "source",
@@ -2056,7 +2064,7 @@ def q_winsorized_value(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import winsorized_mean_by_group
 
     return winsorized_mean_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         ),
         "event_type",
@@ -2071,7 +2079,7 @@ def q_vocab_overlap(sf_dir: str) -> rd.Dataset:
     from .functions.textstats import vocab_overlap_by_source
 
     return vocab_overlap_by_source(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "text"]
         )
     )
@@ -2084,7 +2092,7 @@ def q_systematic_sample(sf_dir: str) -> rd.Dataset:
     from .functions.dedup import systematic_sample
 
     return systematic_sample(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     )
 
 
@@ -2095,7 +2103,7 @@ def q_source_balance_chi2(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import source_balance_chi2
 
     return source_balance_chi2(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["source", "lang"]
         )
     )
@@ -2109,7 +2117,7 @@ def q_value_trend(sf_dir: str) -> rd.Dataset:
     from .functions.relational import regr_by_group
 
     return regr_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
         ),
         "event_type",
@@ -2125,7 +2133,7 @@ def q_daily_pct_change(sf_dir: str) -> rd.Dataset:
     from .functions.events import daily_counts_pct_change
 
     return daily_counts_pct_change(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     )
 
 
@@ -2135,7 +2143,7 @@ def q_geomean_length(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import geomean_by_group
 
     return geomean_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
         ),
         "lang",
@@ -2153,10 +2161,10 @@ def q_ship_latency(sf_dir: str) -> rd.Dataset:
     from .functions.sketches import grouped_hist_quantiles
 
     DAY_US = 86_400_000_000
-    li = rd.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
-    o = rd.read_parquet(
+    o = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -2189,7 +2197,7 @@ def q_dup_cluster_histogram(sf_dir: str) -> rd.Dataset:
     from .functions.dedup import dup_cluster_histogram
 
     return dup_cluster_histogram(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     )
 
 
@@ -2200,7 +2208,7 @@ def q_value_shape(sf_dir: str) -> rd.Dataset:
     from .functions.relational import shape_moments_by_group
 
     return shape_moments_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         ),
         "event_type",
@@ -2215,7 +2223,7 @@ def q_doc_ntiles(sf_dir: str) -> rd.Dataset:
     from .functions.relational import ntile_by_group
 
     return ntile_by_group(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "lang", "n_chars"],
         ),
@@ -2233,7 +2241,7 @@ def q_minhash_edit_verified(sf_dir: str) -> "pa.Table":
     from .functions.linkage import minhash_edit_verified_pairs
 
     return minhash_edit_verified_pairs(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
 
@@ -2245,7 +2253,7 @@ def q_props_stats(sf_dir: str) -> rd.Dataset:
     from .functions.events import props_field_stats
 
     return props_field_stats(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        _read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_type", "props"])
     )
 
@@ -2258,7 +2266,7 @@ def q_ks_by_source(sf_dir: str) -> rd.Dataset:
     from .functions.textstats import ks_by_source
 
     return ks_by_source(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        _read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "n_chars"])
     )
 
@@ -2271,7 +2279,7 @@ def q_mannwhitney_lang(sf_dir: str) -> rd.Dataset:
     from .functions.relational import mannwhitney_by_group
 
     return mannwhitney_by_group(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        _read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["lang", "n_chars"]),
         "lang",
         "n_chars",
@@ -2295,7 +2303,7 @@ def q_weighted_median_qty(sf_dir: str) -> rd.Dataset:
             "w_cents", pa.array(w, pa.int64())
         )
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     ).map_batches(cents, batch_format="pyarrow")
@@ -2313,7 +2321,7 @@ def q_q6_revenue(sf_dir: str) -> rd.Dataset:
     handful of partial rows. The 100 TB cost is the pruned scan itself."""
     import numpy as np
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount"],
         filter=(
@@ -2361,14 +2369,14 @@ def q_large_orders(sf_dir: str) -> rd.Dataset:
     lineitem side reduces to (orderkey, sum_qty) partials before any
     shuffle; only the rare survivors enter the two hash joins."""
     return relational.large_orders(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_totalprice"],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
         ),
         min_qty=300,
@@ -2383,7 +2391,7 @@ def q_k_anonymity(sf_dir: str) -> "pa.Table":
     May legitimately be EMPTY at larger scales (denser quasi-groups), so
     the result materializes schema-safe."""
     return _schema_safe_table(relational.k_anonymity_audit(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
         ),
         ["c_nationkey", "c_mktsegment"],
@@ -2397,7 +2405,7 @@ def q_promo_revenue(sf_dir: str) -> rd.Dataset:
     revenue units per partkey before the one bucketed partkey join; two
     global int64 counters finish it."""
     return relational.promo_revenue_share(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_extendedprice", "l_discount"],
             filter=(
@@ -2407,7 +2415,7 @@ def q_promo_revenue(sf_dir: str) -> rd.Dataset:
                    < pa.scalar("1996-07-01").cast(pa.timestamp("us")))
             ),
         ),
-        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
+        _read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]),
     )
 
 
@@ -2417,7 +2425,7 @@ def q_nation_profit(sf_dir: str) -> rd.Dataset:
     semi-join part restriction, broadcast supplier->nation lookup, one
     bucketed orderkey join over integer partials."""
     return relational.nation_profit(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=[
                 "l_orderkey",
@@ -2427,7 +2435,7 @@ def q_nation_profit(sf_dir: str) -> rd.Dataset:
                 "l_discount",
             ],
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
         ),
         sf_dir,
@@ -2458,7 +2466,7 @@ def q_top_supplier(sf_dir: str) -> rd.Dataset:
     ship window — distributed argmax with ties, no global sort (one
     scalar leaves the cluster)."""
     return relational.top_supplier(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_suppkey", "l_extendedprice", "l_discount"],
             filter=(
@@ -2493,7 +2501,7 @@ def q_custdist(sf_dir: str) -> rd.Dataset:
     exactly c orders in Q1-1996, INCLUDING the zero bucket — the outer
     join that never runs (only its aggregate is computed)."""
     return relational.customer_order_distribution(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey"],
             filter=(
@@ -2503,7 +2511,7 @@ def q_custdist(sf_dir: str) -> rd.Dataset:
                    < pa.scalar("1996-04-01").cast(pa.timestamp("us")))
             ),
         ),
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
     )
 
 
@@ -2512,7 +2520,7 @@ def q_small_qty_revenue(sf_dir: str) -> rd.Dataset:
     correlated per-part average folded into one group-local pass with
     an exact integer threshold compare."""
     return relational.small_quantity_revenue(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_quantity", "l_extendedprice"],
         ),
@@ -2526,7 +2534,7 @@ def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
     quantity) OR-branches straddling the partkey join — envelope pushed
     to the reads, residual masks vectorized after one bucketed join."""
     return relational.disjunctive_revenue(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=[
                 "l_partkey",
@@ -2536,7 +2544,7 @@ def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
             ],
             filter=pc.field("l_quantity") <= 30.0,
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/part.parquet",
             columns=["p_partkey", "p_brand", "p_size"],
             filter=(
@@ -2561,7 +2569,7 @@ def q_important_parts(sf_dir: str) -> rd.Dataset:
     materialized key-sum table consumed by the total, the key count
     and the filter."""
     return relational.fraction_of_total(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_extendedprice"],
         ),
@@ -2583,7 +2591,7 @@ def q_order_priority(sf_dir: str) -> rd.Dataset:
     correlated EXISTS rewritten as max(l_shipdate) per order, reduced
     before the join."""
     return relational.order_priority_count(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
             filter=(
@@ -2593,7 +2601,7 @@ def q_order_priority(sf_dir: str) -> rd.Dataset:
                    < pa.scalar("1996-04-01").cast(pa.timestamp("us")))
             ),
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_shipdate"],
         ),
@@ -2607,7 +2615,7 @@ def q_priority_lines(sf_dir: str) -> rd.Dataset:
     high- vs low-priority line counts per return flag for 1997
     shipments."""
     return relational.priority_line_counts(
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_returnflag"],
             filter=(
@@ -2617,7 +2625,7 @@ def q_priority_lines(sf_dir: str) -> rd.Dataset:
                    < pa.scalar("1998-01-01").cast(pa.timestamp("us")))
             ),
         ),
-        rd.read_parquet(
+        _read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderpriority"],
         ),

@@ -33,6 +33,19 @@ _EMPTY_NEW = re.compile(
 )
 _LOGGER = "ray.data._internal.execution.streaming_executor_state"
 
+# transform_pyarrow.unify_schemas tries `set(schemas)` as an early exit
+# and logs this when a schema is unhashable. The driver-generated test
+# parquet carries pandas metadata (a dict) in its schema, and
+# hash(pa.Schema) raises TypeError on dict metadata — so every unify
+# over read-derived bundles logs one warning and falls back to the full
+# (correct, microsecond) unify path. Cosmetic by construction: ONLY the
+# exact unhashable-dict form is dropped; any other hash failure (a
+# genuinely exotic schema object) still surfaces.
+_UNHASHABLE_MSG = (
+    "Failed to hash the schemas (for deduplication): unhashable type: 'dict'"
+)
+_UNIFY_LOGGER = "ray.data._internal.arrow_ops.transform_pyarrow"
+
 
 class _DropMixedSchemaWarning(logging.Filter):
     def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
@@ -42,8 +55,18 @@ class _DropMixedSchemaWarning(logging.Filter):
         return _EMPTY_NEW.search(msg) is None
 
 
+class _DropUnhashablePandasMetaWarning(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+        return record.getMessage() != _UNHASHABLE_MSG
+
+
 def suppress_empty_sort_schema_warning() -> None:
-    """Idempotently install the filter on the streaming executor logger."""
+    """Idempotently install the filters on the Ray Data loggers."""
     lg = logging.getLogger(_LOGGER)
     if not any(isinstance(f, _DropMixedSchemaWarning) for f in lg.filters):
         lg.addFilter(_DropMixedSchemaWarning())
+    ug = logging.getLogger(_UNIFY_LOGGER)
+    if not any(
+        isinstance(f, _DropUnhashablePandasMetaWarning) for f in ug.filters
+    ):
+        ug.addFilter(_DropUnhashablePandasMetaWarning())

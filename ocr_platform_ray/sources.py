@@ -19,6 +19,26 @@ import ray.data as rd
 from .schema import DOCUMENTS_SCHEMA
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(*args, **kwargs) -> rd.Dataset:
+    """``read_parquet`` + a zero-copy schema-metadata strip fused onto
+    the read. Pandas-written parquet (the driver's test tables) carries
+    a ``{b'pandas': ...}`` schema-metadata dict; ``hash(pa.Schema)``
+    raises TypeError on dict metadata, so every downstream block-bundling
+    ``unify_schemas`` logs "Failed to hash the schemas" in the WORKER
+    (where no driver-side log filter can reach) and misses Ray's set()
+    dedup early exit. Metadata carries no data — stripping it at the
+    seam keeps worker logs clean and the early exit hot. The strip maps
+    block-per-batch (batch_size=None) and fuses with whatever follows,
+    so plan topology and scan pruning (columns=/filter=) are unchanged."""
+    return rd.read_parquet(*args, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _coerce_row(obj: dict) -> dict | None:
     """Validate + coerce one parsed JSON object to the documents schema;
     None for structurally malformed rows (dead-letter)."""
