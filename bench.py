@@ -264,6 +264,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_leakage_split", q.q_leakage_split),
         ("q_leakage_split_neardup", q.q_leakage_split_neardup),
         ("q_c4_filter", q.q_c4_filter),
+        ("q_spearman_docs", q.q_spearman_docs),
+        ("q_langid_kappa", q.q_langid_kappa),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -3880,3 +3880,168 @@ def accelerating_part_suppliers(
         batch_format="pyarrow",
     )
     return final.sort("s_name")
+
+
+def spearman_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_distinct: int = 1_000_000,
+    max_group_rows: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group Spearman rank correlation — the monotonic-association
+    diagnostic (does length track token count? does quality rank follow
+    LM score?) that, unlike :func:`corr_by_group`, is robust to
+    outliers and nonlinear-but-monotone relationships.
+
+    EXACT integer shape: with ties, Spearman is Pearson over AVERAGE
+    ranks, and the average rank of value v in a group is
+    (2·|{<v}| + |{=v}| + 1) / 2 — so DOUBLED ranks are integers
+    (SQL: ``2*RANK() + COUNT(*) OVER (PARTITION BY g, v) - 1``), every
+    moment (n, Σr, Σr², Σrxry) accumulates in int64 with NO float
+    drift, and both engines evaluate one identical final float
+    expression (6dp half-away round). Overflow guard: Σrxry ≤ 4n³, so
+    int64 is exact up to ~1.3e6 rows per group — ``max_group_rows``
+    raises loudly beyond that (the 100 TB path would switch to the
+    centered-float co-moment scheme of :func:`corr_by_group`).
+
+    Distributed shape (two streamed passes, no per-row shuffle):
+    pass 1 aggregates distinct (group, value) COUNTS per batch (a
+    combiner: output is bounded by distinct values, not rows), merges
+    them in one small groupby, collects under the loud ``max_distinct``
+    guard, and broadcasts per-group sorted value arrays with their
+    doubled-rank prefix sums via ray.put; pass 2 maps every row to its
+    doubled ranks by searchsorted and emits per-(batch, group) int64
+    moment partials — one tiny groupby merge computes the final rho.
+    """
+    import numpy as np
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        out = []
+        for col, tag in ((x_col, 0), (y_col, 1)):
+            df = pd.DataFrame(
+                {
+                    "g": batch.column(group_col).to_pandas(),
+                    "v": batch.column(col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64),
+                }
+            )
+            agg = df.groupby(["g", "v"], as_index=False).agg(
+                c=("v", "size")
+            )
+            agg["axis"] = tag
+            out.append(agg)
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per BUCKET (bucketed_group_apply), vectorized sub-group
+        return g.groupby(["g", "v", "axis"], as_index=False).agg(
+            c=("c", "sum")
+        )
+
+    from .dedup import shuffle_blocks
+
+    cols = ds.select_columns([group_col, x_col, y_col])
+    partials = cols.map_batches(
+        count_partial, batch_format="pyarrow", batch_size=4096
+    )
+    # compact the many tiny per-batch partial blocks before the bucketed
+    # groupby (the window-merge idiom) — the distinct-count stream is a
+    # combiner output, orders of magnitude smaller than the corpus
+    # limit().to_pandas(), NOT take(): take() row-iterates the pandas
+    # blocks map_groups emits (~ms per ROW); to_pandas concatenates them
+    # vectorized (measured 3.7 s -> 0.2 s for 2.5k rows at sf0.1)
+    counts_df = (
+        bucketed_group_apply(
+            partials.repartition(shuffle_blocks()),
+            ["g", "v", "axis"],
+            count_merge,
+            batch_format="pandas",
+            n_buckets=shuffle_blocks(),
+        )
+        .limit(max_distinct + 1)
+        .to_pandas()
+    )
+    if len(counts_df) > max_distinct:
+        raise ValueError(
+            f"spearman_by_group: > {max_distinct} distinct (group, value) "
+            "pairs — raise max_distinct deliberately or bin the values"
+        )
+    # per (group, axis): sorted values + doubled-rank array
+    maps: dict[tuple, tuple] = {}
+    for (g, axis), sub in counts_df.groupby(["g", "axis"], sort=False):
+        sub = sub.sort_values("v", kind="mergesort")
+        vals = sub["v"].to_numpy(dtype=np.float64)
+        cnts = sub["c"].to_numpy(dtype=np.int64)
+        n_g = int(cnts.sum())
+        if n_g > max_group_rows:
+            raise ValueError(
+                f"spearman_by_group: group {g!r} has {n_g} rows — int64 "
+                "rank moments overflow beyond ~1.3e6; raise "
+                "max_group_rows only after switching to float co-moments"
+            )
+        before = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        rank2 = 2 * before + cnts + 1  # doubled average rank, int64
+        maps[(g, axis)] = (vals, rank2)
+    gkeys = sorted({g for (g, _) in maps})
+    maps_ref = ray.put((gkeys, maps))
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        keys, mp = resolve_broadcast(maps_ref)
+        g = batch.column(group_col).to_pandas().to_numpy()
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        recs = []
+        for gk in pd.unique(g):
+            m = g == gk
+            vx, rx_map = mp[(gk, 0)]
+            vy, ry_map = mp[(gk, 1)]
+            rx = rx_map[np.searchsorted(vx, x[m])]
+            ry = ry_map[np.searchsorted(vy, y[m])]
+            recs.append(
+                {
+                    "g": gk,
+                    "n": int(m.sum()),
+                    "sx": int(rx.sum()),
+                    "sy": int(ry.sum()),
+                    "sxy": int((rx * ry).sum()),
+                    "sx2": int((rx * rx).sum()),
+                    "sy2": int((ry * ry).sum()),
+                }
+            )
+        return pa.Table.from_pylist(recs)
+
+    def rho_merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy = int(g["sxy"].sum())
+        sx2, sy2 = int(g["sx2"].sum()), int(g["sy2"].sum())
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        if dx == 0 or dy == 0:
+            rho = float("nan")  # constant column -> undefined (SQL NULL)
+        else:
+            rho = round_half_away(
+                float(n * sxy - sx * sy)
+                / (np.sqrt(float(dx)) * np.sqrt(float(dy))),
+                6,
+            )
+        return pd.DataFrame(
+            {group_col: [g["g"].iloc[0]], "n": [n], "spearman": [rho]}
+        )
+
+    return (
+        cols.map_batches(
+            moment_partial, batch_format="pyarrow", batch_size=4096
+        )
+        .groupby("g")
+        .map_groups(rho_merge, batch_format="pandas")
+    )

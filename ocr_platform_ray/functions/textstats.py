@@ -2138,3 +2138,52 @@ def c4_line_filter(
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def langid_kappa(ds, max_cells: int = 100_000) -> rd.Dataset:
+    """Cohen's kappa of the langid heuristic vs the ground-truth
+    ``lang`` column — chance-corrected agreement, the single-number
+    companion to :func:`langid_confusion` (accuracy alone overstates a
+    classifier on imbalanced language mixes). Derived ENTIRELY from the
+    confusion counts, so the distributed work is identical to
+    langid_confusion's one streamed pass; the k x k reduction is
+    driver-trivial. All-integer until the one final division:
+    kappa = (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k),
+    6dp half-away round — both engines evaluate the identical
+    expression on identical int64 terms. NaN when the denominator is 0
+    (single-class degenerate corpus; SQL NULL)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from . import round_half_away
+
+    rows = langid_confusion(ds, max_cells=max_cells).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(f"langid_kappa: > {max_cells} confusion cells")
+    df = pd.DataFrame(rows)
+    n_total = int(df["n"].sum())
+    agree = int(df.loc[df["lang"] == df["pred_lang"], "n"].sum())
+    row_m = df.groupby("lang")["n"].sum()
+    col_m = df.groupby("pred_lang")["n"].sum()
+    chance = int(
+        sum(
+            int(row_m[k]) * int(col_m[k])
+            for k in row_m.index
+            if k in col_m.index
+        )
+    )
+    den = n_total * n_total - chance
+    kappa = (
+        round_half_away(float(n_total * agree - chance) / float(den), 6)
+        if den != 0
+        else float("nan")
+    )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "kappa": pa.array([kappa], pa.float64()),
+                "n_docs": pa.array([n_total], pa.int64()),
+            }
+        )
+    )

@@ -1631,6 +1631,36 @@ def q_corr_by_group(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_spearman_docs(sf_dir: str) -> rd.Dataset:
+    """Per-lang Spearman rank corr(n_chars, n_tokens) — monotonic
+    association robust to outliers; EXACT integer doubled-rank moments
+    (2*RANK + tie-count - 1), one identical final float expression on
+    both engines."""
+    from .functions.relational import spearman_by_group
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.add(
+            pc.count_substring(batch.column("text"), pattern=" "), 1
+        )
+        return batch.append_column(
+            "n_tokens", pc.cast(n_tok, pa.int64())
+        )
+
+    ds = _docs(sf_dir, ["lang", "n_chars", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+    return spearman_by_group(ds, "lang", "n_chars", "n_tokens")
+
+
+def q_langid_kappa(sf_dir: str) -> rd.Dataset:
+    """Cohen's kappa of the langid heuristic vs ground truth — chance-
+    corrected agreement from the confusion counts (all-integer terms,
+    one final division, 6dp)."""
+    return textstats.langid_kappa(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+    )
+
+
 def q_length_outliers(sf_dir: str) -> rd.Dataset:
     """Robust per-lang length anomaly gate: |n_chars - median| > 3 x MAD
     (three streamed passes over grouped exact medians; breakdown-50%
@@ -2901,6 +2931,8 @@ def queries() -> dict:
         "q_leakage_split": q_leakage_split,
         "q_leakage_split_neardup": q_leakage_split_neardup,
         "q_c4_filter": q_c4_filter,
+        "q_spearman_docs": q_spearman_docs,
+        "q_langid_kappa": q_langid_kappa,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3080,6 +3112,24 @@ def oracle_sql() -> dict:
     sql = _oracle_sql_base()
     # the sharded variant is semantics-identical to the broadcast one
     sql["q_decontaminate_sharded"] = sql["q_decontaminate"]
+    # Cohen's kappa derives from the confusion counts: reuse the
+    # q_langid_confusion CTE verbatim so the CASE expression can never
+    # drift between the two oracles
+    sql["q_langid_kappa"] = (
+        f"WITH conf AS ({sql['q_langid_confusion']}),"
+        " tot AS (SELECT sum(n)::BIGINT AS nn,"
+        " sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)::BIGINT"
+        " AS agree FROM conf),"
+        " marg AS (SELECT coalesce(sum(r.rn * c.cn), 0)::BIGINT AS chance"
+        " FROM (SELECT lang AS k, sum(n)::BIGINT AS rn FROM conf"
+        "       GROUP BY 1) r"
+        " JOIN (SELECT pred_lang AS k, sum(n)::BIGINT AS cn FROM conf"
+        "       GROUP BY 1) c ON r.k = c.k)"
+        " SELECT CASE WHEN nn * nn - chance = 0 THEN NULL"
+        " ELSE round(CAST(nn * agree - chance AS DOUBLE)"
+        " / CAST(nn * nn - chance AS DOUBLE), 6) END AS kappa,"
+        " nn AS n_docs FROM tot, marg"
+    )
     return sql
 
 
@@ -3345,6 +3395,30 @@ def _oracle_sql_base() -> dict:
             " SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,"
             " length(ls) AS n_lines, length(kept) AS n_kept"
             " FROM f WHERE length(kept) >= 3"
+        ),
+        "q_spearman_docs": (
+            # doubled average ranks stay integer: 2*RANK + tiecount - 1;
+            # all moments BIGINT-exact, ONE final float expression
+            "WITH b AS (SELECT lang, n_chars AS x,"
+            " length(string_split(text, ' ')) AS y FROM documents),"
+            " r AS (SELECT lang,"
+            " 2 * RANK() OVER (PARTITION BY lang ORDER BY x)"
+            "   + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS rx,"
+            " 2 * RANK() OVER (PARTITION BY lang ORDER BY y)"
+            "   + COUNT(*) OVER (PARTITION BY lang, y) - 1 AS ry"
+            " FROM b),"
+            " m AS (SELECT lang, COUNT(*)::BIGINT AS n,"
+            " sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,"
+            " sum(rx * ry)::BIGINT AS sxy,"
+            " sum(rx * rx)::BIGINT AS sx2,"
+            " sum(ry * ry)::BIGINT AS sy2 FROM r GROUP BY 1)"
+            " SELECT lang, n,"
+            " CASE WHEN n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0"
+            " THEN NULL ELSE round("
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6)"
+            " END AS spearman FROM m"
         ),
         "q_leakage_split": (
             "WITH c AS (SELECT doc_id,"
