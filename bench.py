@@ -266,6 +266,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q_c4_filter", q.q_c4_filter),
         ("q_spearman_docs", q.q_spearman_docs),
         ("q_langid_kappa", q.q_langid_kappa),
+        ("q_langid_calibration", q.q_langid_calibration),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

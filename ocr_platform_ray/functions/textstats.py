@@ -2187,3 +2187,87 @@ def langid_kappa(ds, max_cells: int = 100_000) -> rd.Dataset:
             }
         )
     )
+
+
+def langid_calibration(ds, max_cells: int = 100_000) -> rd.Dataset:
+    """Reliability diagram (calibration curve) of the langid heuristic:
+    predictions bucketed by confidence decile (bin = min(floor(10·conf),
+    9)), with per-bin count, correct count, accuracy and mean
+    confidence — the classifier-eval companion to
+    :func:`langid_confusion` / :func:`langid_kappa` that shows WHERE the
+    confidence score over- or under-states accuracy (a well-calibrated
+    gate has accuracy ≈ mean_conf per bin; curation pipelines threshold
+    on conf, so miscalibration directly moves the kept set).
+
+    Exactness contract: conf is the 6dp-rounded langid score (identical
+    on both engines by the q_langid oracle), summed as INTEGER
+    micro-units (round-half-away(conf·1e6)) so the per-bin mean is one
+    exact int64 sum + one mirrored float expression; accuracy likewise
+    (int counts, one division, 6dp). One streamed pass, ≤10 partial
+    rows per batch, driver merge under the loud ``max_cells`` guard."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = langid_batch(batch)
+        conf = scored.column("lang_conf").to_numpy(zero_copy_only=False)
+        ok = (
+            pc.equal(scored.column("lang"), scored.column("pred_lang"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "bin": np.minimum(
+                    np.floor(conf * 10.0).astype(np.int64), 9
+                ),
+                "ok": ok,
+                # half-away-from-zero to integer micro-units, exactly
+                # DuckDB round(conf * 1000000) for non-negative conf
+                "conf_micro": np.floor(conf * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+        agg = df.groupby("bin", as_index=False).agg(
+            n=("ok", "size"),
+            n_correct=("ok", "sum"),
+            s_micro=("conf_micro", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = (
+        ds.select_columns(["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .take(max_cells + 1)
+    )
+    if len(long) > max_cells:
+        raise ValueError(
+            f"langid_calibration: > {max_cells} partial rows — raise "
+            "max_cells deliberately"
+        )
+    df = pd.DataFrame(long)
+    agg = df.groupby("bin", as_index=False).agg(
+        n=("n", "sum"), n_correct=("n_correct", "sum"),
+        s_micro=("s_micro", "sum"),
+    ).sort_values("bin")
+    n = agg["n"].to_numpy(np.int64)
+    nc = agg["n_correct"].to_numpy(np.int64)
+    sm = agg["s_micro"].to_numpy(np.int64)
+    acc = [round_half_away(float(c) * 1.0 / float(k), 6) for c, k in zip(nc, n)]
+    mc = [
+        round_half_away(float(s) / 1000000.0 / float(k), 6)
+        for s, k in zip(sm, n)
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "bin": pa.array(agg["bin"].to_numpy(np.int64)),
+                "n": pa.array(n),
+                "n_correct": pa.array(nc),
+                "accuracy": pa.array(acc, pa.float64()),
+                "mean_conf": pa.array(mc, pa.float64()),
+            }
+        )
+    )

@@ -1661,6 +1661,15 @@ def q_langid_kappa(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_langid_calibration(sf_dir: str) -> rd.Dataset:
+    """Reliability diagram of the langid gate: per confidence-decile
+    bin, (n, n_correct, accuracy, mean_conf) — integer-exact sums, one
+    mirrored float expression each."""
+    return textstats.langid_calibration(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+    )
+
+
 def q_length_outliers(sf_dir: str) -> rd.Dataset:
     """Robust per-lang length anomaly gate: |n_chars - median| > 3 x MAD
     (three streamed passes over grouped exact medians; breakdown-50%
@@ -2933,6 +2942,7 @@ def queries() -> dict:
         "q_c4_filter": q_c4_filter,
         "q_spearman_docs": q_spearman_docs,
         "q_langid_kappa": q_langid_kappa,
+        "q_langid_calibration": q_langid_calibration,
         "q_props_stats": q_props_stats,
         "q_ks_by_source": q_ks_by_source,
         "q_mannwhitney_lang": q_mannwhitney_lang,
@@ -3115,6 +3125,20 @@ def oracle_sql() -> dict:
     # Cohen's kappa derives from the confusion counts: reuse the
     # q_langid_confusion CTE verbatim so the CASE expression can never
     # drift between the two oracles
+    # the calibration curve reuses the q_langid CTE verbatim (doc_id,
+    # pred_lang, lang_conf) — same no-drift rationale as kappa below
+    sql["q_langid_calibration"] = (
+        f"WITH pred AS ({sql['q_langid']}),"
+        " j AS (SELECT"
+        " CAST(least(floor(p.lang_conf * 10), 9) AS BIGINT) AS bin,"
+        " CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS ok,"
+        " CAST(round(p.lang_conf * 1000000) AS BIGINT) AS conf_micro"
+        " FROM documents d JOIN pred p ON d.doc_id = p.doc_id)"
+        " SELECT bin, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_correct,"
+        " round(sum(ok) * 1.0 / count(*), 6) AS accuracy,"
+        " round(sum(conf_micro) / 1000000.0 / count(*), 6) AS mean_conf"
+        " FROM j GROUP BY 1"
+    )
     sql["q_langid_kappa"] = (
         f"WITH conf AS ({sql['q_langid_confusion']}),"
         " tot AS (SELECT sum(n)::BIGINT AS nn,"

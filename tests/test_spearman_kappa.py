@@ -90,3 +90,38 @@ def test_queries_match_duckdb_sf0001():
     want_k = con.execute(oracle_sql()["q_langid_kappa"]).fetchdf()
     assert ka["kappa"].tolist() == want_k["kappa"].tolist()
     assert ka["n_docs"].tolist() == want_k["n_docs"].tolist()
+
+
+def test_langid_calibration_planted_bins():
+    """Handcrafted stopword mixes pin the bin arithmetic: conf 1.0 ->
+    bin 9, 0.5 -> bin 5, 1/3 (6dp 0.333333) -> bin 3, 0 -> bin 0; the
+    zero-stopword doc predicts 'de' (tie falls through to the first
+    CASE branch) and is the only miss."""
+    from ocr_platform_ray.functions.textstats import langid_calibration
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the and of to",  # en conf 1.0 -> bin 9, correct
+                    "the la",         # en conf 0.5 -> bin 5, correct
+                    "the la el",      # en conf 0.333333 -> bin 3, correct
+                    "xyz qqq",        # no stopwords -> 'de' conf 0 -> bin 0
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "en", "en"], pa.string()),
+        }
+    )
+    out = (
+        langid_calibration(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert out["bin"].tolist() == [0, 3, 5, 9]
+    assert out["n"].tolist() == [1, 1, 1, 1]
+    assert out["n_correct"].tolist() == [0, 1, 1, 1]
+    assert out["accuracy"].tolist() == [0.0, 1.0, 1.0, 1.0]
+    assert out["mean_conf"].tolist() == [0.0, 0.333333, 0.5, 1.0]
