@@ -1174,3 +1174,182 @@ def props_field_stats(
             }
         )
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def _daily_cells(ds: rd.Dataset, max_cells: int, who: str) -> pd.DataFrame:
+    """Shared combiner for daily-series diagnostics: one streamed pass of
+    per-batch (event_type, day_id) integer count partials (the ewma_daily
+    shape — the shuffle-free alternative for a driver-bounded grid),
+    merged on the driver under a loud ``max_cells`` guard. Returns the
+    merged (event_type, day_id, n) frame; empty frame for an empty log."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "day_id": batch.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        )
+        agg = df.groupby(["event_type", "day_id"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    long = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(long) > max_cells:
+        raise ValueError(
+            f"{who}: > {max_cells} (type, day) partials — raise "
+            "max_cells deliberately"
+        )
+    if not long:
+        return pd.DataFrame(columns=["event_type", "day_id", "n"])
+    df = pd.DataFrame(long, columns=["event_type", "day_id", "size"])
+    return df.groupby(["event_type", "day_id"], as_index=False).agg(
+        n=("size", "sum")
+    )
+
+
+def mann_kendall_daily(
+    ds: rd.Dataset, max_cells: int = 200_000, max_days: int = 20_000
+) -> rd.Dataset:
+    """Mann–Kendall trend test per event type over the OBSERVED daily
+    count series (the nonparametric is-this-metric-drifting monitor —
+    no linearity or distribution assumption, robust to spikes):
+    S = Σ_{i<j} sign(n_j − n_i) over day-ordered pairs, variance with
+    the tie correction Var = (m(m−1)(2m+5) − Σ_t t(t−1)(2t+5)) / 18,
+    Z = (S∓1)/sqrt(Var) (continuity-corrected, 0 when S = 0).
+
+    Exactness: S, m and the tie sums are INTEGERS derived from the exact
+    daily-count grid (one streamed combiner pass, ewma_daily's shape, no
+    shuffle); both engines then evaluate one identical float expression
+    (cast → /18.0 → sqrt → divide, 6dp half-away round) — the m ≤ 20k
+    guard keeps m³ < 2^53 so every cast is exact. The O(m²) pairwise
+    sign sum runs vectorized on the tiny per-type day series (a year is
+    365 points; the guard is loud, and the 100 TB path pre-bins days
+    into weeks rather than raising it)."""
+    import numpy as np
+
+    cells = _daily_cells(ds, max_cells, "mann_kendall_daily")
+    out_t: list = []
+    out_m: list = []
+    out_s: list = []
+    out_z: list = []
+    from . import round_half_away
+
+    for t, sub in cells.groupby("event_type", sort=True):
+        sub = sub.sort_values("day_id", kind="mergesort")
+        n = sub["n"].to_numpy(np.int64)
+        m = len(n)
+        if m > max_days:
+            raise ValueError(
+                f"mann_kendall_daily: {m} days for type {t!r} > "
+                f"{max_days} — pre-bin to weeks or raise max_days"
+            )
+        ii, jj = np.triu_indices(m, k=1)
+        s = int(np.sign(n[jj] - n[ii]).sum())
+        _, tie_counts = np.unique(n, return_counts=True)
+        tk = tie_counts.astype(np.int64)
+        tie = int((tk * (tk - 1) * (2 * tk + 5)).sum())
+        var = (float(m * (m - 1) * (2 * m + 5) - tie)) / 18.0
+        out_t.append(t)
+        out_m.append(m)
+        out_s.append(s)
+        if var <= 0.0:
+            out_z.append(None)
+        elif s > 0:
+            out_z.append(round_half_away((float(s) - 1.0) / np.sqrt(var), 6))
+        elif s < 0:
+            out_z.append(round_half_away((float(s) + 1.0) / np.sqrt(var), 6))
+        else:
+            out_z.append(0.0)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "n_days": pa.array(out_m, pa.int64()),
+                "s_stat": pa.array(out_s, pa.int64()),
+                "z": pa.array(out_z, pa.float64()),
+            }
+        )
+    )
+
+
+def acf_daily(
+    ds: rd.Dataset, max_lag: int = 7, max_cells: int = 200_000
+) -> rd.Dataset:
+    """Lag-k autocorrelation (k = 1..max_lag) of the gap-filled per-type
+    daily count series — the seasonality/burstiness diagnostic (a strong
+    lag-7 peak = weekly cycle; slow decay = long bursts). Defined as the
+    Pearson correlation between the series and its k-day shift over the
+    overlapping pairs (the SQL ``corr(n, lag(n, k))`` form, NOT the
+    fixed-global-mean textbook ACF — so the DuckDB oracle is the same
+    estimator).
+
+    Exactness: the gap-filled grid is integer (missing days are true
+    zeros on both engines); per (type, k) the five moments (m, Σx, Σy,
+    Σx², Σy², Σxy) accumulate in int64 — corr is then ONE float
+    expression per cell, matching DuckDB's corr at 6dp (the
+    corr_by_group precedent). The grid is driver-bounded by the same
+    loud guard as ewma_daily; lags are a dense O(max_lag · days)
+    vectorized pass, no shuffle."""
+    import numpy as np
+
+    cells = _daily_cells(ds, max_cells, "acf_daily")
+    out_t: list = []
+    out_k: list = []
+    out_m: list = []
+    out_r: list = []
+    from . import round_half_away
+
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(
+            cells["day_id"].min(), cells["day_id"].max() + 1
+        )
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        for ti, t in enumerate(types):
+            x = grid[ti]
+            for k in range(1, max_lag + 1):
+                if len(x) <= k:
+                    continue
+                a = x[k:]          # n at day d
+                b = x[:-k]         # n at day d-k (the lag)
+                m = len(a)
+                sx = int(a.sum()); sy = int(b.sum())
+                sxx = int((a * a).sum()); syy = int((b * b).sum())
+                sxy = int((a * b).sum())
+                dx = m * sxx - sx * sx
+                dy = m * syy - sy * sy
+                out_t.append(t)
+                out_k.append(k)
+                out_m.append(m)
+                if dx <= 0 or dy <= 0:
+                    out_r.append(None)  # constant side -> corr undefined
+                else:
+                    r = float(m * sxy - sx * sy) / (
+                        np.sqrt(float(dx)) * np.sqrt(float(dy))
+                    )
+                    out_r.append(round_half_away(r, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "lag": pa.array(out_k, pa.int64()),
+                "n_pairs": pa.array(out_m, pa.int64()),
+                "acf": pa.array(out_r, pa.float64()),
+            }
+        )
+    )

@@ -4045,3 +4045,98 @@ def spearman_by_group(
         .groupby("g")
         .map_groups(rho_merge, batch_format="pandas")
     )
+
+
+def auc_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group ROC AUC of an INTEGER score ranking a binary label —
+    the classifier-quality audit (does doc length actually discriminate
+    English docs? does a quality score rank gold labels above noise?).
+    AUC is the Mann–Whitney statistic normalized to [0, 1]:
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg) with tie-averaged
+    (midrank) ranks, so ties contribute 1/2 — the standard trapezoidal
+    ROC area.
+
+    Exactness (the mannwhitney_by_group scheme): one streamed pass of
+    per-batch (group, score) → (n, n_pos) integer partials — the shuffle
+    carries score-histogram cells, never rows; driver merge under a loud
+    ``max_cells`` guard (the score domain bounds driver state — pre-bin
+    a float score at 100 TB). Midranks are half-integers from exact
+    cumulative counts; every product/sum both engines compute is exactly
+    representable (< 2^53), so the 6dp value-hash match is exact with no
+    op-order mirroring needed beyond the final division.
+
+    Emits one row per group: (group, n_pos, n_neg, auc); auc is NULL
+    when either class is empty (AUC undefined)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pylist(),
+                "s": batch.column(score_col).to_numpy().astype(np.int64),
+                "y": batch.column(label_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        agg = df.groupby(["g", "s"], as_index=False).agg(
+            n=("y", "size"), npos=("y", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([group_col, score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"auc_by_group: > {max_cells} (group, score) partials — "
+            "pre-bin the score column or raise max_cells deliberately"
+        )
+    out_g: list = []
+    out_np: list = []
+    out_nn: list = []
+    out_auc: list = []
+    if rows:
+        df = pd.DataFrame(rows, columns=["g", "s", "n", "npos"])
+        cnt = df.groupby(["g", "s"], as_index=False).agg(
+            n=("n", "sum"), npos=("npos", "sum")
+        )
+        for g, sub in cnt.groupby("g", sort=True):
+            sub = sub.sort_values("s", kind="mergesort")
+            n = sub["n"].to_numpy(np.int64)
+            npos = sub["npos"].to_numpy(np.int64)
+            cum_before = np.cumsum(n) - n
+            # tie-averaged rank of every occurrence at score s:
+            #   (count below s) + (count at s + 1)/2 — a half-integer
+            midrank = cum_before.astype(np.float64) + (
+                n + 1
+            ).astype(np.float64) / 2.0
+            n_pos = int(npos.sum())
+            n_neg = int(n.sum()) - n_pos
+            out_g.append(g)
+            out_np.append(n_pos)
+            out_nn.append(n_neg)
+            if n_pos == 0 or n_neg == 0:
+                out_auc.append(None)
+                continue
+            r_pos = float((npos.astype(np.float64) * midrank).sum())
+            auc = (
+                r_pos - float(n_pos) * (float(n_pos) + 1.0) / 2.0
+            ) / (float(n_pos) * float(n_neg))
+            out_auc.append(round_half_away(auc, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "n_pos": pa.array(out_np, pa.int64()),
+                "n_neg": pa.array(out_nn, pa.int64()),
+                "auc": pa.array(out_auc, pa.float64()),
+            }
+        )
+    )

@@ -2271,3 +2271,66 @@ def langid_calibration(ds, max_cells: int = 100_000) -> rd.Dataset:
             }
         )
     )
+
+
+def zipf_slope(ds, top_n: int = 100):
+    """Zipf-law fit over the top-N token frequencies: OLS of ln(count)
+    on ln(rank) with the (count DESC, token ASC) deterministic rank —
+    the vocabulary-health audit (natural text sits near slope −1;
+    boilerplate-heavy or templated corpora flatten, spam steepens).
+    Emits ONE row: (n_tokens, slope, intercept, r2), 6dp.
+
+    Scale shape: the heavy pass IS :func:`top_tokens` (per-batch token
+    combiner, bucketed top-k merge — the shuffle carries (token, count)
+    partials, never text); the regression runs on the N ≤ a-few-hundred
+    surviving rows on the driver. Float contract: ln() terms are
+    irrational, so exactness is by the corr_by_group precedent — both
+    engines compute the same closed-form OLS over the same N doubles
+    and the 6dp half-away round absorbs summation-order ulps (oracle:
+    DuckDB regr_slope/regr_intercept/regr_r2 over the ranked top-N)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from . import round_half_away
+
+    top = top_tokens(ds, k=top_n).to_pandas()
+    n = len(top)
+    if n < 2:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n_tokens": pa.array([n], pa.int64()),
+                    "slope": pa.array([None], pa.float64()),
+                    "intercept": pa.array([None], pa.float64()),
+                    "r2": pa.array([None], pa.float64()),
+                }
+            )
+        )
+    # top_tokens returns rows already in (n DESC, token ASC) order —
+    # rank 1 is the most frequent token, the oracle's ROW_NUMBER()
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.int64).astype(np.float64))
+    xm = float(x.sum()) / n
+    ym = float(y.sum()) / n
+    sxx = float(((x - xm) * (x - xm)).sum())
+    sxy = float(((x - xm) * (y - ym)).sum())
+    syy = float(((y - ym) * (y - ym)).sum())
+    slope = sxy / sxx
+    intercept = ym - slope * xm
+    r2 = None if syy == 0.0 else (sxy * sxy) / (sxx * syy)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_tokens": pa.array([n], pa.int64()),
+                "slope": pa.array([round_half_away(slope, 6)], pa.float64()),
+                "intercept": pa.array(
+                    [round_half_away(intercept, 6)], pa.float64()
+                ),
+                "r2": pa.array(
+                    [None if r2 is None else round_half_away(r2, 6)],
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -2897,6 +2897,56 @@ def q_c4_filter(sf_dir: str) -> rd.Dataset:
     return c4_line_filter(pages)
 
 
+def q_length_auc(sf_dir: str) -> rd.Dataset:
+    """Per-source ROC AUC of n_chars ranking lang='en' — the does-this-
+    feature-discriminate audit; exact integer midrank rank-sum (the
+    Mann–Whitney normalization), one final division at 6dp."""
+    from .functions.relational import auc_by_group
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "y",
+            pc.cast(pc.equal(batch.column("lang"), "en"), pa.int64()),
+        )
+
+    ds = _docs(sf_dir, ["source", "n_chars", "lang"]).map_batches(
+        add_label, batch_format="pyarrow"
+    )
+    return auc_by_group(ds, "source", "n_chars", "y")
+
+
+def q_mann_kendall(sf_dir: str) -> rd.Dataset:
+    """Mann–Kendall trend test per event type over observed daily
+    counts: integer S and tie-corrected variance from the exact daily
+    grid, continuity-corrected Z in one mirrored float expression."""
+    from .functions.events import mann_kendall_daily
+
+    return mann_kendall_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
+def q_acf_daily(sf_dir: str) -> rd.Dataset:
+    """Lag-1..7 autocorrelation of the gap-filled per-type daily series
+    (weekly-seasonality / burstiness diagnostic) — int64 moments over
+    the integer grid, corr at 6dp (corr_by_group contract)."""
+    from .functions.events import acf_daily
+
+    return acf_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        max_lag=7,
+    )
+
+
+def q_zipf_slope(sf_dir: str) -> rd.Dataset:
+    """Zipf-law OLS fit (ln count vs ln rank) over the top-100 tokens —
+    vocabulary-health audit; heavy pass is the top_tokens combiner, the
+    regression is driver-side over 100 rows, 6dp vs regr_slope."""
+    return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -2914,6 +2964,10 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_length_auc": q_length_auc,
+        "q_mann_kendall": q_mann_kendall,
+        "q_acf_daily": q_acf_daily,
+        "q_zipf_slope": q_zipf_slope,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3159,6 +3213,90 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_length_auc": (
+            # midrank AUC: cells = (source, score) integer histogram;
+            # midrank = count-below + (count-at + 1)/2 (half-integer);
+            # AUC = (R_pos - np(np+1)/2) / (np*nn) — every term exact
+            "WITH s AS (SELECT source, n_chars AS sc,"
+            " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+            " FROM documents),"
+            " c AS (SELECT source, sc, count(*)::BIGINT AS n,"
+            " sum(y)::BIGINT AS npos FROM s GROUP BY source, sc),"
+            " r AS (SELECT source, sc, n, npos,"
+            " coalesce(sum(n) OVER (PARTITION BY source ORDER BY sc"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " AS cb FROM c),"
+            " m AS (SELECT source, n, npos, CAST(cb AS DOUBLE)"
+            " + (CAST(n AS DOUBLE) + 1.0) / 2.0 AS mr FROM r),"
+            " a AS (SELECT source, sum(n)::BIGINT AS nt,"
+            " sum(npos)::BIGINT AS np, sum(npos * mr) AS rpos"
+            " FROM m GROUP BY source)"
+            " SELECT source, np AS n_pos, nt - np AS n_neg,"
+            " CASE WHEN np > 0 AND nt - np > 0 THEN"
+            " round((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)"
+            " + 1.0) / 2.0) / (CAST(np AS DOUBLE)"
+            " * CAST(nt - np AS DOUBLE)), 6) END AS auc FROM a"
+        ),
+        "q_mann_kendall": (
+            # S over day-ordered pairs; tie-corrected variance;
+            # continuity-corrected Z — all-integer until /18.0
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " p AS (SELECT a.event_type, sum(CASE WHEN b.n > a.n THEN 1"
+            " WHEN b.n < a.n THEN -1 ELSE 0 END)::BIGINT AS s FROM d a"
+            " JOIN d b ON b.event_type = a.event_type AND b.day > a.day"
+            " GROUP BY 1),"
+            " m AS (SELECT event_type, count(*)::BIGINT AS m FROM d"
+            " GROUP BY 1),"
+            " t AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5))"
+            "::BIGINT AS tie FROM (SELECT event_type, n,"
+            " count(*)::BIGINT AS t FROM d GROUP BY 1, 2) GROUP BY 1),"
+            " v AS (SELECT m.event_type, coalesce(p.s, 0) AS s, m.m,"
+            " CAST(m.m * (m.m - 1) * (2 * m.m + 5) - t.tie AS DOUBLE)"
+            " / 18.0 AS var FROM m LEFT JOIN p USING (event_type)"
+            " JOIN t USING (event_type))"
+            " SELECT event_type, m AS n_days, s AS s_stat,"
+            " CASE WHEN var <= 0 THEN NULL WHEN s > 0 THEN"
+            " round((CAST(s AS DOUBLE) - 1.0) / sqrt(var), 6)"
+            " WHEN s < 0 THEN"
+            " round((CAST(s AS DOUBLE) + 1.0) / sqrt(var), 6)"
+            " ELSE 0.0 END AS z FROM v"
+        ),
+        "q_acf_daily": (
+            # gap-filled integer daily grid (q_daily_filled CTE), then
+            # corr(n_t, n_{t-k}) per (type, lag k), k = 1..7
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " ty AS (SELECT DISTINCT event_type FROM events),"
+            " f AS (SELECT ty.event_type, days.day,"
+            " coalesce(d.n, 0)::BIGINT AS n FROM days CROSS JOIN ty"
+            " LEFT JOIN d ON d.day = days.day"
+            " AND d.event_type = ty.event_type),"
+            " ks AS (SELECT unnest(generate_series(1, 7)) AS lag)"
+            " SELECT a.event_type, ks.lag, count(*)::BIGINT AS n_pairs,"
+            " round(corr(a.n, b.n), 6) AS acf"
+            " FROM ks, f a JOIN f b ON b.event_type = a.event_type"
+            " AND b.day = a.day - ks.lag * INTERVAL 1 DAY"
+            " GROUP BY a.event_type, ks.lag"
+        ),
+        "q_zipf_slope": (
+            # rank by (count DESC, token ASC) over the top-100 tokens;
+            # OLS of ln(n) on ln(rank) via regr_* (6dp contract)
+            "WITH c AS (SELECT token, count(*)::BIGINT AS n FROM ("
+            " SELECT unnest(regexp_extract_all(text, '[a-z0-9]+'))"
+            " AS token FROM documents) GROUP BY token"
+            " ORDER BY n DESC, token LIMIT 100),"
+            " r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC,"
+            " token) AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y"
+            " FROM c)"
+            " SELECT count(*)::BIGINT AS n_tokens,"
+            " round(regr_slope(y, x), 6) AS slope,"
+            " round(regr_intercept(y, x), 6) AS intercept,"
+            " round(regr_r2(y, x), 6) AS r2 FROM r"
+        ),
         "q_top_supplier": (
             "WITH r AS (SELECT l_suppkey,"
             " sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
