@@ -1353,3 +1353,80 @@ def acf_daily(
             }
         )
     )
+
+
+def xcorr_daily(
+    ds: rd.Dataset, max_lag: int = 7, max_cells: int = 200_000
+) -> rd.Dataset:
+    """Cross-type lead-lag correlation: for every ORDERED pair of event
+    types (a ≠ b) and lag k = 0..max_lag, the Pearson correlation of
+    a's gap-filled daily count with b's k days EARLIER — the
+    does-signups-lead-purchases / do-errors-follow-deploys diagnostic
+    (a peak at k > 0 means b leads a by k days; the (b, a) row covers
+    the other direction).
+
+    Exactness and shape are acf_daily's (same integer grid, same int64
+    five-moment cells, one corr float expression per (a, b, k) at 6dp);
+    output is |T|·(|T|−1)·(max_lag+1) rows — driver-trivial for any
+    sane type cardinality, and the grid guard is the same loud one."""
+    import numpy as np
+
+    cells = _daily_cells(ds, max_cells, "xcorr_daily")
+    out_a: list = []
+    out_b: list = []
+    out_k: list = []
+    out_m: list = []
+    out_r: list = []
+    from . import round_half_away
+
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        for ai, ta in enumerate(types):
+            for bi, tb in enumerate(types):
+                if ai == bi:
+                    continue
+                for k in range(0, max_lag + 1):
+                    if len(days) <= k:
+                        continue
+                    a = grid[ai][k:]       # a at day d
+                    b = grid[bi][: len(days) - k]  # b at day d-k
+                    m = len(a)
+                    sx = int(a.sum()); sy = int(b.sum())
+                    sxx = int((a * a).sum()); syy = int((b * b).sum())
+                    sxy = int((a * b).sum())
+                    dx = m * sxx - sx * sx
+                    dy = m * syy - sy * sy
+                    out_a.append(ta)
+                    out_b.append(tb)
+                    out_k.append(k)
+                    out_m.append(m)
+                    if dx <= 0 or dy <= 0:
+                        out_r.append(None)
+                    else:
+                        r = float(m * sxy - sx * sy) / (
+                            np.sqrt(float(dx)) * np.sqrt(float(dy))
+                        )
+                        out_r.append(round_half_away(r, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "lag": pa.array(out_k, pa.int64()),
+                "n_pairs": pa.array(out_m, pa.int64()),
+                "xcorr": pa.array(out_r, pa.float64()),
+            }
+        )
+    )

@@ -4140,3 +4140,90 @@ def auc_by_group(
             }
         )
     )
+
+
+def categorical_mutual_info(
+    ds: rd.Dataset,
+    a_col: str,
+    b_col: str,
+    max_cells: int = 100_000,
+) -> rd.Dataset:
+    """Mutual information (bits) between two categorical columns, plus
+    the marginal entropies and the normalized MI — the label-leakage /
+    association audit (how much does source predict lang? a high NMI
+    means per-source sampling silently skews the language mix).
+    MI = Σ_ij (n_ij/N)·log2(N·n_ij / (n_i·n_j)), H = −Σ p·log2 p,
+    NMI = MI / max(H_a, H_b) (0 when either entropy is 0).
+
+    Exactness: one streamed pass of per-batch (a, b) integer crosstab
+    partials (the chi-square shape — cells bound driver state, loud
+    guard); every count both engines see is identical, the log2 terms
+    are evaluated per CELL and summed over the ≤max_cells crosstab in
+    sorted-cell order on the engine side — the 6dp half-away round
+    absorbs libm/summation-order ulps (the js_divergence contract)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "a": batch.column(a_col).to_pylist(),
+                "b": batch.column(b_col).to_pylist(),
+            }
+        )
+        agg = df.groupby(["a", "b"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns([a_col, b_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"categorical_mutual_info: > {max_cells} (a, b) cells — "
+            "raise max_cells deliberately"
+        )
+    from . import round_half_away
+
+    if not rows:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n_cells": pa.array([0], pa.int64()),
+                    "mi_bits": pa.array([None], pa.float64()),
+                    "h_a_bits": pa.array([None], pa.float64()),
+                    "h_b_bits": pa.array([None], pa.float64()),
+                    "nmi": pa.array([None], pa.float64()),
+                }
+            )
+        )
+    df = pd.DataFrame(rows, columns=["a", "b", "size"])
+    cells = (
+        df.groupby(["a", "b"], as_index=False)["size"].sum()
+        .sort_values(["a", "b"], kind="mergesort")
+    )
+    n_ij = cells["size"].to_numpy(np.int64).astype(np.float64)
+    n = float(n_ij.sum())
+    na = cells.groupby("a")["size"].sum()
+    nb = cells.groupby("b")["size"].sum()
+    n_i = na.reindex(cells["a"]).to_numpy(np.int64).astype(np.float64)
+    n_j = nb.reindex(cells["b"]).to_numpy(np.int64).astype(np.float64)
+    mi = float(((n_ij / n) * np.log2(n * n_ij / (n_i * n_j))).sum())
+    pa_ = na.to_numpy(np.int64).astype(np.float64) / n
+    pb_ = nb.to_numpy(np.int64).astype(np.float64) / n
+    h_a = float(-(pa_ * np.log2(pa_)).sum())
+    h_b = float(-(pb_ * np.log2(pb_)).sum())
+    hmax = max(h_a, h_b)
+    nmi = None if hmax == 0.0 else mi / hmax
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_cells": pa.array([len(cells)], pa.int64()),
+                "mi_bits": pa.array([round_half_away(mi, 6)], pa.float64()),
+                "h_a_bits": pa.array([round_half_away(h_a, 6)], pa.float64()),
+                "h_b_bits": pa.array([round_half_away(h_b, 6)], pa.float64()),
+                "nmi": pa.array(
+                    [None if nmi is None else round_half_away(nmi, 6)],
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -2334,3 +2334,109 @@ def zipf_slope(ds, top_n: int = 100):
             }
         )
     )
+
+
+def hapax_by_group(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_groups: int = 10_000,
+    n_buckets: int = 64,
+):
+    """Per-slice vocabulary richness: total token occurrences, distinct
+    vocabulary size, hapax legomena count (tokens seen exactly ONCE in
+    that slice), hapax share of the vocabulary and type-token ratio —
+    the lexical-diversity audit (templated/boilerplate sources show low
+    TTR and a thin hapax tail; natural text keeps a fat one, per Zipf).
+
+    Scale shape (the js_divergence combiner): per-batch (group, token)
+    count partials — the shuffle carries vocabulary partials, never
+    text; a token-hash bucketed merge computes exact per-(group, token)
+    totals inside each bucket (a token lives in exactly ONE bucket, so
+    "count == 1" is decidable bucket-locally) and emits ≤|groups| tiny
+    stat rows per bucket; the driver sums integers (order-free) under a
+    loud ``max_groups`` guard. Ratios are ONE division each at 6dp —
+    exact (integer-derived) on both engines."""
+    import pandas as pd
+    import polars as pl
+
+    import ray.data as rd
+
+    from . import bucketed_group_apply, round_half_away
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(
+            batch.select([group_col, text_col])
+        ).with_columns(
+            pl.col(text_col).str.extract_all(TOKEN_RE).alias("tok")
+        )
+        return (
+            t.select([group_col, "tok"])
+            .explode("tok")
+            .drop_nulls()
+            .group_by([group_col, "tok"])
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby([group_col, "tok"], as_index=False)["n"].sum()
+        stats = tot.groupby(group_col).agg(
+            n_occurrences=("n", "sum"),
+            n_distinct=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum())),
+        )
+        return stats.reset_index()
+
+    partials = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    rows = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()),
+        "tok",
+        per_bucket,
+        batch_format="pandas",
+        n_buckets=n_buckets,
+    ).take(max_groups * n_buckets + 1)
+    if len(rows) > max_groups * n_buckets:
+        raise ValueError(
+            f"hapax_by_group: > {max_groups} groups — raise max_groups "
+            "deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        g = r[group_col]
+        o, d, h = acc.get(g, (0, 0, 0))
+        acc[g] = (
+            o + int(r["n_occurrences"]),
+            d + int(r["n_distinct"]),
+            h + int(r["n_hapax"]),
+        )
+    gs = sorted(acc)
+    out_ratio = []
+    out_ttr = []
+    for g in gs:
+        o, d, h = acc[g]
+        out_ratio.append(
+            None if d == 0 else round_half_away(float(h) / float(d), 6)
+        )
+        out_ttr.append(
+            None if o == 0 else round_half_away(float(d) / float(o), 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "n_occurrences": pa.array(
+                    [acc[g][0] for g in gs], pa.int64()
+                ),
+                "n_distinct": pa.array([acc[g][1] for g in gs], pa.int64()),
+                "n_hapax": pa.array([acc[g][2] for g in gs], pa.int64()),
+                "hapax_share": pa.array(out_ratio, pa.float64()),
+                "ttr": pa.array(out_ttr, pa.float64()),
+            }
+        )
+    )

@@ -2940,6 +2940,38 @@ def q_acf_daily(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_source_lang_mi(sf_dir: str) -> rd.Dataset:
+    """Mutual information (bits) between source and lang — the
+    label-leakage / sampling-skew audit; integer crosstab combiner,
+    per-cell log2 terms, 6dp (js_divergence float contract)."""
+    from .functions.relational import categorical_mutual_info
+
+    return categorical_mutual_info(
+        _docs(sf_dir, ["source", "lang"]), "source", "lang"
+    )
+
+
+def q_hapax_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source vocabulary richness: occurrences / distinct / hapax
+    counts, hapax share and type-token ratio — all-integer token-hash
+    bucketed merge, two exact divisions at 6dp."""
+    return textstats.hapax_by_group(
+        _docs(sf_dir, ["source", "text"]), "source"
+    )
+
+
+def q_xcorr_daily(sf_dir: str) -> rd.Dataset:
+    """Cross-type lead-lag correlation (lag 0..7) over the gap-filled
+    daily grid — ordered type pairs, int64 moments, corr at 6dp."""
+    from .functions.events import xcorr_daily
+
+    return xcorr_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        max_lag=7,
+    )
+
+
 def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     """Zipf-law OLS fit (ln count vs ln rank) over the top-100 tokens —
     vocabulary-health audit; heavy pass is the top_tokens combiner, the
@@ -2968,6 +3000,9 @@ def queries() -> dict:
         "q_mann_kendall": q_mann_kendall,
         "q_acf_daily": q_acf_daily,
         "q_zipf_slope": q_zipf_slope,
+        "q_source_lang_mi": q_source_lang_mi,
+        "q_hapax_by_source": q_hapax_by_source,
+        "q_xcorr_daily": q_xcorr_daily,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3236,6 +3271,67 @@ def _oracle_sql_base() -> dict:
             " round((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)"
             " + 1.0) / 2.0) / (CAST(np AS DOUBLE)"
             " * CAST(nt - np AS DOUBLE)), 6) END AS auc FROM a"
+        ),
+        "q_source_lang_mi": (
+            # integer crosstab -> per-cell log2 terms; 6dp absorbs
+            # libm/summation-order ulps (js_divergence contract)
+            "WITH c AS (SELECT source AS a, lang AS b,"
+            " count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),"
+            " t AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),"
+            " ma AS (SELECT a, sum(n)::BIGINT AS na FROM c GROUP BY a),"
+            " mb AS (SELECT b, sum(n)::BIGINT AS nb FROM c GROUP BY b),"
+            " mi AS (SELECT sum((CAST(c.n AS DOUBLE) / t.n)"
+            " * log2(t.n * CAST(c.n AS DOUBLE)"
+            " / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)))) AS v,"
+            " count(*)::BIGINT AS n_cells FROM c"
+            " JOIN ma ON ma.a = c.a JOIN mb ON mb.b = c.b CROSS JOIN t),"
+            " ha AS (SELECT -sum((CAST(na AS DOUBLE) / t.n)"
+            " * log2(CAST(na AS DOUBLE) / t.n)) AS v FROM ma"
+            " CROSS JOIN t),"
+            " hb AS (SELECT -sum((CAST(nb AS DOUBLE) / t.n)"
+            " * log2(CAST(nb AS DOUBLE) / t.n)) AS v FROM mb"
+            " CROSS JOIN t)"
+            " SELECT mi.n_cells, round(mi.v, 6) AS mi_bits,"
+            " round(ha.v, 6) AS h_a_bits, round(hb.v, 6) AS h_b_bits,"
+            " CASE WHEN greatest(ha.v, hb.v) > 0 THEN"
+            " round(mi.v / greatest(ha.v, hb.v), 6) END AS nmi"
+            " FROM mi CROSS JOIN ha CROSS JOIN hb"
+        ),
+        "q_hapax_by_source": (
+            "WITH tc AS (SELECT source, token, count(*)::BIGINT AS n"
+            " FROM (SELECT source, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM documents)"
+            " GROUP BY source, token)"
+            " SELECT source, sum(n)::BIGINT AS n_occurrences,"
+            " count(*)::BIGINT AS n_distinct,"
+            " sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,"
+            " round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hapax_share,"
+            " round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE),"
+            " 6) AS ttr FROM tc GROUP BY source"
+        ),
+        "q_xcorr_daily": (
+            # two-series variant of the q_acf_daily oracle: ordered
+            # type pairs, lag 0..7, corr(a_t, b_{t-k}) on the filled grid
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),"
+            " days AS (SELECT unnest(generate_series("
+            "(SELECT lo FROM bounds), (SELECT hi FROM bounds),"
+            " INTERVAL 1 DAY)) AS day),"
+            " ty AS (SELECT DISTINCT event_type FROM events),"
+            " f AS (SELECT ty.event_type, days.day,"
+            " coalesce(d.n, 0)::BIGINT AS n FROM days CROSS JOIN ty"
+            " LEFT JOIN d ON d.day = days.day"
+            " AND d.event_type = ty.event_type),"
+            " ks AS (SELECT unnest(generate_series(0, 7)) AS lag)"
+            " SELECT fa.event_type AS type_a, fb.event_type AS type_b,"
+            " ks.lag, count(*)::BIGINT AS n_pairs,"
+            " round(corr(fa.n, fb.n), 6) AS xcorr"
+            " FROM ks, f fa JOIN f fb"
+            " ON fb.event_type <> fa.event_type"
+            " AND fb.day = fa.day - ks.lag * INTERVAL 1 DAY"
+            " GROUP BY fa.event_type, fb.event_type, ks.lag"
         ),
         "q_mann_kendall": (
             # S over day-ordered pairs; tie-corrected variance;
