@@ -267,6 +267,16 @@ def run_queries(sf_dir: str) -> dict:
         ("q_spearman_docs", q.q_spearman_docs),
         ("q_langid_kappa", q.q_langid_kappa),
         ("q_langid_calibration", q.q_langid_calibration),
+        # round-5 batch-13/14 statistical audits
+        ("q_length_auc", q.q_length_auc),
+        ("q_mann_kendall", q.q_mann_kendall),
+        ("q_acf_daily", q.q_acf_daily),
+        ("q_zipf_slope", q.q_zipf_slope),
+        ("q_source_lang_mi", q.q_source_lang_mi),
+        ("q_hapax_by_source", q.q_hapax_by_source),
+        ("q_xcorr_daily", q.q_xcorr_daily),
+        ("q_cusum_daily", q.q_cusum_daily),
+        ("q_dow_profile", q.q_dow_profile),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1430,3 +1430,149 @@ def xcorr_daily(
             }
         )
     )
+
+
+def cusum_daily(
+    ds: rd.Dataset,
+    k_frac: float = 0.1,
+    max_cells: int = 200_000,
+) -> rd.Dataset:
+    """One-sided CUSUM control line over the gap-filled per-type daily
+    series: S_0 = max(0, x_0 − μ − k), S_t = max(0, S_{t−1} + (x_t − μ
+    − k)) with reference level μ = the series mean and slack k =
+    ``k_frac``·μ (Page 1954 — the sustained-shift detector the EWMA
+    line complements: EWMA tracks level, CUSUM accumulates evidence of
+    a persistent upward drift and resets at 0 while in control).
+
+    Exactness: like ewma_daily the recurrence is a single dependency
+    chain over the tiny dense grid — both engines evaluate max(0,
+    S + ((x − μ) − k)) in the same op order with μ and k derived from
+    the SAME integers (grid total / day count), so the SQL recursive
+    CTE computes bit-identical doubles and the oracle is exact. Same
+    combiner shape and loud grid guard as ewma_daily; the day loop is
+    vectorized across types."""
+    import numpy as np
+
+    cells = _daily_cells(ds, max_cells, "cusum_daily")
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "cusum": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), len(days))
+    )
+    m = float(len(days))
+    mu = grid.sum(axis=1).astype(np.float64) / m        # per-type mean
+    slack = k_frac * mu
+    cu = np.empty(grid.shape, dtype=np.float64)
+    # same op order as the recursive CTE: max(0, prev + ((n - mu) - k))
+    cu[:, 0] = np.maximum(
+        0.0, (grid[:, 0].astype(np.float64) - mu) - slack
+    )
+    for t in range(1, len(days)):
+        cu[:, t] = np.maximum(
+            0.0, cu[:, t - 1] + ((grid[:, t].astype(np.float64) - mu)
+                                 - slack)
+        )
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    from . import round_half_away_np
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(
+                    np.repeat(types, len(days)), pa.string()
+                ),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "cusum": pa.array(round_half_away_np(cu.ravel(), 6)),
+            }
+        )
+    )
+
+
+def dow_profile(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Day-of-week seasonality profile per event type over the
+    gap-filled daily grid: per (type, dow) the number of calendar days,
+    total events, mean events/day and the share of the type's volume —
+    the weekly-shape audit that explains an acf_daily lag-7 peak
+    (0 = Sunday .. 6 = Saturday, the SQL dayofweek convention; missing
+    days count as true zero days on both engines).
+
+    Exactness: counts and totals are integers from the same combiner
+    grid as ewma_daily; mean and share are ONE division each at 6dp."""
+    import numpy as np
+
+    cells = _daily_cells(ds, max_cells, "dow_profile")
+    out: dict = {
+        "event_type": [], "dow": [], "n_days": [], "total": [],
+        "mean_n": [], "share": [],
+    }
+    from . import round_half_away
+
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        # 1970-01-01 (day_id 0) was a Thursday; dayofweek(Sunday) = 0
+        dows = (days + 4) % 7
+        for ti, t in enumerate(types):
+            type_total = int(grid[ti].sum())
+            for dow in range(7):
+                mask = dows == dow
+                nd = int(mask.sum())
+                if nd == 0:
+                    continue
+                tot = int(grid[ti][mask].sum())
+                out["event_type"].append(t)
+                out["dow"].append(dow)
+                out["n_days"].append(nd)
+                out["total"].append(tot)
+                out["mean_n"].append(
+                    round_half_away(float(tot) / float(nd), 6)
+                )
+                out["share"].append(
+                    None if type_total == 0 else
+                    round_half_away(float(tot) / float(type_total), 6)
+                )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "dow": pa.array(out["dow"], pa.int64()),
+                "n_days": pa.array(out["n_days"], pa.int64()),
+                "total": pa.array(out["total"], pa.int64()),
+                "mean_n": pa.array(out["mean_n"], pa.float64()),
+                "share": pa.array(out["share"], pa.float64()),
+            }
+        )
+    )

@@ -2972,6 +2972,31 @@ def q_xcorr_daily(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_cusum_daily(sf_dir: str) -> rd.Dataset:
+    """One-sided CUSUM control line per event type (Page 1954): single
+    dependency chain over the gap-filled grid, bit-identical to the
+    SQL recursive CTE (the ewma_daily contract)."""
+    from .functions.events import cusum_daily
+
+    return cusum_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        k_frac=0.1,
+    )
+
+
+def q_dow_profile(sf_dir: str) -> rd.Dataset:
+    """Day-of-week seasonality profile per event type over the filled
+    grid (0=Sunday) — integer days/totals, mean and share one division
+    each at 6dp."""
+    from .functions.events import dow_profile
+
+    return dow_profile(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
 def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     """Zipf-law OLS fit (ln count vs ln rank) over the top-100 tokens —
     vocabulary-health audit; heavy pass is the top_tokens combiner, the
@@ -3003,6 +3028,8 @@ def queries() -> dict:
         "q_source_lang_mi": q_source_lang_mi,
         "q_hapax_by_source": q_hapax_by_source,
         "q_xcorr_daily": q_xcorr_daily,
+        "q_cusum_daily": q_cusum_daily,
+        "q_dow_profile": q_dow_profile,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3271,6 +3298,59 @@ def _oracle_sql_base() -> dict:
             " round((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)"
             " + 1.0) / 2.0) / (CAST(np AS DOUBLE)"
             " * CAST(nt - np AS DOUBLE)), 6) END AS auc FROM a"
+        ),
+        "q_cusum_daily": (
+            # the ewma_daily recursive-CTE mirror: same filled grid,
+            # same op order max(0, prev + ((n - mu) - 0.1*mu))
+            "WITH RECURSIVE c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " dd AS (SELECT day, CAST(date_diff('day', (SELECT lo FROM b),"
+            " day) AS BIGINT) AS i FROM days),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, dd.day, dd.i,"
+            " coalesce(c.n, 0) AS n FROM dd CROSS JOIN t"
+            " LEFT JOIN c ON c.day = dd.day"
+            " AND c.event_type = t.event_type),"
+            " mu AS (SELECT event_type, CAST(sum(n) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE) AS mu FROM grid GROUP BY 1),"
+            " r AS (SELECT g.event_type, g.i, g.day, g.n,"
+            " greatest(0.0, (CAST(g.n AS DOUBLE) - m.mu) - 0.1 * m.mu)"
+            " AS cusum FROM grid g JOIN mu m"
+            " ON m.event_type = g.event_type WHERE g.i = 0"
+            " UNION ALL SELECT g.event_type, g.i, g.day, g.n,"
+            " greatest(0.0, r.cusum + ((CAST(g.n AS DOUBLE) - m.mu)"
+            " - 0.1 * m.mu)) FROM grid g"
+            " JOIN r ON g.event_type = r.event_type AND g.i = r.i + 1"
+            " JOIN mu m ON m.event_type = g.event_type)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " round(cusum, 6) AS cusum FROM r"
+        ),
+        "q_dow_profile": (
+            "WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN t"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = t.event_type),"
+            " g2 AS (SELECT event_type, dayofweek(day)::BIGINT AS dow,"
+            " count(*)::BIGINT AS n_days, sum(n)::BIGINT AS total"
+            " FROM grid GROUP BY 1, 2),"
+            " tt AS (SELECT event_type, sum(total)::BIGINT AS tot"
+            " FROM g2 GROUP BY 1)"
+            " SELECT g2.event_type, g2.dow, g2.n_days, g2.total,"
+            " round(CAST(g2.total AS DOUBLE) / CAST(g2.n_days AS DOUBLE),"
+            " 6) AS mean_n,"
+            " CASE WHEN tt.tot > 0 THEN round(CAST(g2.total AS DOUBLE)"
+            " / CAST(tt.tot AS DOUBLE), 6) END AS share"
+            " FROM g2 JOIN tt ON tt.event_type = g2.event_type"
         ),
         "q_source_lang_mi": (
             # integer crosstab -> per-cell log2 terms; 6dp absorbs
