@@ -277,6 +277,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_xcorr_daily", q.q_xcorr_daily),
         ("q_cusum_daily", q.q_cusum_daily),
         ("q_dow_profile", q.q_dow_profile),
+        # round-5 batch-16 linkage/point-process
+        ("q_snm_pairs", q.q_snm_pairs),
+        ("q_burstiness", q.q_burstiness),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

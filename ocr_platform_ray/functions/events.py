@@ -1576,3 +1576,61 @@ def dow_profile(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def burstiness_by_type(ds: rd.Dataset) -> rd.Dataset:
+    """Burstiness coefficient B = (σ − μ)/(σ + μ) of the inter-event
+    gaps per event type (Goh & Barabási 2008): −1 for a perfectly
+    periodic stream, → 0 for Poisson, → 1 for heavy-tailed bursts —
+    the point-process sibling of the daily-grid monitors (CUSUM/EWMA
+    see level shifts; burstiness sees CLUMPING at the raw-timestamp
+    scale).
+
+    Exactness: gaps are int64 microseconds in (ts, event_id) order;
+    n/Σg/Σg² accumulate as exact PYTHON ints (Σg² can exceed int64 —
+    the SQL side accumulates HUGEINT), then both engines cast the SAME
+    exact integers to double and evaluate one mirrored expression
+    (σ² = Σg²/n − μ², 6dp). Scale note: one group per event type (few
+    types by construction here); a high-cardinality key would ride
+    bucketed_group_apply with per-key sub-sorts instead."""
+    import numpy as np
+
+    from . import round_half_away
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        if len(ts) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_gaps", "mean_gap_us",
+                         "burstiness"]
+            )
+        gaps = np.diff(ts)
+        n = int(len(gaps))
+        sg = int(gaps.sum())                      # < 2^63 (span bound)
+        sg2 = sum(int(x) * int(x) for x in gaps)  # exact python int
+        nf = float(n)
+        mf = float(sg) / nf
+        vf = float(sg2) / nf - mf * mf
+        if vf > 0.0:
+            s = np.sqrt(vf)
+            b = (s - mf) / (s + mf)
+            bv = round_half_away(float(b), 6)
+        elif mf > 0.0:
+            bv = -1.0          # σ = 0, periodic
+        else:
+            bv = None          # all gaps zero
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_gaps": [n],
+                "mean_gap_us": [round_half_away(mf, 6)],
+                "burstiness": [bv],
+            }
+        )
+
+    return (
+        ds.select_columns(["event_type", "ts", "event_id"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )

@@ -370,3 +370,164 @@ def minhash_edit_verified_pairs(
         ["doc_a", "doc_b"], kind="mergesort"
     )
     return pa.Table.from_pandas(scored, preserve_index=False)
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    window: int = 5,
+    key_chars: int = 32,
+    prefix_chars: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank the
+    corpus by a normalized content sort key (lowercased, non-[a-z0-9]
+    stripped, first ``key_chars`` chars, ``id_col`` tie-break) and emit
+    every candidate pair within ``window`` ranks — the classic
+    record-linkage alternative to LSH blocking: near-identical prefixes
+    become ADJACENT in sort order regardless of their hash distance.
+    Output: (doc_a, doc_b, rank_gap) with doc_a the lower-ranked doc,
+    0 < rank_gap <= window. EXACT (all-integer ranks), so the SQL
+    self-join ``b.rk - a.rk <= window`` over ``row_number() OVER (ORDER
+    BY sk, id)`` is a value-hash oracle.
+
+    Distributed exact rank without a global sort (the
+    seeded_shuffle_rank scheme, range-bucketed by the key's first
+    ``prefix_chars`` chars — prefix order == key order): pass 1 counts
+    rows per prefix bucket (driver-bounded: <= 37^prefix_chars + 1
+    ints), pass 2 ranks inside each bucket and adds the exclusive
+    prefix offset. Content prefixes skew (natural text clusters on
+    common openings) — raise ``prefix_chars`` at corpus scale so the
+    hottest bucket's (key, id) pairs fit a worker; the ranks-only
+    shuffle never carries text. Pair generation is windowed-bucket
+    local: every row lands in rank-bucket floor(rk/window) and its
+    successor, and a pair is emitted ONLY in the lower member's native
+    bucket — each qualifying pair materializes exactly once, no
+    dedup shuffle."""
+    import polars as pl
+
+    from .dedup import shuffle_blocks
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select([id_col, text_col]))
+        d = d.with_columns(
+            pl.col(text_col)
+            .str.to_lowercase()
+            .str.replace_all(r"[^a-z0-9]", "")
+            .str.slice(0, key_chars)
+            .alias("__sk")
+        ).drop(text_col)
+        d = d.with_columns(
+            pl.col("__sk").str.slice(0, prefix_chars).alias("__bucket")
+        )
+        return d.to_arrow()
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        add_key, batch_format="pyarrow"
+    ).materialize()  # two consumers (count pass + rank pass): one scan
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch.select(["__bucket"]))
+            .group_by("__bucket")
+            .len()
+            .rename({"len": "n"})
+            .to_arrow()
+        )
+
+    acc: dict = {}
+    for part in keyed.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).take_all():
+        acc[part["__bucket"]] = acc.get(part["__bucket"], 0) + int(part["n"])
+    buckets = sorted(acc)  # lexicographic == sort-key range order
+    offsets: dict = {}
+    run = 0
+    for b in buckets:
+        offsets[b] = run
+        run += acc[b]
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__sk", id_col], kind="mergesort")
+        base = offsets[g["__bucket"].iloc[0]]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "rk": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    ranked = (
+        keyed.repartition(shuffle_blocks())
+        .groupby("__bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+    def to_window_buckets(batch: pa.Table) -> pa.Table:
+        rk = batch.column("rk").to_numpy()
+        ids = batch.column(id_col)
+        wb = rk // window
+        t = pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [ids.combine_chunks()] * 2
+                ) if isinstance(ids, pa.ChunkedArray) else pa.concat_arrays(
+                    [ids] * 2
+                ),
+                # each row visits its native rank-bucket AND the
+                # PREVIOUS one, so a pair's lower member is always
+                # native in some bucket that also holds the higher
+                # member (whose floor is at most one bucket ahead)
+                "rk": pa.array(np.concatenate([rk, rk]), pa.int64()),
+                "wb": pa.array(np.concatenate([wb, wb - 1]), pa.int64()),
+            }
+        )
+        return t
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # g holds MANY wb keys (bucketed_group_apply contract: fn
+        # sub-groups). Sort by (wb, rk); a wb segment has <= 2*window
+        # rows (natives + visitors from wb+1), so every qualifying pair
+        # is a same-segment pair at sorted-offset d in [1, 2*window).
+        # Loop over d (bounded by the WINDOW, not the data), vectorized
+        # across all segments at each d.
+        g = g.sort_values(["wb", "rk"], kind="mergesort")
+        rk = g["rk"].to_numpy(np.int64)
+        wb = g["wb"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy()
+        out_a, out_b, out_gap = [], [], []
+        for d in range(1, 2 * window):
+            if d >= len(rk):
+                break
+            ra, rb = rk[:-d], rk[d:]
+            gap = rb - ra
+            keep = (
+                (wb[:-d] == wb[d:])
+                & (gap > 0)
+                & (gap <= window)
+                # emit once: only where the LOWER member is native
+                & ((ra // window) == wb[:-d])
+            )
+            out_a.append(ids[:-d][keep])
+            out_b.append(ids[d:][keep])
+            out_gap.append(gap[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=ids.dtype),
+                 "doc_b": pd.Series([], dtype=ids.dtype),
+                 "rank_gap": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "rank_gap": np.concatenate(out_gap),
+            }
+        )
+
+    return bucketed_group_apply(
+        ranked.map_batches(to_window_buckets, batch_format="pyarrow"),
+        "wb",
+        pairs_in_bucket,
+        n_buckets=shuffle_blocks(),
+    )

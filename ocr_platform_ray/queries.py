@@ -2972,6 +2972,30 @@ def q_xcorr_daily(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_snm_pairs(sf_dir: str) -> rd.Dataset:
+    """Sorted-neighborhood blocking candidates (Hernández & Stolfo):
+    pairs within 5 ranks of the normalized-prefix sort order —
+    distributed exact rank (range-bucketed, no global sort), windowed
+    buckets emit each pair exactly once; all-integer oracle."""
+    from .functions.linkage import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), window=5
+    )
+
+
+def q_burstiness(sf_dir: str) -> rd.Dataset:
+    """Inter-event burstiness B = (σ−μ)/(σ+μ) per type (Goh &
+    Barabási): exact int gap moments (Σg² in HUGEINT/python-int), one
+    mirrored float expression at 6dp."""
+    from .functions.events import burstiness_by_type
+
+    return burstiness_by_type(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "ts"])
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3030,6 +3054,8 @@ def queries() -> dict:
         "q_xcorr_daily": q_xcorr_daily,
         "q_cusum_daily": q_cusum_daily,
         "q_dow_profile": q_dow_profile,
+        "q_snm_pairs": q_snm_pairs,
+        "q_burstiness": q_burstiness,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3298,6 +3324,40 @@ def _oracle_sql_base() -> dict:
             " round((rpos - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)"
             " + 1.0) / 2.0) / (CAST(np AS DOUBLE)"
             " * CAST(nt - np AS DOUBLE)), 6) END AS auc FROM a"
+        ),
+        "q_snm_pairs": (
+            # rank by (normalized 32-char prefix, doc_id); pairs with
+            # 0 < rank gap <= 5 — all-integer, exact
+            "WITH k AS (SELECT doc_id,"
+            " substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),"
+            " 1, 32) AS sk FROM documents),"
+            " r AS (SELECT doc_id, row_number() OVER (ORDER BY sk,"
+            " doc_id) - 1 AS rk FROM k)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " b.rk - a.rk AS rank_gap FROM r a JOIN r b"
+            " ON b.rk > a.rk AND b.rk - a.rk <= 5"
+        ),
+        "q_burstiness": (
+            # exact HUGEINT gap moments -> one mirrored float expression
+            "WITH o AS (SELECT event_type, ts, lag(ts) OVER ("
+            " PARTITION BY event_type ORDER BY ts, event_id) AS pts"
+            " FROM events),"
+            " g AS (SELECT event_type,"
+            " epoch_us(ts) - epoch_us(pts) AS gap FROM o"
+            " WHERE pts IS NOT NULL),"
+            " m AS (SELECT event_type, count(*)::BIGINT AS n,"
+            " sum(gap::HUGEINT) AS sg,"
+            " sum(gap::HUGEINT * gap::HUGEINT) AS sg2 FROM g"
+            " GROUP BY 1),"
+            " v AS (SELECT event_type, n,"
+            " CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mf,"
+            " CAST(sg2 AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS vf FROM m)"
+            " SELECT event_type, n AS n_gaps, round(mf, 6)"
+            " AS mean_gap_us, CASE WHEN vf > 0 THEN"
+            " round((sqrt(vf) - mf) / (sqrt(vf) + mf), 6)"
+            " WHEN mf > 0 THEN -1.0 END AS burstiness FROM v"
         ),
         "q_cusum_daily": (
             # the ewma_daily recursive-CTE mirror: same filled grid,
