@@ -280,6 +280,11 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-16 linkage/point-process
         ("q_snm_pairs", q.q_snm_pairs),
         ("q_burstiness", q.q_burstiness),
+        # round-5 batch-17 smoothing/association/graph
+        ("q_holt_daily", q.q_holt_daily),
+        ("q_kendall_len_words", q.q_kendall_len_words),
+        ("q_kruskal_len_by_lang", q.q_kruskal_len_by_lang),
+        ("q_triangles", q.q_triangles),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

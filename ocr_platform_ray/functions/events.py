@@ -1634,3 +1634,75 @@ def burstiness_by_type(ds: rd.Dataset) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(per_type, batch_format="pandas")
     )
+
+
+def holt_daily(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Holt double exponential smoothing (level + linear trend, Holt
+    1957) over the gap-filled per-type daily series with α = 0.3,
+    β = 0.1 — the forecasting-grade smoother that the EWMA line lacks:
+    EWMA lags a drifting series systematically, Holt's trend term b_t
+    tracks the drift itself, so (level, trend) is the state a capacity
+    forecaster would actually extrapolate from.
+
+    Recurrence (both engines evaluate these literal-constant forms):
+    l_0 = x_0, b_0 = x_1 − x_0 (0 when the grid has a single day);
+    l_t = 0.3·x_t + 0.7·(l_{t−1} + b_{t−1});
+    b_t = 0.1·(l_t − l_{t−1}) + 0.9·b_{t−1}.
+    Exactness: a single dependency chain over the tiny dense grid (the
+    ewma/cusum contract) — the SQL recursive CTE evaluates the SAME
+    op-order expressions on the SAME integer grid, so doubles are
+    bit-identical and 6dp rounding is cosmetic. The recursive step
+    spells l_t out twice (CTEs can't reference a computed alias), which
+    is still the identical value. Same combiner + loud grid guard as
+    ewma_daily; the day loop is vectorized across types."""
+    cells = _daily_cells(ds, max_cells, "holt_daily")
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "level": pa.array([], pa.float64()),
+                    "trend": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), len(days))
+    )
+    x = grid.astype(np.float64)
+    lv = np.empty_like(x)
+    tr = np.empty_like(x)
+    lv[:, 0] = x[:, 0]
+    tr[:, 0] = (x[:, 1] - x[:, 0]) if len(days) > 1 else 0.0
+    for t in range(1, len(days)):
+        l_new = 0.3 * x[:, t] + 0.7 * (lv[:, t - 1] + tr[:, t - 1])
+        tr[:, t] = 0.1 * (l_new - lv[:, t - 1]) + 0.9 * tr[:, t - 1]
+        lv[:, t] = l_new
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(
+                    np.repeat(types, len(days)), pa.string()
+                ),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "level": pa.array(round_half_away_np(lv.ravel(), 6)),
+                "trend": pa.array(round_half_away_np(tr.ravel(), 6)),
+            }
+        )
+    )

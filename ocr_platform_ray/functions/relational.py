@@ -4227,3 +4227,215 @@ def categorical_mutual_info(
             }
         )
     )
+
+
+def _joint_cells(
+    ds: rd.Dataset,
+    cols: list[str],
+    max_cells: int,
+    who: str,
+) -> pd.DataFrame:
+    """Shared combiner for value-histogram statistics: one streamed pass
+    of per-batch distinct-``cols`` COUNT partials (output bounded by
+    distinct cells, never rows), a bucketed merge, and a driver collect
+    under a loud ``max_cells`` guard. Returns (cols..., c). At 100 TB
+    the guard is the contract: pre-bin continuous values so the cell
+    space stays driver-sized, exactly like the spearman/auc siblings."""
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        agg = df.groupby(cols, as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(cols, as_index=False).agg(c=("c", "sum"))
+
+    cells = (
+        bucketed_group_apply(
+            ds.select_columns(cols)
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .repartition(shuffle_blocks()),
+            cols,
+            merge,
+            batch_format="pandas",
+            n_buckets=shuffle_blocks(),
+        )
+        .limit(max_cells + 1)
+        .to_pandas()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"{who}: > {max_cells} distinct cells — raise max_cells "
+            "deliberately or bin the values first"
+        )
+    return cells
+
+
+def kendall_tau_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 1_000_000,
+    chunk: int = 1024,
+) -> rd.Dataset:
+    """Per-group Kendall tau-b — the ordinal-association audit that
+    complements spearman_by_group: tau counts CONCORDANT vs DISCORDANT
+    pairs directly, so it is interpretable as a probability difference
+    and markedly more robust to a few wild ranks than rho.
+
+    EXACT all-integer shape: over the joint (x, y) value histogram of a
+    group (cells (x_i, y_i, c_i)), concordant pairs
+    C = Σ_{x_a<x_b, y_a<y_b} c_a·c_b and discordant D likewise with
+    y_a>y_b — pure int64 products; marginal tie-pair counts
+    n1 = Σ_x c_x(c_x−1)/2, n2 likewise on y, and n0 = n(n−1)/2. Both
+    engines then evaluate ONE mirrored float expression
+    tau_b = (C − D) / (sqrt(n0−n1)·sqrt(n0−n2)), 6dp half-away
+    (NULL when either marginal is constant). The SQL oracle is the
+    literal cells self-join, so the value-hash match is exact.
+
+    Distributed shape: the corpus pass is the `_joint_cells` combiner
+    (shuffle carries distinct-cell counts, never rows); the pair count
+    runs on the collected cells per group as CHUNKED numpy O(m²/chunk)
+    matmuls — vectorized, no Python pair loop. m is bounded by the loud
+    ``max_cells`` guard; at 100 TB pre-bin x/y so cells stay bounded
+    (the spearman/auc contract)."""
+    import numpy as np
+
+    cells = _joint_cells(
+        ds, [group_col, x_col, y_col], max_cells, "kendall_tau_by_group"
+    )
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "tau": pa.array([], pa.float64()),
+                }
+            )
+        )
+    recs = []
+    for gk, sub in cells.groupby(group_col, sort=True):
+        x = sub[x_col].to_numpy(np.float64)
+        y = sub[y_col].to_numpy(np.float64)
+        c = sub["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        n0 = n * (n - 1) // 2
+        sx = pd.Series(c).groupby(x).sum().to_numpy(np.int64)
+        sy = pd.Series(c).groupby(y).sum().to_numpy(np.int64)
+        n1 = int((sx * (sx - 1) // 2).sum())
+        n2 = int((sy * (sy - 1) // 2).sum())
+        C = 0
+        D = 0
+        for lo in range(0, len(c), chunk):
+            hi = min(lo + chunk, len(c))
+            xlt = x[lo:hi, None] < x[None, :]
+            ylt = y[lo:hi, None] < y[None, :]
+            ygt = y[lo:hi, None] > y[None, :]
+            C += int(((xlt & ylt).astype(np.int64) @ c) @ c[lo:hi])
+            D += int(((xlt & ygt).astype(np.int64) @ c) @ c[lo:hi])
+        dx, dy = n0 - n1, n0 - n2
+        if dx > 0 and dy > 0:
+            tau = round_half_away(
+                float(C - D) / (np.sqrt(float(dx)) * np.sqrt(float(dy))),
+                6,
+            )
+        else:
+            tau = None
+        recs.append({group_col: gk, "n": n, "tau": tau})
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array([r[group_col] for r in recs]),
+                "n": pa.array([r["n"] for r in recs], pa.int64()),
+                "tau": pa.array([r["tau"] for r in recs], pa.float64()),
+            }
+        )
+    )
+
+
+def kruskal_wallis(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    max_cells: int = 1_000_000,
+) -> rd.Dataset:
+    """Kruskal–Wallis H (one-way ANOVA on ranks, tie-corrected) — does
+    the VALUE distribution differ across groups at all: the k-sample
+    generalization of mannwhitney_by_group and the gatekeeper a curation
+    pipeline runs before trusting any per-group threshold (if doc length
+    doesn't differ by language, per-language length cuts are noise).
+
+    EXACT midrank shape (recipe of the mannwhitney/auc siblings):
+    doubled midranks r2_v = 2·|{<v}| + |{=v}| + 1 are integers from the
+    global value histogram; per-group doubled rank sums s2_g accumulate
+    exactly (HUGEINT / python int). To avoid the catastrophic
+    cancellation of the textbook Σ R²/n − 3(N+1) form (float error there
+    scales with N³, which 6dp does NOT absorb at sf0.1), both engines
+    evaluate the algebraically identical DEVIATION form
+        H = 3/(N(N+1)) · Σ_g d_g²/n_g,   d_g = s2_g − n_g·(N+1)
+    (d_g = 2·n_g·(mean_rank_g − grand_mean_rank), an exact integer), then
+    divide by the tie correction 1 − Σ(t³−t)/(N³−N). Every term is
+    non-negative, so summation-order ulps stay relative and 6dp is safe.
+
+    Distributed shape: one `_joint_cells` combiner pass (shuffle carries
+    distinct (group, value) counts); rank arithmetic is driver-side
+    integer work on the bounded cells. Emits ONE row (n, k, h); h NULL
+    when every value is identical (tie correction 0)."""
+    import numpy as np
+
+    cells = _joint_cells(
+        ds, [group_col, value_col], max_cells, "kruskal_wallis"
+    )
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.float64()),
+                }
+            )
+        )
+    # global doubled midranks from the value marginal
+    marg = cells.groupby(value_col, as_index=False).agg(t=("c", "sum"))
+    marg = marg.sort_values(value_col, kind="mergesort")
+    t = marg["t"].to_numpy(np.int64)
+    before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    r2 = 2 * before + t + 1
+    rank_of = dict(zip(marg[value_col].tolist(), r2.tolist()))
+    N = int(t.sum())
+    tie_sum = int(sum(int(tv) ** 3 - int(tv) for tv in t))
+    S = 0.0
+    k = 0
+    for gk, sub in cells.groupby(group_col, sort=True):
+        c = sub["c"].to_numpy(np.int64)
+        rr = np.array(
+            [rank_of[v] for v in sub[value_col].tolist()], dtype=np.int64
+        )
+        n_g = int(c.sum())
+        s2 = int((c * rr).sum())
+        d = s2 - n_g * (N + 1)
+        S += float(d * d) / float(n_g)
+        k += 1
+    denom = N**3 - N
+    corr = 1.0 - float(tie_sum) / float(denom) if denom > 0 else 0.0
+    if corr > 0.0:
+        h = round_half_away(
+            (3.0 * S / (float(N) * float(N + 1))) / corr, 6
+        )
+    else:
+        h = None
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": pa.array([N], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "h": pa.array([h], pa.float64()),
+            }
+        )
+    )

@@ -2996,6 +2996,61 @@ def q_burstiness(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_holt_daily(sf_dir: str) -> rd.Dataset:
+    """Holt level+trend smoothing (α=0.3, β=0.1) per event type over
+    the gap-filled daily grid: recursive-CTE mirror, bit-identical
+    doubles (the ewma/cusum contract)."""
+    from .functions.events import holt_daily
+
+    return holt_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    )
+
+
+def q_kendall_len_words(sf_dir: str) -> rd.Dataset:
+    """Kendall tau-b between char count and space count per lang:
+    all-integer concordant/discordant pair counts over the joint value
+    histogram, one mirrored float expression."""
+    from .functions.relational import kendall_tau_by_group
+
+    def add_spaces(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(batch)
+        return d.with_columns(
+            pl.col("text").str.count_matches(" ", literal=True)
+            .cast(pl.Int64).alias("n_spaces")
+        ).drop("text").to_arrow()
+
+    docs = _docs(sf_dir, ["lang", "n_chars", "text"]).map_batches(
+        add_spaces, batch_format="pyarrow"
+    )
+    return kendall_tau_by_group(docs, "lang", "n_chars", "n_spaces")
+
+
+def q_kruskal_len_by_lang(sf_dir: str) -> rd.Dataset:
+    """Kruskal–Wallis H: does doc length differ across languages —
+    exact doubled midranks, cancellation-free deviation form, tie
+    correction mirrored."""
+    from .functions.relational import kruskal_wallis
+
+    return kruskal_wallis(_docs(sf_dir, ["lang", "n_chars"]),
+                          "lang", "n_chars")
+
+
+def q_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-supplier triangle count + clustering coefficient on the
+    co-supply graph (suppliers sharing an order): bucketed pair
+    combiner, exact dense-matmul kernel, integer oracle."""
+    from .functions.graphs import cosupply_triangles
+
+    return cosupply_triangles(
+        _read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3056,6 +3111,10 @@ def queries() -> dict:
         "q_dow_profile": q_dow_profile,
         "q_snm_pairs": q_snm_pairs,
         "q_burstiness": q_burstiness,
+        "q_holt_daily": q_holt_daily,
+        "q_kendall_len_words": q_kendall_len_words,
+        "q_kruskal_len_by_lang": q_kruskal_len_by_lang,
+        "q_triangles": q_triangles,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3358,6 +3417,120 @@ def _oracle_sql_base() -> dict:
             " AS mean_gap_us, CASE WHEN vf > 0 THEN"
             " round((sqrt(vf) - mf) / (sqrt(vf) + mf), 6)"
             " WHEN mf > 0 THEN -1.0 END AS burstiness FROM v"
+        ),
+        "q_holt_daily": (
+            # Holt recursion on the filled grid; the recursive step
+            # spells l_t out twice (same deterministic value)
+            "WITH RECURSIVE c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " dd AS (SELECT day, CAST(date_diff('day', (SELECT lo FROM b),"
+            " day) AS BIGINT) AS i FROM days),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, dd.day, dd.i,"
+            " coalesce(c.n, 0) AS n FROM dd CROSS JOIN t"
+            " LEFT JOIN c ON c.day = dd.day"
+            " AND c.event_type = t.event_type),"
+            " r AS (SELECT g0.event_type, g0.i, g0.day, g0.n,"
+            " CAST(g0.n AS DOUBLE) AS l,"
+            " CAST(coalesce(g1.n - g0.n, 0) AS DOUBLE) AS bt"
+            " FROM grid g0 LEFT JOIN grid g1"
+            " ON g1.event_type = g0.event_type AND g1.i = 1"
+            " WHERE g0.i = 0"
+            " UNION ALL SELECT g.event_type, g.i, g.day, g.n,"
+            " 0.3 * CAST(g.n AS DOUBLE) + 0.7 * (r.l + r.bt),"
+            " 0.1 * ((0.3 * CAST(g.n AS DOUBLE) + 0.7 * (r.l + r.bt))"
+            " - r.l) + 0.9 * r.bt FROM grid g"
+            " JOIN r ON g.event_type = r.event_type AND g.i = r.i + 1)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " round(l, 6) AS level, round(bt, 6) AS trend FROM r"
+        ),
+        "q_kendall_len_words": (
+            # tau-b over the joint (n_chars, n_spaces) histogram:
+            # all-integer C/D/tie counts, one mirrored float expression
+            "WITH d AS (SELECT lang, n_chars AS x,"
+            " length(text) - length(replace(text, ' ', '')) AS y"
+            " FROM documents),"
+            " cells AS (SELECT lang, x, y, count(*)::BIGINT AS c"
+            " FROM d GROUP BY 1, 2, 3),"
+            " p AS (SELECT a.lang,"
+            " coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y"
+            " THEN a.c * b.c END), 0) AS cc,"
+            " coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y"
+            " THEN a.c * b.c END), 0) AS dd"
+            " FROM cells a JOIN cells b ON a.lang = b.lang GROUP BY 1),"
+            " tx AS (SELECT lang, sum(cx * (cx - 1) // 2) AS n1 FROM"
+            " (SELECT lang, x, sum(c) AS cx FROM cells GROUP BY 1, 2)"
+            " GROUP BY 1),"
+            " ty AS (SELECT lang, sum(cy * (cy - 1) // 2) AS n2 FROM"
+            " (SELECT lang, y, sum(c) AS cy FROM cells GROUP BY 1, 2)"
+            " GROUP BY 1),"
+            " nn AS (SELECT lang, sum(c) AS n FROM cells GROUP BY 1)"
+            " SELECT nn.lang, nn.n::BIGINT AS n,"
+            " CASE WHEN nn.n * (nn.n - 1) // 2 - tx.n1 > 0"
+            " AND nn.n * (nn.n - 1) // 2 - ty.n2 > 0 THEN"
+            " round(CAST(p.cc - p.dd AS DOUBLE)"
+            " / (sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.n1 AS DOUBLE))"
+            " * sqrt(CAST(nn.n * (nn.n - 1) // 2 - ty.n2 AS DOUBLE))), 6)"
+            " END AS tau FROM nn JOIN p USING (lang)"
+            " JOIN tx USING (lang) JOIN ty USING (lang)"
+        ),
+        "q_kruskal_len_by_lang": (
+            # deviation form (no catastrophic cancellation):
+            # H = 3/(N(N+1)) * sum_g d_g^2/n_g / tie_corr,
+            # d_g = s2_g - n_g*(N+1) with s2 the DOUBLED midrank sum
+            "WITH cells AS (SELECT lang, n_chars AS v,"
+            " count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),"
+            " marg AS (SELECT v, sum(c)::BIGINT AS t FROM cells"
+            " GROUP BY 1),"
+            " rnk AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " + t + 1 AS r2 FROM marg),"
+            " tot AS (SELECT sum(t)::BIGINT AS n,"
+            " sum(CAST(t AS HUGEINT) * t * t - t) AS tie_sum FROM marg),"
+            " grp AS (SELECT lang, sum(c)::BIGINT AS n_g,"
+            " sum(CAST(c * r2 AS HUGEINT)) AS s2 FROM cells"
+            " JOIN rnk USING (v) GROUP BY 1),"
+            " dev AS (SELECT lang, n_g,"
+            " s2 - CAST(n_g AS HUGEINT) * ((SELECT n FROM tot) + 1) AS d"
+            " FROM grp),"
+            " agg AS (SELECT count(*)::BIGINT AS k,"
+            " sum(CAST(d * d AS DOUBLE) / CAST(n_g AS DOUBLE)) AS s"
+            " FROM dev)"
+            " SELECT tot.n AS n, agg.k AS k,"
+            " CASE WHEN tot.n > 1 AND tot.tie_sum <"
+            " CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n THEN"
+            " round((3.0 * agg.s / (CAST(tot.n AS DOUBLE)"
+            " * CAST(tot.n + 1 AS DOUBLE)))"
+            " / (1.0 - CAST(tot.tie_sum AS DOUBLE)"
+            " / CAST(CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n"
+            " AS DOUBLE)), 6) END AS h FROM tot, agg"
+        ),
+        "q_triangles": (
+            # undirected co-supply edges (a < b, distinct), triangles
+            # by triple self-join; per-node counts all-integer
+            "WITH e0 AS (SELECT DISTINCT a.l_suppkey AS sa,"
+            " b.l_suppkey AS sb FROM lineitem a JOIN lineitem b"
+            " ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_suppkey < b.l_suppkey),"
+            " tri AS (SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z"
+            " FROM e0 e1 JOIN e0 e2 ON e2.sa = e1.sb"
+            " JOIN e0 e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),"
+            " pernode AS (SELECT node, count(*)::BIGINT AS t FROM"
+            " (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri"
+            " UNION ALL SELECT z FROM tri) GROUP BY 1),"
+            " deg AS (SELECT node, count(*)::BIGINT AS d FROM"
+            " (SELECT sa AS node FROM e0 UNION ALL SELECT sb FROM e0)"
+            " GROUP BY 1)"
+            " SELECT deg.node AS l_suppkey, deg.d AS degree,"
+            " coalesce(pernode.t, 0) AS n_triangles,"
+            " CASE WHEN deg.d >= 2 THEN"
+            " round(2.0 * coalesce(pernode.t, 0)"
+            " / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6)"
+            " END AS clustering FROM deg LEFT JOIN pernode USING (node)"
         ),
         "q_cusum_daily": (
             # the ewma_daily recursive-CTE mirror: same filled grid,
