@@ -285,6 +285,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_kendall_len_words", q.q_kendall_len_words),
         ("q_kruskal_len_by_lang", q.q_kruskal_len_by_lang),
         ("q_triangles", q.q_triangles),
+        # round-5 batch-18 string-sim/robust-trend
+        ("q_jw_pairs", q.q_jw_pairs),
+        ("q_theil_sen", q.q_theil_sen),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -531,3 +531,187 @@ def sorted_neighborhood_pairs(
         pairs_in_bucket,
         n_buckets=shuffle_blocks(),
     )
+
+
+def jaro_winkler_bytes_block(A: list[bytes], B: list[bytes]) -> np.ndarray:
+    """Jaro–Winkler similarity for n ``(A[i], B[i])`` byte-string pairs
+    at once, vectorized across the PAIR axis, matching DuckDB's
+    ``jaro_winkler_similarity`` bit-for-bit (rapidfuzz semantics,
+    empirically pinned in tests/test_round5_batch18.py):
+
+    - BYTES of the UTF-8 encoding (``jaro('café','cafe')`` treats the
+      é as two non-matching bytes);
+    - match window w = max(⌊max(la,lb)/2⌋ − 1, 0), greedy first-unmatched
+      assignment left-to-right;
+    - transpositions t = ⌊mismatched-positions / 2⌋ (floor, NOT the
+      Winkler half — pinned: jaro('ABCDVWXYZ','BCADVWXYZ') = 0.962963);
+    - jaro = (m/la + m/lb + (m−t)/m) / 3 evaluated left-to-right;
+    - Winkler boost ONLY when jaro > 0.7: jw = jaro + (l·0.1)·(1−jaro)
+      with l = common prefix capped at 4; either side empty → 0.
+
+    The per-position loop is over the SHORT axis (max key length);
+    every O(len_a × len_b × pairs) cell stays in numpy — the
+    levenshtein_bytes_block execution contract."""
+    n = len(A)
+    if n == 0:
+        return np.zeros(0)
+    la = np.fromiter((len(a) for a in A), np.int64, n)
+    lb = np.fromiter((len(b) for b in B), np.int64, n)
+    maxa = int(la.max())
+    maxb = int(lb.max())
+    if maxa == 0 or maxb == 0:
+        return np.zeros(n)
+    MA = np.full((n, maxa), -1, np.int16)
+    MB = np.full((n, maxb), -2, np.int16)  # distinct pads never match
+    for i, a in enumerate(A):
+        if a:
+            MA[i, : len(a)] = np.frombuffer(a, np.uint8)
+    for i, b in enumerate(B):
+        if b:
+            MB[i, : len(b)] = np.frombuffer(b, np.uint8)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    amatch = np.zeros((n, maxa), bool)
+    bmatch = np.zeros((n, maxb), bool)
+    jj = np.arange(maxb)[None, :]
+    for i in range(maxa):
+        cand = (
+            (MB == MA[:, i : i + 1])
+            & ~bmatch
+            & (jj >= (i - w)[:, None])
+            & (jj <= (i + w)[:, None])
+            & (jj < lb[:, None])
+        )
+        hit = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        bmatch[hit, first[hit]] = True
+        amatch[:, i] = hit
+    m = amatch.sum(axis=1).astype(np.int64)
+    maxm = max(int(m.max()), 1)
+    SA = np.full((n, maxm), -1, np.int16)
+    SB = np.full((n, maxm), -2, np.int16)
+    ra = np.cumsum(amatch, axis=1) - 1
+    rows, cols = np.nonzero(amatch)
+    SA[rows, ra[rows, cols]] = MA[rows, cols]
+    rb = np.cumsum(bmatch, axis=1) - 1
+    rows, cols = np.nonzero(bmatch)
+    SB[rows, rb[rows, cols]] = MB[rows, cols]
+    kk = np.arange(maxm)[None, :]
+    diffs = ((SA != SB) & (kk < m[:, None])).sum(axis=1)
+    t = diffs // 2
+    mf = m.astype(np.float64)
+    sim = mf / np.maximum(la, 1)
+    sim = sim + mf / np.maximum(lb, 1)
+    sim = sim + (mf - t) / np.maximum(mf, 1)
+    sim = sim / 3.0
+    sim = np.where(m > 0, sim, 0.0)
+    minl = np.minimum(np.minimum(la, lb), 4)
+    pl = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    for i in range(min(4, maxa, maxb)):
+        eq = alive & (i < minl) & (MA[:, i] == MB[:, i])
+        pl += eq
+        alive &= eq
+    return np.where(
+        sim > 0.7, sim + (pl.astype(np.float64) * 0.1) * (1.0 - sim), sim
+    )
+
+
+def jw_blocked_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.9,
+    key_chars: int = 32,
+    block_chars: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_pairs: int = 5_000_000,
+) -> rd.Dataset:
+    """Jaro–Winkler candidate scoring under equality blocking: pairs of
+    docs whose normalized keys (lowercased, non-[a-z0-9] stripped,
+    first ``key_chars`` chars) share their first ``block_chars`` chars,
+    scored with :func:`jaro_winkler_bytes_block` and kept at
+    ``jw >= threshold`` — the name-matching workhorse of record linkage
+    (Winkler's census dedup), complementing the edit-distance verifier:
+    JW rewards shared prefixes, exactly what titles/headers duplicate.
+
+    Distributed shape: blocking keys are computed per batch (polars,
+    mirrors the SQL normalization), blocks co-locate via
+    ``bucketed_group_apply`` (all rows of one block in one bucket;
+    sub-grouped inside), pairs materialize block-locally with
+    ``np.triu_indices`` over the ``id_col``-sorted rows (so doc_a <
+    doc_b and the SQL self-join ``a.id < b.id`` is the exact oracle),
+    and the kernel scores the whole bucket's pairs in one vectorized
+    call. A bucket whose blocks imply more than ``max_block_pairs``
+    raises loudly (hot prefixes at corpus scale → raise ``block_chars``,
+    the SNM skew remedy). Output: (doc_a, doc_b, jw) at 6dp."""
+    import polars as pl
+
+    from . import round_half_away_np
+    from .dedup import shuffle_blocks
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select([id_col, text_col]))
+        d = d.with_columns(
+            pl.col(text_col)
+            .str.to_lowercase()
+            .str.replace_all(r"[^a-z0-9]", "")
+            .str.slice(0, key_chars)
+            .alias("__sk")
+        ).drop(text_col)
+        return d.with_columns(
+            pl.col("__sk").str.slice(0, block_chars).alias("__blk")
+        ).to_arrow()
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col], kind="mergesort")
+        blk = g["__blk"].to_numpy()
+        order = np.argsort(blk, kind="stable")  # group by block, id-stable
+        blk = blk[order]
+        ids = g[id_col].to_numpy()[order]
+        sks = g["__sk"].to_numpy()[order]
+        # contiguous block segments
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = blk[1:] != blk[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(g)))
+        n_pairs = int((counts * (counts - 1) // 2).sum())
+        if n_pairs > max_block_pairs:
+            raise ValueError(
+                f"jw_blocked_pairs: {n_pairs} candidate pairs in one "
+                "bucket — hot blocking prefix; raise block_chars or "
+                "max_block_pairs deliberately"
+            )
+        ii_all, jj_all = [], []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), k=1)
+            ii_all.append(ii + s)
+            jj_all.append(jj + s)
+        if not ii_all:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=ids.dtype),
+                 "doc_b": pd.Series([], dtype=ids.dtype),
+                 "jw": pd.Series([], dtype=np.float64)}
+            )
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        enc = np.char.encode(sks.astype(str), "utf-8")
+        jw = jaro_winkler_bytes_block(
+            [bytes(x) for x in enc[ii]], [bytes(x) for x in enc[jj]]
+        )
+        keep = jw >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ii[keep]],
+                "doc_b": ids[jj[keep]],
+                "jw": round_half_away_np(jw[keep], 6),
+            }
+        )
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        keyed, "__blk", pairs_in_bucket, n_buckets=shuffle_blocks()
+    )

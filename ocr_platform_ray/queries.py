@@ -3051,6 +3051,27 @@ def q_triangles(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_jw_pairs(sf_dir: str) -> rd.Dataset:
+    """Jaro–Winkler >= 0.9 pairs under 4-char prefix blocking: the
+    kernel bit-matches DuckDB jaro_winkler_similarity (rapidfuzz
+    semantics, pinned in tests), pair-axis vectorized."""
+    from .functions.linkage import jw_blocked_pairs
+
+    return jw_blocked_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_theil_sen(sf_dir: str) -> rd.Dataset:
+    """Theil–Sen robust trend (median pairwise slope + median
+    intercept) per event type over the gap-filled daily grid; medians
+    via the quantile_cont weighted-interpolation mirror."""
+    from .functions.events import theil_sen_daily
+
+    return theil_sen_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3115,6 +3136,8 @@ def queries() -> dict:
         "q_kendall_len_words": q_kendall_len_words,
         "q_kruskal_len_by_lang": q_kruskal_len_by_lang,
         "q_triangles": q_triangles,
+        "q_jw_pairs": q_jw_pairs,
+        "q_theil_sen": q_theil_sen,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3531,6 +3554,50 @@ def _oracle_sql_base() -> dict:
             " round(2.0 * coalesce(pernode.t, 0)"
             " / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6)"
             " END AS clustering FROM deg LEFT JOIN pernode USING (node)"
+        ),
+        "q_jw_pairs": (
+            # 4-char prefix blocks, a.doc_id < b.doc_id, jw >= 0.9;
+            # the engine kernel bit-matches jaro_winkler_similarity
+            "WITH k AS (SELECT doc_id,"
+            " substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),"
+            " 1, 32) AS sk FROM documents)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " round(jaro_winkler_similarity(a.sk, b.sk), 6) AS jw"
+            " FROM k a JOIN k b"
+            " ON substr(a.sk, 1, 4) = substr(b.sk, 1, 4)"
+            " AND a.doc_id < b.doc_id"
+            " WHERE jaro_winkler_similarity(a.sk, b.sk) >= 0.9"
+        ),
+        "q_theil_sen": (
+            # median pairwise slope over the filled grid, intercept
+            # from the UNROUNDED slope; quantile_cont both medians
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " dd AS (SELECT day, CAST(date_diff('day', (SELECT lo FROM b),"
+            " day) AS BIGINT) AS i FROM days),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, dd.i,"
+            " coalesce(c.n, 0) AS n FROM dd CROSS JOIN t"
+            " LEFT JOIN c ON c.day = dd.day"
+            " AND c.event_type = t.event_type),"
+            " sl AS (SELECT g1.event_type,"
+            " quantile_cont(CAST(g2.n - g1.n AS DOUBLE)"
+            " / CAST(g2.i - g1.i AS DOUBLE), 0.5) AS s"
+            " FROM grid g1 JOIN grid g2"
+            " ON g2.event_type = g1.event_type AND g2.i > g1.i"
+            " GROUP BY 1),"
+            " ic AS (SELECT g.event_type,"
+            " quantile_cont(CAST(g.n AS DOUBLE)"
+            " - sl.s * CAST(g.i AS DOUBLE), 0.5) AS bi"
+            " FROM grid g JOIN sl USING (event_type) GROUP BY 1)"
+            " SELECT sl.event_type,"
+            " (SELECT count(*) FROM days)::BIGINT AS n_days,"
+            " round(sl.s, 6) AS slope, round(ic.bi, 6) AS intercept"
+            " FROM sl JOIN ic USING (event_type)"
         ),
         "q_cusum_daily": (
             # the ewma_daily recursive-CTE mirror: same filled grid,
