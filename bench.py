@@ -288,6 +288,10 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-18 string-sim/robust-trend
         ("q_jw_pairs", q.q_jw_pairs),
         ("q_theil_sen", q.q_theil_sen),
+        # round-5 batch-19 profiling/features
+        ("q_profile_docs", q.q_profile_docs),
+        ("q_last_purchase", q.q_last_purchase),
+        ("q_rolling_median", q.q_rolling_median),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

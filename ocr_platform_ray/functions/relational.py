@@ -4439,3 +4439,151 @@ def kruskal_wallis(
             }
         )
     )
+
+
+def profile_table(
+    ds: rd.Dataset,
+    columns: list[str],
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Column profiler — per column: row count, NULL count and EXACT
+    distinct count — the schema-drift / data-quality audit every
+    ingestion run does before trusting a new drop (a lang column whose
+    distinct count jumped 10x is a parser regression, not new data).
+
+    Distributed-exact distinct WITHOUT a driver value collect: pass 1
+    melts each batch to its per-batch UNIQUE non-null (column, value)
+    pairs (a combiner — low-cardinality columns collapse immediately);
+    the pairs hash-bucket via ``bucketed_group_apply`` on (column,
+    value), so each distinct pair lands in exactly one bucket and a
+    per-bucket ``drop_duplicates`` + size-by-column is an exact
+    partition of the global distinct count; the collect moves one int
+    row per (bucket, column). Pass 2 is a trivial count/NULL-count
+    partial. Values are compared as their string cast (injective for
+    the int/string columns this profiles; floats should be profiled
+    via histogram operators instead — stated contract)."""
+    import numpy as np
+    import polars as pl
+
+    from .dedup import shuffle_blocks
+
+    if n_buckets is None:
+        n_buckets = shuffle_blocks()
+
+    def melt_unique(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select(columns))
+        parts = []
+        for c in columns:
+            v = d[c].drop_nulls().cast(pl.Utf8).unique()
+            parts.append(
+                pl.DataFrame({"col": [c] * len(v), "val": v})
+            )
+        return pl.concat(parts).to_arrow() if parts else pa.table(
+            {"col": pa.array([], pa.string()),
+             "val": pa.array([], pa.string())}
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["col", "val"])
+        out = u.groupby("col", as_index=False).size()
+        return out.rename(columns={"size": "nd"})
+
+    nd = (
+        bucketed_group_apply(
+            ds.map_batches(melt_unique, batch_format="pyarrow"),
+            ["col", "val"],
+            bucket_distinct,
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n_distinct=("nd", "sum"))
+    )
+
+    def meta_partial(batch: pa.Table) -> pa.Table:
+        recs = []
+        for c in columns:
+            col = batch.column(c)
+            recs.append(
+                {"col": c, "n": len(col), "n_null": col.null_count}
+            )
+        return pa.Table.from_pylist(recs)
+
+    meta = (
+        ds.select_columns(columns)
+        .map_batches(meta_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n=("n", "sum"), n_null=("n_null", "sum"))
+    )
+    out = meta.merge(nd, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out = out.sort_values("col", kind="mergesort")
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "column": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"].astype(np.int64)),
+                "n_null": pa.array(out["n_null"].astype(np.int64)),
+                "n_distinct": pa.array(out["n_distinct"]),
+            }
+        )
+    )
+
+
+def carry_forward(
+    ds: rd.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    mark_col: str,
+    mark_value,
+    out_col: str = "carried",
+    id_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """LOCF (last observation carried forward) feature join: for every
+    row, the most recent ``value_col`` among the group's PRIOR-or-equal
+    rows where ``mark_col == mark_value`` — the classic point-in-time
+    feature ("last purchase amount as of each event") that a naive join
+    would leak future data into. SQL mirror: ``last_value(CASE WHEN mark
+    THEN value END IGNORE NULLS) OVER (PARTITION BY group ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)``. EXACT: values are COPIED,
+    never computed, so the oracle hash-matches with no float contract.
+
+    Scale shape: groups hash-bucket (``bucketed_group_apply`` — all of
+    one group's rows co-locate), the fill inside is a vectorized
+    index-carry (np.maximum.accumulate over marked positions), and the
+    output streams one row per input row. The documented caveat is the
+    usual one-group-fits-a-worker partitioning assumption."""
+    import numpy as np
+
+    cols = [group_col, *order_cols, value_col, mark_col]
+    if id_cols:
+        cols += [c for c in id_cols if c not in cols]
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, *order_cols], kind="mergesort")
+        mark = (g[mark_col] == mark_value).to_numpy()
+        # restart the carry at each group boundary within the bucket
+        gk = g[group_col].to_numpy()
+        new_grp = np.empty(len(g), bool)
+        new_grp[0] = True
+        new_grp[1:] = gk[1:] != gk[:-1]
+        idx = np.where(mark, np.arange(len(g)), -1)
+        start = np.where(new_grp, np.arange(len(g)), -1)
+        np.maximum.accumulate(start, out=start)
+        np.maximum.accumulate(idx, out=idx)
+        valid = idx >= start  # a carried value from BEFORE the group
+        vals = g[value_col].to_numpy()
+        out = g[[c for c in g.columns if c not in (mark_col, value_col)]]
+        out = out.copy()
+        out[out_col] = np.where(valid & (idx >= 0), vals[np.maximum(idx, 0)],
+                                np.nan)
+        return out
+
+    from .dedup import shuffle_blocks
+
+    return bucketed_group_apply(
+        ds.select_columns(cols), group_col, fill,
+        n_buckets=shuffle_blocks(),
+    )

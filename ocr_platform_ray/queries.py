@@ -3072,6 +3072,49 @@ def q_theil_sen(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_profile_docs(sf_dir: str) -> rd.Dataset:
+    """Column profile of documents (n / NULLs / exact distinct):
+    distributed distinct via per-batch unique melt + hash-bucketed
+    partition counting — no driver value collect."""
+    from .functions.relational import profile_table
+
+    return profile_table(
+        _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+def q_last_purchase(sf_dir: str) -> rd.Dataset:
+    """Point-in-time LOCF feature: last purchase value as of each
+    event per user (IGNORE NULLS window mirror) — values copied, so
+    the oracle is exact with no float contract."""
+    from .functions.relational import carry_forward
+
+    return carry_forward(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        ),
+        group_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        mark_col="event_type",
+        mark_value="purchase",
+        out_col="last_purchase_value",
+    )
+
+
+def q_rolling_median(sf_dir: str) -> rd.Dataset:
+    """Centered 7-day rolling median of daily counts per event type
+    (edge windows truncate); quantile_cont window-frame mirror."""
+    from .functions.events import rolling_median_daily
+
+    return rolling_median_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3138,6 +3181,9 @@ def queries() -> dict:
         "q_triangles": q_triangles,
         "q_jw_pairs": q_jw_pairs,
         "q_theil_sen": q_theil_sen,
+        "q_profile_docs": q_profile_docs,
+        "q_last_purchase": q_last_purchase,
+        "q_rolling_median": q_rolling_median,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3598,6 +3644,47 @@ def _oracle_sql_base() -> dict:
             " (SELECT count(*) FROM days)::BIGINT AS n_days,"
             " round(sl.s, 6) AS slope, round(ic.bi, 6) AS intercept"
             " FROM sl JOIN ic USING (event_type)"
+        ),
+        "q_profile_docs": (
+            "SELECT 'doc_id' AS \"column\", count(*)::BIGINT AS n,"
+            " (count(*) - count(doc_id))::BIGINT AS n_null,"
+            " count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents"
+            " UNION ALL SELECT 'lang', count(*)::BIGINT,"
+            " (count(*) - count(lang))::BIGINT,"
+            " count(DISTINCT lang)::BIGINT FROM documents"
+            " UNION ALL SELECT 'n_chars', count(*)::BIGINT,"
+            " (count(*) - count(n_chars))::BIGINT,"
+            " count(DISTINCT n_chars)::BIGINT FROM documents"
+            " UNION ALL SELECT 'source', count(*)::BIGINT,"
+            " (count(*) - count(source))::BIGINT,"
+            " count(DISTINCT source)::BIGINT FROM documents"
+        ),
+        "q_last_purchase": (
+            # point-in-time LOCF: values copied, exact
+            "SELECT user_id, ts, event_id,"
+            " last_value(CASE WHEN event_type = 'purchase' THEN value"
+            " END IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS last_purchase_value FROM events"
+        ),
+        "q_rolling_median": (
+            # centered 7-day rolling median on the filled grid;
+            # edge windows truncate (frame semantics)
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN t"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = t.event_type)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type"
+            " ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)"
+            " AS median7 FROM grid"
         ),
         "q_cusum_daily": (
             # the ewma_daily recursive-CTE mirror: same filled grid,
