@@ -292,6 +292,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_profile_docs", q.q_profile_docs),
         ("q_last_purchase", q.q_last_purchase),
         ("q_rolling_median", q.q_rolling_median),
+        # round-5 batch-20 series decomposition
+        ("q_changepoint", q.q_changepoint),
+        ("q_stl_daily", q.q_stl_daily),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

@@ -1874,3 +1874,172 @@ def rolling_median_daily(
             }
         )
     )
+
+
+def changepoint_daily(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Single best mean-shift changepoint per event type over the
+    gap-filled daily series (the first step of binary segmentation /
+    offline CUSUM): the split t maximizing the between-segment sum of
+    squares, which for a split into (n1, S1) and (n2, S2) is EXACTLY
+    d²/(n1·n2·m) with d = S1·n2 − S2·n1 — an all-integer numerator and
+    denominator, so both engines compute the identical double per t
+    from identical integers and the argmax (ties → smallest t) is
+    deterministic across engines. Complements cusum_daily: CUSUM says
+    WHETHER a sustained shift exists, this says WHERE it is and by how
+    much.
+
+    Emits (event_type, cp_day, score, mean_before, mean_after) — cp_day
+    is the first day OF the new regime; all floats 6dp mirrored; types
+    need ≥ 2 grid days (one candidate split) or they are dropped (the
+    SQL inner join drops them too). Driver work is O(days) per type on
+    the guard-bounded grid."""
+    cells = _daily_cells(ds, max_cells, "changepoint_daily")
+    empty = pa.Table.from_pydict(
+        {
+            "event_type": pa.array([], pa.string()),
+            "cp_day": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "mean_before": pa.array([], pa.float64()),
+            "mean_after": pa.array([], pa.float64()),
+        }
+    )
+    if not len(cells):
+        return rd.from_arrow(empty)
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    m = len(days)
+    if m < 2:
+        return rd.from_arrow(empty)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), m)
+    )
+    from . import round_half_away
+
+    pre = np.cumsum(grid, axis=1)  # S1 at split t = pre[:, t-1]
+    tot = pre[:, -1]
+    recs = []
+    for r, ty in enumerate(types):
+        n1 = np.arange(1, m, dtype=np.int64)
+        n2 = m - n1
+        S1 = pre[r, :-1]
+        S2 = tot[r] - S1
+        d = S1 * n2 - S2 * n1
+        # identical doubles on both engines: one division of exact ints
+        score = (d.astype(np.float64) * d.astype(np.float64)) / (
+            (n1 * n2 * m).astype(np.float64)
+        )
+        best = int(np.argmax(score))  # first max == smallest t tie-break
+        t = best + 1
+        recs.append(
+            {
+                "event_type": ty,
+                "cp_day": str(
+                    ((days[t]) * DAY_US)
+                    .astype("datetime64[us]")
+                    .astype("datetime64[D]")
+                ),
+                "score": round_half_away(float(score[best]), 6),
+                "mean_before": round_half_away(
+                    float(S1[best]) / float(t), 6
+                ),
+                "mean_after": round_half_away(
+                    float(S2[best]) / float(m - t), 6
+                ),
+            }
+        )
+    return rd.from_arrow(pa.Table.from_pylist(recs, schema=empty.schema))
+
+
+def stl_daily(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """STL-lite decomposition of the per-type daily series into
+    trend + weekly seasonal + remainder: trend = centered 7-day moving
+    AVERAGE over FULL windows only (NULL at the 3-day edges — the SQL
+    full-frame mirror), seasonal = per-(type, dow) mean of the
+    detrended interior, remainder = n − trend − seasonal. The
+    three-way split is what turns "counts moved" into "trend moved vs
+    the usual Friday bump vs an anomaly" — the triage the raw series
+    can't do.
+
+    Exactness: trend is Σ7/7.0 of exact ints; seasonal averages a
+    handful of detrended doubles per (type, dow) — non-negative-free
+    but cancellation-free (magnitudes bounded by daily counts), so
+    summation-order ulps stay relative and 6dp absorbs them (the
+    repo's irrational-sum contract); remainder mirrors per-row op
+    order n − trend − seasonal. dow convention = SQL dayofweek
+    (0 = Sunday). Driver work on the guard-bounded grid."""
+    cells = _daily_cells(ds, max_cells, "stl_daily")
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "trend": pa.array([], pa.float64()),
+                    "seasonal": pa.array([], pa.float64()),
+                    "remainder": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    m = len(days)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), m)
+    )
+    trend = np.full((len(types), m), np.nan)
+    if m >= 7:
+        csum = np.concatenate(
+            [np.zeros((len(types), 1), np.int64), np.cumsum(grid, axis=1)],
+            axis=1,
+        )
+        win = (csum[:, 7:] - csum[:, :-7]).astype(np.float64) / 7.0
+        trend[:, 3 : m - 3] = win
+    detr = grid.astype(np.float64) - trend  # NaN at edges
+    # dow 0 = Sunday: epoch day 0 (1970-01-01) is a Thursday = 4
+    dow = (days + 4) % 7
+    seasonal = np.full((len(types), m), np.nan)
+    for d in range(7):
+        mask = dow == d
+        sub = detr[:, mask]
+        ok = ~np.isnan(sub)
+        cnt = ok.sum(axis=1)
+        s = np.where(ok, sub, 0.0).sum(axis=1)
+        mean_d = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        seasonal[:, mask] = mean_d[:, None]
+    remainder = grid.astype(np.float64) - trend - seasonal
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.repeat(types, m), pa.string()),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "trend": pa.array(round_half_away_np(trend.ravel(), 6)),
+                "seasonal": pa.array(
+                    round_half_away_np(seasonal.ravel(), 6)
+                ),
+                "remainder": pa.array(
+                    round_half_away_np(remainder.ravel(), 6)
+                ),
+            }
+        )
+    )

@@ -3115,6 +3115,30 @@ def q_rolling_median(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_changepoint(sf_dir: str) -> rd.Dataset:
+    """Best mean-shift changepoint per event type: between-segment SS
+    score from exact integer prefix sums, deterministic argmax
+    (identical doubles both engines, ties -> smallest split)."""
+    from .functions.events import changepoint_daily
+
+    return changepoint_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    )
+
+
+def q_stl_daily(sf_dir: str) -> rd.Dataset:
+    """STL-lite trend/weekly-seasonal/remainder decomposition of the
+    daily grid: full-window 7-day mean trend, dow-mean seasonal of the
+    detrended interior, mirrored per-row remainder."""
+    from .functions.events import stl_daily
+
+    return stl_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3184,6 +3208,8 @@ def queries() -> dict:
         "q_profile_docs": q_profile_docs,
         "q_last_purchase": q_last_purchase,
         "q_rolling_median": q_rolling_median,
+        "q_changepoint": q_changepoint,
+        "q_stl_daily": q_stl_daily,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3685,6 +3711,77 @@ def _oracle_sql_base() -> dict:
             " round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type"
             " ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)"
             " AS median7 FROM grid"
+        ),
+        "q_changepoint": (
+            # score = d^2/(n1*n2*m), d = S1*n2 - S2*n1 (exact ints);
+            # CAST(d)*CAST(d) mirrors the engine's float(d)*float(d)
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " dd AS (SELECT day, CAST(date_diff('day', (SELECT lo FROM b),"
+            " day) AS BIGINT) AS i FROM days),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, dd.day, dd.i,"
+            " coalesce(c.n, 0) AS n FROM dd CROSS JOIN t"
+            " LEFT JOIN c ON c.day = dd.day"
+            " AND c.event_type = t.event_type),"
+            " pre AS (SELECT event_type, i, sum(n) OVER ("
+            " PARTITION BY event_type ORDER BY i) AS s1 FROM grid),"
+            " tot AS (SELECT event_type, sum(n)::BIGINT AS s,"
+            " count(*)::BIGINT AS m FROM grid GROUP BY 1),"
+            " cand AS (SELECT p.event_type, p.i + 1 AS tt,"
+            " p.s1::BIGINT AS s1, tot.s, tot.m,"
+            " p.i + 1 AS n1, tot.m - p.i - 1 AS n2,"
+            " p.s1 * (tot.m - p.i - 1) - (tot.s - p.s1) * (p.i + 1) AS d"
+            " FROM pre p JOIN tot USING (event_type)"
+            " WHERE p.i < tot.m - 1),"
+            " sc AS (SELECT *, CAST(d AS DOUBLE) * CAST(d AS DOUBLE)"
+            " / CAST(n1 * n2 * m AS DOUBLE) AS score FROM cand),"
+            " best AS (SELECT *, row_number() OVER ("
+            " PARTITION BY event_type ORDER BY score DESC, tt ASC)"
+            " AS rn FROM sc)"
+            " SELECT best.event_type,"
+            " strftime(g.day, '%Y-%m-%d') AS cp_day,"
+            " round(best.score, 6) AS score,"
+            " round(CAST(best.s1 AS DOUBLE) / CAST(best.tt AS DOUBLE), 6)"
+            " AS mean_before,"
+            " round(CAST(best.s - best.s1 AS DOUBLE)"
+            " / CAST(best.m - best.tt AS DOUBLE), 6) AS mean_after"
+            " FROM best JOIN grid g ON g.event_type = best.event_type"
+            " AND g.i = best.tt WHERE best.rn = 1"
+        ),
+        "q_stl_daily": (
+            # trend = full 7-window mean, seasonal = dow avg of the
+            # detrended interior, remainder mirrored per row
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN t"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = t.event_type),"
+            " tr AS (SELECT event_type, day, n,"
+            " CASE WHEN count(*) OVER w = 7"
+            " THEN sum(n) OVER w / 7.0 END AS trend FROM grid"
+            " WINDOW w AS (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),"
+            " se AS (SELECT event_type, dayofweek(day) AS dw,"
+            " avg(CAST(n AS DOUBLE) - trend) AS seasonal FROM tr"
+            " WHERE trend IS NOT NULL GROUP BY 1, 2)"
+            " SELECT tr.event_type, strftime(tr.day, '%Y-%m-%d') AS day,"
+            " tr.n, round(tr.trend, 6) AS trend,"
+            " round(se.seasonal, 6) AS seasonal,"
+            " round(CAST(tr.n AS DOUBLE) - tr.trend - se.seasonal, 6)"
+            " AS remainder FROM tr LEFT JOIN se"
+            " ON se.event_type = tr.event_type"
+            " AND se.dw = dayofweek(tr.day)"
         ),
         "q_cusum_daily": (
             # the ewma_daily recursive-CTE mirror: same filled grid,
