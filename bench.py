@@ -295,6 +295,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-20 series decomposition
         ("q_changepoint", q.q_changepoint),
         ("q_stl_daily", q.q_stl_daily),
+        # round-5 batch-21 readability/rate-test
+        ("q_flesch", q.q_flesch),
+        ("q_digit_ztest", q.q_digit_ztest),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

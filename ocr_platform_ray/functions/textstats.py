@@ -2440,3 +2440,141 @@ def hapax_by_group(
             }
         )
     )
+
+
+def flesch_reading_ease(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Flesch reading-ease per document (Flesch 1948) from three
+    regex-mirrored counts — words = ``[^ \\t\\n]+`` runs, sentences =
+    ``[.!?]+`` runs, syllables ≈ lowercase vowel-group ``[aeiouy]+``
+    runs (the standard no-dictionary approximation) — the classic
+    readability gate a curation pipeline applies alongside
+    gopher_rules: very low scores flag run-on boilerplate, very high
+    ones flag telegraphic fragment spam.
+
+    EXACT: the three counts are integers (polars count_matches ==
+    DuckDB len(regexp_extract_all(..)), parity pinned in tests across
+    unicode/whitespace edge cases), then ONE mirrored float expression
+    206.835 − 1.015·(w/s) − 84.6·(sy/w) at 6dp; NULL when a doc has no
+    sentence or no word (both divisions undefined). One streamed
+    vectorized pass, no shuffle — embarrassingly parallel at 100 TB."""
+    import polars as pl
+
+    import ray.data as rd  # noqa: F401 — type context
+
+    from . import round_half_away_np
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select([id_col, text_col]))
+        d = d.with_columns(
+            pl.col(text_col).str.count_matches(r"[^ \t\n]+")
+            .cast(pl.Int64).alias("w"),
+            pl.col(text_col).str.count_matches(r"[.!?]+")
+            .cast(pl.Int64).alias("s"),
+            pl.col(text_col).str.to_lowercase()
+            .str.count_matches(r"[aeiouy]+")
+            .cast(pl.Int64).alias("sy"),
+        ).drop(text_col)
+        out = d.to_arrow()
+        w = out.column("w").to_numpy().astype(np.float64)
+        s = out.column("s").to_numpy().astype(np.float64)
+        sy = out.column("sy").to_numpy().astype(np.float64)
+        ok = (w > 0) & (s > 0)
+        fl = np.full(len(w), np.nan)
+        fl[ok] = (
+            206.835
+            - 1.015 * (w[ok] / s[ok])
+            - 84.6 * (sy[ok] / w[ok])
+        )
+        return out.append_column(
+            "flesch", pa.array(round_half_away_np(fl, 6), pa.float64())
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+
+
+def two_proportion_ztest(
+    ds,
+    group_col: str,
+    flag_expr,
+    max_groups: int = 100_000,
+):
+    """Per-group two-proportion z-test of a boolean row flag against
+    the REST of the corpus (pooled-variance form) — the segment-vs-rest
+    rate audit (is this source's digit-bearing-doc rate actually
+    different, or is the gap noise?) that turns per-group shares into
+    comparable significance scores.
+
+    ``flag_expr`` is a polars expression producing the boolean flag per
+    row (mirrored literally by the oracle SQL). EXACT integer shape:
+    one streamed pass of per-batch (group, n, x) count partials —
+    the classic combiner, shuffle carries two ints per group per batch
+    — then z = (p1 − p2)/sqrt(p̂(1−p̂)(1/n1 + 1/n2)) as ONE mirrored
+    float expression over exact integers at 6dp (NULL when the pooled
+    rate is degenerate or either side empty). ``max_groups`` bounds the
+    driver merge loudly."""
+    import pandas as pd
+    import polars as pl
+
+    import ray.data as rd  # noqa: F401
+
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch)
+        d = d.with_columns(flag_expr.cast(pl.Int64).alias("__f"))
+        return (
+            d.group_by(group_col)
+            .agg(n=pl.len().cast(pl.Int64), x=pl.col("__f").sum())
+            .to_arrow()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if len(parts) > max_groups * 64:
+        raise ValueError("two_proportion_ztest: partial stream exceeds "
+                         "bounds — raise max_groups deliberately")
+    df = pd.DataFrame(parts).groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), x=("x", "sum")
+    )
+    if len(df) > max_groups:
+        raise ValueError(
+            f"two_proportion_ztest: {len(df)} groups > max_groups"
+        )
+    N = int(df["n"].sum())
+    X = int(df["x"].sum())
+    recs = []
+    for _, row in df.sort_values(group_col).iterrows():
+        n1, x1 = int(row["n"]), int(row["x"])
+        n2, x2 = N - n1, X - x1
+        if n1 == 0 or n2 == 0:
+            z = None
+        else:
+            p1 = float(x1) / float(n1)
+            p2 = float(x2) / float(n2)
+            pp = float(x1 + x2) / float(n1 + n2)
+            den = pp * (1.0 - pp) * (1.0 / float(n1) + 1.0 / float(n2))
+            z = (
+                round_half_away((p1 - p2) / np.sqrt(den), 6)
+                if den > 0.0
+                else None
+            )
+        recs.append(
+            {group_col: row[group_col], "n": n1, "x": x1, "z": z}
+        )
+    import ray.data as rdm
+
+    return rdm.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array([r[group_col] for r in recs]),
+                "n": pa.array([r["n"] for r in recs], pa.int64()),
+                "x": pa.array([r["x"] for r in recs], pa.int64()),
+                "z": pa.array([r["z"] for r in recs], pa.float64()),
+            }
+        )
+    )

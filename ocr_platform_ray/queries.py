@@ -3139,6 +3139,30 @@ def q_stl_daily(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_flesch(sf_dir: str) -> rd.Dataset:
+    """Flesch reading ease per doc from regex-mirrored word/sentence/
+    vowel-group counts; one mirrored float expression, NULL when a doc
+    has no sentence or word."""
+    from .functions.textstats import flesch_reading_ease
+
+    return flesch_reading_ease(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_digit_ztest(sf_dir: str) -> rd.Dataset:
+    """Two-proportion z-test per source: digit-bearing-doc rate vs the
+    rest of the corpus (pooled variance); exact integer partials, one
+    mirrored float expression."""
+    import polars as pl
+
+    from .functions.textstats import two_proportion_ztest
+
+    return two_proportion_ztest(
+        _docs(sf_dir, ["source", "text"]),
+        "source",
+        pl.col("text").str.contains(r"[0-9]"),
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3210,6 +3234,8 @@ def queries() -> dict:
         "q_rolling_median": q_rolling_median,
         "q_changepoint": q_changepoint,
         "q_stl_daily": q_stl_daily,
+        "q_flesch": q_flesch,
+        "q_digit_ztest": q_digit_ztest,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3711,6 +3737,43 @@ def _oracle_sql_base() -> dict:
             " round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type"
             " ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)"
             " AS median7 FROM grid"
+        ),
+        "q_flesch": (
+            # regex counts mirror polars count_matches; one float expr
+            "WITH c AS (SELECT doc_id,"
+            " len(regexp_extract_all(text, E'[^ \\t\\n]+'))::BIGINT AS w,"
+            " len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS s,"
+            " len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT"
+            " AS sy FROM documents)"
+            " SELECT doc_id, w, s, sy,"
+            " CASE WHEN w > 0 AND s > 0 THEN round(206.835"
+            " - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+            " - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)), 6)"
+            " END AS flesch FROM c"
+        ),
+        "q_digit_ztest": (
+            # per-source digit-doc rate vs rest, pooled-variance z
+            "WITH f AS (SELECT source,"
+            " CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END"
+            " AS fl FROM documents),"
+            " g AS (SELECT source, count(*)::BIGINT AS n,"
+            " sum(fl)::BIGINT AS x FROM f GROUP BY 1),"
+            " tot AS (SELECT sum(n)::BIGINT AS nn, sum(x)::BIGINT AS xx"
+            " FROM g)"
+            " SELECT g.source, g.n, g.x,"
+            " CASE WHEN g.n > 0 AND tot.nn - g.n > 0 AND"
+            " (CAST(tot.xx AS DOUBLE) / CAST(tot.nn AS DOUBLE))"
+            " * (1.0 - CAST(tot.xx AS DOUBLE) / CAST(tot.nn AS DOUBLE))"
+            " * (1.0 / CAST(g.n AS DOUBLE)"
+            " + 1.0 / CAST(tot.nn - g.n AS DOUBLE)) > 0.0 THEN"
+            " round((CAST(g.x AS DOUBLE) / CAST(g.n AS DOUBLE)"
+            " - CAST(tot.xx - g.x AS DOUBLE)"
+            " / CAST(tot.nn - g.n AS DOUBLE))"
+            " / sqrt((CAST(tot.xx AS DOUBLE) / CAST(tot.nn AS DOUBLE))"
+            " * (1.0 - CAST(tot.xx AS DOUBLE) / CAST(tot.nn AS DOUBLE))"
+            " * (1.0 / CAST(g.n AS DOUBLE)"
+            " + 1.0 / CAST(tot.nn - g.n AS DOUBLE))), 6)"
+            " END AS z FROM g, tot"
         ),
         "q_changepoint": (
             # score = d^2/(n1*n2*m), d = S1*n2 - S2*n1 (exact ints);
