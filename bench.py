@@ -298,6 +298,8 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-21 readability/rate-test
         ("q_flesch", q.q_flesch),
         ("q_digit_ztest", q.q_digit_ztest),
+        # round-5 batch-22 exact set-similarity join
+        ("q_token_jaccard", q.q_token_jaccard),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings

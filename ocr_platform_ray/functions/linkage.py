@@ -715,3 +715,155 @@ def jw_blocked_pairs(
     return bucketed_group_apply(
         keyed, "__blk", pairs_in_bucket, n_buckets=shuffle_blocks()
     )
+
+
+def token_jaccard_join(
+    ds: rd.Dataset,
+    tau: float = 0.9,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+",
+    max_candidates_per_group: int = 5_000_000,
+) -> rd.Dataset:
+    """EXACT set-similarity self-join (Jaccard over distinct token
+    sets >= tau) within ``group_col`` blocks — the verification-grade
+    companion to MinHash: LSH finds probable near-dups, this finds ALL
+    pairs above the threshold, exactly, via PPJoin-style prefix
+    filtering (Xiao et al. 2008 / Chaudhuri et al. 2006).
+
+    Filter correctness (the reason no qualifying pair is missed): order
+    each group's vocabulary by (doc-frequency, token-id) and keep each
+    doc's first L = |d| − ⌈tau·|d|⌉ + 1 tokens as its PREFIX. If
+    J(A,B) >= tau then |A∩B| >= ⌈tau·|A|⌉; were A's prefix disjoint
+    from B, every intersecting token would sit in A's suffix of size
+    ⌈tau·|A|⌉ − 1 — contradiction, so every qualifying pair collides in
+    the prefix inverted index (plus the standard length filter
+    |A| >= tau·|B|). Candidates are then verified with TRUE sorted-id
+    intersection — integer counts, so jaccard = i/(|A|+|B|−i) is one
+    mirrored float division and the SQL token-join oracle value-hash
+    matches exactly.
+
+    Distributed shape: tokenization is a streamed vectorized pass
+    (polars extract_all + list.unique); groups co-locate via
+    ``bucketed_group_apply`` (one group's docs fit a worker — the
+    repo-wide bucketed contract); vocabulary ids come from np.unique
+    INSIDE the group (no hashing, no collision risk). The loud
+    ``max_candidates_per_group`` guard flags degenerate blocking; at
+    100 TB the group key must be a real partitioner (crawl host,
+    shard) and the hottest group bounds the worker.
+
+    Output: (group, doc_a, doc_b, n_inter, n_union, jaccard) with
+    doc_a < doc_b, jaccard 6dp."""
+    import polars as pl
+
+    from . import round_half_away_np
+    from .dedup import shuffle_blocks
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select([group_col, id_col, text_col]))
+        return (
+            d.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(token_re)
+                .list.unique()
+                .alias("__toks")
+            )
+            .drop(text_col)
+            .to_arrow()
+        )
+
+    def join_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_a, out_b, out_i, out_u = [], [], [], [], []
+        for gk, sub in g.groupby(group_col, sort=False):
+            sub = sub.sort_values(id_col, kind="mergesort")
+            ids = sub[id_col].to_numpy()
+            tok_lists = [
+                np.asarray(t, dtype=object) for t in sub["__toks"]
+            ]
+            all_tok = (
+                np.concatenate(tok_lists)
+                if tok_lists
+                else np.array([], dtype=object)
+            )
+            vocab, inv = np.unique(all_tok, return_inverse=True)
+            freq = np.bincount(inv, minlength=len(vocab))
+            # global-order rank: rare tokens first (max pruning), id
+            # tie-break; order is engine-internal (any fixed order is
+            # correct), so no cross-group coordination is needed
+            order = np.lexsort((np.arange(len(vocab)), freq))
+            rank_of = np.empty(len(vocab), np.int64)
+            rank_of[order] = np.arange(len(vocab))
+            # per-doc sorted-rank arrays
+            doc_ranks = []
+            pos = 0
+            for t in tok_lists:
+                r = np.sort(rank_of[inv[pos : pos + len(t)]])
+                pos += len(t)
+                doc_ranks.append(r)
+            sizes = np.array([len(r) for r in doc_ranks], np.int64)
+            # prefix inverted index
+            index: dict = {}
+            for i, r in enumerate(doc_ranks):
+                # conservative ceil (an ulp-overshot ceil would SHORTEN
+                # the prefix and could miss a qualifying pair; a longer
+                # prefix only adds candidates)
+                L = len(r) - int(np.ceil(tau * len(r) - 1e-9)) + 1
+                for tk in r[: max(L, 0)]:
+                    index.setdefault(int(tk), []).append(i)
+            cand = set()
+            n_cand = 0
+            for lst in index.values():
+                for ai in range(len(lst)):
+                    for bi in range(ai + 1, len(lst)):
+                        n_cand += 1
+                        if n_cand > max_candidates_per_group:
+                            raise ValueError(
+                                "token_jaccard_join: candidate pairs "
+                                f"exceed {max_candidates_per_group} in "
+                                f"group {gk!r} — degenerate blocking; "
+                                "tighten group_col or raise the guard "
+                                "deliberately"
+                            )
+                        a, b = lst[ai], lst[bi]
+                        # length filter, epsilon-relaxed (never prune
+                        # a boundary pair the oracle keeps)
+                        if (
+                            sizes[a] >= tau * sizes[b] - 1e-9
+                            and sizes[b] >= tau * sizes[a] - 1e-9
+                        ):
+                            cand.add((a, b))
+            for a, b in cand:
+                ra, rb = doc_ranks[a], doc_ranks[b]
+                i = len(np.intersect1d(ra, rb, assume_unique=True))
+                u = int(sizes[a] + sizes[b] - i)
+                # the keep test mirrors the SQL division literally
+                if u > 0 and float(i) / float(u) >= tau:
+                    out_g.append(gk)
+                    out_a.append(ids[a])
+                    out_b.append(ids[b])
+                    out_i.append(i)
+                    out_u.append(u)
+        jac = np.array(out_i, np.float64) / np.maximum(
+            np.array(out_u, np.float64), 1.0
+        )
+        return pd.DataFrame(
+            {
+                group_col: out_g,
+                "doc_a": out_a,
+                "doc_b": out_b,
+                "n_inter": np.array(out_i, np.int64),
+                "n_union": np.array(out_u, np.int64),
+                "jaccard": round_half_away_np(jac, 6),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.select_columns([group_col, id_col, text_col]).map_batches(
+            tokenize, batch_format="pyarrow"
+        ),
+        group_col,
+        join_in_bucket,
+        n_buckets=shuffle_blocks(),
+    )

@@ -3163,6 +3163,17 @@ def q_digit_ztest(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_token_jaccard(sf_dir: str) -> rd.Dataset:
+    """Exact set-similarity self-join (token Jaccard >= 0.9) within
+    source blocks via PPJoin prefix filtering + true intersection
+    verify — finds ALL qualifying pairs, exactly."""
+    from .functions.linkage import token_jaccard_join
+
+    return token_jaccard_join(
+        _docs(sf_dir, ["source", "doc_id", "text"]), tau=0.9
+    )
+
+
 def q_cusum_daily(sf_dir: str) -> rd.Dataset:
     """One-sided CUSUM control line per event type (Page 1954): single
     dependency chain over the gap-filled grid, bit-identical to the
@@ -3236,6 +3247,7 @@ def queries() -> dict:
         "q_stl_daily": q_stl_daily,
         "q_flesch": q_flesch,
         "q_digit_ztest": q_digit_ztest,
+        "q_token_jaccard": q_token_jaccard,
         "q_q6_revenue": q_q6_revenue,
         "q_large_orders": q_large_orders,
         "q_k_anonymity": q_k_anonymity,
@@ -3737,6 +3749,28 @@ def _oracle_sql_base() -> dict:
             " round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type"
             " ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)"
             " AS median7 FROM grid"
+        ),
+        "q_token_jaccard": (
+            # exact within-source token-set Jaccard >= 0.9: distinct
+            # tokens, pairwise intersection by token join, one division
+            "WITH tok AS (SELECT DISTINCT source, doc_id, tk FROM"
+            " (SELECT source, doc_id,"
+            " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk"
+            " FROM documents)),"
+            " sz AS (SELECT doc_id, count(*)::BIGINT AS c FROM tok"
+            " GROUP BY 1),"
+            " inter AS (SELECT a.source, a.doc_id AS da,"
+            " b.doc_id AS db, count(*)::BIGINT AS i FROM tok a"
+            " JOIN tok b ON a.source = b.source AND a.tk = b.tk"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2, 3)"
+            " SELECT inter.source, inter.da AS doc_a, inter.db AS doc_b,"
+            " inter.i AS n_inter, sa.c + sb.c - inter.i AS n_union,"
+            " round(CAST(inter.i AS DOUBLE)"
+            " / CAST(sa.c + sb.c - inter.i AS DOUBLE), 6) AS jaccard"
+            " FROM inter JOIN sz sa ON sa.doc_id = inter.da"
+            " JOIN sz sb ON sb.doc_id = inter.db"
+            " WHERE CAST(inter.i AS DOUBLE)"
+            " / CAST(sa.c + sb.c - inter.i AS DOUBLE) >= 0.9"
         ),
         "q_flesch": (
             # regex counts mirror polars count_matches; one float expr
