@@ -2513,3 +2513,68 @@ def component_labels(
             }
         )
     )
+
+
+def kfold_summary(
+    docs: rd.Dataset, n_folds: int = 5, max_cells: int = 100_000
+) -> pa.Table:
+    """Deterministic k-fold cross-validation assignment + per-fold audit
+    (doc count, char sum/mean, distinct languages) — the split-balance
+    check run before training k quality classifiers on disjoint folds.
+
+    Fold contract (version-stable, mirrors the repo's md5 split family):
+    fold = md5_u32(doc_id) % n_folds == DuckDB
+    ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT % n``.
+
+    Scale shape: fold assignment is row-local; each batch emits one
+    (fold, lang, n, sum_chars) partial row per (fold, lang) cell —
+    n_folds x n_langs per batch — and the driver merges integer cells
+    under a loud ``max_cells`` guard. Documents never shuffle."""
+    from ..md5np import md5_u32
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fold = (md5_u32(batch.column("doc_id")) % np.uint32(n_folds)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "fold": fold,
+                "lang": batch.column("lang").to_pandas(),
+                "n": 1,
+                "sum_chars": batch.column("n_chars").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        agg = df.groupby(["fold", "lang"], as_index=False).agg(
+            n=("n", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"kfold_summary: {len(cells)} partial cells exceed {max_cells}"
+        )
+    merged = cells.groupby(["fold", "lang"], as_index=False).agg(
+        n=("n", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    out = {c: [] for c in ("fold", "n_docs", "sum_chars", "mean_chars", "n_langs")}
+    for fold, sub in merged.groupby("fold", sort=True):
+        n = int(sub["n"].sum())
+        sc = int(sub["sum_chars"].sum())
+        out["fold"].append(int(fold))
+        out["n_docs"].append(n)
+        out["sum_chars"].append(sc)
+        out["mean_chars"].append(round_half_away(float(sc) / float(n), 6))
+        out["n_langs"].append(int(sub["lang"].nunique()))
+    return pa.Table.from_pydict(
+        {
+            "fold": pa.array(out["fold"], pa.int64()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+            "mean_chars": pa.array(out["mean_chars"], pa.float64()),
+            "n_langs": pa.array(out["n_langs"], pa.int64()),
+        }
+    )

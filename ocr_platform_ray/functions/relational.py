@@ -4587,3 +4587,123 @@ def carry_forward(
         ds.select_columns(cols), group_col, fill,
         n_buckets=shuffle_blocks(),
     )
+
+
+def cume_dist_by_group(
+    ds: rd.Dataset, group_col: str, value_col: str, out_col: str = "cd"
+) -> rd.Dataset:
+    """SQL cume_dist() OVER (PARTITION BY group ORDER BY value):
+    count(v' <= v) / n (max-rank ties). Same coarse-bucketed shape as
+    :func:`percent_rank_by_group` — the rank is an integer so the single
+    division is bit-identical to the oracle's."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(group_col, sort=False):
+            rank = g[value_col].rank(method="max").to_numpy(np.float64)
+            h = g.copy()
+            h[out_col] = round_half_away_np(rank / float(len(g)), 6)
+            out.append(h)
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(ds, group_col, per_bucket)
+
+
+def revenue_concentration(
+    lineitem: rd.Dataset, sf_dir: str
+) -> pa.Table:
+    """Supplier revenue concentration per nation: Herfindahl-Hirschman
+    index (sum of squared supplier revenue shares), top-supplier share,
+    and supplier count — the market-concentration audit (HHI > 0.25 ~
+    antitrust "highly concentrated").
+
+    Exactness contract: revenue accumulates in int64 units
+    (cents x (100 - disc)); HHI = sum(r_i^2) / total^2 evaluated with
+    PYTHON arbitrary-precision integers (sum of ~1e18-scale squares
+    overflows int64 — the oracle mirrors with HUGEINT), so each output
+    is ONE exact-integer division rounded 6dp — no float summation
+    order anywhere.
+
+    Scale shape: supplier -> nation is a broadcast dict applied in the
+    same pass that pre-aggregates per-(nation, supplier) units; one
+    coarse-bucketed merge yields per-supplier totals; nations x ~1 rows
+    reach the driver (25 nations) — lineitem never shuffles."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    import ray
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk_to_name = dict(
+        zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+        )
+    )
+    supp_ref = ray.put(
+        dict(
+            zip(
+                supp.column("s_suppkey").to_pylist(),
+                [nk_to_name[nk] for nk in supp.column("s_nationkey").to_pylist()],
+            )
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = resolve_broadcast(supp_ref)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "n_name": pd.Series(sk).map(lk),
+                "l_suppkey": sk,
+                "units": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby(["n_name", "l_suppkey"], as_index=False)["units"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["n_name", "l_suppkey"], as_index=False)["units"].sum()
+
+    per_supp = bucketed_group_apply(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        "l_suppkey",
+        per_bucket,
+    ).to_pandas()
+
+    rows = {c: [] for c in ("n_name", "n_suppliers", "hhi", "top_share")}
+    for nname, sub in per_supp.groupby("n_name", sort=True):
+        units = [int(u) for u in sub["units"]]  # Python ints: exact squares
+        total = sum(units)
+        sumsq = sum(u * u for u in units)
+        rows["n_name"].append(nname)
+        rows["n_suppliers"].append(len(units))
+        # mirror the oracle's CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE):
+        # round each exact integer to double FIRST, then one division
+        # (sumsq > 2^53, so the conversion order is part of the contract)
+        rows["hhi"].append(
+            round_half_away(float(sumsq) / float(total * total), 6)
+        )
+        rows["top_share"].append(
+            round_half_away(float(max(units)) / float(total), 6)
+        )
+    return pa.Table.from_pydict(
+        {
+            "n_name": pa.array(rows["n_name"], pa.string()),
+            "n_suppliers": pa.array(rows["n_suppliers"], pa.int64()),
+            "hhi": pa.array(rows["hhi"], pa.float64()),
+            "top_share": pa.array(rows["top_share"], pa.float64()),
+        }
+    )

@@ -1228,3 +1228,117 @@ def grouped_hist_quantiles(
     for nm in names:
         tbl[nm] = pa.array(out[nm], pa.float64())
     return rd.from_arrow(pa.Table.from_pydict(tbl))
+
+
+def kmv_set_overlap(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    k: int = 256,
+    max_partial_rows: int = 2_000_000,
+) -> pa.Table:
+    """KMV (k-minimum-values) distinct sketches per ``key`` plus PAIRWISE
+    set-overlap estimates (union / intersection / Jaccard) between every
+    key pair — the sketch-join that answers "how much do the audiences of
+    two event types overlap?" without ever shuffling the raw value sets.
+
+    Hash contract is the repo's pinned md5 32-bit prefix
+    (:func:`ocr_platform_ray.md5np.md5_u32` == DuckDB
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)),1,8))::UBIGINT``), so a
+    DuckDB oracle reproduces the estimates EXACTLY. All set math is
+    defined over the 32-bit hash sets themselves (collisions collapse
+    identically on both sides):
+
+    - nd_x   = |H_x| clipped into the sketch: exact when |H_x| <= k
+    - est_x  = |H_x| if |H_x| <= k else (k-1) * 2^32 / kth_smallest(H_x)
+    - est_union = |H_a (+) H_b| when both sketches are complete, else
+      (k-1) * 2^32 / kth_smallest(distinct(sk_a (+) sk_b))  (standard
+      KMV union: combined sketch is a valid KMV of the union)
+    - est_intersect = est_a + est_b - est_union (inclusion-exclusion,
+      clipped at >= 0 on NEITHER side: the oracle must match raw)
+    - jaccard_est = est_intersect / est_union
+
+    Scale shape (100 TB): each batch emits at most ``k`` smallest hashes
+    per key (vectorized unique + partition), a repartition-compacted
+    second combiner level collapses blocks, and only the final
+    keys x k partial rows (loudly guarded by ``max_partial_rows``)
+    reach the driver for the tiny pairwise evaluation — the raw
+    ``value`` column never shuffles. Estimator: Bar-Yossef et al.,
+    "Counting distinct elements in a data stream" (RANDOM 2002).
+    """
+    from ..md5np import md5_u32
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        hv = md5_u32(batch.column(value)).astype(np.int64)
+        df = pd.DataFrame({"k": keys_np, "hv": hv}).drop_duplicates()
+        out = df.sort_values(["k", "hv"]).groupby("k", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        out = df.sort_values(["k", "hv"]).groupby("k", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # second combiner level: compact the (n_blocks x keys x k) partials
+    # onto a few blocks and re-trim, so the driver merge below is
+    # bounded by ~n_compact_blocks x keys x k rows regardless of input
+    # block count (the 100 TB path; at test scale it's one block).
+    from .dedup import shuffle_blocks
+
+    parts = parts.repartition(shuffle_blocks()).map_batches(
+        combine, batch_format="pyarrow"
+    )
+    pdf = parts.to_pandas()
+    if len(pdf) > max_partial_rows:
+        raise ValueError(
+            f"kmv_set_overlap: {len(pdf)} partial rows exceed the "
+            f"{max_partial_rows} driver guard — raise k-compaction level"
+        )
+    pdf = pdf.drop_duplicates()
+    sketches: dict = {}
+    for kk, sub in pdf.groupby("k", sort=True):
+        hs = np.sort(sub["hv"].to_numpy(dtype=np.int64))[:k]
+        sketches[kk] = hs
+    names = sorted(sketches)
+    two32 = 4294967296.0
+
+    def est_one(hs: np.ndarray) -> float:
+        if len(hs) < k:
+            return float(len(hs))
+        return (k - 1) * two32 / float(hs[k - 1])
+
+    rows = {c: [] for c in (
+        "type_a", "type_b", "est_a", "est_b", "est_union",
+        "est_intersect", "jaccard_est",
+    )}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ha, hb = sketches[a], sketches[b]
+            ea, eb = est_one(ha), est_one(hb)
+            u = np.unique(np.concatenate([ha, hb]))
+            if len(ha) < k and len(hb) < k:
+                eu = float(len(u))
+            else:
+                eu = (k - 1) * two32 / float(np.sort(u)[k - 1])
+            ei = ea + eb - eu
+            rows["type_a"].append(a)
+            rows["type_b"].append(b)
+            rows["est_a"].append(round_half_away(ea, 6))
+            rows["est_b"].append(round_half_away(eb, 6))
+            rows["est_union"].append(round_half_away(eu, 6))
+            rows["est_intersect"].append(round_half_away(ei, 6))
+            rows["jaccard_est"].append(round_half_away(ei / eu, 6))
+    return pa.Table.from_pydict(
+        {
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            "est_a": pa.array(rows["est_a"], pa.float64()),
+            "est_b": pa.array(rows["est_b"], pa.float64()),
+            "est_union": pa.array(rows["est_union"], pa.float64()),
+            "est_intersect": pa.array(rows["est_intersect"], pa.float64()),
+            "jaccard_est": pa.array(rows["jaccard_est"], pa.float64()),
+        }
+    )

@@ -3206,6 +3206,51 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_kmv_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise audience-overlap estimates between event types via KMV
+    distinct sketches (k=256) on the pinned md5 32-bit hash — exact
+    oracle because the estimator is a deterministic function of the
+    k smallest hashes, which SQL reproduces with row_number()."""
+    from .functions.sketches import kmv_set_overlap
+
+    return kmv_set_overlap(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        key="event_type",
+        value="user_id",
+        k=256,
+    )
+
+
+def q_hhi_by_nation(sf_dir: str) -> pa.Table:
+    """Supplier revenue concentration per nation (Herfindahl index +
+    top-supplier share) — exact integer units, HUGEINT-mirrored squares,
+    one double division per output."""
+    return relational.revenue_concentration(
+        _read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        sf_dir,
+    )
+
+
+def q_cume_dist(sf_dir: str) -> rd.Dataset:
+    """cume_dist() window per language over document length — the
+    upper-tail companion of q_percent_rank (max-rank ties)."""
+    return relational.cume_dist_by_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), "lang", "n_chars"
+    )
+
+
+def q_kfold_stats(sf_dir: str) -> pa.Table:
+    """5-fold deterministic CV assignment + per-fold balance audit
+    (md5 % 5 fold contract; integer cells, one mean division)."""
+    return dedup.kfold_summary(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), n_folds=5
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3223,6 +3268,10 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_kmv_overlap": q_kmv_overlap,
+        "q_hhi_by_nation": q_hhi_by_nation,
+        "q_cume_dist": q_cume_dist,
+        "q_kfold_stats": q_kfold_stats,
         "q_length_auc": q_length_auc,
         "q_mann_kendall": q_mann_kendall,
         "q_acf_daily": q_acf_daily,
@@ -3493,6 +3542,82 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_kmv_overlap": (
+            # KMV estimator over the pinned md5-u32 hash sets; strict
+            # nd < 256 = the engine's len(sketch) < k exact-path test
+            "WITH h AS (SELECT DISTINCT event_type,"
+            " ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8))::UBIGINT"
+            " AS hv FROM events),"
+            " cnt AS (SELECT event_type, count(*)::BIGINT AS nd FROM h"
+            "  GROUP BY 1),"
+            " rk AS (SELECT event_type, hv, row_number() OVER"
+            "  (PARTITION BY event_type ORDER BY hv) AS r FROM h),"
+            " sk AS (SELECT event_type, hv, r FROM rk WHERE r <= 256),"
+            " est AS (SELECT c.event_type,"
+            "  CASE WHEN c.nd < 256 THEN CAST(c.nd AS DOUBLE)"
+            "  ELSE 255.0 * 4294967296.0 / CAST(k.hv AS DOUBLE) END AS e,"
+            "  c.nd FROM cnt c LEFT JOIN"
+            "  (SELECT event_type, hv FROM sk WHERE r = 256) k"
+            "  ON k.event_type = c.event_type),"
+            " pairs AS (SELECT a.event_type AS ta, b.event_type AS tb"
+            "  FROM cnt a JOIN cnt b ON a.event_type < b.event_type),"
+            " ud AS (SELECT DISTINCT p.ta, p.tb, s.hv FROM pairs p"
+            "  JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb),"
+            " ur AS (SELECT ta, tb, hv, row_number() OVER"
+            "  (PARTITION BY ta, tb ORDER BY hv) AS r FROM ud),"
+            " um AS (SELECT ta, tb, count(*)::BIGINT AS m_all,"
+            "  max(CASE WHEN r = 256 THEN hv END) AS h256"
+            "  FROM ur GROUP BY 1, 2),"
+            " uu AS (SELECT u.ta, u.tb,"
+            "  CASE WHEN a.nd < 256 AND b.nd < 256"
+            "  THEN CAST(u.m_all AS DOUBLE)"
+            "  ELSE 255.0 * 4294967296.0 / CAST(u.h256 AS DOUBLE) END AS eu"
+            "  FROM um u JOIN cnt a ON a.event_type = u.ta"
+            "  JOIN cnt b ON b.event_type = u.tb)"
+            " SELECT p.ta AS type_a, p.tb AS type_b,"
+            " round(ea.e, 6) AS est_a, round(eb.e, 6) AS est_b,"
+            " round(uu.eu, 6) AS est_union,"
+            " round(ea.e + eb.e - uu.eu, 6) AS est_intersect,"
+            " round((ea.e + eb.e - uu.eu) / uu.eu, 6) AS jaccard_est"
+            " FROM pairs p JOIN est ea ON ea.event_type = p.ta"
+            " JOIN est eb ON eb.event_type = p.tb"
+            " JOIN uu ON uu.ta = p.ta AND uu.tb = p.tb"
+        ),
+        "q_hhi_by_nation": (
+            # exact integer units; HUGEINT squares (sum > int64), each
+            # output ONE cast-to-double division (the engine mirrors
+            # float(int) conversion order)
+            "WITH r AS (SELECT l_suppkey,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " AS HUGEINT) AS units FROM lineitem GROUP BY 1),"
+            " j AS (SELECT n_name, units FROM r"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " JOIN nation ON n_nationkey = s_nationkey)"
+            " SELECT n_name, count(*)::BIGINT AS n_suppliers,"
+            " round(CAST(sum(units * units) AS DOUBLE)"
+            "  / CAST(sum(units) * sum(units) AS DOUBLE), 6) AS hhi,"
+            " round(CAST(max(units) AS DOUBLE)"
+            "  / CAST(sum(units) AS DOUBLE), 6) AS top_share"
+            " FROM j GROUP BY 1"
+        ),
+        "q_cume_dist": (
+            "SELECT doc_id, lang, n_chars,"
+            " round(cume_dist() OVER (PARTITION BY lang"
+            " ORDER BY n_chars), 6) AS cd FROM documents"
+        ),
+        "q_kfold_stats": (
+            "WITH f AS (SELECT"
+            " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))"
+            " ::UBIGINT % 5 AS BIGINT) AS fold, lang, n_chars"
+            " FROM documents)"
+            " SELECT fold, count(*)::BIGINT AS n_docs,"
+            " sum(n_chars)::BIGINT AS sum_chars,"
+            " round(CAST(sum(n_chars) AS DOUBLE)"
+            "  / CAST(count(*) AS DOUBLE), 6) AS mean_chars,"
+            " count(DISTINCT lang)::BIGINT AS n_langs"
+            " FROM f GROUP BY 1"
+        ),
         "q_length_auc": (
             # midrank AUC: cells = (source, score) integer histogram;
             # midrank = count-below + (count-at + 1)/2 (half-integer);
