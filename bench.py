@@ -300,6 +300,11 @@ def run_queries(sf_dir: str) -> dict:
         ("q_digit_ztest", q.q_digit_ztest),
         # round-5 batch-22 exact set-similarity join
         ("q_token_jaccard", q.q_token_jaccard),
+        # round-5 batch-23 sketch-overlap/concentration/window/folds
+        ("q_kmv_overlap", q.q_kmv_overlap),
+        ("q_hhi_by_nation", q.q_hhi_by_nation),
+        ("q_cume_dist", q.q_cume_dist),
+        ("q_kfold_stats", q.q_kfold_stats),
     ]:
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
     return timings
