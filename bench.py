@@ -302,6 +302,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-24 bands/survival/diversity/containment/deciles
+        ("q_bollinger_daily", q.q_bollinger_daily),
+        ("q_kaplan_meier", q.q_kaplan_meier),
+        ("q_diversity", q.q_diversity),
+        ("q_containment_pairs", q.q_containment_pairs),
+        ("q_decile_shares", q.q_decile_shares),
         ("q_hhi_by_nation", q.q_hhi_by_nation),
         ("q_cume_dist", q.q_cume_dist),
         ("q_kfold_stats", q.q_kfold_stats),

@@ -2043,3 +2043,245 @@ def stl_daily(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def bollinger_daily(
+    ds: rd.Dataset,
+    window: int = 7,
+    n_sigma: float = 2.0,
+    max_cells: int = 200_000,
+) -> rd.Dataset:
+    """Bollinger control bands over the gap-filled per-type daily count
+    series: trailing ``window``-day mean +- ``n_sigma`` sample standard
+    deviations, plus a breach flag — the volatility-adaptive volume
+    monitor (a fixed-threshold alert pages on every weekend dip; the
+    band widens exactly when the series is noisy).
+
+    Exactness contract: window sums Sw = sum(n) and Qw = sum(n^2) are
+    exact int64 (counts on the filled grid), both engines then evaluate
+    ONE mirrored float chain — mean = Sw/k, var = max((Qw - Sw^2/k)
+    / (k-1), 0) (the max() guard fires identically on both sides:
+    DuckDB errors on sqrt(negative), and an all-equal window cancels to
+    a signed ulp), sd = sqrt(var), bands = mean -+ n_sigma*sd — with
+    the breach comparison done on the UNROUNDED band. Edge windows
+    truncate (SQL frame semantics); the k = 1 first day has no sample
+    sd (NULL sd/bands/breach).
+
+    Scale shape: one streamed combiner pass of (type, day) integer
+    count partials (the ewma_daily shape — raw events never shuffle),
+    grid work on the driver under the loud ``max_cells`` guard."""
+    DAY_US = 86_400_000_000
+
+    cells = _daily_cells(ds, max_cells, "bollinger_daily")
+    empty = {
+        "event_type": pa.array([], pa.string()),
+        "day": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "mean_w": pa.array([], pa.float64()),
+        "sd_w": pa.array([], pa.float64()),
+        "upper": pa.array([], pa.float64()),
+        "lower": pa.array([], pa.float64()),
+        "breach": pa.array([], pa.int64()),
+    }
+    if not len(cells):
+        return rd.from_arrow(pa.Table.from_pydict(empty))
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), len(days))
+    )
+    m = len(days)
+    cs = np.cumsum(grid, axis=1)
+    csq = np.cumsum(grid * grid, axis=1)
+    t = np.arange(m)
+    lo = np.maximum(0, t - (window - 1))
+    k = (t - lo + 1).astype(np.int64)
+    sw = cs[:, t] - np.where(lo > 0, cs[:, lo - 1], 0)
+    qw = csq[:, t] - np.where(lo > 0, csq[:, lo - 1], 0)
+    kf = k.astype(np.float64)
+    swf = sw.astype(np.float64)
+    qwf = qw.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = swf / kf
+        var = np.maximum((qwf - swf * swf / kf) / (kf - 1.0), 0.0)
+        sd = np.sqrt(var)
+    upper = mean + n_sigma * sd
+    lower = mean - n_sigma * sd
+    nf = grid.astype(np.float64)
+    breach = ((nf > upper) | (nf < lower)).astype(np.int64)
+    ok = np.broadcast_to(k >= 2, grid.shape)
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+
+    def masked(v: np.ndarray, decimals: int | None = 6) -> pa.Array:
+        vals = v.ravel()
+        mask = ~ok.ravel()
+        if decimals is not None:
+            vals = round_half_away_np(vals, decimals)
+            return pa.array(vals, pa.float64(), mask=mask)
+        return pa.array(vals, pa.int64(), mask=mask)
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.repeat(types, m), pa.string()),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "mean_w": masked(mean),
+                "sd_w": masked(sd),
+                "upper": masked(upper),
+                "lower": masked(lower),
+                "breach": masked(breach, None),
+            }
+        )
+    )
+
+
+def kaplan_meier(
+    ds: rd.Dataset,
+    target_type: str = "purchase",
+    max_times: int = 100_000,
+) -> rd.Dataset:
+    """Kaplan-Meier time-to-conversion curve: for each user, the days
+    from their FIRST event to their first ``target_type`` event; users
+    who never convert are right-CENSORED at the corpus's last day.
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over distinct conversion
+    times — the product-limit estimator (Kaplan & Meier 1958), the
+    censoring-correct answer to "what fraction converts within k days?"
+    (a naive conversion-rate-by-day UNDERSTATES late conversion because
+    recent signups haven't had time to convert yet).
+
+    Exactness contract: d_i (conversions at t_i) and n_i (at risk:
+    observation time >= t_i, censored users counted — events precede
+    censorings at equal times, the standard convention) are exact
+    integers from the (time, converted) histogram; survival mirrors the
+    SQL ``exp(sum(ln(1 - d/n)) OVER (ORDER BY t))`` running chain
+    (np.cumsum of np.log — same left-to-right order; 6dp absorbs libm
+    ulps). A time with d = n (everyone remaining converts) zeroes the
+    curve from there on BOTH sides via an identical integer flag —
+    DuckDB's ln(0) errors, so the term is CASE-guarded, never evaluated.
+
+    Scale shape: pass 1 is a per-batch per-user (first-day,
+    first-target-day, last-day) combiner + one user-bucketed merge (the
+    new_users_by_day shape); per-user rows materialize (4 ints/user —
+    object-store-spillable at any user count); the corpus max-day is a
+    Dataset.max over that tiny table; pass 2 re-streams it into a
+    (time, converted) integer histogram bounded by the day span (loud
+    ``max_times`` guard). Raw events never shuffle."""
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+
+    DAY_US = 86_400_000_000
+    SENT = np.int64(2**62)  # "never converted" min-merge sentinel
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        is_t = np.asarray(
+            pa.compute.equal(batch.column("event_type"), target_type)
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "fd": day,
+                "cd": np.where(is_t, day, SENT),
+                "hi": day,
+            }
+        )
+        agg = df.groupby("user_id", as_index=False).agg(
+            fd=("fd", "min"), cd=("cd", "min"), hi=("hi", "max")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            fd=("fd", "min"), cd=("cd", "min"), hi=("hi", "max")
+        )
+
+    users = bucketed_group_apply(
+        ds.select_columns(["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "user_id",
+        merge,
+    ).materialize()
+    if users.count() == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "t_days": pa.array([], pa.int64()),
+                    "n_risk": pa.array([], pa.int64()),
+                    "n_conv": pa.array([], pa.int64()),
+                    "survival": pa.array([], pa.float64()),
+                }
+            )
+        )
+    gmax = int(users.max("hi"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_numpy()
+        cd = batch.column("cd").to_numpy()
+        conv = cd < SENT
+        df = pd.DataFrame(
+            {
+                "t": np.where(conv, cd - fd, gmax - fd),
+                "conv": conv.astype(np.int64),
+            }
+        )
+        agg = df.groupby(["t", "conv"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = users.map_batches(hist, batch_format="pyarrow").take(max_times + 1)
+    if len(rows) > max_times:
+        raise ValueError(
+            f"kaplan_meier: > {max_times} (time, flag) partials — "
+            "pre-bin times to weeks or raise max_times"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby(["t", "conv"], as_index=False)
+        .agg(n=("size", "sum"))
+        .sort_values("t", kind="mergesort")
+    )
+    total = int(h["n"].sum())
+    leave = h.groupby("t", sort=True)["n"].sum()  # exits at t (any kind)
+    churn = (
+        h[h["conv"] == 1].set_index("t")["n"].reindex(leave.index, fill_value=0)
+    )
+    # at-risk just before each time: total minus all exits strictly before
+    before = leave.cumsum().shift(1, fill_value=0)
+    times = leave.index.to_numpy(np.int64)
+    d = churn.to_numpy(np.int64)
+    n_risk = total - before.to_numpy(np.int64)
+    ev = d > 0
+    t_e, d_e, n_e = times[ev], d[ev], n_risk[ev]
+    dead = np.cumsum(d_e == n_e) > 0
+    with np.errstate(divide="ignore"):
+        term = np.where(
+            d_e < n_e,
+            np.log(1.0 - d_e.astype(np.float64) / n_e.astype(np.float64)),
+            0.0,
+        )
+    surv = np.where(dead, 0.0, np.exp(np.cumsum(term)))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "t_days": pa.array(t_e, pa.int64()),
+                "n_risk": pa.array(n_e, pa.int64()),
+                "n_conv": pa.array(d_e, pa.int64()),
+                "survival": pa.array(
+                    round_half_away_np(surv, 6), pa.float64()
+                ),
+            }
+        )
+    )

@@ -867,3 +867,143 @@ def token_jaccard_join(
         join_in_bucket,
         n_buckets=shuffle_blocks(),
     )
+
+
+def token_containment_join(
+    ds: rd.Dataset,
+    tau: float = 0.8,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+",
+    max_candidates_per_group: int = 5_000_000,
+) -> rd.Dataset:
+    """EXACT directed set-CONTAINMENT self-join: all ordered pairs
+    (A, B) within a ``group_col`` block where |A ∩ B| / |A| >= tau over
+    distinct token sets — the "is document A essentially a subset of
+    B?" test that Jaccard misses (a paragraph quoted inside a long
+    article has high containment but low Jaccard), the
+    boilerplate/quotation/template detector.
+
+    Filter correctness: if C(A→B) >= tau then |A∩B| >= ceil(tau·|A|),
+    so A's PREFIX of its L = |A| − ceil(tau·|A|) + 1 rarest tokens
+    (doc-frequency order) must intersect B — were it disjoint, the
+    whole intersection would fit in A's suffix of size
+    ceil(tau·|A|) − 1, a contradiction. Unlike the symmetric Jaccard
+    join there is NO length filter on B (B may be arbitrarily larger),
+    so the inverted index posts EVERY token of every doc and only the
+    probe side is prefix-trimmed; prefixes are rarest-first, keeping
+    posting lists short. Candidates verify with true sorted-id
+    intersection; the keep test mirrors the SQL float division
+    literally, so the oracle value-hash matches exactly.
+
+    Distributed shape: streamed vectorized tokenization, then one
+    ``bucketed_group_apply`` co-locating each group (the repo-wide
+    bucketed contract: one group's docs fit a worker; at 100 TB the
+    group key must be a real partitioner — crawl host, shard). The
+    loud ``max_candidates_per_group`` guard flags degenerate blocking.
+
+    Output: (group, doc_a, doc_b, n_inter, size_a, containment) with
+    doc_a the CONTAINED side (ordered pairs, both directions may
+    appear), containment 6dp."""
+    import polars as pl
+
+    from .dedup import shuffle_blocks
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select([group_col, id_col, text_col]))
+        return (
+            d.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(token_re)
+                .list.unique()
+                .alias("__toks")
+            )
+            .drop(text_col)
+            .to_arrow()
+        )
+
+    def join_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_a, out_b, out_i, out_sa = [], [], [], [], []
+        for gk, sub in g.groupby(group_col, sort=False):
+            sub = sub.sort_values(id_col, kind="mergesort")
+            ids = sub[id_col].to_numpy()
+            tok_lists = [
+                np.asarray(t, dtype=object) for t in sub["__toks"]
+            ]
+            all_tok = (
+                np.concatenate(tok_lists)
+                if tok_lists
+                else np.array([], dtype=object)
+            )
+            vocab, inv = np.unique(all_tok, return_inverse=True)
+            freq = np.bincount(inv, minlength=len(vocab))
+            order = np.lexsort((np.arange(len(vocab)), freq))
+            rank_of = np.empty(len(vocab), np.int64)
+            rank_of[order] = np.arange(len(vocab))
+            doc_ranks = []
+            pos = 0
+            for t in tok_lists:
+                r = np.sort(rank_of[inv[pos : pos + len(t)]])
+                pos += len(t)
+                doc_ranks.append(r)
+            # full inverted index (every token of every doc: the
+            # probed side has no prefix bound in a containment join)
+            index: dict = {}
+            for i, r in enumerate(doc_ranks):
+                for tk in r:
+                    index.setdefault(int(tk), []).append(i)
+            n_cand = 0
+            for a, ra in enumerate(doc_ranks):
+                if len(ra) == 0:
+                    continue
+                # conservative ceil (an overshot ceil would shorten the
+                # prefix and could miss a qualifying pair)
+                L = len(ra) - int(np.ceil(tau * len(ra) - 1e-9)) + 1
+                cand = set()
+                for tk in ra[: max(L, 0)]:
+                    for b in index.get(int(tk), ()):
+                        if b != a:
+                            cand.add(b)
+                n_cand += len(cand)
+                if n_cand > max_candidates_per_group:
+                    raise ValueError(
+                        "token_containment_join: candidate pairs exceed "
+                        f"{max_candidates_per_group} in group {gk!r} — "
+                        "degenerate blocking; tighten group_col or "
+                        "raise the guard deliberately"
+                    )
+                for b in cand:
+                    i = len(
+                        np.intersect1d(ra, doc_ranks[b], assume_unique=True)
+                    )
+                    # mirror the SQL division literally
+                    if float(i) / float(len(ra)) >= tau:
+                        out_g.append(gk)
+                        out_a.append(ids[a])
+                        out_b.append(ids[b])
+                        out_i.append(i)
+                        out_sa.append(len(ra))
+        cont = np.array(out_i, np.float64) / np.maximum(
+            np.array(out_sa, np.float64), 1.0
+        )
+        return pd.DataFrame(
+            {
+                group_col: out_g,
+                "doc_a": out_a,
+                "doc_b": out_b,
+                "n_inter": np.array(out_i, np.int64),
+                "size_a": np.array(out_sa, np.int64),
+                "containment": round_half_away_np(cont, 6),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.select_columns([group_col, id_col, text_col]).map_batches(
+            tokenize, batch_format="pyarrow"
+        ),
+        group_col,
+        join_in_bucket,
+        n_buckets=shuffle_blocks(),
+    )

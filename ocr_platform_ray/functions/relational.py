@@ -4707,3 +4707,168 @@ def revenue_concentration(
             "top_share": pa.array(rows["top_share"], pa.float64()),
         }
     )
+
+
+def diversity_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    cat_col: str,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """Categorical diversity audit per group: Shannon entropy (bits),
+    Simpson's unbiased diversity index 1 - sum n_i(n_i-1) / (N(N-1)),
+    and the category count — the corpus-balance report (is source X a
+    language monoculture?) that complements chi-square (which tests
+    deviation from the GLOBAL mix; this measures each group's own
+    spread).
+
+    Exactness contract: the (group, category) crosstab is exact
+    integers (one streamed combiner pass, the _joint_cells shape);
+    Simpson's numerator/denominator are exact int64 with ONE mirrored
+    division; Shannon is a per-cell log2 sum at 6dp (the
+    source_lang_mi contract — O(1) magnitudes absorb libm/order ulps).
+    Groups with N = 1 have undefined Simpson (NULL on both sides)."""
+    import numpy as np
+
+    cells = _joint_cells(ds, [group_col, cat_col], max_cells,
+                         "diversity_by_group")
+    out = {
+        group_col: [], "n_rows": [], "n_cats": [],
+        "shannon_bits": [], "simpson": [],
+    }
+    for g, sub in cells.groupby(group_col, sort=True):
+        n = sub["c"].to_numpy(np.int64)
+        tot = int(n.sum())
+        p = n.astype(np.float64) / float(tot)
+        shannon = float(-(p * np.log2(p)).sum())
+        out[group_col].append(g)
+        out["n_rows"].append(tot)
+        out["n_cats"].append(len(n))
+        out["shannon_bits"].append(round_half_away(shannon, 6))
+        if tot >= 2:
+            num = int((n * (n - 1)).sum())
+            out["simpson"].append(
+                round_half_away(
+                    1.0 - float(num) / float(tot * (tot - 1)), 6
+                )
+            )
+        else:
+            out["simpson"].append(None)
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_cats": pa.array(out["n_cats"], pa.int64()),
+            "shannon_bits": pa.array(out["shannon_bits"], pa.float64()),
+            "simpson": pa.array(out["simpson"], pa.float64()),
+        }
+    )
+
+
+def decile_revenue_shares(
+    orders: rd.Dataset, k: int = 10, max_cells: int = 1_000_000
+) -> pa.Table:
+    """Lorenz-style customer concentration report: rank customers by
+    total order revenue, cut into k equal-population tiles (SQL
+    ``NTILE(k) OVER (ORDER BY rev, custkey)`` semantics), and report
+    each tile's customer count, exact revenue, revenue share, and
+    cumulative share — "the top decile books 38% of revenue".
+
+    Tie-insensitive derivation (why no second pass is needed): NTILE
+    assigns tied revenues to tiles by the custkey tie-break, but tied
+    rows carry IDENTICAL revenue, so each tile's SUM depends only on
+    the (revenue, count) histogram — the engine slices the sorted
+    histogram by the exact NTILE fill rule (first N%k tiles get
+    N//k + 1 rows) with pure integer arithmetic, no per-customer pass.
+
+    Exactness: revenue accumulates as int64 cents (per-batch combiner +
+    one custkey-bucketed merge — orders never shuffle); the histogram
+    (distinct revenue values) collects under the loud ``max_cells``
+    guard; share = cents/total is one mirrored division and cum_share
+    mirrors the SQL running window sum term-for-term (np.cumsum ==
+    left-to-right)."""
+    import numpy as np
+
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": cents,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False)["cents"].sum(),
+            preserve_index=False,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    cust = bucketed_group_apply(
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "o_custkey",
+        merge,
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.select(["cents"]).to_pandas()
+        agg = df.groupby("cents", as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = cust.map_batches(hist, batch_format="pyarrow").take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"decile_revenue_shares: > {max_cells} distinct revenue "
+            "values — bucket revenues first or raise max_cells"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby("cents", as_index=False)
+        .agg(n=("size", "sum"))
+        .sort_values("cents", kind="mergesort")
+    )
+    vals = h["cents"].to_numpy(np.int64)
+    cnt = h["n"].to_numpy(np.int64)
+    n_total = int(cnt.sum())
+    q, r = divmod(n_total, k)
+    starts = np.array(
+        [j * (q + 1) if j < r else r * (q + 1) + (j - r) * q
+         for j in range(k)],
+        np.int64,
+    )
+    ends = np.append(starts[1:], n_total)
+    # positions covered by each value run
+    run_end = np.cumsum(cnt)
+    run_start = run_end - cnt
+    tile_n = np.zeros(k, np.int64)
+    tile_cents = np.zeros(k, dtype=object)
+    for j in range(k):
+        ov = np.minimum(run_end, ends[j]) - np.maximum(run_start, starts[j])
+        ov = np.maximum(ov, 0)
+        tile_n[j] = int(ov.sum())
+        tile_cents[j] = int((ov * vals).sum())
+    total = sum(int(c) for c in tile_cents)
+    share = np.array(
+        [float(int(c)) / float(total) for c in tile_cents], np.float64
+    )
+    cum = np.cumsum(share)
+    return pa.Table.from_pydict(
+        {
+            "tile": pa.array(np.arange(1, k + 1), pa.int64()),
+            "n_customers": pa.array(tile_n, pa.int64()),
+            "revenue_cents": pa.array(
+                [int(c) for c in tile_cents], pa.int64()
+            ),
+            "share": pa.array(round_half_away_np(share, 6), pa.float64()),
+            "cum_share": pa.array(round_half_away_np(cum, 6), pa.float64()),
+        }
+    )

@@ -3206,6 +3206,58 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_bollinger_daily(sf_dir: str) -> rd.Dataset:
+    """Bollinger bands (trailing 7-day mean +- 2 sample sd) over the
+    gap-filled per-type daily count grid, with breach flags — integer
+    window sums, one mirrored float chain, sqrt guard fires identically
+    on both engines."""
+    return events.bollinger_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
+def q_kaplan_meier(sf_dir: str) -> rd.Dataset:
+    """Kaplan-Meier time-to-conversion curve (first event -> first
+    purchase; non-converters censored at corpus end) — integer (d, n)
+    histogram, survival mirrors the SQL running exp(sum(ln)) chain."""
+    return events.kaplan_meier(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "ts"]),
+        target_type="purchase",
+    )
+
+
+def q_diversity(sf_dir: str) -> pa.Table:
+    """Shannon (bits) + unbiased Simpson diversity of the language mix
+    per source — exact integer crosstab, log2 sum at 6dp."""
+    return relational.diversity_by_group(
+        _docs(sf_dir, ["source", "lang"]), "source", "lang"
+    )
+
+
+def q_containment_pairs(sf_dir: str) -> rd.Dataset:
+    """EXACT directed token-set containment join (|A∩B|/|A| >= 0.8
+    within source) — the quotation/boilerplate superset detector;
+    PPJoin-style rarest-prefix probe, full verification."""
+    from .functions.linkage import token_containment_join
+
+    return token_containment_join(
+        _docs(sf_dir, ["source", "doc_id", "text"]), tau=0.8
+    )
+
+
+def q_decile_shares(sf_dir: str) -> pa.Table:
+    """Customer revenue deciles (exact NTILE(10) fill rule applied to
+    the revenue histogram — tie-insensitive sums, no per-customer
+    pass) with share and cumulative share."""
+    return relational.decile_revenue_shares(
+        _read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        k=10,
+    )
+
+
 def q_kmv_overlap(sf_dir: str) -> pa.Table:
     """Pairwise audience-overlap estimates between event types via KMV
     distinct sketches (k=256) on the pinned md5 32-bit hash — exact
@@ -3268,6 +3320,11 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_bollinger_daily": q_bollinger_daily,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_diversity": q_diversity,
+        "q_containment_pairs": q_containment_pairs,
+        "q_decile_shares": q_decile_shares,
         "q_kmv_overlap": q_kmv_overlap,
         "q_hhi_by_nation": q_hhi_by_nation,
         "q_cume_dist": q_cume_dist,
@@ -3542,6 +3599,130 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_bollinger_daily": (
+            # trailing 7-row window on the filled grid; integer window
+            # sums, mirrored mean/sd chain, greatest() guard identical
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " t AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT t.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN t"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = t.event_type),"
+            " w AS (SELECT event_type, day, n,"
+            " count(*) OVER win AS k, sum(n) OVER win AS sw,"
+            " sum(n * n) OVER win AS qw FROM grid WINDOW win AS"
+            " (PARTITION BY event_type ORDER BY day"
+            "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),"
+            " e AS (SELECT event_type, day, n, k,"
+            " CAST(sw AS DOUBLE) / CAST(k AS DOUBLE) AS mean,"
+            " sqrt(greatest((CAST(qw AS DOUBLE)"
+            " - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+            " / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0), 0.0))"
+            " AS sd FROM w)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,"
+            " CASE WHEN k >= 2 THEN round(mean, 6) END AS mean_w,"
+            " CASE WHEN k >= 2 THEN round(sd, 6) END AS sd_w,"
+            " CASE WHEN k >= 2 THEN round(mean + 2.0 * sd, 6) END"
+            " AS upper,"
+            " CASE WHEN k >= 2 THEN round(mean - 2.0 * sd, 6) END"
+            " AS lower,"
+            " CASE WHEN k >= 2 THEN CAST(CAST(n AS DOUBLE)"
+            " > mean + 2.0 * sd OR CAST(n AS DOUBLE)"
+            " < mean - 2.0 * sd AS BIGINT) END AS breach FROM e"
+        ),
+        "q_kaplan_meier": (
+            # product-limit estimator; d = n term CASE-guarded (DuckDB
+            # ln(0) errors) and zeroed via the dead flag on both sides
+            "WITH d0 AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS day, event_type"
+            " FROM events),"
+            " u AS (SELECT user_id, min(day) AS fd,"
+            " min(CASE WHEN event_type = 'purchase' THEN day END) AS cd"
+            " FROM d0 GROUP BY 1),"
+            " mx AS (SELECT max(day) AS m FROM d0),"
+            " obs AS (SELECT CASE WHEN cd IS NOT NULL THEN cd - fd"
+            " ELSE (SELECT m FROM mx) - fd END AS t,"
+            " CASE WHEN cd IS NOT NULL THEN 1 ELSE 0 END AS churn"
+            " FROM u),"
+            " lv AS (SELECT t, count(*)::BIGINT AS l,"
+            " sum(churn)::BIGINT AS d FROM obs GROUP BY 1),"
+            " r AS (SELECT t, d, CAST((SELECT count(*) FROM obs)"
+            " - coalesce(sum(l) OVER (ORDER BY t ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            " AS n_risk FROM lv),"
+            " e AS (SELECT t, d, n_risk, CASE WHEN d < n_risk THEN"
+            " ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+            " ELSE 0.0 END AS term,"
+            " CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead"
+            " FROM r WHERE d > 0)"
+            " SELECT t AS t_days, n_risk, d AS n_conv,"
+            " CASE WHEN sum(dead) OVER w > 0 THEN 0.0"
+            " ELSE round(exp(sum(term) OVER w), 6) END AS survival"
+            " FROM e WINDOW w AS (ORDER BY t ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "q_diversity": (
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n"
+            " FROM documents GROUP BY 1, 2),"
+            " g AS (SELECT source, sum(n)::BIGINT AS tot,"
+            " count(*)::BIGINT AS n_cats,"
+            " sum(n * (n - 1))::BIGINT AS num FROM c GROUP BY 1),"
+            " sh AS (SELECT c.source,"
+            " -sum((CAST(c.n AS DOUBLE) / CAST(g.tot AS DOUBLE))"
+            " * log2(CAST(c.n AS DOUBLE) / CAST(g.tot AS DOUBLE)))"
+            " AS h FROM c JOIN g ON g.source = c.source GROUP BY 1)"
+            " SELECT g.source, g.tot AS n_rows, g.n_cats,"
+            " round(sh.h, 6) AS shannon_bits,"
+            " CASE WHEN g.tot >= 2 THEN round(1.0"
+            " - CAST(g.num AS DOUBLE)"
+            " / CAST(g.tot * (g.tot - 1) AS DOUBLE), 6) END AS simpson"
+            " FROM g JOIN sh ON sh.source = g.source"
+        ),
+        "q_containment_pairs": (
+            # directed containment over distinct token sets; both
+            # directions of a pair may qualify independently
+            "WITH tok AS (SELECT DISTINCT source, doc_id, tk FROM"
+            " (SELECT source, doc_id,"
+            " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk"
+            " FROM documents)),"
+            " sz AS (SELECT doc_id, count(*)::BIGINT AS c FROM tok"
+            " GROUP BY 1),"
+            " inter AS (SELECT a.source, a.doc_id AS da,"
+            " b.doc_id AS db, count(*)::BIGINT AS i FROM tok a"
+            " JOIN tok b ON a.source = b.source AND a.tk = b.tk"
+            " AND a.doc_id <> b.doc_id GROUP BY 1, 2, 3)"
+            " SELECT inter.source, inter.da AS doc_a,"
+            " inter.db AS doc_b, inter.i AS n_inter, sa.c AS size_a,"
+            " round(CAST(inter.i AS DOUBLE)"
+            " / CAST(sa.c AS DOUBLE), 6) AS containment"
+            " FROM inter JOIN sz sa ON sa.doc_id = inter.da"
+            " WHERE CAST(inter.i AS DOUBLE)"
+            " / CAST(sa.c AS DOUBLE) >= 0.8"
+        ),
+        "q_decile_shares": (
+            # NTILE over (rev, custkey); tile sums are tie-insensitive
+            # so the engine's histogram slicing matches exactly
+            "WITH r AS (SELECT o_custkey,"
+            " sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT"
+            " AS cents FROM orders GROUP BY 1),"
+            " t AS (SELECT o_custkey, cents, ntile(10) OVER"
+            " (ORDER BY cents, o_custkey) AS tile FROM r),"
+            " a AS (SELECT tile, count(*)::BIGINT AS n_customers,"
+            " sum(cents)::BIGINT AS revenue_cents FROM t GROUP BY 1),"
+            " tot AS (SELECT sum(revenue_cents)::BIGINT AS s FROM a)"
+            " SELECT tile, n_customers, revenue_cents,"
+            " round(CAST(revenue_cents AS DOUBLE)"
+            " / CAST((SELECT s FROM tot) AS DOUBLE), 6) AS share,"
+            " round(sum(CAST(revenue_cents AS DOUBLE)"
+            " / CAST((SELECT s FROM tot) AS DOUBLE)) OVER"
+            " (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW), 6) AS cum_share FROM a"
+        ),
         "q_kmv_overlap": (
             # KMV estimator over the pinned md5-u32 hash sets; strict
             # nd < 256 = the engine's len(sketch) < k exact-path test
