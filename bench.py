@@ -302,6 +302,11 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-25 cohorts/balance/residuals/odds
+        ("q_cohort_matrix", q.q_cohort_matrix),
+        ("q_partition_balance", q.q_partition_balance),
+        ("q_crosstab_residuals", q.q_crosstab_residuals),
+        ("q_odds_ratio", q.q_odds_ratio),
         # round-5 batch-24 bands/survival/diversity/containment/deciles
         ("q_bollinger_daily", q.q_bollinger_daily),
         ("q_kaplan_meier", q.q_kaplan_meier),

@@ -2578,3 +2578,71 @@ def kfold_summary(
             "n_langs": pa.array(out["n_langs"], pa.int64()),
         }
     )
+
+
+def partition_balance(
+    ds: rd.Dataset, key: str, n_parts: int = 256
+) -> pa.Table:
+    """Shard-balance audit for a proposed partitioning key: hash every
+    row into ``n_parts`` buckets on the pinned md5 contract
+    (md5_u32(key) % n_parts) and report the size distribution — min /
+    max / mean bucket size, coefficient of variation, and the
+    max/mean imbalance factor. This is the pre-flight check before
+    ``write_parquet`` partitioning or a bucketed shuffle: an imbalance
+    of 3 means the hottest shard does 3× the work of the average one
+    and bounds the whole stage at scale.
+
+    Exactness: bucket counts are exact integers (per-batch bincount
+    partials merged as a fixed-length int64 vector — commutative, no
+    shuffle); mean/cv/imbalance are mirrored float expressions over
+    Σc and Σc² (exact int64), 6dp. Empty buckets COUNT (a key space
+    that misses buckets is itself imbalance), so the oracle
+    right-joins a generated bucket range."""
+    from ..md5np import md5_u32
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = (md5_u32(batch.column(key)) % np.uint32(n_parts)).astype(
+            np.int64
+        )
+        counts = np.bincount(b, minlength=n_parts).astype(np.int64)
+        return pa.Table.from_pydict({"c": [counts.tobytes()]})
+
+    total = np.zeros(n_parts, dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        total += np.frombuffer(row["c"], dtype=np.int64)
+    n_rows = int(total.sum())
+    if n_rows == 0:
+        return pa.Table.from_pydict(
+            {
+                "n_rows": pa.array([0], pa.int64()),
+                "n_parts": pa.array([n_parts], pa.int64()),
+                "n_used": pa.array([0], pa.int64()),
+                "min_n": pa.array([0], pa.int64()),
+                "max_n": pa.array([0], pa.int64()),
+                "mean_n": pa.array([None], pa.float64()),
+                "cv": pa.array([None], pa.float64()),
+                "imbalance": pa.array([None], pa.float64()),
+            }
+        )
+    s = n_rows
+    q = int((total * total).sum())
+    pf = float(n_parts)
+    mean = float(s) / pf
+    var = float(q) / pf - mean * mean
+    cv = float(np.sqrt(max(var, 0.0))) / mean
+    return pa.Table.from_pydict(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_parts": pa.array([n_parts], pa.int64()),
+            "n_used": pa.array([int((total > 0).sum())], pa.int64()),
+            "min_n": pa.array([int(total.min())], pa.int64()),
+            "max_n": pa.array([int(total.max())], pa.int64()),
+            "mean_n": pa.array([round_half_away(mean, 6)], pa.float64()),
+            "cv": pa.array([round_half_away(cv, 6)], pa.float64()),
+            "imbalance": pa.array(
+                [round_half_away(float(total.max()) / mean, 6)],
+                pa.float64(),
+            ),
+        }
+    )

@@ -2285,3 +2285,102 @@ def kaplan_meier(
             }
         )
     )
+
+
+def cohort_matrix(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Weekly cohort-retention triangle: users grouped by first-active
+    week, and for each (cohort, week-offset) cell the count of cohort
+    members active in that week plus the retention ratio vs the cohort
+    size — the full matrix behind the day-1/day-7 summary
+    (:func:`retention_counts`), the curve a growth team reads cohort
+    decay from.
+
+    Exactness: every cell is an exact integer (distinct (user, week)
+    membership, offset = week − cohort-week); retention is ONE mirrored
+    division (cell / cohort-size, where the offset-0 cell IS the cohort
+    size by construction). Weeks are epoch-weeks (epoch_us // 7-days —
+    no ISO-calendar dependence on either engine).
+
+    Scale shape: per-batch DISTINCT (user, week) pre-aggregation, one
+    user-bucketed merge resolving each user's cohort and emitting
+    per-bucket (cohort, offset) count partials; only weeks² cells reach
+    the driver (loud ``max_cells`` guard). Raw events never shuffle."""
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+
+    WEEK_US = 604_800_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = batch.column("ts").cast(pa.int64()).to_numpy() // WEEK_US
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "wk": wk,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cw = g.groupby("user_id")["wk"].transform("min")
+        cells = pd.DataFrame(
+            {"cohort_week": cw, "offset_weeks": g["wk"] - cw}
+        )
+        return cells.groupby(
+            ["cohort_week", "offset_weeks"], as_index=False
+        ).size()
+
+    parts = bucketed_group_apply(
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "user_id",
+        per_bucket,
+    ).take(max_cells + 1)
+    if len(parts) > max_cells:
+        raise ValueError(
+            f"cohort_matrix: > {max_cells} (cohort, offset) partials — "
+            "pre-bin to months or raise max_cells"
+        )
+    if not parts:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "offset_weeks": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "retention": pa.array([], pa.float64()),
+                }
+            )
+        )
+    m = (
+        pd.DataFrame(parts)
+        .groupby(["cohort_week", "offset_weeks"], as_index=False)
+        .agg(n_users=("size", "sum"))
+        .sort_values(["cohort_week", "offset_weeks"], kind="mergesort")
+    )
+    size0 = m[m["offset_weeks"] == 0].set_index("cohort_week")["n_users"]
+    n0 = m["cohort_week"].map(size0).to_numpy(np.int64)
+    ret = m["n_users"].to_numpy(np.int64).astype(np.float64) / n0.astype(
+        np.float64
+    )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "cohort_week": pa.array(
+                    m["cohort_week"].to_numpy(np.int64), pa.int64()
+                ),
+                "offset_weeks": pa.array(
+                    m["offset_weeks"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(
+                    m["n_users"].to_numpy(np.int64), pa.int64()
+                ),
+                "retention": pa.array(
+                    round_half_away_np(ret, 6), pa.float64()
+                ),
+            }
+        )
+    )

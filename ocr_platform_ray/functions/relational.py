@@ -4872,3 +4872,114 @@ def decile_revenue_shares(
             "cum_share": pa.array(round_half_away_np(cum, 6), pa.float64()),
         }
     )
+
+
+def crosstab_residuals(
+    ds: rd.Dataset,
+    a_col: str,
+    b_col: str,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """Adjusted (standardized Pearson) residuals per contingency cell:
+    (O − E) / sqrt(E (1 − ra/N)(1 − cb/N)) — the follow-up to a
+    significant chi-square that answers WHICH (source, lang) cell
+    deviates and in which direction (|residual| > 2 ≈ cell-level
+    significance; Agresti, Categorical Data Analysis §3.3).
+
+    Exactness: the crosstab and both margins are exact integers (one
+    streamed _joint_cells pass); each output is a PER-CELL mirrored
+    float chain (E = ra·cb/N, then one subtraction, one sqrt, one
+    division) — no cross-cell float accumulation anywhere. Degenerate
+    margins (a single row or column: the variance term is 0) yield
+    NULL on both engines."""
+    import numpy as np
+
+    cells = _joint_cells(ds, [a_col, b_col], max_cells,
+                         "crosstab_residuals")
+    cells = cells.sort_values([a_col, b_col], kind="mergesort")
+    ra = cells.groupby(a_col)["c"].transform("sum").to_numpy(np.int64)
+    cb = cells.groupby(b_col)["c"].transform("sum").to_numpy(np.int64)
+    n = int(cells["c"].sum())
+    o = cells["c"].to_numpy(np.int64)
+    nf = float(n)
+    raf, cbf = ra.astype(np.float64), cb.astype(np.float64)
+    e = raf * cbf / nf
+    denom_sq = e * (1.0 - raf / nf) * (1.0 - cbf / nf)
+    ok = denom_sq > 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        resid = (o.astype(np.float64) - e) / np.sqrt(denom_sq)
+    return pa.Table.from_pydict(
+        {
+            a_col: pa.array(cells[a_col].tolist(), pa.string()),
+            b_col: pa.array(cells[b_col].tolist(), pa.string()),
+            "n": pa.array(o, pa.int64()),
+            "expected": pa.array(
+                round_half_away_np(e, 6), pa.float64()
+            ),
+            "adj_residual": pa.array(
+                round_half_away_np(resid, 6), pa.float64(), mask=~ok
+            ),
+        }
+    )
+
+
+def odds_ratio_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    flag_col: str,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """One-vs-rest odds ratio per group for a boolean outcome, with the
+    Woolf log-SE 95% CI: OR = (a·d)/(b·c) over the 2×2 cell counts
+    (a = flagged in group, b = unflagged in group, c/d = rest) — the
+    effect-SIZE companion to the two-proportion z-test (which only says
+    "different", not "how many times more likely").
+
+    Exactness: all four cells are exact integers (one streamed
+    _joint_cells pass over (group, flag)); OR is one mirrored integer→
+    float division chain, ln(OR) ± 1.96·sqrt(1/a+1/b+1/c+1/d) evaluated
+    in the same op order on both engines, 6dp. Any zero cell → NULL OR
+    and CI on both sides (no continuity fudge — report, don't adjust)."""
+    import numpy as np
+
+    cells = _joint_cells(ds, [group_col, flag_col], max_cells,
+                         "odds_ratio_by_group")
+    piv = (
+        cells.pivot_table(
+            index=group_col, columns=flag_col, values="c",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[True, False], fill_value=0)
+        .sort_index()
+    )
+    a = piv[True].to_numpy(np.int64)
+    b = piv[False].to_numpy(np.int64)
+    ta, tb = int(a.sum()), int(b.sum())
+    c = ta - a
+    d = tb - b
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    af, bf, cf, df_ = (
+        a.astype(np.float64), b.astype(np.float64),
+        c.astype(np.float64), d.astype(np.float64),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        orr = (af * df_) / (bf * cf)
+        se = np.sqrt(1.0 / af + 1.0 / bf + 1.0 / cf + 1.0 / df_)
+        lo = np.exp(np.log(orr) - 1.96 * se)
+        hi = np.exp(np.log(orr) + 1.96 * se)
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(piv.index.tolist(), pa.string()),
+            "n_flag": pa.array(a, pa.int64()),
+            "n_noflag": pa.array(b, pa.int64()),
+            "odds_ratio": pa.array(
+                round_half_away_np(orr, 6), pa.float64(), mask=~ok
+            ),
+            "ci_lo": pa.array(
+                round_half_away_np(lo, 6), pa.float64(), mask=~ok
+            ),
+            "ci_hi": pa.array(
+                round_half_away_np(hi, 6), pa.float64(), mask=~ok
+            ),
+        }
+    )

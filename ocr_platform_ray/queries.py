@@ -3206,6 +3206,53 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_cohort_matrix(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort-retention triangle (first-active week x offset,
+    exact distinct-membership integers, one mirrored division)."""
+    return events.cohort_matrix(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
+def q_partition_balance(sf_dir: str) -> pa.Table:
+    """Shard-balance audit of doc_id over 256 md5 hash buckets —
+    exact integer bucket counts, mirrored cv/imbalance expressions."""
+    return dedup.partition_balance(
+        _docs(sf_dir, ["doc_id"]), "doc_id", n_parts=256
+    )
+
+
+def q_crosstab_residuals(sf_dir: str) -> pa.Table:
+    """Adjusted Pearson residuals per (source, lang) cell — WHICH cell
+    drives the chi-square; exact margins, per-cell float chain."""
+    return relational.crosstab_residuals(
+        _docs(sf_dir, ["source", "lang"]), "source", "lang"
+    )
+
+
+def q_odds_ratio(sf_dir: str) -> pa.Table:
+    """One-vs-rest odds ratio per language for contains-a-digit, with
+    Woolf 95% CI — exact 2x2 integer cells, mirrored ln/exp chain."""
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "has_digit": pc.match_substring_regex(
+                    batch.column("text"), "[0-9]"
+                ),
+            }
+        )
+
+    return relational.odds_ratio_by_group(
+        _docs(sf_dir, ["lang", "text"]).map_batches(
+            flag, batch_format="pyarrow"
+        ),
+        "lang",
+        "has_digit",
+    )
+
+
 def q_bollinger_daily(sf_dir: str) -> rd.Dataset:
     """Bollinger bands (trailing 7-day mean +- 2 sample sd) over the
     gap-filled per-type daily count grid, with breach flags — integer
@@ -3320,6 +3367,10 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_cohort_matrix": q_cohort_matrix,
+        "q_partition_balance": q_partition_balance,
+        "q_crosstab_residuals": q_crosstab_residuals,
+        "q_odds_ratio": q_odds_ratio,
         "q_bollinger_daily": q_bollinger_daily,
         "q_kaplan_meier": q_kaplan_meier,
         "q_diversity": q_diversity,
@@ -3599,6 +3650,93 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_cohort_matrix": (
+            "WITH w AS (SELECT DISTINCT user_id,"
+            " epoch_us(ts) // 604800000000 AS wk FROM events),"
+            " c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1),"
+            " m AS (SELECT c.cw AS cohort_week, w.wk - c.cw"
+            " AS offset_weeks, count(*)::BIGINT AS n_users FROM w"
+            " JOIN c ON c.user_id = w.user_id GROUP BY 1, 2),"
+            " s AS (SELECT cohort_week, n_users AS n0 FROM m"
+            " WHERE offset_weeks = 0)"
+            " SELECT m.cohort_week, m.offset_weeks, m.n_users,"
+            " round(CAST(m.n_users AS DOUBLE)"
+            " / CAST(s.n0 AS DOUBLE), 6) AS retention FROM m"
+            " JOIN s ON s.cohort_week = m.cohort_week"
+        ),
+        "q_partition_balance": (
+            # empty buckets count: the bucket range is generated and
+            # left-joined; cv/imbalance mirror the engine expressions
+            "WITH h AS (SELECT ('0x' ||"
+            " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+            " % 256 AS b FROM documents),"
+            " g AS (SELECT b, count(*)::BIGINT AS c FROM h GROUP BY 1),"
+            " bins AS (SELECT unnest(range(0, 256)) AS b),"
+            " f AS (SELECT bins.b, coalesce(g.c, 0)::BIGINT AS c"
+            " FROM bins LEFT JOIN g ON g.b = bins.b),"
+            " agg AS (SELECT sum(c)::BIGINT AS s,"
+            " sum(c * c)::BIGINT AS q, count(*)::BIGINT AS p,"
+            " sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS used,"
+            " min(c)::BIGINT AS mn, max(c)::BIGINT AS mx FROM f)"
+            " SELECT s AS n_rows, p AS n_parts, used AS n_used,"
+            " mn AS min_n, mx AS max_n,"
+            " round(CAST(s AS DOUBLE) / CAST(p AS DOUBLE), 6)"
+            " AS mean_n,"
+            " round(sqrt(greatest(CAST(q AS DOUBLE)"
+            " / CAST(p AS DOUBLE) - (CAST(s AS DOUBLE)"
+            " / CAST(p AS DOUBLE)) * (CAST(s AS DOUBLE)"
+            " / CAST(p AS DOUBLE)), 0.0)) / (CAST(s AS DOUBLE)"
+            " / CAST(p AS DOUBLE)), 6) AS cv,"
+            " round(CAST(mx AS DOUBLE) / (CAST(s AS DOUBLE)"
+            " / CAST(p AS DOUBLE)), 6) AS imbalance FROM agg"
+        ),
+        "q_crosstab_residuals": (
+            # per-cell mirrored chain; E and the variance term reuse
+            # the identical sub-expression so the guard fires alike
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n"
+            " FROM documents GROUP BY 1, 2),"
+            " ra AS (SELECT source, sum(n)::BIGINT AS r FROM c"
+            " GROUP BY 1),"
+            " cb AS (SELECT lang, sum(n)::BIGINT AS s FROM c"
+            " GROUP BY 1),"
+            " t AS (SELECT sum(n)::BIGINT AS n FROM c),"
+            " e AS (SELECT c.source, c.lang, c.n,"
+            " CAST(ra.r AS DOUBLE) * CAST(cb.s AS DOUBLE)"
+            " / CAST(t.n AS DOUBLE) AS ex,"
+            " CAST(ra.r AS DOUBLE) * CAST(cb.s AS DOUBLE)"
+            " / CAST(t.n AS DOUBLE)"
+            " * (1.0 - CAST(ra.r AS DOUBLE) / CAST(t.n AS DOUBLE))"
+            " * (1.0 - CAST(cb.s AS DOUBLE) / CAST(t.n AS DOUBLE))"
+            " AS dsq FROM c JOIN ra ON ra.source = c.source"
+            " JOIN cb ON cb.lang = c.lang CROSS JOIN t)"
+            " SELECT source, lang, n, round(ex, 6) AS expected,"
+            " CASE WHEN dsq > 0.0 THEN"
+            " round((CAST(n AS DOUBLE) - ex) / sqrt(dsq), 6) END"
+            " AS adj_residual FROM e"
+        ),
+        "q_odds_ratio": (
+            "WITH f AS (SELECT lang, CASE WHEN"
+            " regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS hd"
+            " FROM documents),"
+            " g AS (SELECT lang, sum(hd)::BIGINT AS a,"
+            " sum(1 - hd)::BIGINT AS b FROM f GROUP BY 1),"
+            " t AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb"
+            " FROM g),"
+            " e AS (SELECT lang, a, b, t.ta - a AS c, t.tb - b AS d"
+            " FROM g CROSS JOIN t),"
+            " v AS (SELECT lang, a, b, c, d,"
+            " CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN"
+            " CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+            " / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END AS orr,"
+            " CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN"
+            " sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)"
+            " + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) END"
+            " AS se FROM e)"
+            " SELECT lang, a AS n_flag, b AS n_noflag,"
+            " round(orr, 6) AS odds_ratio,"
+            " round(exp(ln(orr) - 1.96 * se), 6) AS ci_lo,"
+            " round(exp(ln(orr) + 1.96 * se), 6) AS ci_hi FROM v"
+        ),
         "q_bollinger_daily": (
             # trailing 7-row window on the filled grid; integer window
             # sums, mirrored mean/sd chain, greatest() guard identical
