@@ -302,6 +302,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-26 rfm/spc/heatmap
+        ("q_rfm", q.q_rfm),
+        ("q_xmr_chart", q.q_xmr_chart),
+        ("q_hour_dow", q.q_hour_dow),
         # round-5 batch-25 cohorts/balance/residuals/odds
         ("q_cohort_matrix", q.q_cohort_matrix),
         ("q_partition_balance", q.q_partition_balance),

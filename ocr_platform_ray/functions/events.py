@@ -2384,3 +2384,314 @@ def cohort_matrix(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def rfm_segments(ds: rd.Dataset, max_cells: int = 1_000_000) -> pa.Table:
+    """RFM segmentation: per user Recency (days since last event),
+    Frequency (event count) and Monetary (summed value in cents), each
+    cut into quintiles by the tie-stable max-rank rule
+    tile = ceil(5 * rank_max / n) — then the segment grid (r_tile,
+    f_tile, m_tile, n_users, share), the classic marketing-segmentation
+    cube ("5-5-5 champions" vs "1-1-1 lost").
+
+    Tile contract: rank_max = count(v' <= v) makes tied users land in
+    the SAME tile on both engines (no id tie-break needed), and the
+    ceiling is computed in INTEGER arithmetic ((rank*5 + n − 1) // n ==
+    SQL's windowed ``(count(*) OVER (RANGE ...) * 5 + n − 1) // n``) —
+    no float boundary anywhere; share is the only division, 6dp.
+
+    Scale shape: per-batch per-user (last-day, count, cents) combiner +
+    one user-bucketed merge; per-user rows materialize
+    (object-store-spillable); each dimension reduces to a (value,
+    count) histogram — bounded by distinct values under the loud
+    ``max_cells`` guard (recency/frequency are small-domain integers;
+    monetary is cents and the guard is the documented contract — bucket
+    cents first if a corpus exceeds it); tile maps broadcast via
+    ray.put and the final pass emits (r,f,m)-tile count partials. Raw
+    events never shuffle."""
+    from . import bucketed_group_apply, resolve_broadcast, round_half_away
+    from .dedup import shuffle_blocks
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "last": day,
+                "f": np.ones(len(day), np.int64),
+                "m": cents,
+            }
+        )
+        agg = df.groupby("user_id", as_index=False).agg(
+            last=("last", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            last=("last", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    users = bucketed_group_apply(
+        ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "user_id",
+        merge,
+    ).materialize()
+    n_users = users.count()
+    if n_users == 0:
+        return pa.Table.from_pydict(
+            {
+                "r_tile": pa.array([], pa.int64()),
+                "f_tile": pa.array([], pa.int64()),
+                "m_tile": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+    gmax = int(users.max("last"))
+
+    def dim_hist(batch: pa.Table) -> pa.Table:
+        out = []
+        vals = {
+            "r": gmax - batch.column("last").to_numpy(),
+            "f": batch.column("f").to_numpy(),
+            "m": batch.column("m").to_numpy(),
+        }
+        for dim, v in vals.items():
+            agg = (
+                pd.DataFrame({"v": v})
+                .groupby("v", as_index=False)
+                .size()
+            )
+            agg.insert(0, "dim", dim)
+            out.append(agg)
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    rows = users.map_batches(dim_hist, batch_format="pyarrow").take(
+        max_cells + 1
+    )
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"rfm_segments: > {max_cells} (dim, value) partials — "
+            "bucket the monetary cents first or raise max_cells"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby(["dim", "v"], as_index=False)
+        .agg(n=("size", "sum"))
+    )
+    import ray
+
+    maps = {}
+    for dim, sub in h.groupby("dim"):
+        sub = sub.sort_values("v", kind="mergesort")
+        vals = sub["v"].to_numpy(np.int64)
+        rank_max = np.cumsum(sub["n"].to_numpy(np.int64))
+        tile = (rank_max * 5 + n_users - 1) // n_users
+        maps[dim] = (vals, tile.astype(np.int64))
+    maps_ref = ray.put(maps)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mp = resolve_broadcast(maps_ref)
+
+        def tile_of(dim: str, v: np.ndarray) -> np.ndarray:
+            vals, tiles = mp[dim]
+            return tiles[np.searchsorted(vals, v)]
+
+        r = gmax - batch.column("last").to_numpy()
+        f = batch.column("f").to_numpy()
+        m = batch.column("m").to_numpy()
+        df = pd.DataFrame(
+            {
+                "r_tile": tile_of("r", r),
+                "f_tile": tile_of("f", f),
+                "m_tile": tile_of("m", m),
+            }
+        )
+        agg = df.groupby(
+            ["r_tile", "f_tile", "m_tile"], as_index=False
+        ).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    seg_rows = users.map_batches(assign, batch_format="pyarrow").take_all()
+    seg = (
+        pd.DataFrame(seg_rows)
+        .groupby(["r_tile", "f_tile", "m_tile"], as_index=False)
+        .agg(n_users=("size", "sum"))
+        .sort_values(["r_tile", "f_tile", "m_tile"], kind="mergesort")
+    )
+    share = seg["n_users"].to_numpy(np.int64).astype(np.float64) / float(
+        n_users
+    )
+    return pa.Table.from_pydict(
+        {
+            "r_tile": pa.array(seg["r_tile"].to_numpy(np.int64)),
+            "f_tile": pa.array(seg["f_tile"].to_numpy(np.int64)),
+            "m_tile": pa.array(seg["m_tile"].to_numpy(np.int64)),
+            "n_users": pa.array(seg["n_users"].to_numpy(np.int64)),
+            "share": pa.array(round_half_away_np(share, 6), pa.float64()),
+        }
+    )
+
+
+def xmr_chart(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """XmR (individuals + moving range) control chart per event type
+    over the gap-filled daily count series: center = series mean,
+    natural process limits = center ± 2.66 · mean-moving-range (the
+    Shewhart individuals-chart constant 3/d2, d2 = 1.128), breach flag
+    per day — the SPC cousin of the Bollinger monitor (GLOBAL limits
+    from overall process variation, where Bollinger adapts locally).
+
+    Exactness: Σx and Σ|Δx| are exact integers on the filled grid; both
+    engines evaluate one mirrored chain (center = Σx/m, amr =
+    Σ|Δx|/(m−1), limits = center ± 2.66·amr) and compare the UNROUNDED
+    limits for the breach flag. A single-day grid (m = 1) yields NULL
+    stats on both sides.
+
+    Scale shape: the ewma_daily combiner (one streamed pass of integer
+    (type, day) partials, loud ``max_cells`` guard); grid work on the
+    driver."""
+    DAY_US = 86_400_000_000
+
+    cells = _daily_cells(ds, max_cells, "xmr_chart")
+    empty = {
+        "event_type": pa.array([], pa.string()),
+        "day": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "center": pa.array([], pa.float64()),
+        "ucl": pa.array([], pa.float64()),
+        "lcl": pa.array([], pa.float64()),
+        "breach": pa.array([], pa.int64()),
+    }
+    if not len(cells):
+        return rd.from_arrow(pa.Table.from_pydict(empty))
+    types = sorted(cells["event_type"].unique())
+    days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+    grid = (
+        cells.set_index(["event_type", "day_id"])["n"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [types, days], names=["event_type", "day_id"]
+            ),
+            fill_value=0,
+        )
+        .to_numpy(np.int64)
+        .reshape(len(types), len(days))
+    )
+    m = len(days)
+    s = grid.sum(axis=1)
+    if m >= 2:
+        mr_sum = np.abs(np.diff(grid, axis=1)).sum(axis=1)
+        center = s.astype(np.float64) / float(m)
+        amr = mr_sum.astype(np.float64) / float(m - 1)
+        ucl = center + 2.66 * amr
+        lcl = center - 2.66 * amr
+        nf = grid.astype(np.float64)
+        breach = (
+            (nf > ucl[:, None]) | (nf < lcl[:, None])
+        ).astype(np.int64)
+        mask = np.zeros(grid.shape, bool)
+    else:
+        center = amr = ucl = lcl = np.zeros(len(types), np.float64)
+        breach = np.zeros(grid.shape, np.int64)
+        mask = np.ones(grid.shape, bool)
+    day_str = (days * DAY_US).astype("datetime64[us]").astype(
+        "datetime64[D]"
+    ).astype(str)
+
+    def rep(v: np.ndarray) -> pa.Array:
+        return pa.array(
+            round_half_away_np(np.repeat(v, m), 6),
+            pa.float64(),
+            mask=mask.ravel(),
+        )
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.repeat(types, m), pa.string()),
+                "day": pa.array(np.tile(day_str, len(types)), pa.string()),
+                "n": pa.array(grid.ravel()),
+                "center": rep(center),
+                "ucl": rep(ucl),
+                "lcl": rep(lcl),
+                "breach": pa.array(
+                    breach.ravel(), pa.int64(), mask=mask.ravel()
+                ),
+            }
+        )
+    )
+
+
+def hour_dow_heatmap(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Hour-of-day × day-of-week activity heatmap (0 = Sunday, the SQL
+    dayofweek convention): event counts and volume share per (dow,
+    hour) cell — the load-shape profile capacity planning reads
+    ("Tuesday 14:00 is 3× the Sunday 04:00 trough").
+
+    Exactness: cells are exact integer count partials (at most 168 per
+    batch); share is one division at 6dp. One streamed combiner pass,
+    nothing shuffles."""
+    US_PER_HOUR_ = 3_600_000_000
+    DAY_US = 86_400_000_000
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = us // DAY_US
+        df = pd.DataFrame(
+            {
+                "dow": (day + 4) % 7,
+                "hour": (us // US_PER_HOUR_) % 24,
+            }
+        )
+        agg = df.groupby(["dow", "hour"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns(["ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:  # pragma: no cover - 168 x blocks bound
+        raise ValueError(f"hour_dow_heatmap: > {max_cells} partials")
+    if not rows:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "dow": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby(["dow", "hour"], as_index=False)
+        .agg(n=("size", "sum"))
+        .sort_values(["dow", "hour"], kind="mergesort")
+    )
+    tot = int(h["n"].sum())
+    share = h["n"].to_numpy(np.int64).astype(np.float64) / float(tot)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "dow": pa.array(h["dow"].to_numpy(np.int64)),
+                "hour": pa.array(h["hour"].to_numpy(np.int64)),
+                "n": pa.array(h["n"].to_numpy(np.int64)),
+                "share": pa.array(
+                    round_half_away_np(share, 6), pa.float64()
+                ),
+            }
+        )
+    )

@@ -3206,6 +3206,33 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_rfm(sf_dir: str) -> pa.Table:
+    """RFM quintile segmentation (recency/frequency/monetary) with the
+    tie-stable integer max-rank tile rule — segment counts + shares."""
+    return events.rfm_segments(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"])
+    )
+
+
+def q_xmr_chart(sf_dir: str) -> rd.Dataset:
+    """XmR individuals control chart per event type (center ± 2.66 x
+    mean moving range, global limits) — integer Σx/Σ|Δx|, mirrored
+    limit chain, unrounded breach comparison."""
+    return events.xmr_chart(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
+def q_hour_dow(sf_dir: str) -> rd.Dataset:
+    """Hour-of-day x day-of-week load heatmap (0=Sunday) — exact
+    integer cells, one share division."""
+    return events.hour_dow_heatmap(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
 def q_cohort_matrix(sf_dir: str) -> rd.Dataset:
     """Weekly cohort-retention triangle (first-active week x offset,
     exact distinct-membership integers, one mirrored division)."""
@@ -3367,6 +3394,9 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_rfm": q_rfm,
+        "q_xmr_chart": q_xmr_chart,
+        "q_hour_dow": q_hour_dow,
         "q_cohort_matrix": q_cohort_matrix,
         "q_partition_balance": q_partition_balance,
         "q_crosstab_residuals": q_crosstab_residuals,
@@ -3650,6 +3680,76 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_rfm": (
+            # tie-stable quintiles: max-rank via the RANGE window,
+            # ceiling in INTEGER arithmetic — no float boundary
+            "WITH d AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS day,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " mx AS (SELECT max(day) AS m FROM d),"
+            " u AS (SELECT user_id, (SELECT m FROM mx) - max(day) AS r,"
+            " count(*)::BIGINT AS f, sum(cents)::BIGINT AS mny"
+            " FROM d GROUP BY 1),"
+            " nn AS (SELECT count(*)::BIGINT AS c FROM u),"
+            " t AS (SELECT user_id,"
+            " (count(*) OVER (ORDER BY r RANGE BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 5 + (SELECT c FROM nn) - 1)"
+            " // (SELECT c FROM nn) AS r_tile,"
+            " (count(*) OVER (ORDER BY f RANGE BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 5 + (SELECT c FROM nn) - 1)"
+            " // (SELECT c FROM nn) AS f_tile,"
+            " (count(*) OVER (ORDER BY mny RANGE BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 5 + (SELECT c FROM nn) - 1)"
+            " // (SELECT c FROM nn) AS m_tile FROM u)"
+            " SELECT r_tile, f_tile, m_tile,"
+            " count(*)::BIGINT AS n_users,"
+            " round(CAST(count(*) AS DOUBLE)"
+            " / CAST((SELECT c FROM nn) AS DOUBLE), 6) AS share"
+            " FROM t GROUP BY 1, 2, 3"
+        ),
+        "q_xmr_chart": (
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " tt AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT tt.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN tt"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = tt.event_type),"
+            " d2 AS (SELECT event_type, day, n, abs(n - lag(n) OVER"
+            " (PARTITION BY event_type ORDER BY day)) AS mr FROM grid),"
+            " st AS (SELECT event_type, count(*)::BIGINT AS m,"
+            " sum(n)::BIGINT AS s, sum(mr)::BIGINT AS mrs FROM d2"
+            " GROUP BY 1),"
+            " e AS (SELECT event_type, m,"
+            " CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS center,"
+            " CAST(mrs AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0) AS amr"
+            " FROM st)"
+            " SELECT d2.event_type, strftime(d2.day, '%Y-%m-%d') AS day,"
+            " d2.n,"
+            " CASE WHEN m >= 2 THEN round(center, 6) END AS center,"
+            " CASE WHEN m >= 2 THEN round(center + 2.66 * amr, 6) END"
+            " AS ucl,"
+            " CASE WHEN m >= 2 THEN round(center - 2.66 * amr, 6) END"
+            " AS lcl,"
+            " CASE WHEN m >= 2 THEN CAST(CAST(d2.n AS DOUBLE)"
+            " > center + 2.66 * amr OR CAST(d2.n AS DOUBLE)"
+            " < center - 2.66 * amr AS BIGINT) END AS breach"
+            " FROM d2 JOIN e ON e.event_type = d2.event_type"
+        ),
+        "q_hour_dow": (
+            "WITH h AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7"
+            " AS dow, (epoch_us(ts) // 3600000000) % 24 AS hour"
+            " FROM events),"
+            " g AS (SELECT dow, hour, count(*)::BIGINT AS n FROM h"
+            " GROUP BY 1, 2),"
+            " t AS (SELECT sum(n)::BIGINT AS s FROM g)"
+            " SELECT dow, hour, n, round(CAST(n AS DOUBLE)"
+            " / CAST((SELECT s FROM t) AS DOUBLE), 6) AS share FROM g"
+        ),
         "q_cohort_matrix": (
             "WITH w AS (SELECT DISTINCT user_id,"
             " epoch_us(ts) // 604800000000 AS wk FROM events),"
