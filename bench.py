@@ -302,6 +302,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-27 sequence-entropy/dup-graph
+        ("q_cond_entropy", q.q_cond_entropy),
+        ("q_dup_degree", q.q_dup_degree),
         # round-5 batch-26 rfm/spc/heatmap
         ("q_rfm", q.q_rfm),
         ("q_xmr_chart", q.q_xmr_chart),

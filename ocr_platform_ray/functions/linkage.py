@@ -1007,3 +1007,86 @@ def token_containment_join(
         join_in_bucket,
         n_buckets=shuffle_blocks(),
     )
+
+
+def dup_degree_histogram(
+    ds: rd.Dataset,
+    tau: float = 0.8,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_degree_rows: int = 1_000_000,
+) -> pa.Table:
+    """Near-duplicate GRAPH degree distribution: for every document,
+    the number of within-group partners with token-Jaccard >= ``tau``
+    (via the exact :func:`token_jaccard_join`), histogrammed as
+    (degree, n_docs) INCLUDING the zero-degree mass — the shape check
+    that separates "a few giant template clusters" (heavy tail: dedup
+    will collapse whole sources) from "scattered pairwise near-dups"
+    (degree ≤ 2: dedup is cheap), before committing to a keep policy.
+
+    Exactness: degrees are exact integers (each qualifying unordered
+    pair contributes one to both endpoints); the zero-degree row is
+    total-docs minus docs-with-partners — all integer, oracle-exact.
+
+    Scale shape: rides the join's bucketed contract; pair endpoints
+    pre-count per batch and merge on the driver under a loud
+    ``max_degree_rows`` guard (a degree table larger than that means
+    the join itself was the problem)."""
+    import numpy as np
+
+    total = ds.count()
+    pairs = token_jaccard_join(
+        ds, tau=tau, group_col=group_col, id_col=id_col,
+        text_col=text_col,
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = pd.concat(
+            [
+                batch.select(["doc_a"]).to_pandas().rename(
+                    columns={"doc_a": "d"}
+                ),
+                batch.select(["doc_b"]).to_pandas().rename(
+                    columns={"doc_b": "d"}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            d.groupby("d", as_index=False).size(), preserve_index=False
+        )
+
+    rows = pairs.map_batches(endpoints, batch_format="pyarrow").take(
+        max_degree_rows + 1
+    )
+    if len(rows) > max_degree_rows:
+        raise ValueError(
+            f"dup_degree_histogram: > {max_degree_rows} endpoint "
+            "partials — the pair set is degenerate; raise tau"
+        )
+    import pandas as pd
+
+    if rows:
+        deg = (
+            pd.DataFrame(rows)
+            .groupby("d", as_index=False)
+            .agg(degree=("size", "sum"))
+        )
+        hist = deg.groupby("degree", as_index=False).size()
+        n_with = int(deg["d"].nunique())
+    else:
+        hist = pd.DataFrame({"degree": [], "size": []})
+        n_with = 0
+    degrees = [0] + [int(x) for x in hist["degree"]]
+    counts = [total - n_with] + [int(x) for x in hist["size"]]
+    keep = [(d, c) for d, c in zip(degrees, counts) if c > 0]
+    keep.sort()
+    return pa.Table.from_pydict(
+        {
+            "degree": pa.array([d for d, _ in keep], pa.int64()),
+            "n_docs": pa.array([c for _, c in keep], pa.int64()),
+        }
+    )

@@ -2578,3 +2578,111 @@ def two_proportion_ztest(
             }
         )
     )
+
+
+def bigram_cond_entropy(
+    ds,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    max_rows: int = 1_000_000,
+):
+    """Corpus-level bigram statistics: total/distinct bigram counts,
+    bigram entropy H(X,Y), first-token entropy H(X) and the CONDITIONAL
+    entropy H(Y|X) = H(X,Y) − H(X) in bits — the sequence-predictability
+    measure (natural prose runs ~6-8 bits/word conditional; templated or
+    boilerplate-heavy corpora collapse toward 0, making this a
+    generation-diversity audit that unigram entropy misses).
+
+    Identity used: H(Y|X) = (Σ_x c_x·log2 c_x − Σ_xy c_xy·log2 c_xy)/N
+    where c_x is the first-token marginal of the bigram table — both
+    sums are over EXACT integer counts, evaluated per token-hash bucket
+    (a first-token's whole row of the bigram table lives in ONE bucket,
+    so the marginal is bucket-local) and merged on the driver; the 6dp
+    round absorbs libm/summation-order ulps (the js_divergence / MI
+    contract).
+
+    Scale shape (the hapax_by_group combiner): per-batch (a, b) bigram
+    count partials via vectorized polars list-shift — the shuffle
+    carries bigram vocabulary partials, never text; each bucket emits
+    ONE 4-number row."""
+    import pandas as pd
+    import polars as pl
+
+    import numpy as np
+
+    from . import bucketed_group_apply, round_half_away
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.select([text_col])).with_columns(
+            pl.col(text_col).str.extract_all(TOKEN_RE).alias("tok")
+        )
+        t = t.with_columns(pl.col("tok").list.shift(-1).alias("nxt"))
+        d = (
+            t.select(["tok", "nxt"])
+            .explode(["tok", "nxt"])
+            .drop_nulls()
+        )
+        return (
+            d.group_by(["tok", "nxt"])
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["tok", "nxt"], as_index=False)["n"].sum()
+        c = tot["n"].to_numpy(np.int64).astype(np.float64)
+        cx = (
+            tot.groupby("tok")["n"].sum().to_numpy(np.int64)
+            .astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "nn": [int(c.sum())],
+                "nd": [len(c)],
+                "sxy": [float((c * np.log2(c)).sum())],
+                "sx": [float((cx * np.log2(cx)).sum())],
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    rows = bucketed_group_apply(
+        partials.repartition(shuffle_blocks()),
+        "tok",
+        per_bucket,
+        batch_format="pandas",
+        n_buckets=n_buckets,
+    ).take(max_rows)
+    if not rows:
+        return pa.Table.from_pydict(
+            {
+                "n_bigrams": pa.array([0], pa.int64()),
+                "n_distinct": pa.array([0], pa.int64()),
+                "h_bigram": pa.array([None], pa.float64()),
+                "h_first": pa.array([None], pa.float64()),
+                "h_cond": pa.array([None], pa.float64()),
+            }
+        )
+    df = pd.DataFrame(rows)
+    nn = int(df["nn"].sum())
+    nd = int(df["nd"].sum())
+    sxy = float(df["sxy"].sum())
+    sx = float(df["sx"].sum())
+    nf = float(nn)
+    hb = float(np.log2(nf)) - sxy / nf
+    hf = float(np.log2(nf)) - sx / nf
+    return pa.Table.from_pydict(
+        {
+            "n_bigrams": pa.array([nn], pa.int64()),
+            "n_distinct": pa.array([nd], pa.int64()),
+            "h_bigram": pa.array([round_half_away(hb, 6)], pa.float64()),
+            "h_first": pa.array([round_half_away(hf, 6)], pa.float64()),
+            "h_cond": pa.array(
+                [round_half_away(hb - hf, 6)], pa.float64()
+            ),
+        }
+    )

@@ -3206,6 +3206,23 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_cond_entropy(sf_dir: str) -> pa.Table:
+    """Bigram conditional entropy H(next|current) in bits — the
+    sequence-predictability audit; token-hash bucketed integer counts,
+    marginals bucket-local, mirrored log2 chain."""
+    return textstats.bigram_cond_entropy(_docs(sf_dir, ["text"]))
+
+
+def q_dup_degree(sf_dir: str) -> pa.Table:
+    """Near-dup graph degree histogram at exact token-Jaccard >= 0.8
+    (zero-degree mass included) — template-cluster shape check."""
+    from .functions.linkage import dup_degree_histogram
+
+    return dup_degree_histogram(
+        _docs(sf_dir, ["source", "doc_id", "text"]), tau=0.8
+    )
+
+
 def q_rfm(sf_dir: str) -> pa.Table:
     """RFM quintile segmentation (recency/frequency/monetary) with the
     tie-stable integer max-rank tile rule — segment counts + shares."""
@@ -3394,6 +3411,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_cond_entropy": q_cond_entropy,
+        "q_dup_degree": q_dup_degree,
         "q_rfm": q_rfm,
         "q_xmr_chart": q_xmr_chart,
         "q_hour_dow": q_hour_dow,
@@ -3680,6 +3699,61 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_cond_entropy": (
+            # bigrams via 1-based list indexing over a lateral range;
+            # H(Y|X) from exact integer counts, log2 sums at 6dp
+            "WITH tk AS (SELECT regexp_extract_all(text, '[a-z0-9]+')"
+            " AS t FROM documents),"
+            " bg AS (SELECT t[i] AS a, t[i + 1] AS b FROM tk,"
+            " LATERAL (SELECT unnest(range(1, len(t))) AS i) r),"
+            " c AS (SELECT a, b, count(*)::BIGINT AS n FROM bg"
+            " GROUP BY 1, 2),"
+            " mxx AS (SELECT a, sum(n)::BIGINT AS cx FROM c GROUP BY 1),"
+            " tot AS (SELECT sum(n)::BIGINT AS nn,"
+            " count(*)::BIGINT AS nd FROM c),"
+            " s1 AS (SELECT sum(CAST(n AS DOUBLE)"
+            " * log2(CAST(n AS DOUBLE))) AS sxy FROM c),"
+            " s2 AS (SELECT sum(CAST(cx AS DOUBLE)"
+            " * log2(CAST(cx AS DOUBLE))) AS sx FROM mxx)"
+            " SELECT tot.nn AS n_bigrams, tot.nd AS n_distinct,"
+            " round(log2(CAST(tot.nn AS DOUBLE))"
+            " - s1.sxy / CAST(tot.nn AS DOUBLE), 6) AS h_bigram,"
+            " round(log2(CAST(tot.nn AS DOUBLE))"
+            " - s2.sx / CAST(tot.nn AS DOUBLE), 6) AS h_first,"
+            " round((log2(CAST(tot.nn AS DOUBLE))"
+            " - s1.sxy / CAST(tot.nn AS DOUBLE))"
+            " - (log2(CAST(tot.nn AS DOUBLE))"
+            " - s2.sx / CAST(tot.nn AS DOUBLE)), 6) AS h_cond"
+            " FROM tot CROSS JOIN s1 CROSS JOIN s2"
+        ),
+        "q_dup_degree": (
+            # degree per doc over the exact Jaccard >= 0.8 pair set,
+            # zero-degree docs included via the LEFT JOIN
+            "WITH tok AS (SELECT DISTINCT source, doc_id, tk FROM"
+            " (SELECT source, doc_id,"
+            " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk"
+            " FROM documents)),"
+            " sz AS (SELECT doc_id, count(*)::BIGINT AS c FROM tok"
+            " GROUP BY 1),"
+            " q AS (SELECT a.doc_id AS da, b.doc_id AS db,"
+            " count(*)::BIGINT AS i FROM tok a JOIN tok b"
+            " ON a.source = b.source AND a.tk = b.tk"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+            " keep AS (SELECT da, db FROM q"
+            " JOIN sz sa ON sa.doc_id = q.da"
+            " JOIN sz sb ON sb.doc_id = q.db"
+            " WHERE CAST(q.i AS DOUBLE)"
+            " / CAST(sa.c + sb.c - q.i AS DOUBLE) >= 0.8),"
+            " p AS (SELECT da AS d FROM keep"
+            " UNION ALL SELECT db FROM keep),"
+            " deg AS (SELECT d, count(*)::BIGINT AS degree FROM p"
+            " GROUP BY 1),"
+            " f AS (SELECT documents.doc_id,"
+            " coalesce(deg.degree, 0)::BIGINT AS degree"
+            " FROM documents LEFT JOIN deg ON deg.d = documents.doc_id)"
+            " SELECT degree, count(*)::BIGINT AS n_docs FROM f"
+            " GROUP BY 1"
+        ),
         "q_rfm": (
             # tie-stable quintiles: max-rank via the RANGE window,
             # ceiling in INTEGER arithmetic — no float boundary
