@@ -302,6 +302,11 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-28 heaps/srm/hill/wilson
+        ("q_heaps_law", q.q_heaps_law),
+        ("q_srm", q.q_srm),
+        ("q_hill_tail", q.q_hill_tail),
+        ("q_wilson_ci", q.q_wilson_ci),
         # round-5 batch-27 sequence-entropy/dup-graph
         ("q_cond_entropy", q.q_cond_entropy),
         ("q_dup_degree", q.q_dup_degree),

@@ -2646,3 +2646,67 @@ def partition_balance(
             ),
         }
     )
+
+
+def srm_check(
+    ds: rd.Dataset, id_col: str = "doc_id", n_arms: int = 2
+) -> pa.Table:
+    """Sample-ratio-mismatch (SRM) audit for the repo's deterministic
+    md5 split contract: assign every row to one of ``n_arms`` equal
+    arms via md5_u32(id) % n and chi-square the arm counts against the
+    uniform expectation — the first thing to check before trusting ANY
+    A/B readout (an SRM chi-square p < 0.001 means the assignment or
+    logging is broken and every downstream metric is garbage).
+
+    Exactness: arm counts are exact integers (commutative bincount
+    partials, no shuffle); chi2 = Σ (n_i − E)²/E with E = N/n is one
+    mirrored float chain (the Σ is over ``n_arms`` terms in ascending
+    arm order on the engine; 6dp absorbs the SQL sum's order), and for
+    n_arms = 2 the signed z = (n_0 − n_1)/sqrt(N) is also reported."""
+    from ..md5np import md5_u32
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arm = (md5_u32(batch.column(id_col)) % np.uint32(n_arms)).astype(
+            np.int64
+        )
+        counts = np.bincount(arm, minlength=n_arms).astype(np.int64)
+        return pa.Table.from_pydict({"c": [counts.tobytes()]})
+
+    total = np.zeros(n_arms, dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        total += np.frombuffer(row["c"], dtype=np.int64)
+    n = int(total.sum())
+    if n == 0:
+        return pa.Table.from_pydict(
+            {
+                "n_rows": pa.array([0], pa.int64()),
+                "n_arms": pa.array([n_arms], pa.int64()),
+                "min_arm": pa.array([0], pa.int64()),
+                "max_arm": pa.array([0], pa.int64()),
+                "chi2": pa.array([None], pa.float64()),
+                "z": pa.array([None], pa.float64()),
+            }
+        )
+    e = float(n) / float(n_arms)
+    chi2 = float(
+        sum((float(c) - e) * (float(c) - e) / e for c in total)
+    )
+    z = (
+        round_half_away(
+            (float(total[0]) - float(total[1])) / float(np.sqrt(float(n))),
+            6,
+        )
+        if n_arms == 2
+        else None
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_arms": pa.array([n_arms], pa.int64()),
+            "min_arm": pa.array([int(total.min())], pa.int64()),
+            "max_arm": pa.array([int(total.max())], pa.int64()),
+            "chi2": pa.array([round_half_away(chi2, 6)], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )

@@ -4983,3 +4983,59 @@ def odds_ratio_by_group(
             ),
         }
     )
+
+
+def wilson_ci_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    flag_col: str,
+    z: float = 1.96,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """Wilson score 95% confidence interval for a proportion per group —
+    the CI that stays inside [0, 1] and behaves at p̂ near 0/1 where the
+    Wald interval collapses (Brown, Cai & DasGupta 2001 recommend it as
+    the default): center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    z·sqrt(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+
+    Exactness: (flagged, total) are exact integers from one streamed
+    _joint_cells pass; each group's CI is ONE mirrored float chain in
+    the literal op order above, 6dp. n = 0 groups cannot occur (a group
+    exists only with rows); p̂ ∈ {0, 1} is fine — Wilson never divides
+    by p̂(1−p̂)."""
+    import numpy as np
+
+    cells = _joint_cells(ds, [group_col, flag_col], max_cells,
+                         "wilson_ci_by_group")
+    piv = (
+        cells.pivot_table(
+            index=group_col, columns=flag_col, values="c",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[True, False], fill_value=0)
+        .sort_index()
+    )
+    a = piv[True].to_numpy(np.int64)
+    n = a + piv[False].to_numpy(np.int64)
+    af, nf = a.astype(np.float64), n.astype(np.float64)
+    p = af / nf
+    z2 = z * z
+    denom = 1.0 + z2 / nf
+    center = (p + z2 / (2.0 * nf)) / denom
+    half = z * np.sqrt(p * (1.0 - p) / nf + z2 / (4.0 * nf * nf)) / denom
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(piv.index.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "n_flag": pa.array(a, pa.int64()),
+            "p_hat": pa.array(
+                round_half_away_np(p, 6), pa.float64()
+            ),
+            "ci_lo": pa.array(
+                round_half_away_np(center - half, 6), pa.float64()
+            ),
+            "ci_hi": pa.array(
+                round_half_away_np(center + half, 6), pa.float64()
+            ),
+        }
+    )

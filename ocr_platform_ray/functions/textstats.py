@@ -2686,3 +2686,125 @@ def bigram_cond_entropy(
             ),
         }
     )
+
+
+def heaps_law(ds, seed: int = 7, n_slices: int = 10):
+    """Heaps-law fit over the vocabulary-growth curve: V(N) ≈ k·N^β,
+    estimated as OLS of ln V on ln N over the :func:`vocab_growth`
+    decile points — β (typically 0.4–0.6 for natural text; β → 0 means
+    the corpus has stopped adding vocabulary, β ≈ 1 flags id-like token
+    pollution) plus ln k and r² — the one-row answer to "will 10× more
+    data need a bigger tokenizer vocab?".
+
+    Exactness: the curve points are exact integers (vocab_growth's
+    min-first-position contract); the fit mirrors DuckDB regr_* via
+    mean-centered sums (the zipf_slope contract, ≤ ``n_slices`` points,
+    6dp absorbs libm/order ulps). Zero-vocab points are excluded on
+    both sides (ln guard)."""
+    from . import round_half_away
+
+    n_docs = ds.count()
+    curve = vocab_growth(ds, seed=seed, n_slices=n_slices).to_pandas()
+    thr = np.ceil(
+        n_docs * np.arange(1, n_slices + 1) / float(n_slices)
+    ).astype(np.int64)
+    v = curve["vocab"].to_numpy(np.int64)
+    keep = (v > 0) & (thr > 0)
+    x = np.log(thr[keep].astype(np.float64))
+    y = np.log(v[keep].astype(np.float64))
+    n = len(x)
+    if n < 2:
+        return pa.Table.from_pydict(
+            {
+                "n_points": pa.array([n], pa.int64()),
+                "beta": pa.array([None], pa.float64()),
+                "ln_k": pa.array([None], pa.float64()),
+                "r2": pa.array([None], pa.float64()),
+            }
+        )
+    xm = float(x.sum()) / n
+    ym = float(y.sum()) / n
+    sxx = float(((x - xm) * (x - xm)).sum())
+    sxy = float(((x - xm) * (y - ym)).sum())
+    syy = float(((y - ym) * (y - ym)).sum())
+    beta = sxy / sxx
+    ln_k = ym - beta * xm
+    # DuckDB regr_r2 convention: zero y-variance (a saturated vocab
+    # curve) reports a perfect fit, not NULL — verified empirically
+    r2 = 1.0 if syy == 0.0 else (sxy * sxy) / (sxx * syy)
+    return pa.Table.from_pydict(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "beta": pa.array([round_half_away(beta, 6)], pa.float64()),
+            "ln_k": pa.array([round_half_away(ln_k, 6)], pa.float64()),
+            "r2": pa.array([round_half_away(r2, 6)], pa.float64()),
+        }
+    )
+
+
+def hill_tail_by_group(
+    ds,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    k: int = 100,
+    max_groups: int = 10_000,
+):
+    """Hill tail-index estimator per group: over the top k+1 order
+    statistics of ``value_col``, alpha = k / Σ ln(x_(i) / x_(k+1)) —
+    the heavy-tail exponent of document lengths (alpha ≤ 2 means the
+    length distribution has infinite variance: batch-size planning by
+    MEAN length will OOM on the tail; alpha ≥ 3-4 is a tame tail).
+    Hill (1975), the standard POT tail estimator.
+
+    Determinism: only the top-(k+1) VALUE MULTISET enters the formula,
+    and the multiset of the k+1 largest values is unique regardless of
+    how ties at the boundary are broken — so no id tie-break is needed
+    and the SQL row_number() oracle matches exactly. Groups with fewer
+    than k+1 rows are skipped (both sides); an all-equal tail (Σ = 0)
+    yields NULL on both sides. The ln-sum is the zipf/mannwhitney 6dp
+    contract.
+
+    Scale shape: per-batch per-group top-(k+1) value pre-trim (the
+    weighted_sample top-k idiom), so the driver merge holds ≤ groups ×
+    (k+1) ints under the loud ``max_groups`` guard."""
+    import pandas as pd
+
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        top = (
+            df.sort_values(value_col, ascending=False, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k + 1)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    rows = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups * (k + 1) + 1)
+    if len(rows) > max_groups * (k + 1):
+        raise ValueError(
+            f"hill_tail_by_group: > {max_groups} groups — raise "
+            "max_groups deliberately"
+        )
+    df = pd.DataFrame(rows)
+    out_g, out_k, out_a = [], [], []
+    for g, sub in df.groupby(group_col, sort=True):
+        v = np.sort(sub[value_col].to_numpy(np.int64))[::-1][: k + 1]
+        if len(v) < k + 1:
+            continue  # needs a full tail sample (oracle: rk = k+1 row)
+        xk = float(v[k])
+        ls = float(np.log(v[:k].astype(np.float64) / xk).sum())
+        out_g.append(g)
+        out_k.append(k)
+        out_a.append(
+            None if ls <= 0.0 else round_half_away(float(k) / ls, 6)
+        )
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "k_used": pa.array(out_k, pa.int64()),
+            "alpha": pa.array(out_a, pa.float64()),
+        }
+    )

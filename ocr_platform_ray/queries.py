@@ -3206,6 +3206,48 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_heaps_law(sf_dir: str) -> pa.Table:
+    """Heaps-law exponent fit over the vocab-growth decile curve —
+    'will 10x more data need a bigger vocab?' in one row."""
+    return textstats.heaps_law(_docs(sf_dir, ["doc_id", "text"]), seed=7)
+
+
+def q_srm(sf_dir: str) -> pa.Table:
+    """Sample-ratio-mismatch chi-square for the md5 %2 split contract —
+    the A/B sanity gate; exact arm counts, mirrored chi2/z chain."""
+    return dedup.srm_check(_docs(sf_dir, ["doc_id"]), n_arms=2)
+
+
+def q_hill_tail(sf_dir: str) -> pa.Table:
+    """Hill heavy-tail exponent of document lengths per source (top-101
+    order statistics; tie-insensitive value multiset)."""
+    return textstats.hill_tail_by_group(
+        _docs(sf_dir, ["source", "doc_id", "n_chars"]), k=100
+    )
+
+
+def q_wilson_ci(sf_dir: str) -> pa.Table:
+    """Wilson 95% CI for the contains-a-digit share per source — the
+    proportion interval that behaves near 0/1."""
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "has_digit": pc.match_substring_regex(
+                    batch.column("text"), "[0-9]"
+                ),
+            }
+        )
+
+    return relational.wilson_ci_by_group(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            flag, batch_format="pyarrow"
+        ),
+        "source",
+        "has_digit",
+    )
+
+
 def q_cond_entropy(sf_dir: str) -> pa.Table:
     """Bigram conditional entropy H(next|current) in bits — the
     sequence-predictability audit; token-hash bucketed integer counts,
@@ -3411,6 +3453,10 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_heaps_law": q_heaps_law,
+        "q_srm": q_srm,
+        "q_hill_tail": q_hill_tail,
+        "q_wilson_ci": q_wilson_ci,
         "q_cond_entropy": q_cond_entropy,
         "q_dup_degree": q_dup_degree,
         "q_rfm": q_rfm,
@@ -3699,6 +3745,93 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_heaps_law": (
+            # the q_vocab_growth CTE + regr_* over (ln N, ln V)
+            "WITH r AS (SELECT doc_id, text, row_number() OVER"
+            " (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1"
+            " AS pos FROM documents),"
+            " nn AS (SELECT count(*)::BIGINT AS n FROM documents),"
+            " tok AS (SELECT pos, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM r),"
+            " fp AS (SELECT token, min(pos) AS fp FROM tok"
+            " GROUP BY token),"
+            " d AS (SELECT unnest(range(1, 11)) AS decile),"
+            " c2 AS (SELECT CAST(ceil((SELECT n FROM nn) * decile"
+            " / 10.0) AS BIGINT) AS nd,"
+            " (SELECT count(*) FROM fp WHERE fp.fp <"
+            " CAST(ceil((SELECT n FROM nn) * decile / 10.0) AS BIGINT)"
+            " )::BIGINT AS vocab FROM d),"
+            " pts AS (SELECT ln(CAST(nd AS DOUBLE)) AS x,"
+            " ln(CAST(vocab AS DOUBLE)) AS y FROM c2"
+            " WHERE vocab > 0 AND nd > 0)"
+            " SELECT count(*)::BIGINT AS n_points,"
+            " round(regr_slope(y, x), 6) AS beta,"
+            " round(regr_intercept(y, x), 6) AS ln_k,"
+            " round(regr_r2(y, x), 6) AS r2 FROM pts"
+        ),
+        "q_srm": (
+            "WITH h AS (SELECT ('0x' ||"
+            " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2"
+            " AS arm FROM documents),"
+            " g AS (SELECT arm, count(*)::BIGINT AS c FROM h"
+            " GROUP BY 1),"
+            " arms AS (SELECT unnest(range(0, 2)) AS arm),"
+            " f AS (SELECT arms.arm, coalesce(g.c, 0)::BIGINT AS c"
+            " FROM arms LEFT JOIN g ON g.arm = arms.arm),"
+            " t AS (SELECT sum(c)::BIGINT AS n, min(c)::BIGINT AS mn,"
+            " max(c)::BIGINT AS mx FROM f),"
+            " chi AS (SELECT sum((CAST(c AS DOUBLE)"
+            " - CAST(t.n AS DOUBLE) / 2.0) * (CAST(c AS DOUBLE)"
+            " - CAST(t.n AS DOUBLE) / 2.0)"
+            " / (CAST(t.n AS DOUBLE) / 2.0)) AS x FROM f CROSS JOIN t),"
+            " z0 AS (SELECT"
+            " (SELECT CAST(c AS DOUBLE) FROM f WHERE arm = 0)"
+            " - (SELECT CAST(c AS DOUBLE) FROM f WHERE arm = 1) AS d)"
+            " SELECT t.n AS n_rows, 2::BIGINT AS n_arms,"
+            " t.mn AS min_arm, t.mx AS max_arm,"
+            " round(chi.x, 6) AS chi2,"
+            " round(z0.d / sqrt(CAST(t.n AS DOUBLE)), 6) AS z"
+            " FROM t CROSS JOIN chi CROSS JOIN z0"
+        ),
+        "q_hill_tail": (
+            # only the top-101 value multiset matters: ties at the
+            # boundary give the same values whatever the id tie-break
+            "WITH t AS (SELECT source, n_chars, row_number() OVER"
+            " (PARTITION BY source ORDER BY n_chars DESC, doc_id)"
+            " AS rk FROM documents),"
+            " km AS (SELECT source, n_chars AS xk FROM t"
+            " WHERE rk = 101),"
+            " s AS (SELECT t.source,"
+            " sum(ln(CAST(t.n_chars AS DOUBLE)"
+            " / CAST(km.xk AS DOUBLE))) AS ls FROM t"
+            " JOIN km ON km.source = t.source WHERE t.rk <= 100"
+            " GROUP BY 1)"
+            " SELECT s.source, 100::BIGINT AS k_used,"
+            " CASE WHEN s.ls > 0 THEN round(100.0 / s.ls, 6) END"
+            " AS alpha FROM s"
+        ),
+        "q_wilson_ci": (
+            # z2 written as 1.96 * 1.96 (NOT 3.8416): the engine
+            # squares at runtime and the two doubles differ
+            "WITH f AS (SELECT source,"
+            " regexp_matches(text, '[0-9]') AS fl FROM documents),"
+            " g AS (SELECT source,"
+            " sum(CASE WHEN fl THEN 1 ELSE 0 END)::BIGINT AS a,"
+            " count(*)::BIGINT AS n FROM f GROUP BY 1),"
+            " e AS (SELECT source, n, a,"
+            " CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS p,"
+            " CAST(n AS DOUBLE) AS nf FROM g),"
+            " w AS (SELECT source, n, a, p, nf,"
+            " 1.0 + 1.96 * 1.96 / nf AS den,"
+            " (p + 1.96 * 1.96 / (2.0 * nf))"
+            " / (1.0 + 1.96 * 1.96 / nf) AS ctr,"
+            " 1.96 * sqrt(p * (1.0 - p) / nf"
+            " + 1.96 * 1.96 / (4.0 * nf * nf))"
+            " / (1.0 + 1.96 * 1.96 / nf) AS hw FROM e)"
+            " SELECT source, n, a AS n_flag, round(p, 6) AS p_hat,"
+            " round(ctr - hw, 6) AS ci_lo, round(ctr + hw, 6) AS ci_hi"
+            " FROM w"
+        ),
         "q_cond_entropy": (
             # bigrams via 1-based list indexing over a lateral range;
             # H(Y|X) from exact integer counts, log2 sums at 6dp
