@@ -302,6 +302,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-29 skyline/disc-quantiles
+        ("q_skyline", q.q_skyline),
+        ("q_value_disc_quantiles", q.q_value_disc_quantiles),
         # round-5 batch-28 heaps/srm/hill/wilson
         ("q_heaps_law", q.q_heaps_law),
         ("q_srm", q.q_srm),

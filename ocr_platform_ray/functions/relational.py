@@ -5039,3 +5039,80 @@ def wilson_ci_by_group(
             ),
         }
     )
+
+
+def skyline_parts(
+    parts: rd.Dataset, max_candidates: int = 1_000_000
+) -> pa.Table:
+    """2-D skyline (Pareto frontier) over parts: all parts not
+    DOMINATED on (price low, size high) — b dominates a when
+    b.price <= a.price AND b.size >= a.size with at least one strict —
+    the classic "best tradeoff set" query (Börzsönyi et al., ICDE
+    2001), the multi-objective shortlist a buyer actually reads.
+
+    Distributed correctness: dominance is transitive, so every GLOBAL
+    skyline point survives its batch's LOCAL skyline — one streamed
+    local-prune pass emits per-batch survivors, and the driver re-runs
+    the same prune on the (loudly guarded) union. The per-batch prune
+    is the sort-scan algorithm: collapse to distinct (price, size)
+    pairs, keep the max-size pair per price, then a prefix-max scan
+    over ascending price (all integer/double comparisons — no float
+    arithmetic at all, so the NOT EXISTS oracle matches exactly;
+    duplicate (price, size) rows tie and BOTH survive, the SQL
+    strict-somewhere semantics)."""
+    import numpy as np
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        # survivors among rows; ties on (price, size) all kept
+        pairs = (
+            df.groupby(["p_retailprice", "p_size"], as_index=False)
+            .size()
+            .sort_values(
+                ["p_retailprice", "p_size"],
+                ascending=[True, False],
+                kind="mergesort",
+            )
+        )
+        # per price level only the max size can survive
+        lead = pairs.groupby("p_retailprice", as_index=False).first()
+        s = lead["p_size"].to_numpy()
+        # survive iff size strictly above every cheaper part's size
+        run = np.maximum.accumulate(s)
+        prev = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+        keep_lead = lead[s > prev]
+        key = set(
+            zip(keep_lead["p_retailprice"], keep_lead["p_size"])
+        )
+        mask = [
+            (p, z) in key
+            for p, z in zip(df["p_retailprice"], df["p_size"])
+        ]
+        return df[mask]
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["p_partkey", "p_size", "p_retailprice"]
+        ).to_pandas()
+        return pa.Table.from_pandas(prune(df), preserve_index=False)
+
+    rows = parts.map_batches(local, batch_format="pyarrow").take(
+        max_candidates + 1
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"skyline_parts: > {max_candidates} local-skyline "
+            "candidates — the frontier is degenerate; check the data"
+        )
+    df = pd.DataFrame(rows)
+    if not len(df):
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_size": pa.array([], pa.int32()),
+                "p_retailprice": pa.array([], pa.float64()),
+            }
+        )
+    out = prune(df).sort_values("p_partkey", kind="mergesort")
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    )

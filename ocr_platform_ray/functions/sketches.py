@@ -1342,3 +1342,74 @@ def kmv_set_overlap(
             "jaccard_est": pa.array(rows["jaccard_est"], pa.float64()),
         }
     )
+
+
+def grouped_quantile_disc(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """SQL ``quantile_disc`` per group: the EXACT data value at sorted
+    index ceil(q·n) − 1 (DuckDB's rule, verified empirically) — the
+    discrete companion of the interpolating quantile_cont family, for
+    when the answer must be a value that actually occurs (a real
+    latency sample, a real document length), not a synthetic midpoint.
+
+    Exactness: the per-(group, value) histogram is exact (doubles
+    compare bit-identically to the parquet source on both engines);
+    the index is computed with the same float ceil expression both
+    sides; selection is pure integer cumsum + searchsorted. No float
+    arithmetic touches the VALUES at all.
+
+    Scale shape: per-batch count partials bounded by distinct values,
+    driver merge under the loud ``max_cells`` guard (the repo-wide
+    histogram-quantile contract: pre-bin truly continuous measures)."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch.select([group_col, value_col]))
+            .group_by([group_col, value_col])
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    rows = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"grouped_quantile_disc: > {max_cells} (group, value) "
+            "cells — pre-bin the measure or raise max_cells"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby([group_col, value_col], as_index=False)["n"]
+        .sum()
+    )
+    out = {group_col: [], "n": [], "q": [], "value": []}
+    for g, sub in h.groupby(group_col, sort=True):
+        sub = sub.sort_values(value_col, kind="mergesort")
+        vals = sub[value_col].to_numpy()
+        cum = np.cumsum(sub["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for q in qs:
+            idx = int(np.ceil(q * float(n))) - 1
+            idx = min(max(idx, 0), n - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            out[group_col].append(g)
+            out["n"].append(n)
+            out["q"].append(float(q))
+            out["value"].append(float(vals[pos]))
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "q": pa.array(out["q"], pa.float64()),
+            "value": pa.array(out["value"], pa.float64()),
+        }
+    )

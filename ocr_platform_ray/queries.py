@@ -3206,6 +3206,31 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_skyline(sf_dir: str) -> pa.Table:
+    """Pareto frontier of parts on (price low, size high) — the
+    multi-objective shortlist; local-prune + driver re-prune, pure
+    comparisons (no float math), exact NOT EXISTS oracle."""
+    return relational.skyline_parts(
+        _read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_size", "p_retailprice"],
+        )
+    )
+
+
+def q_value_disc_quantiles(sf_dir: str) -> pa.Table:
+    """quantile_disc(0.25/0.5/0.75/0.9) of event value per type — the
+    exact-occurring-value quantile family (ceil(q n) - 1 index rule)."""
+    from .functions.sketches import grouped_quantile_disc
+
+    return grouped_quantile_disc(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]),
+        "event_type",
+        "value",
+    )
+
+
 def q_heaps_law(sf_dir: str) -> pa.Table:
     """Heaps-law exponent fit over the vocab-growth decile curve —
     'will 10x more data need a bigger vocab?' in one row."""
@@ -3453,6 +3478,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_skyline": q_skyline,
+        "q_value_disc_quantiles": q_value_disc_quantiles,
         "q_heaps_law": q_heaps_law,
         "q_srm": q_srm,
         "q_hill_tail": q_hill_tail,
@@ -3745,6 +3772,23 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_skyline": (
+            "SELECT a.p_partkey, a.p_size, a.p_retailprice FROM part a"
+            " WHERE NOT EXISTS (SELECT 1 FROM part b"
+            " WHERE b.p_retailprice <= a.p_retailprice"
+            " AND b.p_size >= a.p_size"
+            " AND (b.p_retailprice < a.p_retailprice"
+            " OR b.p_size > a.p_size))"
+        ),
+        "q_value_disc_quantiles": (
+            # zipped unnests map each q to its quantile_disc element
+            "WITH a AS (SELECT event_type, count(*)::BIGINT AS n,"
+            " quantile_disc(value, [0.25, 0.5, 0.75, 0.9]) AS vs"
+            " FROM events GROUP BY 1)"
+            " SELECT event_type, n,"
+            " unnest([0.25, 0.5, 0.75, 0.9]) AS q,"
+            " unnest(vs) AS value FROM a"
+        ),
         "q_heaps_law": (
             # the q_vocab_growth CTE + regr_* over (ln N, ln V)
             "WITH r AS (SELECT doc_id, text, row_number() OVER"
