@@ -302,6 +302,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-30 gaps/attribution/join-skew
+        ("q_zero_runs", q.q_zero_runs),
+        ("q_first_touch", q.q_first_touch),
+        ("q_order_sizes", q.q_order_sizes),
         # round-5 batch-29 skyline/disc-quantiles
         ("q_skyline", q.q_skyline),
         ("q_value_disc_quantiles", q.q_value_disc_quantiles),

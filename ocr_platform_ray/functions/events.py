@@ -2695,3 +2695,175 @@ def hour_dow_heatmap(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def zero_runs(ds: rd.Dataset, max_cells: int = 200_000) -> pa.Table:
+    """Outage/gap report: maximal runs of ZERO-count days per event
+    type on the gap-filled daily grid — (start_day, end_day, run_len)
+    per silence, the "collector was down for 3 days in March" table
+    that a plain daily-counts query hides (missing days simply don't
+    appear in it).
+
+    Exactness: pure integer run-length encoding of the zero mask (the
+    SQL gaps-and-islands row_number rewrite) — no float anywhere.
+    Shape: the ewma_daily combiner (one streamed pass, loud
+    ``max_cells`` guard), run detection on the tiny driver grid."""
+    DAY_US = 86_400_000_000
+
+    cells = _daily_cells(ds, max_cells, "zero_runs")
+    out = {"event_type": [], "start_day": [], "end_day": [], "run_len": []}
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+
+        def day_s(d: int) -> str:
+            return str(
+                np.int64(d * DAY_US).astype("datetime64[us]")
+                .astype("datetime64[D]")
+            )
+
+        for ti, t in enumerate(types):
+            z = grid[ti] == 0
+            edges = np.diff(np.concatenate(([0], z.view(np.int8), [0])))
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)  # exclusive
+            for a, b in zip(starts, ends):
+                out["event_type"].append(t)
+                out["start_day"].append(day_s(int(days[a])))
+                out["end_day"].append(day_s(int(days[b - 1])))
+                out["run_len"].append(int(b - a))
+    # pa.Table, not Dataset: a gap-free corpus legitimately yields ZERO
+    # rows and an empty Ray Dataset drops its schema (the texts_intersect
+    # hazard); an empty Arrow table keeps it
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "start_day": pa.array(out["start_day"], pa.string()),
+            "end_day": pa.array(out["end_day"], pa.string()),
+            "run_len": pa.array(out["run_len"], pa.int64()),
+        }
+    )
+
+
+def first_touch_attribution(
+    ds: rd.Dataset,
+    target_type: str = "purchase",
+    max_channels: int = 100_000,
+) -> pa.Table:
+    """First-touch attribution: credit each user's conversions to the
+    event type of their FIRST-ever event ((ts, event_id) total order)
+    and report per channel the user count, converted-user count and
+    conversion rate — the "which entry point brings buyers" table
+    (last-touch is :func:`asof` territory; first-touch is the
+    acquisition view).
+
+    Exactness: the first event is selected by an exact total order
+    (min (ts, event_id) — event_id breaks timestamp ties, mirroring
+    the SQL row_number() ORDER BY ts, event_id), conversion counts are
+    exact integers, rate is one division at 6dp.
+
+    Scale shape: per-batch per-user combiner rows (first-candidate
+    tuple + target count) + one user-bucketed merge; per-channel
+    integer cells reach the driver under a loud guard. Raw events
+    never shuffle."""
+    from . import bucketed_group_apply, round_half_away
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "ts": batch.column("ts").cast(pa.int64()).to_numpy(),
+                "event_id": batch.column("event_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "event_type": batch.column("event_type").to_pylist(),
+            }
+        )
+        df["npurch"] = (df["event_type"] == target_type).astype(np.int64)
+        first = (
+            df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .groupby("user_id", as_index=False)
+            .agg(
+                ts=("ts", "first"),
+                event_id=("event_id", "first"),
+                channel=("event_type", "first"),
+                npurch=("npurch", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(first, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .groupby("user_id", as_index=False)
+            .agg(
+                ts=("ts", "first"),
+                event_id=("event_id", "first"),
+                channel=("channel", "first"),
+                npurch=("npurch", "sum"),
+            )
+        )
+
+    users = bucketed_group_apply(
+        ds.select_columns(["user_id", "event_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "user_id",
+        merge,
+    )
+
+    def per_channel(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "channel": batch.column("channel").to_pylist(),
+                "conv": (
+                    batch.column("npurch").to_numpy() > 0
+                ).astype(np.int64),
+            }
+        )
+        agg = df.groupby("channel", as_index=False).agg(
+            n_users=("conv", "size"), n_converted=("conv", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = users.map_batches(per_channel, batch_format="pyarrow").take(
+        max_channels + 1
+    )
+    if len(rows) > max_channels:
+        raise ValueError(
+            f"first_touch_attribution: > {max_channels} channel partials"
+        )
+    agg = (
+        pd.DataFrame(rows)
+        .groupby("channel", as_index=False)
+        .agg(n_users=("n_users", "sum"), n_converted=("n_converted", "sum"))
+        .sort_values("channel", kind="mergesort")
+    )
+    rate = [
+        round_half_away(float(c) / float(n), 6)
+        for c, n in zip(agg["n_converted"], agg["n_users"])
+    ]
+    return pa.Table.from_pydict(
+        {
+            "channel": pa.array(agg["channel"].tolist(), pa.string()),
+            "n_users": pa.array(agg["n_users"].to_numpy(np.int64)),
+            "n_converted": pa.array(
+                agg["n_converted"].to_numpy(np.int64)
+            ),
+            "conv_rate": pa.array(rate, pa.float64()),
+        }
+    )

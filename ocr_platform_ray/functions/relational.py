@@ -5116,3 +5116,61 @@ def skyline_parts(
     return pa.Table.from_pandas(
         out.reset_index(drop=True), preserve_index=False
     )
+
+
+def order_size_histogram(
+    lineitem: rd.Dataset, max_cells: int = 1_000_000
+) -> pa.Table:
+    """Lines-per-order histogram: (n_lines, n_orders) — the join-skew
+    audit for the orderkey hash joins this library leans on (a fat
+    right tail means some orders carry many times the average join
+    work; TPC-H caps at 7, real order logs don't).
+
+    Exactness: all integers. Scale shape: per-batch per-order count
+    partials, one orderkey-bucketed merge, per-bucket histogram rows
+    (≤ max-lines distinct counts each) merged on the driver under the
+    loud ``max_cells`` guard — lineitem never shuffles."""
+    import numpy as np
+
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(
+                    zero_copy_only=False
+                )
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False).size()
+        agg = agg.rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_order = g.groupby("l_orderkey", as_index=False)["cnt"].sum()
+        hist = per_order.groupby("cnt", as_index=False).size()
+        return hist.rename(columns={"size": "n_orders"})
+
+    rows = bucketed_group_apply(
+        lineitem.select_columns(["l_orderkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "l_orderkey",
+        per_bucket,
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"order_size_histogram: > {max_cells} histogram partials"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby("cnt", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("cnt", kind="mergesort")
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_lines": pa.array(h["cnt"].to_numpy(np.int64)),
+            "n_orders": pa.array(h["n_orders"].to_numpy(np.int64)),
+        }
+    )

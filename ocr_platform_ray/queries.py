@@ -3206,6 +3206,35 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_zero_runs(sf_dir: str) -> pa.Table:
+    """Outage report: maximal zero-count day runs per event type on
+    the filled grid — pure integer run-length encoding."""
+    return events.zero_runs(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
+def q_first_touch(sf_dir: str) -> pa.Table:
+    """First-touch attribution: conversions credited to each user's
+    first-ever event type ((ts, event_id) total order)."""
+    return events.first_touch_attribution(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "event_type", "ts"],
+        ),
+        target_type="purchase",
+    )
+
+
+def q_order_sizes(sf_dir: str) -> pa.Table:
+    """Lines-per-order histogram — the orderkey join-skew audit."""
+    return relational.order_size_histogram(
+        _read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey"])
+    )
+
+
 def q_skyline(sf_dir: str) -> pa.Table:
     """Pareto frontier of parts on (price low, size high) — the
     multi-objective shortlist; local-prune + driver re-prune, pure
@@ -3478,6 +3507,9 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_zero_runs": q_zero_runs,
+        "q_first_touch": q_first_touch,
+        "q_order_sizes": q_order_sizes,
         "q_skyline": q_skyline,
         "q_value_disc_quantiles": q_value_disc_quantiles,
         "q_heaps_law": q_heaps_law,
@@ -3772,6 +3804,53 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_zero_runs": (
+            # gaps-and-islands rewrite over the filled grid
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " tt AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT tt.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN tt"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = tt.event_type),"
+            " z AS (SELECT event_type, day,"
+            " CASE WHEN n = 0 THEN 1 ELSE 0 END AS isz,"
+            " row_number() OVER (PARTITION BY event_type"
+            " ORDER BY day) AS rn FROM grid),"
+            " g2 AS (SELECT *, rn - row_number() OVER"
+            " (PARTITION BY event_type, isz ORDER BY day) AS grp"
+            " FROM z)"
+            " SELECT event_type,"
+            " strftime(min(day), '%Y-%m-%d') AS start_day,"
+            " strftime(max(day), '%Y-%m-%d') AS end_day,"
+            " count(*)::BIGINT AS run_len FROM g2 WHERE isz = 1"
+            " GROUP BY event_type, grp"
+        ),
+        "q_first_touch": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            " FROM events),"
+            " f AS (SELECT user_id, event_type AS channel FROM r"
+            " WHERE rn = 1),"
+            " p AS (SELECT user_id, sum(CASE WHEN"
+            " event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS np"
+            " FROM events GROUP BY 1)"
+            " SELECT f.channel, count(*)::BIGINT AS n_users,"
+            " sum(CASE WHEN p.np > 0 THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_converted,"
+            " round(CAST(sum(CASE WHEN p.np > 0 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate"
+            " FROM f JOIN p ON p.user_id = f.user_id GROUP BY 1"
+        ),
+        "q_order_sizes": (
+            "SELECT cnt AS n_lines, count(*)::BIGINT AS n_orders FROM"
+            " (SELECT l_orderkey, count(*)::BIGINT AS cnt"
+            " FROM lineitem GROUP BY 1) GROUP BY 1"
+        ),
         "q_skyline": (
             "SELECT a.p_partkey, a.p_size, a.p_retailprice FROM part a"
             " WHERE NOT EXISTS (SELECT 1 FROM part b"
