@@ -1789,7 +1789,7 @@ def vocab_overlap_by_source(ds, max_pairs: int = 100_000):
     )
 
 
-def vocab_growth(ds, seed: int = 7, n_slices: int = 10):
+def vocab_growth(ds, seed: int = 7, n_slices: int = 10, n_docs: int | None = None):
     """Heaps-law vocabulary-growth curve: cumulative distinct tokens
     after each decile of the corpus in the seeded md5 training-shuffle
     order — the is-more-data-still-adding-vocabulary audit that sizes
@@ -1813,7 +1813,8 @@ def vocab_growth(ds, seed: int = 7, n_slices: int = 10):
     from .joins import hash_join
 
     ranks = seeded_shuffle_rank(ds.select_columns(["doc_id"]), seed=seed)
-    n_docs = ds.count()
+    if n_docs is None:
+        n_docs = ds.count()
     # ceil(N*d/10.0) in DOUBLE — the oracle's op order (fraction parts
     # are >= 0.1 away from integers, so float ceil is exact here)
     thr = np.ceil(
@@ -2704,7 +2705,9 @@ def heaps_law(ds, seed: int = 7, n_slices: int = 10):
     from . import round_half_away
 
     n_docs = ds.count()
-    curve = vocab_growth(ds, seed=seed, n_slices=n_slices).to_pandas()
+    curve = vocab_growth(
+        ds, seed=seed, n_slices=n_slices, n_docs=n_docs
+    ).to_pandas()
     thr = np.ceil(
         n_docs * np.arange(1, n_slices + 1) / float(n_slices)
     ).astype(np.int64)
