@@ -302,6 +302,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-31 privacy/drift
+        ("q_l_diversity", q.q_l_diversity),
+        ("q_value_drift", q.q_value_drift),
         # round-5 batch-30 gaps/attribution/join-skew
         ("q_zero_runs", q.q_zero_runs),
         ("q_first_touch", q.q_first_touch),

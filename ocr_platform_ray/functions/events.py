@@ -2867,3 +2867,110 @@ def first_touch_attribution(
             "conv_rate": pa.array(rate, pa.float64()),
         }
     )
+
+
+def value_drift_psi(
+    ds: rd.Dataset, n_bins: int = 10, max_cells: int = 200_000
+) -> pa.Table:
+    """Temporal drift monitor: Population Stability Index of each event
+    type's VALUE distribution, first half of the time range vs second
+    half (split at the midpoint day) — "did the payment-amount
+    distribution move between January and February?" without choosing
+    a reference snapshot by hand. Laplace-smoothed like
+    :func:`~ocr_platform_ray.functions.textstats.psi_by_source`:
+    psi = Σ_b (p_b − q_b)·ln(p_b/q_b), p_b = (n1_b+1)/(n1+B).
+
+    Exactness: global min/max (bin range) and the midpoint day are
+    exact reductions; the bin index mirrors the SQL float chain
+    ((v − mn)/(mx − mn)·B, floor, clip) on identical input doubles;
+    counts are exact integers and the PSI is B mirrored double terms
+    per type at 6dp.
+
+    Scale shape: two streamed passes (a 4-number global reduce, then
+    (type, half, bin) integer count partials under a loud guard) —
+    events never shuffle."""
+    from . import round_half_away
+
+    DAY_US = 86_400_000_000
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        return pa.Table.from_pydict(
+            {
+                "mn": [float(v.min())], "mx": [float(v.max())],
+                "dmin": [int(day.min())], "dmax": [int(day.max())],
+            }
+        )
+
+    parts = ds.select_columns(["value", "ts"]).map_batches(
+        extremes, batch_format="pyarrow"
+    ).take_all()
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_first": pa.array([], pa.int64()),
+                "n_second": pa.array([], pa.int64()),
+                "psi": pa.array([], pa.float64()),
+            }
+        )
+    mn = min(r["mn"] for r in parts)
+    mx = max(r["mx"] for r in parts)
+    dmin = min(r["dmin"] for r in parts)
+    dmax = max(r["dmax"] for r in parts)
+    mid = (dmin + dmax + 1) // 2
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        if mx == mn:
+            b = np.zeros(len(v), np.int64)
+        else:
+            b = np.minimum(
+                np.floor((v - mn) / (mx - mn) * n_bins).astype(np.int64),
+                n_bins - 1,
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "half": (day >= mid).astype(np.int64),
+                "b": b,
+            }
+        )
+        agg = df.groupby(["event_type", "half", "b"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns(["event_type", "value", "ts"]).map_batches(
+        binned, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(f"value_drift_psi: > {max_cells} partials")
+    c = (
+        pd.DataFrame(rows)
+        .groupby(["event_type", "half", "b"], as_index=False)
+        .agg(n=("size", "sum"))
+    )
+    out = {"event_type": [], "n_first": [], "n_second": [], "psi": []}
+    bf = float(n_bins)
+    for t, sub in c.groupby("event_type", sort=True):
+        n1b = np.zeros(n_bins, np.int64)
+        n2b = np.zeros(n_bins, np.int64)
+        for _, r in sub.iterrows():
+            (n1b if r["half"] == 0 else n2b)[int(r["b"])] += int(r["n"])
+        m1, m2 = int(n1b.sum()), int(n2b.sum())
+        p = (n1b.astype(np.float64) + 1.0) / (float(m1) + bf)
+        q = (n2b.astype(np.float64) + 1.0) / (float(m2) + bf)
+        psi = float(((p - q) * np.log(p / q)).sum())
+        out["event_type"].append(t)
+        out["n_first"].append(m1)
+        out["n_second"].append(m2)
+        out["psi"].append(round_half_away(psi, 6))
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_first": pa.array(out["n_first"], pa.int64()),
+            "n_second": pa.array(out["n_second"], pa.int64()),
+            "psi": pa.array(out["psi"], pa.float64()),
+        }
+    )

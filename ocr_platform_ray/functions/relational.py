@@ -5174,3 +5174,43 @@ def order_size_histogram(
             "n_orders": pa.array(h["n_orders"].to_numpy(np.int64)),
         }
     )
+
+
+def l_diversity_audit(
+    ds: rd.Dataset,
+    quasi_cols: list,
+    sensitive_col: str,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """l-diversity privacy audit — the follow-up to k-anonymity
+    (:func:`k_anonymity_audit`): a quasi-identifier class can be large
+    (k-anonymous) yet still leak if every member shares the SAME
+    sensitive value; l-diversity counts DISTINCT sensitive values per
+    class (Machanavajjhala et al., ICDE 2006). Rows with l_distinct = 1
+    are homogeneous classes — releasing the quasi-identifiers reveals
+    the sensitive attribute outright.
+
+    Exactness: one streamed _joint_cells pass over quasi + sensitive
+    (counter rows shuffle, never data rows); n_rows and l_distinct are
+    pure integers."""
+    import numpy as np
+
+    cells = _joint_cells(
+        ds, list(quasi_cols) + [sensitive_col], max_cells,
+        "l_diversity_audit",
+    )
+    g = (
+        cells.groupby(list(quasi_cols), as_index=False)
+        .agg(n_rows=("c", "sum"), l_distinct=("c", "size"))
+        .sort_values(list(quasi_cols), kind="mergesort")
+    )
+    out = {}
+    for c in quasi_cols:
+        col = g[c]
+        if col.dtype == object:
+            out[c] = pa.array(col.tolist(), pa.string())
+        else:
+            out[c] = pa.array(col.to_numpy(np.int64), pa.int64())
+    out["n_rows"] = pa.array(g["n_rows"].to_numpy(np.int64))
+    out["l_distinct"] = pa.array(g["l_distinct"].to_numpy(np.int64))
+    return pa.Table.from_pydict(out)

@@ -3206,6 +3206,41 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_l_diversity(sf_dir: str) -> pa.Table:
+    """l-diversity audit: distinct sources per (lang, length-bucket)
+    quasi-class — homogeneous classes (l = 1) leak the sensitive
+    attribute even when k-anonymous."""
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "bucket": pc.divide(
+                    batch.column("n_chars"), pa.scalar(500, pa.int64())
+                ),
+                "source": batch.column("source"),
+            }
+        )
+
+    return relational.l_diversity_audit(
+        _docs(sf_dir, ["lang", "source", "n_chars"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["lang", "bucket"],
+        "source",
+    )
+
+
+def q_value_drift(sf_dir: str) -> pa.Table:
+    """Temporal PSI drift of the value distribution per event type
+    (first half vs second half of the time range, Laplace-smoothed)."""
+    return events.value_drift_psi(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "value", "ts"],
+        )
+    )
+
+
 def q_zero_runs(sf_dir: str) -> pa.Table:
     """Outage report: maximal zero-count day runs per event type on
     the filled grid — pure integer run-length encoding."""
@@ -3507,6 +3542,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_l_diversity": q_l_diversity,
+        "q_value_drift": q_value_drift,
         "q_zero_runs": q_zero_runs,
         "q_first_touch": q_first_touch,
         "q_order_sizes": q_order_sizes,
@@ -3804,6 +3841,55 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_l_diversity": (
+            "WITH f AS (SELECT lang, n_chars // 500 AS bucket, source"
+            " FROM documents)"
+            " SELECT lang, bucket, count(*)::BIGINT AS n_rows,"
+            " count(DISTINCT source)::BIGINT AS l_distinct FROM f"
+            " GROUP BY 1, 2"
+        ),
+        "q_value_drift": (
+            # global-range equal-width bins; Laplace-smoothed PSI,
+            # first half vs second half at the midpoint day
+            "WITH d AS (SELECT event_type, value,"
+            " epoch_us(ts) // 86400000000 AS day FROM events),"
+            " gm AS (SELECT min(value) AS mn, max(value) AS mx,"
+            " min(day) AS dmin, max(day) AS dmax FROM d),"
+            " binned AS (SELECT event_type,"
+            " CASE WHEN gm.mx = gm.mn THEN 0 ELSE"
+            " least(CAST(floor((value - gm.mn) / (gm.mx - gm.mn)"
+            " * 10) AS BIGINT), 9) END AS b,"
+            " CASE WHEN day >= (gm.dmin + gm.dmax + 1) // 2 THEN 1"
+            " ELSE 0 END AS half FROM d CROSS JOIN gm),"
+            " c AS (SELECT event_type, half, b, count(*)::BIGINT AS n"
+            " FROM binned GROUP BY 1, 2, 3),"
+            " t AS (SELECT DISTINCT event_type FROM d),"
+            " bins AS (SELECT unnest(range(0, 10)) AS b),"
+            " piv AS (SELECT t.event_type, bins.b,"
+            " coalesce(c0.n, 0)::BIGINT AS n1,"
+            " coalesce(c1.n, 0)::BIGINT AS n2"
+            " FROM t CROSS JOIN bins"
+            " LEFT JOIN c c0 ON c0.event_type = t.event_type"
+            " AND c0.b = bins.b AND c0.half = 0"
+            " LEFT JOIN c c1 ON c1.event_type = t.event_type"
+            " AND c1.b = bins.b AND c1.half = 1),"
+            " tt AS (SELECT event_type, sum(n1)::BIGINT AS m1,"
+            " sum(n2)::BIGINT AS m2 FROM piv GROUP BY 1),"
+            " terms AS (SELECT piv.event_type,"
+            " ((CAST(n1 AS DOUBLE) + 1.0)"
+            " / (CAST(m1 AS DOUBLE) + 10.0)"
+            " - (CAST(n2 AS DOUBLE) + 1.0)"
+            " / (CAST(m2 AS DOUBLE) + 10.0))"
+            " * ln(((CAST(n1 AS DOUBLE) + 1.0)"
+            " / (CAST(m1 AS DOUBLE) + 10.0))"
+            " / ((CAST(n2 AS DOUBLE) + 1.0)"
+            " / (CAST(m2 AS DOUBLE) + 10.0))) AS term"
+            " FROM piv JOIN tt ON tt.event_type = piv.event_type)"
+            " SELECT tt.event_type, tt.m1 AS n_first,"
+            " tt.m2 AS n_second, round(sum(term), 6) AS psi"
+            " FROM terms JOIN tt ON tt.event_type = terms.event_type"
+            " GROUP BY 1, 2, 3"
+        ),
         "q_zero_runs": (
             # gaps-and-islands rewrite over the filled grid
             "WITH c AS (SELECT event_type,"
