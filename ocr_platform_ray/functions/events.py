@@ -2974,3 +2974,131 @@ def value_drift_psi(
             "psi": pa.array(out["psi"], pa.float64()),
         }
     )
+
+
+def funnel_within(
+    ds: rd.Dataset,
+    stages: tuple = ("view", "click", "purchase"),
+    window_us: int = 86_400_000_000,
+) -> pa.Table:
+    """Time-boxed funnel: like :func:`funnel_counts` but each hop must
+    land STRICTLY AFTER the previous stage's timestamp AND within
+    ``window_us`` of it — the product question as actually asked
+    ("clicked within 24 h of the first view"), because an unlimited
+    funnel credits conversions months later.
+
+    Semantics (deterministic, SQL-expressible): t1 = min stage-1 ts;
+    t2 = min stage-2 ts in (t1, t1 + W]; t3 = min stage-3 ts in
+    (t2, t2 + W]. Exact int64 microseconds throughout; the output is
+    three integers plus two mirrored single-division rates.
+
+    Scale shape: identical to funnel_counts — stage-filtered read,
+    user-bucketed vectorized merge+min hops, three-int partials."""
+    import pyarrow.compute as pc
+
+    from . import bucketed_group_apply, round_half_away
+
+    s1, s2, s3 = stages
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     value_set=pa.array([s1, s2, s3])))
+
+    slim = ds.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["ts"] = g["ts"].astype("int64")
+        t1 = (
+            g[g["event_type"] == s1]
+            .groupby("user_id", as_index=False)
+            .agg(t1=("ts", "min"))
+        )
+        m2 = g[g["event_type"] == s2].merge(t1, on="user_id", how="inner")
+        t2 = (
+            m2[(m2["ts"] > m2["t1"]) & (m2["ts"] <= m2["t1"] + window_us)]
+            .groupby("user_id", as_index=False)
+            .agg(t2=("ts", "min"))
+        )
+        m3 = g[g["event_type"] == s3].merge(t2, on="user_id", how="inner")
+        t3 = (
+            m3[(m3["ts"] > m3["t2"]) & (m3["ts"] <= m3["t2"] + window_us)]
+            .groupby("user_id", as_index=False)
+            .agg(t3=("ts", "min"))
+        )
+        return pd.DataFrame(
+            {"n_stage1": [len(t1)], "n_stage2": [len(t2)],
+             "n_stage3": [len(t3)]}
+        )
+
+    parts = bucketed_group_apply(slim, "user_id", per_bucket).take_all()
+    n1 = sum(r["n_stage1"] for r in parts)
+    n2 = sum(r["n_stage2"] for r in parts)
+    n3 = sum(r["n_stage3"] for r in parts)
+    return pa.Table.from_pydict(
+        {
+            "n_stage1": pa.array([n1], pa.int64()),
+            "n_stage2": pa.array([n2], pa.int64()),
+            "n_stage3": pa.array([n3], pa.int64()),
+            "rate12": pa.array(
+                [None if n1 == 0 else
+                 round_half_away(float(n2) / float(n1), 6)],
+                pa.float64(),
+            ),
+            "rate23": pa.array(
+                [None if n2 == 0 else
+                 round_half_away(float(n3) / float(n2), 6)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def scd2_intervals(ds: rd.Dataset) -> rd.Dataset:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals of CONSECUTIVE equal event_type runs —
+    (user_id, event_type, valid_from_us, valid_to_us, n_events), where
+    valid_to is the next run's start (NULL while current) — the
+    warehouse dimension-history pattern (Kimball SCD2) that
+    :func:`compact_latest` truncates to latest-only.
+
+    Exactness: run boundaries come from the exact (ts, event_id) total
+    order (the SQL row_number contract); all outputs are int64
+    microseconds / counts — no floats.
+
+    Scale shape: this op inherently needs each user's full ordered
+    history in one place, so event rows DO co-locate via ONE
+    user-bucketed shuffle (the sessions contract: one user's history
+    fits a worker; hot synthetic users would need salting + a two-level
+    merge); runs are then a vectorized lag/cumsum scan per bucket."""
+    from . import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).copy()
+        g["ts"] = g["ts"].astype("int64")
+        new_user = g["user_id"] != g["user_id"].shift()
+        new_type = g["event_type"] != g["event_type"].shift()
+        brk = (new_user | new_type).to_numpy()
+        run = np.cumsum(brk)
+        g["run"] = run
+        r = g.groupby(["user_id", "run"], as_index=False).agg(
+            event_type=("event_type", "first"),
+            valid_from_us=("ts", "min"),
+            n_events=("ts", "size"),
+        )
+        nxt = r.groupby("user_id")["valid_from_us"].shift(-1)
+        r["valid_to_us"] = nxt.astype("Int64")
+        return r[
+            ["user_id", "event_type", "valid_from_us", "valid_to_us",
+             "n_events"]
+        ]
+
+    return bucketed_group_apply(
+        ds.select_columns(["user_id", "event_id", "event_type", "ts"]),
+        "user_id",
+        per_bucket,
+    )

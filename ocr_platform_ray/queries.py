@@ -3206,6 +3206,30 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_funnel_24h(sf_dir: str) -> pa.Table:
+    """Time-boxed view->click->purchase funnel (each hop within 24 h,
+    strictly after) with per-hop conversion rates."""
+    return events.funnel_within(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ),
+        window_us=86_400_000_000,
+    )
+
+
+def q_scd2(sf_dir: str) -> rd.Dataset:
+    """SCD Type-2 validity intervals of consecutive equal event_type
+    runs per user ((ts, event_id) total order; valid_to = next run's
+    start, NULL while current) — all-integer."""
+    return events.scd2_intervals(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "event_type", "ts"],
+        )
+    )
+
+
 def q_l_diversity(sf_dir: str) -> pa.Table:
     """l-diversity audit: distinct sources per (lang, length-bucket)
     quasi-class — homogeneous classes (l = 1) leak the sensitive
@@ -3542,6 +3566,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_funnel_24h": q_funnel_24h,
+        "q_scd2": q_scd2,
         "q_l_diversity": q_l_diversity,
         "q_value_drift": q_value_drift,
         "q_zero_runs": q_zero_runs,
@@ -3841,6 +3867,46 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_funnel_24h": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us"
+            " FROM events),"
+            " s1 AS (SELECT user_id, min(us) AS t1 FROM e"
+            " WHERE event_type = 'view' GROUP BY 1),"
+            " s2 AS (SELECT e.user_id, min(us) AS t2 FROM e"
+            " JOIN s1 ON s1.user_id = e.user_id"
+            " WHERE e.event_type = 'click' AND e.us > s1.t1"
+            " AND e.us <= s1.t1 + 86400000000 GROUP BY 1),"
+            " s3 AS (SELECT e.user_id, min(us) AS t3 FROM e"
+            " JOIN s2 ON s2.user_id = e.user_id"
+            " WHERE e.event_type = 'purchase' AND e.us > s2.t2"
+            " AND e.us <= s2.t2 + 86400000000 GROUP BY 1),"
+            " n AS (SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,"
+            " (SELECT count(*) FROM s2)::BIGINT AS n2,"
+            " (SELECT count(*) FROM s3)::BIGINT AS n3)"
+            " SELECT n1 AS n_stage1, n2 AS n_stage2, n3 AS n_stage3,"
+            " CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE)"
+            " / CAST(n1 AS DOUBLE), 6) END AS rate12,"
+            " CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE)"
+            " / CAST(n2 AS DOUBLE), 6) END AS rate23 FROM n"
+        ),
+        "q_scd2": (
+            "WITH o AS (SELECT user_id, event_id, event_type,"
+            " epoch_us(ts) AS us, row_number() OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            " FROM events),"
+            " m AS (SELECT *, CASE WHEN lag(event_type) OVER"
+            " (PARTITION BY user_id ORDER BY rn)"
+            " IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk"
+            " FROM o),"
+            " g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
+            " ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run FROM m),"
+            " r AS (SELECT user_id, event_type, run,"
+            " min(us)::BIGINT AS valid_from_us,"
+            " count(*)::BIGINT AS n_events FROM g GROUP BY 1, 2, 3)"
+            " SELECT user_id, event_type, valid_from_us,"
+            " lead(valid_from_us) OVER (PARTITION BY user_id"
+            " ORDER BY valid_from_us) AS valid_to_us, n_events FROM r"
+        ),
         "q_l_diversity": (
             "WITH f AS (SELECT lang, n_chars // 500 AS bucket, source"
             " FROM documents)"
