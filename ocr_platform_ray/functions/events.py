@@ -3102,3 +3102,116 @@ def scd2_intervals(ds: rd.Dataset) -> rd.Dataset:
         "user_id",
         per_bucket,
     )
+
+
+def twap_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """Time-weighted average value (TWAP) per user: each observation
+    weighted by how long it was "current" (until the user's next
+    event) — the finance/metering aggregate where a plain mean
+    over-counts bursts (10 rapid-fire readings of 99 should not drown
+    one day-long reading of 1).
+
+    Semantics (deterministic): order by (ts, event_id); weight_i =
+    us_{i+1} − us_i; the LAST observation has no duration and is
+    dropped (SQL: lead() IS NULL). Users with a single event emit no
+    row. twap = Σ v_i·w_i / Σ w_i — weights are exact int64
+    microseconds, the weighted sum is one float chain at 6dp.
+
+    Scale shape: the sessions contract — ONE user-bucketed shuffle,
+    vectorized lead/diff scan per bucket, one output row per user."""
+    from . import bucketed_group_apply, round_half_away_np
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).copy()
+        g["us"] = g["ts"].astype("int64")
+        nxt = g.groupby("user_id")["us"].shift(-1)
+        w = (nxt - g["us"]).to_numpy()
+        keep = ~np.isnan(w)
+        sub = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[keep],
+                "wv": g["value"].to_numpy()[keep] * w[keep],
+                "w": w[keep],
+            }
+        )
+        agg = sub.groupby("user_id", as_index=False).agg(
+            n=("w", "size"), sw=("w", "sum"), swv=("wv", "sum")
+        )
+        sw = agg["sw"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tw = round_half_away_np(agg["swv"].to_numpy() / sw, 6)
+        # all observations at one instant: total weight 0, TWAP
+        # undefined (SQL CASE -> NULL)
+        agg["twap"] = np.where(sw > 0, tw, np.nan)
+        return agg[["user_id", "n", "twap"]]
+
+    return bucketed_group_apply(
+        ds.select_columns(["user_id", "event_id", "ts", "value"]),
+        "user_id",
+        per_bucket,
+    )
+
+
+def active_days_histogram(
+    ds: rd.Dataset, max_cells: int = 1_000_000
+) -> pa.Table:
+    """Engagement depth histogram: distinct active DAYS per user,
+    histogrammed as (active_days, n_users) — the one-chart answer to
+    "are we a daily habit or a monthly drop-in?" (the shape, not the
+    mean, is the product signal: bimodal = two user populations).
+
+    Exactness: all integers (distinct (user, day) membership). Scale
+    shape: per-batch distinct pre-aggregation, one user-bucketed
+    merge emitting per-bucket histogram partials, tiny driver merge —
+    raw events never shuffle."""
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": batch.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        days = (
+            g.drop_duplicates(["user_id", "day"])
+            .groupby("user_id", as_index=False)
+            .agg(active_days=("day", "size"))
+        )
+        hist = days.groupby("active_days", as_index=False).size()
+        return hist.rename(columns={"size": "n_users"})
+
+    rows = bucketed_group_apply(
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "user_id",
+        per_bucket,
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"active_days_histogram: > {max_cells} histogram partials"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby("active_days", as_index=False)["n_users"]
+        .sum()
+        .sort_values("active_days", kind="mergesort")
+    )
+    return pa.Table.from_pydict(
+        {
+            "active_days": pa.array(h["active_days"].to_numpy(np.int64)),
+            "n_users": pa.array(h["n_users"].to_numpy(np.int64)),
+        }
+    )

@@ -3206,6 +3206,26 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_twap(sf_dir: str) -> rd.Dataset:
+    """Time-weighted average value per user (each observation weighted
+    by its holding duration; last observation dropped)."""
+    return events.twap_per_user(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+    )
+
+
+def q_active_days(sf_dir: str) -> pa.Table:
+    """Distinct-active-days-per-user histogram — the engagement-depth
+    shape; all-integer."""
+    return events.active_days_histogram(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
 def q_funnel_24h(sf_dir: str) -> pa.Table:
     """Time-boxed view->click->purchase funnel (each hop within 24 h,
     strictly after) with per-hop conversion rates."""
@@ -3566,6 +3586,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_twap": q_twap,
+        "q_active_days": q_active_days,
         "q_funnel_24h": q_funnel_24h,
         "q_scd2": q_scd2,
         "q_l_diversity": q_l_diversity,
@@ -3867,6 +3889,26 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_twap": (
+            "WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,"
+            " lead(epoch_us(ts)) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events),"
+            " w AS (SELECT user_id, value,"
+            " CAST(nxt - us AS DOUBLE) AS wt FROM o"
+            " WHERE nxt IS NOT NULL)"
+            " SELECT user_id, count(*)::BIGINT AS n,"
+            " CASE WHEN sum(wt) > 0 THEN"
+            " round(sum(value * wt) / sum(wt), 6) END AS twap"
+            " FROM w GROUP BY 1"
+        ),
+        "q_active_days": (
+            "WITH d AS (SELECT DISTINCT user_id,"
+            " epoch_us(ts) // 86400000000 AS day FROM events),"
+            " u AS (SELECT user_id, count(*)::BIGINT AS active_days"
+            " FROM d GROUP BY 1)"
+            " SELECT active_days, count(*)::BIGINT AS n_users FROM u"
+            " GROUP BY 1"
+        ),
         "q_funnel_24h": (
             "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us"
             " FROM events),"
