@@ -302,6 +302,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-34 vocab-budget/layout
+        ("q_vocab_coverage", q.q_vocab_coverage),
+        ("q_parquet_audit", q.q_parquet_audit),
         # round-5 batch-33 twap/engagement
         ("q_twap", q.q_twap),
         ("q_active_days", q.q_active_days),

@@ -2811,3 +2811,111 @@ def hill_tail_by_group(
             "alpha": pa.array(out_a, pa.float64()),
         }
     )
+
+
+def vocab_coverage(
+    ds,
+    qs: tuple = (0.5, 0.9, 0.99),
+    n_buckets: int = 64,
+    max_levels: int = 1_000_000,
+):
+    """Vocabulary budget: how many distinct tokens (taken most-frequent
+    first) cover 50% / 90% / 99% of all token OCCURRENCES — the direct
+    sizing input for a tokenizer vocab or a stopword list ("1,200
+    types cover 90% of this corpus; the other 400k types are the
+    tail"). k_q = min k such that the top-k type counts sum to
+    >= q·total.
+
+    Determinism: k_q depends only on the COUNT MULTISET (ties between
+    equal-count tokens cannot change it), so no token tie-break is
+    needed and the SQL window rewrite matches exactly. The crossing
+    level's partial take mirrors one float chain (target = q·total,
+    ceil((target − occ_before)/c)) on both engines; everything else is
+    exact integers.
+
+    Scale shape: exact per-token counts via the token-hash bucketed
+    merge (the hapax_by_group combiner), each bucket emitting its
+    (count, n_tokens) HISTOGRAM — distinct count-levels, not tokens,
+    reach the driver (loud ``max_levels`` guard; count-of-counts is
+    Zipf-compact)."""
+    import pandas as pd
+    import polars as pl
+
+    from . import bucketed_group_apply
+    from .dedup import shuffle_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.select(["text"])).with_columns(
+            pl.col("text").str.extract_all(TOKEN_RE).alias("tok")
+        )
+        return (
+            t.select(["tok"])
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("tok", as_index=False)["n"].sum()
+        hist = tot.groupby("n", as_index=False).size()
+        return hist.rename(columns={"n": "c", "size": "nt"})
+
+    rows = bucketed_group_apply(
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "tok",
+        per_bucket,
+        batch_format="pandas",
+        n_buckets=n_buckets,
+    ).take(max_levels + 1)
+    if len(rows) > max_levels:
+        raise ValueError(
+            f"vocab_coverage: > {max_levels} count-levels — raise "
+            "max_levels deliberately"
+        )
+    cols = {"total_occurrences": [], "vocab_size": []}
+    for q in qs:
+        cols[f"k{int(round(q * 100))}"] = []
+    if not rows:
+        for k in cols:
+            cols[k].append(0)
+        return pa.Table.from_pydict(
+            {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby("c", as_index=False)["nt"]
+        .sum()
+        .sort_values("c", ascending=False, kind="mergesort")
+    )
+    c = h["c"].to_numpy(np.int64)
+    nt = h["nt"].to_numpy(np.int64)
+    occ = c * nt
+    cum_occ = np.cumsum(occ)
+    cum_tok = np.cumsum(nt)
+    total = int(cum_occ[-1])
+    vocab = int(cum_tok[-1])
+    cols["total_occurrences"].append(total)
+    cols["vocab_size"].append(vocab)
+    for q in qs:
+        target = q * float(total)
+        i = int(np.searchsorted(cum_occ, target))
+        # first level whose cumulative occurrences reach the target
+        # (searchsorted 'left' == the SQL cum_occ >= target filter,
+        # because counts are integers and target is a float)
+        while cum_occ[i] < target:  # pragma: no cover - float guard
+            i += 1
+        occ_before = int(cum_occ[i]) - int(occ[i])
+        tok_before = int(cum_tok[i]) - int(nt[i])
+        k = tok_before + int(
+            np.ceil((target - float(occ_before)) / float(c[i]))
+        )
+        cols[f"k{int(round(q * 100))}"].append(k)
+    return pa.Table.from_pydict(
+        {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+    )

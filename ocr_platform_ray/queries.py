@@ -3206,6 +3206,22 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Vocabulary budget: distinct tokens needed to cover 50/90/99% of
+    occurrences — count-multiset-deterministic, histogram-of-counts
+    shuffle only."""
+    return textstats.vocab_coverage(_docs(sf_dir, ["text"]))
+
+
+def q_parquet_audit(sf_dir: str) -> pa.Table:
+    """Storage-layout audit: row-group counts/sizes per input table
+    (footer metadata only). Rows-only driver check — DuckDB exposes no
+    row-group metadata for a view."""
+    from .sources import parquet_layout_audit
+
+    return parquet_layout_audit(sf_dir)
+
+
 def q_twap(sf_dir: str) -> rd.Dataset:
     """Time-weighted average value per user (each observation weighted
     by its holding duration; last observation dropped)."""
@@ -3586,6 +3602,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_parquet_audit": q_parquet_audit,
         "q_twap": q_twap,
         "q_active_days": q_active_days,
         "q_funnel_24h": q_funnel_24h,
@@ -3889,6 +3907,45 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_vocab_coverage": (
+            # count-of-counts window rewrite; the crossing level's
+            # partial take mirrors the engine's float chain
+            "WITH tok AS (SELECT unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM documents),"
+            " tc AS (SELECT token, count(*)::BIGINT AS c FROM tok"
+            " GROUP BY 1),"
+            " h AS (SELECT c, count(*)::BIGINT AS nt FROM tc"
+            " GROUP BY 1),"
+            " t AS (SELECT sum(c * nt)::BIGINT AS total,"
+            " sum(nt)::BIGINT AS vocab FROM h),"
+            " o AS (SELECT c, nt, sum(c * nt) OVER w AS cum_occ,"
+            " sum(nt) OVER w AS cum_tok FROM h WINDOW w AS"
+            " (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)),"
+            " k50 AS (SELECT CAST(cum_tok - nt AS BIGINT)"
+            " + CAST(ceil((0.5 * CAST(t.total AS DOUBLE)"
+            " - CAST(cum_occ - c * nt AS DOUBLE))"
+            " / CAST(c AS DOUBLE)) AS BIGINT) AS k FROM o CROSS JOIN t"
+            " WHERE CAST(cum_occ AS DOUBLE)"
+            " >= 0.5 * CAST(t.total AS DOUBLE)"
+            " ORDER BY c DESC LIMIT 1),"
+            " k90 AS (SELECT CAST(cum_tok - nt AS BIGINT)"
+            " + CAST(ceil((0.9 * CAST(t.total AS DOUBLE)"
+            " - CAST(cum_occ - c * nt AS DOUBLE))"
+            " / CAST(c AS DOUBLE)) AS BIGINT) AS k FROM o CROSS JOIN t"
+            " WHERE CAST(cum_occ AS DOUBLE)"
+            " >= 0.9 * CAST(t.total AS DOUBLE)"
+            " ORDER BY c DESC LIMIT 1),"
+            " k99 AS (SELECT CAST(cum_tok - nt AS BIGINT)"
+            " + CAST(ceil((0.99 * CAST(t.total AS DOUBLE)"
+            " - CAST(cum_occ - c * nt AS DOUBLE))"
+            " / CAST(c AS DOUBLE)) AS BIGINT) AS k FROM o CROSS JOIN t"
+            " WHERE CAST(cum_occ AS DOUBLE)"
+            " >= 0.99 * CAST(t.total AS DOUBLE)"
+            " ORDER BY c DESC LIMIT 1)"
+            " SELECT t.total AS total_occurrences, t.vocab"
+            " AS vocab_size, k50.k AS k50, k90.k AS k90, k99.k AS k99"
+            " FROM t CROSS JOIN k50 CROSS JOIN k90 CROSS JOIN k99"
+        ),
         "q_twap": (
             "WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,"
             " lead(epoch_us(ts)) OVER (PARTITION BY user_id"

@@ -191,3 +191,59 @@ def write_corpus_jsonl(docs: list[dict], path: str) -> None:
     with open(path, "w") as f:
         for d in docs:
             f.write(json.dumps(d) + "\n")
+
+
+def parquet_layout_audit(sf_dir: str, tables: tuple | None = None) -> pa.Table:
+    """Storage-layout introspection for every input table: row-group
+    count and sizes, row counts, compressed bytes, column count — the
+    pre-flight read-path audit (Ray Data parallelizes reads by row
+    group, so ONE giant row group serializes the whole scan; tiny row
+    groups bloat scheduling; and the min/max stats these groups carry
+    are what makes ``filter=`` pushdown prune at all).
+
+    Driver-local metadata reads (parquet footers only — no data pages
+    touched); at 100 TB the same loop runs as a map over the file
+    listing. Rows-only driver check (no SQL oracle: DuckDB exposes no
+    row-group metadata for a view)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if tables is None:
+        tables = (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    out = {
+        "table": [], "n_rows": [], "n_row_groups": [],
+        "max_rg_rows": [], "compressed_bytes": [], "n_columns": [],
+    }
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        comp = sum(
+            md.row_group(i).total_byte_size
+            for i in range(md.num_row_groups)
+        )
+        out["table"].append(t)
+        out["n_rows"].append(md.num_rows)
+        out["n_row_groups"].append(md.num_row_groups)
+        out["max_rg_rows"].append(max(rg_rows) if rg_rows else 0)
+        out["compressed_bytes"].append(comp)
+        out["n_columns"].append(md.num_columns)
+    return pa.Table.from_pydict(
+        {
+            "table": pa.array(out["table"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_row_groups": pa.array(out["n_row_groups"], pa.int64()),
+            "max_rg_rows": pa.array(out["max_rg_rows"], pa.int64()),
+            "compressed_bytes": pa.array(
+                out["compressed_bytes"], pa.int64()
+            ),
+            "n_columns": pa.array(out["n_columns"], pa.int64()),
+        }
+    )
