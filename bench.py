@@ -108,9 +108,21 @@ def run_headline(sf_dir: str, replicate: int = 1) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict:
-    """Secondary pipelines (one pass each, seconds)."""
+    """Secondary pipelines (one pass each, seconds).
+
+    Long single-session measurement drifts: after a few hundred
+    executed datasets the streaming executor's per-query overhead
+    creeps up several-fold (measured 2-10x on this box), so the
+    session is RECYCLED every GRAFT_BENCH_RECYCLE queries (default 25;
+    0 disables) — bench.py owns the Ray session, so a restart is legal
+    here and nowhere else. Each query's number then reflects steady
+    state, not session age."""
+    import ray
+
     from ocr_platform_ray import queries as q
 
+    recycle = int(os.environ.get("GRAFT_BENCH_RECYCLE", "25"))
+    debug = os.environ.get("GRAFT_BENCH_DEBUG")
     timings = {}
     for name, fn in [
         ("q_pricing", q.q_pricing),
@@ -348,7 +360,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_cume_dist", q.q_cume_dist),
         ("q_kfold_stats", q.q_kfold_stats),
     ]:
+        if recycle and len(timings) and len(timings) % recycle == 0:
+            ray.shutdown()
+            _init_ray(NUM_CPUS)
         timings[name] = round(_timed_best(lambda: _consume_count(fn(sf_dir))), 3)
+        if debug:
+            print(f"[bench] {name} {timings[name]}", file=sys.stderr, flush=True)
     return timings
 
 
