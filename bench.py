@@ -314,6 +314,12 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-35/36 extremes/dispersion/randomness/rate-chart/boilerplate
+        ("q_gumbel_daily", q.q_gumbel_daily),
+        ("q_dispersion_daily", q.q_dispersion_daily),
+        ("q_runs_test", q.q_runs_test),
+        ("q_p_chart", q.q_p_chart),
+        ("q_head_prefixes", q.q_head_prefixes),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

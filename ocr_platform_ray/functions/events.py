@@ -3215,3 +3215,312 @@ def active_days_histogram(
             "n_users": pa.array(h["n_users"].to_numpy(np.int64)),
         }
     )
+
+
+def gumbel_daily(ds: rd.Dataset, horizon: int = 30,
+                 max_cells: int = 200_000) -> rd.Dataset:
+    """Gumbel extreme-value fit per event type over the gap-filled
+    daily count series (method of moments: beta = s·sqrt(6)/pi,
+    mu = mean − gamma·beta) plus the ``horizon``-day RETURN LEVEL
+    x_T = mu − beta·ln(−ln(1 − 1/T)) — the capacity-planning number
+    ("the daily volume exceeded about once a month") that a mean+2sd
+    rule understates for heavy upper tails.
+
+    Exactness: Σx and Σx² are exact integers; both engines evaluate
+    ONE mirrored chain with IDENTICAL constant doubles (sqrt(6.0),
+    pi() == np.pi, and the Euler-Mascheroni literal
+    0.5772156649015329 written out on both sides), 6dp. m < 2 yields
+    NULLs."""
+    from . import round_half_away
+
+    cells = _daily_cells(ds, max_cells, "gumbel_daily")
+    out = {"event_type": [], "n_days": [], "mu": [], "beta": [],
+           "ret_level": []}
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        m = len(days)
+        gam = 0.5772156649015329
+        for ti, t in enumerate(types):
+            x = grid[ti]
+            s = int(x.sum())
+            q = int((x * x).sum())
+            out["event_type"].append(t)
+            out["n_days"].append(m)
+            if m < 2:
+                out["mu"].append(None)
+                out["beta"].append(None)
+                out["ret_level"].append(None)
+                continue
+            mf = float(m)
+            mean = float(s) / mf
+            var = (float(q) - float(s) * float(s) / mf) / (mf - 1.0)
+            sd = float(np.sqrt(max(var, 0.0)))
+            beta = sd * float(np.sqrt(6.0)) / float(np.pi)
+            mu = mean - gam * beta
+            ret = mu - beta * float(
+                np.log(-np.log(1.0 - 1.0 / float(horizon)))
+            )
+            out["mu"].append(round_half_away(mu, 6))
+            out["beta"].append(round_half_away(beta, 6))
+            out["ret_level"].append(round_half_away(ret, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_days": pa.array(out["n_days"], pa.int64()),
+                "mu": pa.array(out["mu"], pa.float64()),
+                "beta": pa.array(out["beta"], pa.float64()),
+                "ret_level": pa.array(out["ret_level"], pa.float64()),
+            }
+        )
+    )
+
+
+def dispersion_daily(
+    ds: rd.Dataset, max_cells: int = 200_000
+) -> rd.Dataset:
+    """Poisson overdispersion audit per event type: variance-to-mean
+    ratio (VMR) of the gap-filled daily counts and the chi-square
+    index of dispersion D = (m−1)·s²/mean — a steady Poisson stream
+    has VMR ≈ 1; VMR >> 1 means bursty arrivals (campaigns, retries,
+    crawler storms) and every Poisson-assuming alert threshold is
+    mis-calibrated.
+
+    Exactness: integer Σx/Σx², one mirrored float chain, 6dp; a
+    zero-mean (silent) type yields NULLs on both engines."""
+    from . import round_half_away
+
+    cells = _daily_cells(ds, max_cells, "dispersion_daily")
+    out = {"event_type": [], "n_days": [], "mean_n": [], "vmr": [],
+           "dispersion": []}
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        m = len(days)
+        for ti, t in enumerate(types):
+            x = grid[ti]
+            s = int(x.sum())
+            q = int((x * x).sum())
+            out["event_type"].append(t)
+            out["n_days"].append(m)
+            if m < 2 or s == 0:
+                out["mean_n"].append(None)
+                out["vmr"].append(None)
+                out["dispersion"].append(None)
+                continue
+            mf = float(m)
+            mean = float(s) / mf
+            var = (float(q) - float(s) * float(s) / mf) / (mf - 1.0)
+            out["mean_n"].append(round_half_away(mean, 6))
+            out["vmr"].append(round_half_away(var / mean, 6))
+            out["dispersion"].append(
+                round_half_away((mf - 1.0) * var / mean, 6)
+            )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_days": pa.array(out["n_days"], pa.int64()),
+                "mean_n": pa.array(out["mean_n"], pa.float64()),
+                "vmr": pa.array(out["vmr"], pa.float64()),
+                "dispersion": pa.array(out["dispersion"], pa.float64()),
+            }
+        )
+    )
+
+
+def runs_test_daily(
+    ds: rd.Dataset, max_cells: int = 200_000
+) -> rd.Dataset:
+    """Wald-Wolfowitz runs test per event type: is the daily series'
+    above/below-median pattern RANDOM, or does it trend/oscillate?
+    Too few runs = regime persistence (the series sits above the
+    median for long stretches — drift); too many = alternation
+    (day-parity artifacts). The distribution-free randomness check
+    that complements Mann-Kendall (which only sees monotone trend).
+
+    Contract: the median is the DuckDB quantile_cont weighted form
+    over the filled grid (integer counts, so the cut is exact at .0 or
+    .5 — a float compare with no rounding hazard); days EQUAL to the
+    median are EXCLUDED (the standard convention); R, n1, n2 are
+    integers and z = (R − muR)/sigmaR is one mirrored chain, NULL when
+    n1·n2 = 0."""
+    from . import round_half_away
+
+    cells = _daily_cells(ds, max_cells, "runs_test_daily")
+    out = {"event_type": [], "n_above": [], "n_below": [], "n_runs": [],
+           "z": []}
+    if len(cells):
+        types = sorted(cells["event_type"].unique())
+        days = np.arange(cells["day_id"].min(), cells["day_id"].max() + 1)
+        grid = (
+            cells.set_index(["event_type", "day_id"])["n"]
+            .reindex(
+                pd.MultiIndex.from_product(
+                    [types, days], names=["event_type", "day_id"]
+                ),
+                fill_value=0,
+            )
+            .to_numpy(np.int64)
+            .reshape(len(types), len(days))
+        )
+        m = len(days)
+        for ti, t in enumerate(types):
+            x = grid[ti]
+            w = np.sort(x).astype(np.float64)
+            pos = (m - 1) * 0.5
+            i0 = int(np.floor(pos))
+            frac = pos - i0
+            i1 = min(i0 + 1, m - 1)
+            med = w[i0] * (1.0 - frac) + w[i1] * frac
+            xf = x.astype(np.float64)
+            sign = xf[xf != med] > med
+            n1 = int(sign.sum())
+            n2 = int(len(sign) - n1)
+            runs = int(1 + (sign[1:] != sign[:-1]).sum()) if len(sign) else 0
+            out["event_type"].append(t)
+            out["n_above"].append(n1)
+            out["n_below"].append(n2)
+            out["n_runs"].append(runs)
+            if n1 == 0 or n2 == 0:
+                out["z"].append(None)
+                continue
+            n1f, n2f = float(n1), float(n2)
+            nf = n1f + n2f
+            mu = 2.0 * n1f * n2f / nf + 1.0
+            var = (
+                2.0 * n1f * n2f * (2.0 * n1f * n2f - nf)
+                / (nf * nf * (nf - 1.0))
+            )
+            if var <= 0.0:
+                out["z"].append(None)
+            else:
+                out["z"].append(
+                    round_half_away(
+                        (float(runs) - mu) / float(np.sqrt(var)), 6
+                    )
+                )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_above": pa.array(out["n_above"], pa.int64()),
+                "n_below": pa.array(out["n_below"], pa.int64()),
+                "n_runs": pa.array(out["n_runs"], pa.int64()),
+                "z": pa.array(out["z"], pa.float64()),
+            }
+        )
+    )
+
+
+def p_chart_daily(
+    ds: rd.Dataset,
+    flag_type: str = "error",
+    max_cells: int = 200_000,
+) -> rd.Dataset:
+    """p-chart (attribute control chart) for the daily ``flag_type``
+    RATE: per observed day, p_t = flagged/total vs the process center
+    p̄ = Σflagged/Σtotal with per-day 3-sigma limits
+    p̄ ± 3·sqrt(p̄(1−p̄)/n_t) — the correct daily-error-rate monitor
+    when daily volume varies (a fixed threshold fires on quiet days
+    and sleeps through busy ones; the p-chart's limits widen exactly
+    when n_t is small). Limits clip to [0, 1] on both engines.
+
+    Exactness: (day, flagged, total) are exact integers from one
+    streamed combiner pass; center and limits are mirrored float
+    chains, breach compares the UNROUNDED limits; 6dp output."""
+    from . import round_half_away_np
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        et = batch.column("event_type").to_pylist()
+        df = pd.DataFrame(
+            {
+                "day": day,
+                "tot": np.ones(len(day), np.int64),
+                "err": np.array(
+                    [1 if t == flag_type else 0 for t in et], np.int64
+                ),
+            }
+        )
+        agg = df.groupby("day", as_index=False).agg(
+            tot=("tot", "sum"), err=("err", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(f"p_chart_daily: > {max_cells} day partials")
+    empty = {
+        "day": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "n_flag": pa.array([], pa.int64()),
+        "p": pa.array([], pa.float64()),
+        "ucl": pa.array([], pa.float64()),
+        "lcl": pa.array([], pa.float64()),
+        "breach": pa.array([], pa.int64()),
+    }
+    if not rows:
+        return rd.from_arrow(pa.Table.from_pydict(empty))
+    h = (
+        pd.DataFrame(rows)
+        .groupby("day", as_index=False)
+        .agg(tot=("tot", "sum"), err=("err", "sum"))
+        .sort_values("day", kind="mergesort")
+    )
+    tot = h["tot"].to_numpy(np.int64)
+    err = h["err"].to_numpy(np.int64)
+    pbar = float(int(err.sum())) / float(int(tot.sum()))
+    nf = tot.astype(np.float64)
+    p = err.astype(np.float64) / nf
+    half = 3.0 * np.sqrt(pbar * (1.0 - pbar) / nf)
+    ucl = np.minimum(pbar + half, 1.0)
+    lcl = np.maximum(pbar - half, 0.0)
+    breach = ((p > ucl) | (p < lcl)).astype(np.int64)
+    day_str = (h["day"].to_numpy(np.int64) * DAY_US).astype(
+        "datetime64[us]"
+    ).astype("datetime64[D]").astype(str)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "day": pa.array(day_str, pa.string()),
+                "n": pa.array(tot),
+                "n_flag": pa.array(err),
+                "p": pa.array(round_half_away_np(p, 6), pa.float64()),
+                "ucl": pa.array(
+                    round_half_away_np(ucl, 6), pa.float64()
+                ),
+                "lcl": pa.array(
+                    round_half_away_np(lcl, 6), pa.float64()
+                ),
+                "breach": pa.array(breach, pa.int64()),
+            }
+        )
+    )

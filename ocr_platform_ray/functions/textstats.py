@@ -2919,3 +2919,79 @@ def vocab_coverage(
     return pa.Table.from_pydict(
         {k: pa.array(v, pa.int64()) for k, v in cols.items()}
     )
+
+
+def head_prefixes(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    prefix_len: int = 16,
+    k: int = 5,
+    max_cells: int = 2_000_000,
+):
+    """Boilerplate-head detector: the ``k`` most common ``prefix_len``-
+    character document OPENINGS per group, with counts and share of the
+    group — template farms and scraped nav-headers show up as one
+    prefix covering half a source, which per-doc quality scores miss
+    entirely.
+
+    Determinism: rank by (count DESC, prefix ASC) — fully ordered, the
+    SQL row_number contract. Exact integer counts (one streamed
+    (group, prefix) combiner; distinct prefixes reach the driver under
+    the loud ``max_cells`` guard — at 100 TB pre-hash prefixes into a
+    fixed bucket space first), share is one division at 6dp."""
+    import pandas as pd
+    import polars as pl
+
+    from . import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.select([group_col, text_col]))
+        return (
+            t.with_columns(
+                pl.col(text_col).str.slice(0, prefix_len).alias("pfx")
+            )
+            .group_by([group_col, "pfx"])
+            .len()
+            .rename({"len": "n"})
+            .cast({"n": pl.Int64})
+            .to_arrow()
+        )
+
+    rows = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"head_prefixes: > {max_cells} (group, prefix) partials — "
+            "hash-bucket prefixes first or raise max_cells"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby([group_col, "pfx"], as_index=False)["n"]
+        .sum()
+    )
+    out = {group_col: [], "rank": [], "prefix": [], "n_docs": [],
+           "share": []}
+    for g, sub in h.groupby(group_col, sort=True):
+        tot = int(sub["n"].sum())
+        top = sub.sort_values(
+            ["n", "pfx"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        for i, (_, r) in enumerate(top.iterrows(), start=1):
+            out[group_col].append(g)
+            out["rank"].append(i)
+            out["prefix"].append(r["pfx"])
+            out["n_docs"].append(int(r["n"]))
+            out["share"].append(
+                round_half_away(float(int(r["n"])) / float(tot), 6)
+            )
+    return pa.Table.from_pydict(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "prefix": pa.array(out["prefix"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "share": pa.array(out["share"], pa.float64()),
+        }
+    )

@@ -3206,6 +3206,52 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_p_chart(sf_dir: str) -> rd.Dataset:
+    """p-chart for the daily error-event rate: per-day 3-sigma limits
+    around the process center, volume-aware."""
+    return events.p_chart_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        flag_type="error",
+    )
+
+
+def q_head_prefixes(sf_dir: str) -> pa.Table:
+    """Top-5 16-char document openings per source with share —
+    boilerplate/template-head detector."""
+    return textstats.head_prefixes(
+        _docs(sf_dir, ["source", "text"]), prefix_len=16, k=5
+    )
+
+
+def q_gumbel_daily(sf_dir: str) -> rd.Dataset:
+    """Gumbel method-of-moments fit + 30-day return level per event
+    type over the filled daily grid — peak-load capacity planning."""
+    return events.gumbel_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]),
+        horizon=30,
+    )
+
+
+def q_dispersion_daily(sf_dir: str) -> rd.Dataset:
+    """Poisson overdispersion (variance-to-mean + chi-square index)
+    per event type — bursty-arrivals audit."""
+    return events.dispersion_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
+def q_runs_test(sf_dir: str) -> rd.Dataset:
+    """Wald-Wolfowitz runs test of the above/below-median daily
+    pattern per event type — regime-persistence vs alternation."""
+    return events.runs_test_daily(
+        _read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    )
+
+
 def q_vocab_coverage(sf_dir: str) -> pa.Table:
     """Vocabulary budget: distinct tokens needed to cover 50/90/99% of
     occurrences — count-multiset-deterministic, histogram-of-counts
@@ -3602,6 +3648,11 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_p_chart": q_p_chart,
+        "q_head_prefixes": q_head_prefixes,
+        "q_gumbel_daily": q_gumbel_daily,
+        "q_dispersion_daily": q_dispersion_daily,
+        "q_runs_test": q_runs_test,
         "q_vocab_coverage": q_vocab_coverage,
         "q_parquet_audit": q_parquet_audit,
         "q_twap": q_twap,
@@ -3907,6 +3958,147 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_p_chart": (
+            "WITH g AS (SELECT date_trunc('day', ts) AS day,"
+            " count(*)::BIGINT AS tot,"
+            " sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " ::BIGINT AS err FROM events GROUP BY 1),"
+            " t AS (SELECT CAST(sum(err) AS DOUBLE)"
+            " / CAST(sum(tot) AS DOUBLE) AS pbar FROM g)"
+            " SELECT strftime(day, '%Y-%m-%d') AS day, tot AS n,"
+            " err AS n_flag,"
+            " round(CAST(err AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p,"
+            " round(least(t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar)"
+            " / CAST(tot AS DOUBLE)), 1.0), 6) AS ucl,"
+            " round(greatest(t.pbar - 3.0 * sqrt(t.pbar"
+            " * (1.0 - t.pbar) / CAST(tot AS DOUBLE)), 0.0), 6) AS lcl,"
+            " CAST(CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)"
+            " > least(t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar)"
+            " / CAST(tot AS DOUBLE)), 1.0)"
+            " OR CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)"
+            " < greatest(t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar)"
+            " / CAST(tot AS DOUBLE)), 0.0) AS BIGINT) AS breach"
+            " FROM g CROSS JOIN t"
+        ),
+        "q_head_prefixes": (
+            "WITH p AS (SELECT source, substr(text, 1, 16) AS pfx"
+            " FROM documents),"
+            " c AS (SELECT source, pfx, count(*)::BIGINT AS n FROM p"
+            " GROUP BY 1, 2),"
+            " t AS (SELECT source, sum(n)::BIGINT AS tot FROM c"
+            " GROUP BY 1),"
+            " r AS (SELECT source, pfx, n, row_number() OVER"
+            " (PARTITION BY source ORDER BY n DESC, pfx) AS rk FROM c)"
+            " SELECT r.source, r.rk AS rank, r.pfx AS prefix,"
+            " r.n AS n_docs, round(CAST(r.n AS DOUBLE)"
+            " / CAST(t.tot AS DOUBLE), 6) AS share FROM r"
+            " JOIN t ON t.source = r.source WHERE r.rk <= 5"
+        ),
+        "q_gumbel_daily": (
+            # shared grid CTE; constants written identically on both
+            # sides (sqrt(6.0), pi(), the Euler-Mascheroni literal)
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " tt AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT tt.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN tt"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = tt.event_type),"
+            " st AS (SELECT event_type, count(*)::BIGINT AS m,"
+            " sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q FROM grid"
+            " GROUP BY 1),"
+            " e AS (SELECT event_type, m,"
+            " CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS mean,"
+            " sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+            " * CAST(s AS DOUBLE) / CAST(m AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) - 1.0), 0.0))"
+            " * sqrt(6.0) / pi() AS beta FROM st WHERE m >= 2)"
+            " SELECT event_type, m AS n_days,"
+            " round(mean - 0.5772156649015329 * beta, 6) AS mu,"
+            " round(beta, 6) AS beta,"
+            " round((mean - 0.5772156649015329 * beta)"
+            " - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS ret_level"
+            " FROM e"
+        ),
+        "q_dispersion_daily": (
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " tt AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT tt.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN tt"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = tt.event_type),"
+            " st AS (SELECT event_type, count(*)::BIGINT AS m,"
+            " sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q FROM grid"
+            " GROUP BY 1),"
+            " e AS (SELECT event_type, m, s,"
+            " CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS mean,"
+            " (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+            " * CAST(s AS DOUBLE) / CAST(m AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) - 1.0) AS var FROM st)"
+            " SELECT event_type, m AS n_days,"
+            " CASE WHEN m >= 2 AND s > 0 THEN round(mean, 6) END"
+            " AS mean_n,"
+            " CASE WHEN m >= 2 AND s > 0 THEN round(var / mean, 6) END"
+            " AS vmr,"
+            " CASE WHEN m >= 2 AND s > 0 THEN"
+            " round((CAST(m AS DOUBLE) - 1.0) * var / mean, 6) END"
+            " AS dispersion FROM e"
+        ),
+        "q_runs_test": (
+            # median = quantile_cont weighted form on the filled grid;
+            # equal-to-median days excluded (standard convention)
+            "WITH c AS (SELECT event_type,"
+            " date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),"
+            " days AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),"
+            " tt AS (SELECT DISTINCT event_type FROM events),"
+            " grid AS (SELECT tt.event_type, days.day,"
+            " coalesce(c.n, 0)::BIGINT AS n FROM days CROSS JOIN tt"
+            " LEFT JOIN c ON c.day = days.day"
+            " AND c.event_type = tt.event_type),"
+            " md AS (SELECT event_type, quantile_cont(n, 0.5) AS med"
+            " FROM grid GROUP BY 1),"
+            " f AS (SELECT grid.event_type, grid.day,"
+            " CAST(grid.n AS DOUBLE) > md.med AS sgn FROM grid"
+            " JOIN md ON md.event_type = grid.event_type"
+            " WHERE CAST(grid.n AS DOUBLE) <> md.med),"
+            " rr AS (SELECT event_type, sgn, CASE WHEN lag(sgn) OVER"
+            " (PARTITION BY event_type ORDER BY day) IS DISTINCT"
+            " FROM sgn THEN 1 ELSE 0 END AS chg FROM f),"
+            " st AS (SELECT tt.event_type,"
+            " coalesce(sum(CASE WHEN rr.sgn THEN 1 ELSE 0 END), 0)"
+            " ::BIGINT AS n1,"
+            " coalesce(sum(CASE WHEN rr.sgn THEN 0 ELSE 1 END), 0)"
+            " ::BIGINT AS n2,"
+            " coalesce(sum(rr.chg), 0)::BIGINT AS runs0,"
+            " count(rr.sgn)::BIGINT AS cnt FROM tt"
+            " LEFT JOIN rr ON rr.event_type = tt.event_type GROUP BY 1),"
+            " z AS (SELECT event_type, n1, n2,"
+            " CASE WHEN cnt > 0 THEN runs0 ELSE 0 END AS n_runs,"
+            " CAST(n1 AS DOUBLE) AS n1f, CAST(n2 AS DOUBLE) AS n2f"
+            " FROM st)"
+            " SELECT event_type, n1 AS n_above, n2 AS n_below,"
+            " n_runs,"
+            " CASE WHEN n1 > 0 AND n2 > 0 AND"
+            " 2.0 * n1f * n2f * (2.0 * n1f * n2f - (n1f + n2f))"
+            " / ((n1f + n2f) * (n1f + n2f) * ((n1f + n2f) - 1.0)) > 0"
+            " THEN round((CAST(n_runs AS DOUBLE)"
+            " - (2.0 * n1f * n2f / (n1f + n2f) + 1.0))"
+            " / sqrt(2.0 * n1f * n2f * (2.0 * n1f * n2f - (n1f + n2f))"
+            " / ((n1f + n2f) * (n1f + n2f) * ((n1f + n2f) - 1.0))), 6)"
+            " END AS z FROM z"
+        ),
         "q_vocab_coverage": (
             # count-of-counts window rewrite; the crossing level's
             # partial take mirrors the engine's float chain
