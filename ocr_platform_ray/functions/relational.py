@@ -5214,3 +5214,155 @@ def l_diversity_audit(
     out["n_rows"] = pa.array(g["n_rows"].to_numpy(np.int64))
     out["l_distinct"] = pa.array(g["l_distinct"].to_numpy(np.int64))
     return pa.Table.from_pydict(out)
+
+
+def segment_migration(
+    orders: rd.Dataset, k: int = 4, max_cells: int = 1_000_000
+) -> pa.Table:
+    """Customer revenue-segment MIGRATION matrix: quartile in the first
+    half of the order history vs quartile in the second half (split at
+    the midpoint order day), with tile 0 = inactive in that half — the
+    "are our champions churning or climbing" table behind every
+    customer-success dashboard; a static segmentation can look stable
+    while half the top tier rotates out.
+
+    Tile contract: within each half, ACTIVE customers rank by exact
+    int64 revenue cents under the tie-stable max-rank rule
+    tile = (rank·k + n − 1) // n (integer arithmetic, the rfm_segments
+    contract); inactive customers take tile 0. Every cell of the
+    output is an exact integer.
+
+    Scale shape: per-batch per-customer (h1, h2) cents combiner + one
+    custkey-bucketed merge; per-half revenue HISTOGRAMS (distinct cents
+    values, loud ``max_cells`` guard) drive broadcast tile maps; the
+    joint (tile_h1, tile_h2) counts merge on the driver. Orders never
+    shuffle."""
+    import numpy as np
+    import ray
+
+    from . import resolve_broadcast
+    from .dedup import shuffle_blocks
+
+    DAY_US = 86_400_000_000
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        return pa.Table.from_pydict(
+            {"dmin": [int(day.min())], "dmax": [int(day.max())]}
+        )
+
+    parts = orders.select_columns(["o_orderdate"]).map_batches(
+        extremes, batch_format="pyarrow"
+    ).take_all()
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "tile_h1": pa.array([], pa.int64()),
+                "tile_h2": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    dmin = min(r["dmin"] for r in parts)
+    dmax = max(r["dmax"] for r in parts)
+    mid = (dmin + dmax + 1) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        first = day < mid
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "c1": np.where(first, cents, 0),
+                "c2": np.where(first, 0, cents),
+            }
+        )
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            c1=("c1", "sum"), c2=("c2", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            c1=("c1", "sum"), c2=("c2", "sum")
+        )
+
+    cust = bucketed_group_apply(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_blocks()),
+        "o_custkey",
+        merge,
+    ).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        out = []
+        for half in ("c1", "c2"):
+            v = batch.column(half).to_numpy()
+            v = v[v > 0]
+            agg = (
+                pd.DataFrame({"v": v}).groupby("v", as_index=False).size()
+            )
+            agg.insert(0, "half", half)
+            out.append(agg)
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    rows = cust.map_batches(hist, batch_format="pyarrow").take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"segment_migration: > {max_cells} histogram partials"
+        )
+    h = (
+        pd.DataFrame(rows)
+        .groupby(["half", "v"], as_index=False)
+        .agg(n=("size", "sum"))
+    )
+    maps = {}
+    for half, sub in h.groupby("half"):
+        sub = sub.sort_values("v", kind="mergesort")
+        vals = sub["v"].to_numpy(np.int64)
+        rank = np.cumsum(sub["n"].to_numpy(np.int64))
+        n = int(rank[-1])
+        tile = (rank * k + n - 1) // n
+        maps[half] = (vals, tile.astype(np.int64))
+    maps_ref = ray.put(maps)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mp = resolve_broadcast(maps_ref)
+
+        def tiles(half: str, v: np.ndarray) -> np.ndarray:
+            vals, tl = mp[half]
+            out = np.zeros(len(v), np.int64)
+            act = v > 0
+            if act.any() and len(vals):
+                out[act] = tl[np.searchsorted(vals, v[act])]
+            return out
+
+        c1 = batch.column("c1").to_numpy()
+        c2 = batch.column("c2").to_numpy()
+        df = pd.DataFrame(
+            {"tile_h1": tiles("c1", c1), "tile_h2": tiles("c2", c2)}
+        )
+        agg = df.groupby(["tile_h1", "tile_h2"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = cust.map_batches(assign, batch_format="pyarrow").take_all()
+    m = (
+        pd.DataFrame(cells)
+        .groupby(["tile_h1", "tile_h2"], as_index=False)
+        .agg(n_customers=("size", "sum"))
+        .sort_values(["tile_h1", "tile_h2"], kind="mergesort")
+    )
+    return pa.Table.from_pydict(
+        {
+            "tile_h1": pa.array(m["tile_h1"].to_numpy(np.int64)),
+            "tile_h2": pa.array(m["tile_h2"].to_numpy(np.int64)),
+            "n_customers": pa.array(m["n_customers"].to_numpy(np.int64)),
+        }
+    )

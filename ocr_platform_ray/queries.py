@@ -3206,6 +3206,19 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_segment_migration(sf_dir: str) -> pa.Table:
+    """Customer revenue-quartile migration between the two halves of
+    the order history (tile 0 = inactive in that half) — exact integer
+    cells, tie-stable max-rank tiles."""
+    return relational.segment_migration(
+        _read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+        k=4,
+    )
+
+
 def q_p_chart(sf_dir: str) -> rd.Dataset:
     """p-chart for the daily error-event rate: per-day 3-sigma limits
     around the process center, volume-aware."""
@@ -3648,6 +3661,7 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_segment_migration": q_segment_migration,
         "q_p_chart": q_p_chart,
         "q_head_prefixes": q_head_prefixes,
         "q_gumbel_daily": q_gumbel_daily,
@@ -3958,6 +3972,39 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_segment_migration": (
+            # midpoint-day split; per-half tiles via the RANGE-window
+            # max-rank rule over ACTIVE customers; inactive -> tile 0
+            "WITH d AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders),"
+            " mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid"
+            " FROM d),"
+            " u AS (SELECT o_custkey,"
+            " sum(CASE WHEN day < (SELECT mid FROM mm) THEN cents"
+            " ELSE 0 END)::BIGINT AS c1,"
+            " sum(CASE WHEN day >= (SELECT mid FROM mm) THEN cents"
+            " ELSE 0 END)::BIGINT AS c2 FROM d GROUP BY 1),"
+            " a1 AS (SELECT o_custkey, c1 FROM u WHERE c1 > 0),"
+            " n1 AS (SELECT count(*)::BIGINT AS n FROM a1),"
+            " t1 AS (SELECT o_custkey, (count(*) OVER (ORDER BY c1"
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4"
+            " + (SELECT n FROM n1) - 1) // (SELECT n FROM n1) AS tile"
+            " FROM a1),"
+            " a2 AS (SELECT o_custkey, c2 FROM u WHERE c2 > 0),"
+            " n2 AS (SELECT count(*)::BIGINT AS n FROM a2),"
+            " t2 AS (SELECT o_custkey, (count(*) OVER (ORDER BY c2"
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4"
+            " + (SELECT n FROM n2) - 1) // (SELECT n FROM n2) AS tile"
+            " FROM a2)"
+            " SELECT coalesce(t1.tile, 0)::BIGINT AS tile_h1,"
+            " coalesce(t2.tile, 0)::BIGINT AS tile_h2,"
+            " count(*)::BIGINT AS n_customers FROM u"
+            " LEFT JOIN t1 ON t1.o_custkey = u.o_custkey"
+            " LEFT JOIN t2 ON t2.o_custkey = u.o_custkey"
+            " GROUP BY 1, 2"
+        ),
         "q_p_chart": (
             "WITH g AS (SELECT date_trunc('day', ts) AS day,"
             " count(*)::BIGINT AS tot,"
