@@ -314,6 +314,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_token_jaccard", q.q_token_jaccard),
         # round-5 batch-23 sketch-overlap/concentration/window/folds
         ("q_kmv_overlap", q.q_kmv_overlap),
+        # round-5 batch-38 repeat purchase
+        ("q_repeat_purchase", q.q_repeat_purchase),
         # round-5 batch-37 segment migration
         ("q_segment_migration", q.q_segment_migration),
         # round-5 batch-35/36 extremes/dispersion/randomness/rate-chart/boilerplate

@@ -5366,3 +5366,92 @@ def segment_migration(
             "n_customers": pa.array(m["n_customers"].to_numpy(np.int64)),
         }
     )
+
+
+def repeat_purchase_stats(
+    lineitem: rd.Dataset, orders: rd.Dataset
+) -> pa.Table:
+    """Repeat-purchase summary: of all (customer, part) pairs ever
+    transacted, how many recur across MULTIPLE distinct orders — the
+    replenishment-vs-one-off signal that separates consumable SKUs
+    from one-time buys (TPC-H's generator makes repeats rare; a real
+    retail log shows a fat repeat head).
+
+    Exactness: all integers — distinct (custkey, partkey, orderkey)
+    triples, then a per-pair distinct-order count and three summary
+    integers plus ONE division.
+
+    Scale shape: lineitem pre-reduces to distinct (orderkey, partkey)
+    per batch BEFORE the join (the Q5 pre-reduction contract), then ONE
+    orderkey hash join attaches custkey; triples dedup inside a
+    (custkey, partkey)-bucketed pass that emits per-bucket partial
+    summaries — only integer partials reach the driver."""
+    import numpy as np
+
+    from .dedup import shuffle_blocks
+    from .joins import hash_join
+
+    def lre(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "l_partkey": batch.column("l_partkey").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lp = lineitem.select_columns(["l_orderkey", "l_partkey"]).map_batches(
+        lre, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        lp,
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop_duplicates(["o_custkey", "l_partkey", "l_orderkey"])
+        per_pair = t.groupby(
+            ["o_custkey", "l_partkey"], as_index=False
+        ).agg(n=("l_orderkey", "size"))
+        n = per_pair["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_pairs": [len(n)],
+                "n_repeat": [int((n >= 2).sum())],
+                "max_orders": [int(n.max()) if len(n) else 0],
+            }
+        )
+
+    parts = bucketed_group_apply(
+        joined.repartition(shuffle_blocks()),
+        ["o_custkey", "l_partkey"],
+        per_bucket,
+    ).take_all()
+    n_pairs = sum(r["n_pairs"] for r in parts)
+    n_repeat = sum(r["n_repeat"] for r in parts)
+    max_orders = max((r["max_orders"] for r in parts), default=0)
+    from . import round_half_away
+
+    return pa.Table.from_pydict(
+        {
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_repeat": pa.array([n_repeat], pa.int64()),
+            "repeat_rate": pa.array(
+                [
+                    None
+                    if n_pairs == 0
+                    else round_half_away(
+                        float(n_repeat) / float(n_pairs), 6
+                    )
+                ],
+                pa.float64(),
+            ),
+            "max_orders": pa.array([max_orders], pa.int64()),
+        }
+    )

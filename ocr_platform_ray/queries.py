@@ -3206,6 +3206,17 @@ def q_zipf_slope(sf_dir: str) -> rd.Dataset:
     return textstats.zipf_slope(_docs(sf_dir, ["doc_id", "text"]), top_n=100)
 
 
+def q_repeat_purchase(sf_dir: str) -> pa.Table:
+    """Repeat-purchase summary over (customer, part) pairs: ONE
+    orderkey hash join after per-batch pre-reduction, all-integer."""
+    return relational.repeat_purchase_stats(
+        _read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"]),
+        _read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+    )
+
+
 def q_segment_migration(sf_dir: str) -> pa.Table:
     """Customer revenue-quartile migration between the two halves of
     the order history (tile 0 = inactive in that half) — exact integer
@@ -3661,6 +3672,7 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_repeat_purchase": q_repeat_purchase,
         "q_segment_migration": q_segment_migration,
         "q_p_chart": q_p_chart,
         "q_head_prefixes": q_head_prefixes,
@@ -3972,6 +3984,19 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_repeat_purchase": (
+            "WITH t AS (SELECT DISTINCT o.o_custkey, l.l_partkey,"
+            " l.l_orderkey FROM lineitem l"
+            " JOIN orders o ON o.o_orderkey = l.l_orderkey),"
+            " p AS (SELECT o_custkey, l_partkey,"
+            " count(*)::BIGINT AS n FROM t GROUP BY 1, 2)"
+            " SELECT count(*)::BIGINT AS n_pairs,"
+            " sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_repeat,"
+            " round(CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS repeat_rate,"
+            " max(n)::BIGINT AS max_orders FROM p"
+        ),
         "q_segment_migration": (
             # midpoint-day split; per-half tiles via the RANGE-window
             # max-rank rule over ACTIVE customers; inactive -> tile 0
