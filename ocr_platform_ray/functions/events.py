@@ -3524,3 +3524,102 @@ def p_chart_daily(
             }
         )
     )
+
+
+def interarrival_fit(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Arrival-process fit per event type: mean inter-arrival seconds,
+    the coefficient of variation of the gaps, and the implied hourly
+    rate — a Poisson process has CV ≈ 1 (the dispersion_daily audit
+    seen from the gap side; CV >> 1 = bursty, CV << 1 = metronomic).
+
+    Gaps are between CONSECUTIVE events of a type in (ts, event_id)
+    order, floored to whole seconds ((t₂−t₁) // 1e6 of the µs stamps —
+    integer division on BOTH engines, so every moment stays an exact
+    integer). Distributed shape: events co-locate per (type, day)
+    bucket — never one Ray group per type, and sub-day binning is the
+    documented escape if one type-day exceeds a worker — where one
+    vectorized sorted-diff pass emits (n, Σd, Σd²) partials plus the
+    bucket's first/last stamp; the driver merges the bounded
+    (type, day) partial table and stitches the cross-day boundary gaps
+    from the first/last columns (consecutive NONEMPTY days chain, so
+    silent days cost nothing). Emits one row per type: n_gaps,
+    mean_gap_s, cv_gap (NULL when n<2 or mean=0), per_hour
+    (3600/mean, NULL when mean=0), 6dp."""
+    from . import bucketed_group_apply, round_half_away
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day_id", "ts"], kind="mergesort")
+        out = {"event_type": [], "day_id": [], "n_ev": [], "first_t": [],
+               "last_t": [], "np_": [], "s": [], "q": []}
+        for (et, day), sub in g.groupby(["event_type", "day_id"], sort=False):
+            t = sub["ts"].astype("int64").to_numpy()
+            d = (t[1:] - t[:-1]) // 1_000_000
+            out["event_type"].append(et)
+            out["day_id"].append(int(day))
+            out["n_ev"].append(len(t))
+            out["first_t"].append(int(t[0]))
+            out["last_t"].append(int(t[-1]))
+            out["np_"].append(len(d))
+            out["s"].append(int(d.sum()))
+            out["q"].append(int((d * d).sum()))
+        return pd.DataFrame(out)
+
+    with_day = ds.select_columns(["event_type", "ts"]).map_batches(
+        lambda b: b.append_column(
+            "day_id",
+            pa.array(b.column("ts").cast(pa.int64()).to_numpy() // DAY_US),
+        ),
+        batch_format="pyarrow",
+    )
+    rows = bucketed_group_apply(
+        with_day, ["event_type", "day_id"], per_bucket,
+        batch_format="pandas",
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            "interarrival_fit: > max_cells (type, day) partials — raise "
+            "max_cells deliberately"
+        )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    out = {"event_type": [], "n_gaps": [], "mean_gap_s": [], "cv_gap": [],
+           "per_hour": []}
+    import math
+
+    for et in sorted(by_type):
+        parts = sorted(by_type[et], key=lambda r: r["day_id"])
+        n = sum(int(r["np_"]) for r in parts)
+        s = sum(int(r["s"]) for r in parts)
+        q = sum(int(r["q"]) for r in parts)
+        for prev, cur in zip(parts, parts[1:]):
+            d = (int(cur["first_t"]) - int(prev["last_t"])) // 1_000_000
+            n += 1
+            s += d
+            q += d * d
+        if n == 0:
+            continue  # single-event type: no gap row on either engine
+        out["event_type"].append(et)
+        out["n_gaps"].append(n)
+        mean = float(s) / float(n)
+        out["mean_gap_s"].append(round_half_away(mean, 6))
+        if n < 2 or s == 0:
+            out["cv_gap"].append(None)
+        else:
+            var = (float(q) - float(s) * float(s) / float(n)) / float(n - 1)
+            cv = 0.0 if var <= 0.0 else math.sqrt(var) / mean
+            out["cv_gap"].append(round_half_away(cv, 6))
+        out["per_hour"].append(
+            None if s == 0 else round_half_away(3600.0 / mean, 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                "mean_gap_s": pa.array(out["mean_gap_s"], pa.float64()),
+                "cv_gap": pa.array(out["cv_gap"], pa.float64()),
+                "per_hour": pa.array(out["per_hour"], pa.float64()),
+            }
+        )
+    )

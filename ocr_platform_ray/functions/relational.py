@@ -5455,3 +5455,208 @@ def repeat_purchase_stats(
             "max_orders": pa.array([max_orders], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- variance decomposition
+
+def _int_moment_acc(
+    ds: rd.Dataset,
+    group_col: str,
+    val_expr,
+    max_groups: int,
+    who: str,
+) -> dict:
+    """Shared integer-moment collector for the classical one-way tests:
+    one streamed pass of per-batch (n, Σx, Σx²) partials per group —
+    the welch_t_by_group combiner shape — merged driver-side with exact
+    Python ints under a loud ``max_groups`` guard. ``val_expr`` maps the
+    batch to the int64 value vector (identity for anova, |2x − 2·median|
+    for Brown–Forsythe)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pylist()
+        x = val_expr(batch)
+        df = pd.DataFrame({"g": g, "x": x, "xx": x * x})
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take(
+        max_groups + 1
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"{who}: > {max_groups} group partials — raise max_groups "
+            "deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        g = r["g"]
+        n0, s0, q0 = acc.get(g, (0, 0, 0))
+        acc[g] = (n0 + int(r["n"]), s0 + int(r["sx"]), q0 + int(r["sxx"]))
+    return acc
+
+
+def _anova_f_from_acc(acc: dict) -> tuple:
+    """One-way ANOVA F from exact per-group integer moments.
+
+    Cancellation-safe deviation form (the kruskal_wallis lesson): the
+    between sum of squares uses d_g = N·s_g − n_g·S (an EXACT Python
+    int), SSB = Σ d_g²/n_g / N², and the within terms (n_g·q_g − s_g²)
+    /n_g are exact-integer numerators too — every float term is
+    non-negative, so summation-order ulps stay relative and 6dp is
+    safe. The oracle SQL mirrors the same algebra over HUGEINTs.
+    Returns (N, k, f, ssb, ssw) with f None when dof or SSW collapse."""
+    N = sum(v[0] for v in acc.values())
+    S = sum(v[1] for v in acc.values())
+    k = len(acc)
+    sb = 0.0
+    sw = 0.0
+    for g in sorted(acc):
+        n, s, q = acc[g]
+        d = N * s - n * S
+        sb += float(d * d) / float(n)
+        sw += float(n * q - s * s) / float(n)
+    ssb = sb / (float(N) * float(N)) if N else 0.0
+    ssw = sw
+    if k < 2 or N <= k or ssw <= 0.0:
+        return N, k, None, ssb, ssw
+    f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return N, k, f, ssb, ssw
+
+
+def anova_f_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Classical one-way ANOVA F of an INTEGER measure across groups —
+    the parametric complement of kruskal_wallis (rank-based) and the
+    k-sample generalization of welch_t_by_group: does the group MEAN
+    differ anywhere, plus the variance-explained effect size
+    eta² = SSB/(SSB+SSW).
+
+    Distributed shape: one streamed integer-moment combiner pass (the
+    shuffle carries one (n, Σx, Σx²) row per group per batch, never
+    documents), bounded driver merge. Emits ONE row (n, k, f_stat,
+    eta2); f NULL when k < 2, N ≤ k or SSW = 0, eta2 NULL when the
+    total sum of squares is 0 (all values identical)."""
+    import numpy as np
+
+    def ident(batch: pa.Table) -> "np.ndarray":
+        return batch.column(val_col).to_numpy().astype(np.int64)
+
+    acc = _int_moment_acc(
+        ds.select_columns([group_col, val_col]), group_col, ident,
+        max_groups, "anova_f_by_group",
+    )
+    if not acc:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "f_stat": pa.array([], pa.float64()),
+                    "eta2": pa.array([], pa.float64()),
+                }
+            )
+        )
+    N, k, f, ssb, ssw = _anova_f_from_acc(acc)
+    tot = ssb + ssw
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": pa.array([N], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "f_stat": pa.array(
+                    [None if f is None else round_half_away(f, 6)],
+                    pa.float64(),
+                ),
+                "eta2": pa.array(
+                    [None if tot <= 0.0 else round_half_away(ssb / tot, 6)],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def brown_forsythe(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    max_cells: int = 1_000_000,
+    max_groups: int = 100_000,
+) -> rd.Dataset:
+    """Brown–Forsythe test (Levene with the group MEDIAN center): are
+    the group VARIANCES equal — the homoscedasticity gate a pipeline
+    runs before trusting pooled-variance statistics on sliced corpora.
+    F is the one-way ANOVA F of z = |x − median_g|.
+
+    Exactness: F is scale-invariant, so both engines compute it on
+    w = |2x − m2_g| where m2_g = 2·median_g is an EXACT integer (the
+    median of integers is a multiple of ½) — all moments stay integer
+    and the float chain mirrors _anova_f_from_acc. Two streamed passes:
+    a (group, value) histogram combiner for the exact medians (driver-
+    bounded by ``max_cells`` distinct cells, the kruskal shape), then
+    the integer-moment combiner over w with the tiny m2 map shipped in
+    the task closure. Emits ONE row (n, k, f_bf)."""
+    import numpy as np
+
+    cells = _joint_cells(
+        ds.select_columns([group_col, val_col]),
+        [group_col, val_col],
+        max_cells,
+        "brown_forsythe",
+    )
+    if not len(cells):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "f_bf": pa.array([], pa.float64()),
+                }
+            )
+        )
+    m2: dict = {}
+    for gk, sub in cells.groupby(group_col, sort=True):
+        sub = sub.sort_values(val_col, kind="mergesort")
+        v = sub[val_col].to_numpy(np.int64)
+        c = sub["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        ng = int(cum[-1])
+        if ng % 2 == 1:
+            pos = (ng + 1) // 2
+            m2[gk] = 2 * int(v[np.searchsorted(cum, pos)])
+        else:
+            lo = int(v[np.searchsorted(cum, ng // 2)])
+            hi = int(v[np.searchsorted(cum, ng // 2 + 1)])
+            m2[gk] = lo + hi
+
+    def absdev(batch: pa.Table) -> "np.ndarray":
+        g = batch.column(group_col).to_pylist()
+        x = batch.column(val_col).to_numpy().astype(np.int64)
+        m = np.fromiter((m2[v] for v in g), dtype=np.int64, count=len(g))
+        return np.abs(2 * x - m)
+
+    acc = _int_moment_acc(
+        ds.select_columns([group_col, val_col]), group_col, absdev,
+        max_groups, "brown_forsythe",
+    )
+    N, k, f, _, _ = _anova_f_from_acc(acc)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": pa.array([N], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "f_bf": pa.array(
+                    [None if f is None else round_half_away(f, 6)],
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -3655,6 +3655,35 @@ def q_kfold_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def q_anova_chars(sf_dir: str) -> rd.Dataset:
+    """Classical one-way ANOVA F of document length across languages
+    (+ eta² effect size) — the parametric complement of
+    q_kruskal_len_by_lang; exact integer moments, deviation-form SSB."""
+    return relational.anova_f_by_group(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars"
+    )
+
+
+def q_brown_forsythe(sf_dir: str) -> rd.Dataset:
+    """Brown–Forsythe variance-homogeneity F of document length across
+    sources (Levene with the group median, computed on the exact-integer
+    doubled deviations |2x − 2·median| — F is scale-invariant)."""
+    return relational.brown_forsythe(
+        _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars"
+    )
+
+
+def q_interarrival(sf_dir: str) -> rd.Dataset:
+    """Per-type arrival-process fit: mean inter-arrival seconds, gap CV
+    (Poisson ⇒ ≈1) and implied hourly rate — (type, day)-bucketed gap
+    partials with driver-stitched day boundaries."""
+    return events.interarrival_fit(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3672,6 +3701,9 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_anova_chars": q_anova_chars,
+        "q_brown_forsythe": q_brown_forsythe,
+        "q_interarrival": q_interarrival,
         "q_repeat_purchase": q_repeat_purchase,
         "q_segment_migration": q_segment_migration,
         "q_p_chart": q_p_chart,
@@ -3984,6 +4016,71 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_anova_chars": (
+            "WITH g AS (SELECT lang, count(*)::HUGEINT AS n,"
+            " sum(n_chars)::HUGEINT AS s,"
+            " sum(n_chars::HUGEINT * n_chars::HUGEINT) AS q"
+            " FROM documents GROUP BY 1),"
+            " t AS (SELECT sum(n) AS nn, sum(s) AS ss,"
+            " count(*)::HUGEINT AS k FROM g),"
+            " p AS (SELECT ((t.nn*g.s - g.n*t.ss)"
+            " * (t.nn*g.s - g.n*t.ss))::DOUBLE / g.n::DOUBLE AS bt,"
+            " (g.n*g.q - g.s*g.s)::DOUBLE / g.n::DOUBLE AS wt"
+            " FROM g CROSS JOIN t),"
+            " u AS (SELECT sum(bt) AS sb, sum(wt) AS sw FROM p)"
+            " SELECT t.nn::BIGINT AS n, t.k::BIGINT AS k,"
+            " CASE WHEN t.k < 2 OR t.nn <= t.k OR sw <= 0 THEN NULL"
+            " ELSE round(((sb / (t.nn::DOUBLE * t.nn::DOUBLE))"
+            " / (t.k - 1)::DOUBLE) / (sw / (t.nn - t.k)::DOUBLE), 6)"
+            " END AS f_stat,"
+            " CASE WHEN sb / (t.nn::DOUBLE*t.nn::DOUBLE) + sw <= 0"
+            " THEN NULL ELSE round((sb/(t.nn::DOUBLE*t.nn::DOUBLE))"
+            " / (sb/(t.nn::DOUBLE*t.nn::DOUBLE) + sw), 6) END AS eta2"
+            " FROM u CROSS JOIN t"
+        ),
+        "q_brown_forsythe": (
+            "WITH med AS (SELECT source,"
+            " CAST(round(2*quantile_cont(n_chars, 0.5)) AS BIGINT) AS m2"
+            " FROM documents GROUP BY 1),"
+            " w AS (SELECT d.source AS g,"
+            " abs(2*d.n_chars - m.m2)::HUGEINT AS w"
+            " FROM documents d JOIN med m USING (source)),"
+            " g AS (SELECT g, count(*)::HUGEINT AS n, sum(w) AS s,"
+            " sum(w*w) AS q FROM w GROUP BY 1),"
+            " t AS (SELECT sum(n) AS nn, sum(s) AS ss,"
+            " count(*)::HUGEINT AS k FROM g),"
+            " p AS (SELECT ((t.nn*g.s - g.n*t.ss)"
+            " * (t.nn*g.s - g.n*t.ss))::DOUBLE / g.n::DOUBLE AS bt,"
+            " (g.n*g.q - g.s*g.s)::DOUBLE / g.n::DOUBLE AS wt"
+            " FROM g CROSS JOIN t),"
+            " u AS (SELECT sum(bt) AS sb, sum(wt) AS sw FROM p)"
+            " SELECT t.nn::BIGINT AS n, t.k::BIGINT AS k,"
+            " CASE WHEN t.k < 2 OR t.nn <= t.k OR sw <= 0 THEN NULL"
+            " ELSE round(((sb / (t.nn::DOUBLE * t.nn::DOUBLE))"
+            " / (t.k - 1)::DOUBLE) / (sw / (t.nn - t.k)::DOUBLE), 6)"
+            " END AS f_bf FROM u CROSS JOIN t"
+        ),
+        "q_interarrival": (
+            "WITH o AS (SELECT event_type, epoch_us(ts) AS t,"
+            " lag(epoch_us(ts)) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id) AS p FROM events),"
+            " g AS (SELECT event_type, (t - p) // 1000000 AS d"
+            " FROM o WHERE p IS NOT NULL),"
+            " a AS (SELECT event_type, count(*)::BIGINT AS n,"
+            " sum(d)::BIGINT AS s, sum(d::HUGEINT * d::HUGEINT) AS q"
+            " FROM g GROUP BY 1)"
+            " SELECT event_type, n AS n_gaps,"
+            " round(s::DOUBLE / n::DOUBLE, 6) AS mean_gap_s,"
+            " CASE WHEN n < 2 OR s = 0 THEN NULL ELSE round("
+            " CASE WHEN (q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)"
+            " / (n-1)::DOUBLE <= 0 THEN 0.0"
+            " ELSE sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)"
+            " / (n-1)::DOUBLE) / (s::DOUBLE / n::DOUBLE) END, 6)"
+            " END AS cv_gap,"
+            " CASE WHEN s = 0 THEN NULL"
+            " ELSE round(3600.0 / (s::DOUBLE / n::DOUBLE), 6)"
+            " END AS per_hour FROM a"
+        ),
         "q_repeat_purchase": (
             "WITH t AS (SELECT DISTINCT o.o_custkey, l.l_partkey,"
             " l.l_orderkey FROM lineitem l"
