@@ -324,6 +324,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_runs_test", q.q_runs_test),
         ("q_p_chart", q.q_p_chart),
         ("q_head_prefixes", q.q_head_prefixes),
+        # round-5 batch-39 variance tests / arrival fit
+        ("q_anova_chars", q.q_anova_chars),
+        ("q_brown_forsythe", q.q_brown_forsythe),
+        ("q_interarrival", q.q_interarrival),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),
