@@ -328,6 +328,10 @@ def run_queries(sf_dir: str) -> dict:
         ("q_anova_chars", q.q_anova_chars),
         ("q_brown_forsythe", q.q_brown_forsythe),
         ("q_interarrival", q.q_interarrival),
+        # round-5 batch-40 sequence mining / encoding audit / gap quartiles
+        ("q_event_trigrams", q.q_event_trigrams),
+        ("q_utf8_audit", q.q_utf8_audit),
+        ("q_gap_quantiles", q.q_gap_quantiles),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

@@ -3548,21 +3548,33 @@ def interarrival_fit(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
     from . import bucketed_group_apply, round_half_away
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized shift-mask (the event_gaps idiom): gaps between
+        # same-(type,day) neighbors in the sorted frame, then ONE
+        # grouped aggregation — no Python loop over groups
         g = g.sort_values(["event_type", "day_id", "ts"], kind="mergesort")
-        out = {"event_type": [], "day_id": [], "n_ev": [], "first_t": [],
-               "last_t": [], "np_": [], "s": [], "q": []}
-        for (et, day), sub in g.groupby(["event_type", "day_id"], sort=False):
-            t = sub["ts"].astype("int64").to_numpy()
-            d = (t[1:] - t[:-1]) // 1_000_000
-            out["event_type"].append(et)
-            out["day_id"].append(int(day))
-            out["n_ev"].append(len(t))
-            out["first_t"].append(int(t[0]))
-            out["last_t"].append(int(t[-1]))
-            out["np_"].append(len(d))
-            out["s"].append(int(d.sum()))
-            out["q"].append(int((d * d).sum()))
-        return pd.DataFrame(out)
+        et = g["event_type"].to_numpy()
+        day = g["day_id"].to_numpy(np.int64)
+        t = g["ts"].astype("int64").to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        d = np.diff(t, prepend=t[0]) // 1_000_000
+        d[first] = 0
+        frame = pd.DataFrame(
+            {
+                "event_type": et,
+                "day_id": day,
+                "t": t,
+                "pair": (~first).astype(np.int64),
+                "d": d,
+                "dd": d * d,
+            }
+        )
+        agg = frame.groupby(["event_type", "day_id"], as_index=False).agg(
+            n_ev=("t", "size"), first_t=("t", "first"), last_t=("t", "last"),
+            np_=("pair", "sum"), s=("d", "sum"), q=("dd", "sum"),
+        )
+        return agg
 
     with_day = ds.select_columns(["event_type", "ts"]).map_batches(
         lambda b: b.append_column(
@@ -3623,3 +3635,188 @@ def interarrival_fit(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
             }
         )
     )
+
+
+def event_trigrams(ds: rd.Dataset, k: int = 20) -> rd.Dataset:
+    """Top-k behavior sequences: the most frequent CONSECUTIVE
+    event-type trigrams across all user journeys in (ts, event_id)
+    order — the sequence-mining staple (what do users actually do in
+    threes) behind funnel design; the 3-step generalization of
+    event_transitions.
+
+    Users hash-bucket (one vectorized double-shift per bucket — never a
+    Ray group per user); each bucket emits its own trigram COUNTS
+    (≤ |types|³ rows), so the shuffle carries counts, not events, and
+    the driver merges a tiny table. Deterministic top-k: (n DESC,
+    e1, e2, e3)."""
+    from . import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame(
+                {"e1": [], "e2": [], "e3": [], "n": []}
+            ).astype({"e1": str, "e2": str, "e3": str, "n": np.int64})
+        same2 = uid[2:] == uid[:-2]  # rows i-2, i-1, i share the user
+        tri = pd.DataFrame(
+            {"e1": et[:-2][same2], "e2": et[1:-1][same2], "e3": et[2:][same2]}
+        )
+        agg = tri.groupby(["e1", "e2", "e3"], as_index=False).size()
+        return agg.rename(columns={"size": "n"})
+
+    parts = bucketed_group_apply(
+        ds.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        "user_id",
+        per_bucket,
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(parts):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "e1": pa.array([], pa.string()),
+                    "e2": pa.array([], pa.string()),
+                    "e3": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    agg = parts.groupby(["e1", "e2", "e3"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    agg = agg.sort_values(
+        ["n", "e1", "e2", "e3"], ascending=[False, True, True, True],
+        kind="mergesort",
+    ).head(k)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "e1": pa.array(agg["e1"], pa.string()),
+                "e2": pa.array(agg["e2"], pa.string()),
+                "e3": pa.array(agg["e3"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+            }
+        )
+    )
+
+
+def gap_quantiles(
+    ds: rd.Dataset, qs: tuple = (0.25, 0.5, 0.75), max_cells: int = 500_000
+) -> rd.Dataset:
+    """Robust quartiles of the inter-arrival gap (whole seconds, the
+    interarrival_fit definition) per event type — the outlier-immune
+    complement of the mean/CV fit: p50 is the typical cadence even when
+    one outage gap dominates the mean.
+
+    Same distributed shape as interarrival_fit ((type, day) buckets,
+    driver-stitched boundaries) but each bucket emits its gap VALUE
+    HISTOGRAM (distinct seconds → counts, bounded: gaps repeat heavily
+    at second resolution) alongside the boundary first/last row; the
+    driver merges histograms and interpolates with DuckDB
+    quantile_cont's weighted form lo·(1−frac) + hi·frac on the exact
+    cumulative counts."""
+    from . import bucketed_group_apply, round_half_away
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized (the event_gaps shift-mask idiom — a Python
+        # loop over gaps here measured 60+ s at sf0.1)
+        g = g.sort_values(["event_type", "day_id", "ts"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        day = g["day_id"].to_numpy(np.int64)
+        t = g["ts"].astype("int64").to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        d = np.diff(t, prepend=t[0]) // 1_000_000
+        hh = (
+            pd.DataFrame(
+                {
+                    "event_type": et[~first],
+                    "day_id": day[~first],
+                    "a": d[~first],
+                }
+            )
+            .groupby(["event_type", "day_id", "a"], as_index=False)
+            .size()
+            .rename(columns={"size": "b"})
+        )
+        hh["kind"] = 0
+        gb = (
+            pd.DataFrame({"event_type": et, "day_id": day, "t": t})
+            .groupby(["event_type", "day_id"], as_index=False)
+            .agg(a=("t", "first"), b=("t", "last"))
+        )
+        gb["kind"] = 1
+        cols = ["event_type", "day_id", "kind", "a", "b"]
+        return pd.concat([hh[cols], gb[cols]], ignore_index=True)
+
+    with_day = ds.select_columns(["event_type", "ts"]).map_batches(
+        lambda b: b.append_column(
+            "day_id",
+            pa.array(b.column("ts").cast(pa.int64()).to_numpy() // DAY_US),
+        ),
+        batch_format="pyarrow",
+    )
+    df = (
+        bucketed_group_apply(
+            with_day, ["event_type", "day_id"], per_bucket,
+            batch_format="pandas",
+        )
+        .limit(max_cells + 1)
+        .to_pandas()
+    )
+    if len(df) > max_cells:
+        raise ValueError(
+            "gap_quantiles: > max_cells histogram partials — raise "
+            "max_cells deliberately or bin the gaps"
+        )
+    hist: dict = {}
+    hd = df[df["kind"] == 0]
+    for et, sub in hd.groupby("event_type"):
+        agg = sub.groupby("a")["b"].sum()
+        hist[et] = dict(zip(agg.index.astype(int), agg.to_numpy()))
+    bd = df[df["kind"] == 1].sort_values(["event_type", "day_id"])
+    prev_last = bd.groupby("event_type")["b"].shift(1)
+    ok = prev_last.notna().to_numpy()
+    bdd = (
+        (bd["a"].to_numpy(np.int64)[ok] -
+         prev_last.to_numpy()[ok].astype(np.int64)) // 1_000_000
+    )
+    for et, dv in zip(bd["event_type"].to_numpy()[ok], bdd):
+        hist.setdefault(et, {})
+        hist[et][int(dv)] = hist[et].get(int(dv), 0) + 1
+    out = {"event_type": [], "n_gaps": []}
+    qnames = [f"p{int(round(q * 100))}" for q in qs]
+    for qn in qnames:
+        out[qn] = []
+    for et in sorted(hist):
+        h = hist[et]
+        if not h:
+            continue
+        vals = np.array(sorted(h), dtype=np.int64)
+        cnts = np.array([h[v] for v in vals], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        if n == 0:
+            continue
+        out["event_type"].append(et)
+        out["n_gaps"].append(n)
+        for qn, q in zip(qnames, qs):
+            pos = (n - 1) * float(q)
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            a = float(vals[np.searchsorted(cum, lo + 1)])
+            b = float(vals[np.searchsorted(cum, min(lo + 2, n))])
+            out[qn].append(
+                round_half_away(a * (1.0 - frac) + b * frac, 6)
+            )
+    cols = {
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+    }
+    for qn in qnames:
+        cols[qn] = pa.array(out[qn], pa.float64())
+    return rd.from_arrow(pa.Table.from_pydict(cols))

@@ -2995,3 +2995,78 @@ def head_prefixes(
             "share": pa.array(out["share"], pa.float64()),
         }
     )
+
+
+def utf8_audit(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
+    """Encoding-health audit per source: how much of the corpus is
+    multibyte UTF-8 — doc counts, total continuation-byte overhead
+    (byte length − char length, an EXACT integer both engines agree on:
+    DuckDB strlen(text) − length(text)) and the overhead ratio. A
+    source whose ratio jumps between crawls usually changed charset
+    handling upstream; a pure-ASCII source suddenly showing overhead is
+    mojibake.
+
+    One streamed pass of per-batch integer partials via the zero-copy
+    Arrow kernels (binary_length = bytes, utf8_length = chars — no
+    Python row loop), bounded driver merge, one float division per
+    source."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ob = pc.binary_length(batch.column("text")).to_numpy().astype(np.int64)
+        ch = pc.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
+        over = ob - ch
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch.column("source").to_pylist(),
+                "n": 1,
+                "mb": (over > 0).astype(np.int64),
+                "ov": over,
+                "ch": ch,
+            }
+        )
+        agg = df.groupby("g", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            "utf8_audit: > max_groups source partials — raise max_groups "
+            "deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        n0, m0, o0, c0 = acc.get(r["g"], (0, 0, 0, 0))
+        acc[r["g"]] = (
+            n0 + int(r["n"]), m0 + int(r["mb"]),
+            o0 + int(r["ov"]), c0 + int(r["ch"]),
+        )
+    import ray.data as rd
+
+    from . import round_half_away
+
+    out = {"source": [], "n_docs": [], "n_multibyte": [],
+           "overhead_bytes": [], "overhead_ratio": []}
+    for g in sorted(acc):
+        n, m, o, c = acc[g]
+        out["source"].append(g)
+        out["n_docs"].append(n)
+        out["n_multibyte"].append(m)
+        out["overhead_bytes"].append(o)
+        out["overhead_ratio"].append(
+            None if c == 0 else round_half_away(float(o) / float(c), 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "n_multibyte": pa.array(out["n_multibyte"], pa.int64()),
+                "overhead_bytes": pa.array(out["overhead_bytes"], pa.int64()),
+                "overhead_ratio": pa.array(out["overhead_ratio"], pa.float64()),
+            }
+        )
+    )

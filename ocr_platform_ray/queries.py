@@ -3684,6 +3684,37 @@ def q_interarrival(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_event_trigrams(sf_dir: str) -> rd.Dataset:
+    """Top-20 consecutive event-type trigrams across user journeys —
+    the 3-step sequence-mining generalization of q_event_transitions;
+    deterministic (n DESC, e1, e2, e3) tiebreak."""
+    return events.event_trigrams(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+    )
+
+
+def q_utf8_audit(sf_dir: str) -> rd.Dataset:
+    """Per-source UTF-8 multibyte overhead audit (byte length − char
+    length, exact integers; mojibake/charset-drift detector)."""
+    return textstats.utf8_audit(
+        _docs(sf_dir, ["source", "text"])
+    )
+
+
+def q_gap_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-type inter-arrival gap quartiles (whole seconds) — the
+    robust complement of q_interarrival's mean/CV fit; exact
+    quantile_cont mirror over the merged gap histogram."""
+    return events.gap_quantiles(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3701,6 +3732,9 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_event_trigrams": q_event_trigrams,
+        "q_utf8_audit": q_utf8_audit,
+        "q_gap_quantiles": q_gap_quantiles,
         "q_anova_chars": q_anova_chars,
         "q_brown_forsythe": q_brown_forsythe,
         "q_interarrival": q_interarrival,
@@ -4016,6 +4050,38 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_event_trigrams": (
+            "WITH o AS (SELECT user_id, event_type AS e3,"
+            " lag(event_type, 1) OVER w AS e2,"
+            " lag(event_type, 2) OVER w AS e1 FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " t AS (SELECT e1, e2, e3, count(*)::BIGINT AS n FROM o"
+            " WHERE e1 IS NOT NULL GROUP BY 1, 2, 3)"
+            " SELECT e1, e2, e3, n FROM t"
+            " ORDER BY n DESC, e1, e2, e3 LIMIT 20"
+        ),
+        "q_utf8_audit": (
+            "SELECT source, count(*)::BIGINT AS n_docs,"
+            " sum(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0"
+            " END)::BIGINT AS n_multibyte,"
+            " sum(strlen(text) - length(text))::BIGINT AS overhead_bytes,"
+            " CASE WHEN sum(length(text)) = 0 THEN NULL ELSE"
+            " round(sum(strlen(text) - length(text))::DOUBLE"
+            " / sum(length(text))::DOUBLE, 6) END AS overhead_ratio"
+            " FROM documents GROUP BY 1"
+        ),
+        "q_gap_quantiles": (
+            "WITH o AS (SELECT event_type, epoch_us(ts) AS t,"
+            " lag(epoch_us(ts)) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id) AS p FROM events),"
+            " g AS (SELECT event_type, (t - p) // 1000000 AS d"
+            " FROM o WHERE p IS NOT NULL)"
+            " SELECT event_type, count(*)::BIGINT AS n_gaps,"
+            " round(quantile_cont(d, 0.25), 6) AS p25,"
+            " round(quantile_cont(d, 0.50), 6) AS p50,"
+            " round(quantile_cont(d, 0.75), 6) AS p75"
+            " FROM g GROUP BY 1"
+        ),
         "q_anova_chars": (
             "WITH g AS (SELECT lang, count(*)::HUGEINT AS n,"
             " sum(n_chars)::HUGEINT AS s,"
