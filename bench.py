@@ -332,6 +332,9 @@ def run_queries(sf_dir: str) -> dict:
         ("q_event_trigrams", q.q_event_trigrams),
         ("q_utf8_audit", q.q_utf8_audit),
         ("q_gap_quantiles", q.q_gap_quantiles),
+        # round-5 batch-41 segment algebra / market basket
+        ("q_segment_profile", q.q_segment_profile),
+        ("q_basket_pairs", q.q_basket_pairs),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

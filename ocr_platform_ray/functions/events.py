@@ -3820,3 +3820,54 @@ def gap_quantiles(
     for qn in qnames:
         cols[qn] = pa.array(out[qn], pa.float64())
     return rd.from_arrow(pa.Table.from_pydict(cols))
+
+
+def user_segment_profile(ds: rd.Dataset) -> rd.Dataset:
+    """Audience segment algebra: every user collapses to a BITMASK of
+    the event types they ever performed (bit = rank of the type in the
+    sorted distinct-type list), and the output is the user count per
+    mask — the full inclusion–exclusion overlap profile ("did X and Y
+    but never Z") in one table of ≤ 2^k rows, instead of one
+    INTERSECT/EXCEPT query per combination.
+
+    Shape: per-batch distinct (user, type) partials shrink the shuffle
+    to at most one row per pair per batch; users hash-bucket; inside a
+    bucket one vectorized pivot ORs the powers per user and counts per
+    mask, so the driver merges ≤ 2^k · n_buckets partial counts. The
+    type→bit map is collected once (distinct types are tiny) and
+    shipped in the task closure."""
+    from . import bucketed_group_apply
+
+    pairs = ds.select_columns(["user_id", "event_type"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # materialize ONCE: dp is consumed by unique() AND the bucketed
+    # pass below, and each consumption would otherwise re-run the
+    # corpus scan; the distinct partials are ≤ users × types rows
+    dp = pairs.map_batches(
+        distinct_partial, batch_format="pyarrow"
+    ).materialize()
+    types = sorted(dp.unique("event_type"))
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        g = g.assign(p=g["event_type"].map(bit).astype(np.int64))
+        masks = g.groupby("user_id", sort=False)["p"].sum()  # distinct -> OR
+        cnt = masks.value_counts().rename_axis("mask").reset_index(name="n")
+        return cnt
+
+    parts = bucketed_group_apply(dp, "user_id", per_bucket).to_pandas()
+    agg = parts.groupby("mask", as_index=False).agg(n_users=("n", "sum"))
+    agg = agg.sort_values("mask", kind="mergesort")
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "mask": pa.array(agg["mask"].astype("int64"), pa.int64()),
+                "n_users": pa.array(agg["n_users"].astype("int64"), pa.int64()),
+            }
+        )
+    )

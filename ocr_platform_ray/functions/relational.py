@@ -5660,3 +5660,141 @@ def brown_forsythe(
             }
         )
     )
+
+
+# ------------------------------------------------------------- market basket
+
+def basket_pairs(lineitem: rd.Dataset, k: int = 20) -> rd.Dataset:
+    """Frequently-bought-together: top-k part pairs by co-occurrence
+    across orders, with the association lift
+    n_pair · N_orders / (n_p1 · n_p2) — the market-basket staple over
+    the TPC-H lines.
+
+    Shape: orders hash-bucket; inside a bucket one vectorized
+    self-merge per order (baskets are small — the merge is
+    |basket|²-bounded per order, not per bucket) emits TAGGED partial
+    rows — kind 0 = pair counts, kind 1 = per-part order counts,
+    kind 2 = order count — so ONE bucketed merge aggregates all three
+    tables and the pair table never leaves the cluster: top-k is a
+    distributed sort+limit, and only the ≤ 2k winning parts' counts
+    are fetched back (an is_in filter), never the part table."""
+    import numpy as np
+
+    lp = lineitem.select_columns(["l_orderkey", "l_partkey"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        pairs = m.groupby(
+            ["l_partkey_x", "l_partkey_y"], as_index=False
+        ).size()
+        parts = g.groupby("l_partkey", as_index=False).size()
+        n_orders = g["l_orderkey"].nunique()
+        out = pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(pairs), np.int64),
+                        np.ones(len(parts), np.int64),
+                        np.full(1, 2, np.int64),
+                    ]
+                ),
+                "a": np.concatenate(
+                    [
+                        pairs["l_partkey_x"].to_numpy(np.int64),
+                        parts["l_partkey"].to_numpy(np.int64),
+                        np.full(1, -1, np.int64),
+                    ]
+                ),
+                "b": np.concatenate(
+                    [
+                        pairs["l_partkey_y"].to_numpy(np.int64),
+                        np.full(len(parts), -1, np.int64),
+                        np.full(1, -1, np.int64),
+                    ]
+                ),
+                "n": np.concatenate(
+                    [
+                        pairs["size"].to_numpy(np.int64),
+                        parts["size"].to_numpy(np.int64),
+                        np.full(1, n_orders, np.int64),
+                    ]
+                ),
+            }
+        )
+        return out
+
+    from .dedup import shuffle_blocks
+
+    tagged = bucketed_group_apply(lp, "l_orderkey", per_bucket)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["kind", "a", "b"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    # coarse merge buckets (the shuffle_blocks idiom): the tagged
+    # partials are narrow int rows — many reduce groups cost more in
+    # scheduling than the pandas sub-groupby saves
+    merged = bucketed_group_apply(
+        tagged.repartition(shuffle_blocks()),
+        ["kind", "a", "b"],
+        merge,
+        n_buckets=shuffle_blocks(),
+    ).materialize()  # consumed three times below; partials are compact
+
+    top = (
+        merged.filter(expr="kind == 0")
+        .sort(["n", "a", "b"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if not len(top):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "p1": pa.array([], pa.int64()),
+                    "p2": pa.array([], pa.int64()),
+                    "n_pair": pa.array([], pa.int64()),
+                    "lift": pa.array([], pa.float64()),
+                }
+            )
+        )
+    want = pa.array(sorted(set(top["a"]) | set(top["b"])), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("a"), value_set=want))
+
+    pc_rows = (
+        merged.filter(expr="kind == 1")
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    part_n = {int(r["a"]): int(r["n"]) for r in pc_rows}
+    n_orders = sum(
+        int(r["n"]) for r in merged.filter(expr="kind == 2").take_all()
+    )
+    out = {"p1": [], "p2": [], "n_pair": [], "lift": []}
+    for _, r in top.iterrows():
+        p1, p2, np_ = int(r["a"]), int(r["b"]), int(r["n"])
+        out["p1"].append(p1)
+        out["p2"].append(p2)
+        out["n_pair"].append(np_)
+        out["lift"].append(
+            round_half_away(
+                float(np_) * float(n_orders)
+                / (float(part_n[p1]) * float(part_n[p2])),
+                6,
+            )
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "p1": pa.array(out["p1"], pa.int64()),
+                "p2": pa.array(out["p2"], pa.int64()),
+                "n_pair": pa.array(out["n_pair"], pa.int64()),
+                "lift": pa.array(out["lift"], pa.float64()),
+            }
+        )
+    )

@@ -3715,6 +3715,28 @@ def q_gap_quantiles(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_segment_profile(sf_dir: str) -> rd.Dataset:
+    """Audience segment algebra: user count per event-type bitmask —
+    the full inclusion-exclusion overlap profile in ≤ 2^k rows."""
+    return events.user_segment_profile(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
+def q_basket_pairs(sf_dir: str) -> rd.Dataset:
+    """Market-basket top-20 part pairs by order co-occurrence with
+    association lift — order-bucketed self-merge, tagged partials, the
+    pair table never leaves the cluster."""
+    return relational.basket_pairs(
+        _read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"],
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3732,6 +3754,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_segment_profile": q_segment_profile,
+        "q_basket_pairs": q_basket_pairs,
         "q_event_trigrams": q_event_trigrams,
         "q_utf8_audit": q_utf8_audit,
         "q_gap_quantiles": q_gap_quantiles,
@@ -4050,6 +4074,34 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_segment_profile": (
+            "WITH tt AS (SELECT event_type,"
+            " row_number() OVER (ORDER BY event_type) - 1 AS bit"
+            " FROM (SELECT DISTINCT event_type FROM events)),"
+            " um AS (SELECT e.user_id,"
+            " sum(DISTINCT (1::BIGINT << tt.bit))::BIGINT AS mask"
+            " FROM events e JOIN tt USING (event_type) GROUP BY 1)"
+            " SELECT mask, count(*)::BIGINT AS n_users FROM um GROUP BY 1"
+        ),
+        "q_basket_pairs": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey"
+            " FROM lineitem),"
+            " nn AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders"
+            " FROM lp),"
+            " pcnt AS (SELECT l_partkey, count(*)::BIGINT AS c FROM lp"
+            " GROUP BY 1),"
+            " pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,"
+            " count(*)::BIGINT AS n_pair FROM lp a JOIN lp b"
+            " ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey < b.l_partkey GROUP BY 1, 2),"
+            " top AS (SELECT * FROM pr"
+            " ORDER BY n_pair DESC, p1, p2 LIMIT 20)"
+            " SELECT t.p1, t.p2, t.n_pair,"
+            " round(t.n_pair::DOUBLE * nn.n_orders::DOUBLE"
+            " / (c1.c::DOUBLE * c2.c::DOUBLE), 6) AS lift"
+            " FROM top t, nn, pcnt c1, pcnt c2"
+            " WHERE c1.l_partkey = t.p1 AND c2.l_partkey = t.p2"
+        ),
         "q_event_trigrams": (
             "WITH o AS (SELECT user_id, event_type AS e3,"
             " lag(event_type, 1) OVER w AS e2,"
