@@ -335,6 +335,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-41 segment algebra / market basket
         ("q_segment_profile", q.q_segment_profile),
         ("q_basket_pairs", q.q_basket_pairs),
+        # round-5 batch-42 cadence / char classes
+        ("q_reorder_cadence", q.q_reorder_cadence),
+        ("q_char_classes", q.q_char_classes),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

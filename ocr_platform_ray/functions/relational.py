@@ -5798,3 +5798,124 @@ def basket_pairs(lineitem: rd.Dataset, k: int = 20) -> rd.Dataset:
             }
         )
     )
+
+
+def reorder_cadence(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    max_cells: int = 500_000,
+) -> rd.Dataset:
+    """Repeat-purchase cadence per market segment: the median and p90 of
+    the day gaps between a customer's CONSECUTIVE orders — the
+    composite join → per-key window → grouped-quantile pipeline in one
+    co-grouped pass.
+
+    Shape: both tables tag and union, customers hash-bucket (the
+    asof_join co-group idiom — one shuffle total, no separate join
+    stage); inside a bucket the segment lookup is a dict over the
+    bucket's customers and the gap scan is the vectorized shift-mask
+    idiom; each bucket emits a (segment, gap_days) COUNT histogram, so
+    the driver merges bounded cells and mirrors quantile_cont's
+    weighted interpolation exactly. Gap days are
+    (Δepoch_µs) // 86 400e6 — integer floor division on BOTH engines."""
+    import numpy as np
+
+    from . import bucketed_group_apply, round_half_away
+
+    DAY_US = 86_400_000_000
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "seg": batch.column("c_mktsegment"),
+                "t": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def tag_ord(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64)),
+                "seg": pa.array([""] * n, pa.string()),
+                "t": batch.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    tagged = customer.select_columns(
+        ["c_custkey", "c_mktsegment"]
+    ).map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+            tag_ord, batch_format="pyarrow"
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["side"] == 0]
+        seg_of = dict(zip(cust["key"].to_numpy(), cust["seg"]))
+        o = g[g["side"] == 1].sort_values(["key", "t"], kind="mergesort")
+        key = o["key"].to_numpy()
+        t = o["t"].to_numpy(np.int64)
+        if not len(o):
+            return pd.DataFrame({"seg": [], "gap": [], "n": []}).astype(
+                {"seg": str, "gap": np.int64, "n": np.int64}
+            )
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = key[1:] != key[:-1]
+        gap = np.diff(t, prepend=t[0]) // DAY_US
+        hist = pd.DataFrame(
+            {
+                "seg": pd.Series(key[~first]).map(seg_of),
+                "gap": gap[~first],
+            }
+        )
+        return (
+            hist.groupby(["seg", "gap"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    df = (
+        bucketed_group_apply(tagged, "key", per_bucket)
+        .limit(max_cells + 1)
+        .to_pandas()
+    )
+    if len(df) > max_cells:
+        raise ValueError(
+            "reorder_cadence: > max_cells histogram partials — raise "
+            "max_cells deliberately or bin the gaps"
+        )
+    out = {"mktsegment": [], "n_gaps": [], "p50_days": [], "p90_days": []}
+    if len(df):
+        for seg, sub in df.groupby("seg", sort=True):
+            agg = sub.groupby("gap")["n"].sum().sort_index()
+            vals = agg.index.to_numpy(np.int64)
+            cnts = agg.to_numpy(np.int64)
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            out["mktsegment"].append(seg)
+            out["n_gaps"].append(n)
+            for col, q in (("p50_days", 0.5), ("p90_days", 0.9)):
+                pos = (n - 1) * q
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                a = float(vals[np.searchsorted(cum, lo + 1)])
+                b = float(vals[np.searchsorted(cum, min(lo + 2, n))])
+                out[col].append(
+                    round_half_away(a * (1.0 - frac) + b * frac, 6)
+                )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "mktsegment": pa.array(out["mktsegment"], pa.string()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                "p50_days": pa.array(out["p50_days"], pa.float64()),
+                "p90_days": pa.array(out["p90_days"], pa.float64()),
+            }
+        )
+    )

@@ -3070,3 +3070,94 @@ def utf8_audit(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
             }
         )
     )
+
+
+def char_classes(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
+    """Character-class profile per source: ASCII letter / digit /
+    whitespace / other ratios over total characters — the cheap
+    what-is-this-corpus-made-of fingerprint (code-heavy sources spike
+    'other', table dumps spike digits, and a ratio shift between two
+    crawls of the same source flags a template change).
+
+    Counts come from the SAME RE2 class patterns on both engines
+    (pyarrow count_substring_regex here, regexp_replace-and-length in
+    the DuckDB oracle — single-char classes, so matches = characters);
+    integer partials merge driver-side and each ratio is one float
+    division, 6dp."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        ch = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        let = pc.count_substring_regex(txt, "[a-zA-Z]").to_numpy().astype(
+            np.int64
+        )
+        dig = pc.count_substring_regex(txt, "[0-9]").to_numpy().astype(
+            np.int64
+        )
+        ws = pc.count_substring_regex(txt, "[ \\t\\n\\r]").to_numpy().astype(
+            np.int64
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch.column("source").to_pylist(),
+                "ch": ch,
+                "let": let,
+                "dig": dig,
+                "ws": ws,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("g", as_index=False).sum(), preserve_index=False
+        )
+
+    rows = ds.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            "char_classes: > max_groups source partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        c0, l0, d0, w0 = acc.get(r["g"], (0, 0, 0, 0))
+        acc[r["g"]] = (
+            c0 + int(r["ch"]), l0 + int(r["let"]),
+            d0 + int(r["dig"]), w0 + int(r["ws"]),
+        )
+    import ray.data as rd
+
+    from . import round_half_away
+
+    out = {"source": [], "n_chars": [], "letter_ratio": [],
+           "digit_ratio": [], "space_ratio": [], "other_ratio": []}
+    for g in sorted(acc):
+        c, l, d, w = acc[g]
+        out["source"].append(g)
+        out["n_chars"].append(c)
+        if c == 0:
+            for k in ("letter_ratio", "digit_ratio", "space_ratio",
+                      "other_ratio"):
+                out[k].append(None)
+            continue
+        cf = float(c)
+        out["letter_ratio"].append(round_half_away(float(l) / cf, 6))
+        out["digit_ratio"].append(round_half_away(float(d) / cf, 6))
+        out["space_ratio"].append(round_half_away(float(w) / cf, 6))
+        out["other_ratio"].append(
+            round_half_away(float(c - l - d - w) / cf, 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "letter_ratio": pa.array(out["letter_ratio"], pa.float64()),
+                "digit_ratio": pa.array(out["digit_ratio"], pa.float64()),
+                "space_ratio": pa.array(out["space_ratio"], pa.float64()),
+                "other_ratio": pa.array(out["other_ratio"], pa.float64()),
+            }
+        )
+    )

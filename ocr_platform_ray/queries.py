@@ -3737,6 +3737,27 @@ def q_basket_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_reorder_cadence(sf_dir: str) -> rd.Dataset:
+    """Repeat-purchase cadence per market segment (median/p90 day gap
+    between a customer's consecutive orders) — one co-grouped shuffle:
+    join + per-key window + grouped quantile fused."""
+    return relational.reorder_cadence(
+        _read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        ),
+        _read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        ),
+    )
+
+
+def q_char_classes(sf_dir: str) -> rd.Dataset:
+    """Per-source character-class fingerprint (ASCII letter / digit /
+    whitespace / other ratios) — same RE2 classes on both engines."""
+    return textstats.char_classes(_docs(sf_dir, ["source", "text"]))
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3754,6 +3775,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_reorder_cadence": q_reorder_cadence,
+        "q_char_classes": q_char_classes,
         "q_segment_profile": q_segment_profile,
         "q_basket_pairs": q_basket_pairs,
         "q_event_trigrams": q_event_trigrams,
@@ -4074,6 +4097,38 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_reorder_cadence": (
+            "WITH o AS (SELECT c.c_mktsegment AS seg,"
+            " epoch_us(o.o_orderdate) AS t,"
+            " lag(epoch_us(o.o_orderdate)) OVER (PARTITION BY o.o_custkey"
+            " ORDER BY o.o_orderdate, o.o_orderkey) AS p"
+            " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),"
+            " g AS (SELECT seg, (t - p) // 86400000000 AS gap FROM o"
+            " WHERE p IS NOT NULL)"
+            " SELECT seg AS mktsegment, count(*)::BIGINT AS n_gaps,"
+            " round(quantile_cont(gap, 0.5), 6) AS p50_days,"
+            " round(quantile_cont(gap, 0.9), 6) AS p90_days"
+            " FROM g GROUP BY 1"
+        ),
+        "q_char_classes": (
+            "WITH s AS (SELECT source, sum(length(text))::BIGINT AS c,"
+            " sum(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))"
+            "::BIGINT AS l,"
+            " sum(length(regexp_replace(text, '[^0-9]', '', 'g')))"
+            "::BIGINT AS d,"
+            " sum(length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')))"
+            "::BIGINT AS w FROM documents GROUP BY 1)"
+            " SELECT source, c AS n_chars,"
+            " CASE WHEN c = 0 THEN NULL ELSE"
+            " round(l::DOUBLE / c::DOUBLE, 6) END AS letter_ratio,"
+            " CASE WHEN c = 0 THEN NULL ELSE"
+            " round(d::DOUBLE / c::DOUBLE, 6) END AS digit_ratio,"
+            " CASE WHEN c = 0 THEN NULL ELSE"
+            " round(w::DOUBLE / c::DOUBLE, 6) END AS space_ratio,"
+            " CASE WHEN c = 0 THEN NULL ELSE"
+            " round((c - l - d - w)::DOUBLE / c::DOUBLE, 6)"
+            " END AS other_ratio FROM s"
+        ),
         "q_segment_profile": (
             "WITH tt AS (SELECT event_type,"
             " row_number() OVER (ORDER BY event_type) - 1 AS bit"
