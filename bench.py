@@ -338,6 +338,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-42 cadence / char classes
         ("q_reorder_cadence", q.q_reorder_cadence),
         ("q_char_classes", q.q_char_classes),
+        # round-5 batch-43 footer boilerplate / label margin
+        ("q_tail_suffixes", q.q_tail_suffixes),
+        ("q_label_margin", q.q_label_margin),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

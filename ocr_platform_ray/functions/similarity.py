@@ -1259,3 +1259,121 @@ def pq_topk_cosine(
         rescore, batch_format="pyarrow"
     )
     return exact.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def label_margin(ds: rd.Dataset, max_labels: int = 100_000) -> rd.Dataset:
+    """Mislabel-candidate audit: per vector, the euclidean margin
+    d_own − d_nearest_other between its OWN label centroid and the
+    closest FOREIGN centroid — positive margin means the vector sits
+    closer to another class's prototype than its own (the classic
+    confident-mislabel signal a labeled-training-set curation pass
+    ranks by). Returns (vec_id, label, margin, confusable).
+
+    Same two-pass shape as :func:`centroid_distances` (per-batch
+    (sum-vector, count) partials → per-label means, broadcast once via
+    ``ray.put``), but the scoring pass computes the distance to EVERY
+    centroid — vectorized per centroid (k small by the broadcast
+    contract), sqrt'd per pair exactly like the oracle's per-(vec,
+    label) sum, then min over foreign labels. Vectors whose label has
+    no other label to compare against emit NULL margin."""
+    import ray
+
+    from . import resolve_broadcast, round_half_away_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1] if mat.size else 0))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(counts),
+                "vec_sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            }
+        )
+
+    partials = ds.select_columns(["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = None
+        for b in g["vec_sum"]:
+            v = np.frombuffer(b, dtype=np.float64)
+            total = v.copy() if total is None else total + v
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "mean": [(total / n).tobytes()],
+            }
+        )
+
+    rows = partials.groupby("label").map_groups(
+        merge, batch_format="pandas"
+    ).take(max_labels + 1)
+    if len(rows) > max_labels:
+        raise ValueError(
+            f"label_margin: > {max_labels} labels — raise max_labels "
+            "deliberately"
+        )
+    keys = np.array(sorted(int(r["label"]) for r in rows), dtype=np.int64)
+    means = {int(r["label"]): np.frombuffer(r["mean"], np.float64)
+             for r in rows}
+    M = np.stack([means[int(k)] for k in keys]) if len(keys) else np.zeros(
+        (0, 0)
+    )
+    ref = ray.put((keys, M))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, m = resolve_broadcast(ref)
+        mat = _emb_matrix(batch).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(labels)
+        if n == 0 or len(k) == 0:
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "label": pa.array(labels, pa.int64()),
+                    "margin": pa.array([None] * n, pa.float64()),
+                    "confusable": pa.array([None] * n, pa.int64()),
+                }
+            )
+        # distance matrix rows×centroids, per-centroid vectorized (k is
+        # broadcast-bounded); sqrt per pair mirrors the oracle exactly
+        D = np.empty((n, len(k)))
+        for j in range(len(k)):
+            diff = mat - m[j]
+            D[:, j] = np.sqrt((diff * diff).sum(axis=1))
+        own_idx = np.searchsorted(k, labels)
+        d_own = D[np.arange(n), own_idx]
+        D[np.arange(n), own_idx] = np.inf
+        d_other = D.min(axis=1)
+        has_other = np.isfinite(d_other)
+        margin = round_half_away_np(d_own - d_other, 6)
+        conf = (d_own > d_other).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": pa.array(labels, pa.int64()),
+                "margin": pa.array(
+                    np.where(has_other, margin, np.nan), pa.float64(),
+                    from_pandas=True,
+                ),
+                "confusable": pa.Array.from_pandas(
+                    pd.Series(np.where(has_other, conf, np.nan)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "label", "embedding"]).map_batches(
+        score, batch_format="pyarrow"
+    )

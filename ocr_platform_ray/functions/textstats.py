@@ -2928,12 +2928,15 @@ def head_prefixes(
     prefix_len: int = 16,
     k: int = 5,
     max_cells: int = 2_000_000,
+    side: str = "head",
 ):
     """Boilerplate-head detector: the ``k`` most common ``prefix_len``-
     character document OPENINGS per group, with counts and share of the
     group — template farms and scraped nav-headers show up as one
     prefix covering half a source, which per-doc quality scores miss
-    entirely.
+    entirely. ``side="tail"`` flips to document ENDINGS (footer/signature
+    boilerplate — the SQL right() mirror) and names the column
+    ``suffix``.
 
     Determinism: rank by (count DESC, prefix ASC) — fully ordered, the
     SQL row_number contract. Exact integer counts (one streamed
@@ -2947,10 +2950,13 @@ def head_prefixes(
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pl.from_arrow(batch.select([group_col, text_col]))
+        sl = (
+            pl.col(text_col).str.slice(0, prefix_len)
+            if side == "head"
+            else pl.col(text_col).str.slice(-prefix_len)
+        )
         return (
-            t.with_columns(
-                pl.col(text_col).str.slice(0, prefix_len).alias("pfx")
-            )
+            t.with_columns(sl.alias("pfx"))
             .group_by([group_col, "pfx"])
             .len()
             .rename({"len": "n"})
@@ -2971,7 +2977,8 @@ def head_prefixes(
         .groupby([group_col, "pfx"], as_index=False)["n"]
         .sum()
     )
-    out = {group_col: [], "rank": [], "prefix": [], "n_docs": [],
+    out_name = "prefix" if side == "head" else "suffix"
+    out = {group_col: [], "rank": [], out_name: [], "n_docs": [],
            "share": []}
     for g, sub in h.groupby(group_col, sort=True):
         tot = int(sub["n"].sum())
@@ -2981,7 +2988,7 @@ def head_prefixes(
         for i, (_, r) in enumerate(top.iterrows(), start=1):
             out[group_col].append(g)
             out["rank"].append(i)
-            out["prefix"].append(r["pfx"])
+            out[out_name].append(r["pfx"])
             out["n_docs"].append(int(r["n"]))
             out["share"].append(
                 round_half_away(float(int(r["n"])) / float(tot), 6)
@@ -2990,7 +2997,7 @@ def head_prefixes(
         {
             group_col: pa.array(out[group_col], pa.string()),
             "rank": pa.array(out["rank"], pa.int64()),
-            "prefix": pa.array(out["prefix"], pa.string()),
+            out_name: pa.array(out[out_name], pa.string()),
             "n_docs": pa.array(out["n_docs"], pa.int64()),
             "share": pa.array(out["share"], pa.float64()),
         }

@@ -3758,6 +3758,26 @@ def q_char_classes(sf_dir: str) -> rd.Dataset:
     return textstats.char_classes(_docs(sf_dir, ["source", "text"]))
 
 
+def q_tail_suffixes(sf_dir: str) -> pa.Table:
+    """Top-5 16-char document ENDINGS per source with share — the
+    footer/signature-boilerplate complement of q_head_prefixes."""
+    return textstats.head_prefixes(
+        _docs(sf_dir, ["source", "text"]), prefix_len=16, k=5, side="tail"
+    )
+
+
+def q_label_margin(sf_dir: str) -> rd.Dataset:
+    """Mislabel-candidate audit over the labeled embeddings: per-vector
+    margin between the own-label centroid distance and the nearest
+    foreign centroid distance (+ confusable flag)."""
+    return similarity.label_margin(
+        _read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "label", "embedding"],
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3775,6 +3795,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_tail_suffixes": q_tail_suffixes,
+        "q_label_margin": q_label_margin,
         "q_reorder_cadence": q_reorder_cadence,
         "q_char_classes": q_char_classes,
         "q_segment_profile": q_segment_profile,
@@ -4097,6 +4119,39 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_tail_suffixes": (
+            "WITH p AS (SELECT source, right(text, 16) AS sfx"
+            " FROM documents),"
+            " c AS (SELECT source, sfx, count(*)::BIGINT AS n FROM p"
+            " GROUP BY 1, 2),"
+            " t AS (SELECT source, sum(n)::BIGINT AS tot FROM c"
+            " GROUP BY 1),"
+            " r AS (SELECT source, sfx, n, row_number() OVER"
+            " (PARTITION BY source ORDER BY n DESC, sfx) AS rk FROM c)"
+            " SELECT r.source, r.rk AS rank, r.sfx AS suffix,"
+            " r.n AS n_docs, round(CAST(r.n AS DOUBLE)"
+            " / CAST(t.tot AS DOUBLE), 6) AS share FROM r"
+            " JOIN t ON t.source = r.source WHERE r.rk <= 5"
+        ),
+        "q_label_margin": (
+            "WITH ex AS (SELECT vec_id, label,"
+            " unnest(CAST(embedding AS DOUBLE[])) AS val,"
+            " unnest(range(len(embedding))) AS dim FROM embeddings),"
+            " m AS (SELECT label, dim, avg(val) AS mv FROM ex"
+            " GROUP BY 1, 2),"
+            " d AS (SELECT ex.vec_id, ex.label, m.label AS clabel,"
+            " sqrt(sum((ex.val - m.mv) * (ex.val - m.mv))) AS dist"
+            " FROM ex JOIN m ON ex.dim = m.dim GROUP BY 1, 2, 3),"
+            " own AS (SELECT vec_id, label, dist AS d_own FROM d"
+            " WHERE label = clabel),"
+            " oth AS (SELECT vec_id, min(dist) AS d_other FROM d"
+            " WHERE label != clabel GROUP BY 1)"
+            " SELECT o.vec_id, o.label,"
+            " round(o.d_own - t.d_other, 6) AS margin,"
+            " CASE WHEN o.d_own > t.d_other THEN 1 ELSE 0"
+            " END::BIGINT AS confusable"
+            " FROM own o JOIN oth t USING (vec_id)"
+        ),
         "q_reorder_cadence": (
             "WITH o AS (SELECT c.c_mktsegment AS seg,"
             " epoch_us(o.o_orderdate) AS t,"
