@@ -341,6 +341,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-43 footer boilerplate / label margin
         ("q_tail_suffixes", q.q_tail_suffixes),
         ("q_label_margin", q.q_label_margin),
+        # round-5 batch-44 hour entropy / audience overlap
+        ("q_hour_entropy", q.q_hour_entropy),
+        ("q_type_user_overlap", q.q_type_user_overlap),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

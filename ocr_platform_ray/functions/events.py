@@ -3871,3 +3871,144 @@ def user_segment_profile(ds: rd.Dataset) -> rd.Dataset:
             }
         )
     )
+
+
+def hour_entropy(ds: rd.Dataset, max_cells: int = 200_000) -> rd.Dataset:
+    """Hour-of-day concentration per event type: Shannon entropy (nats)
+    of the 24-bin hour histogram plus the active-hour count — a
+    uniformly-spread type scores ln 24 ≈ 3.178, a cron job scores ~0;
+    the scalar companion of the hour × dow heatmap for alerting on
+    schedule drift.
+
+    One streamed (type, hour) count combiner (hour =
+    (epoch_µs // 3600e6) % 24, matching extract(hour) for naive
+    timestamps), bounded driver merge; the entropy sum's terms are all
+    non-negative so summation order stays ulp-safe at 6dp."""
+    import math
+
+    from . import round_half_away
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "h": (t // HOUR_US) % 24,
+            }
+        )
+        agg = df.groupby(["event_type", "h"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = ds.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_cells + 1)
+    if len(rows) > max_cells:
+        raise ValueError(
+            "hour_entropy: > max_cells (type, hour) partials — raise "
+            "max_cells deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        key = (r["event_type"], int(r["h"]))
+        acc[key] = acc.get(key, 0) + int(r["size"])
+    by_type: dict = {}
+    for (et, h), n in acc.items():
+        by_type.setdefault(et, {})[h] = n
+    out = {"event_type": [], "n_events": [], "hour_entropy_nats": [],
+           "n_active_hours": []}
+    for et in sorted(by_type):
+        hist = by_type[et]
+        tot = sum(hist.values())
+        ent = 0.0
+        for h in sorted(hist):
+            p = float(hist[h]) / float(tot)
+            ent += -p * math.log(p)
+        out["event_type"].append(et)
+        out["n_events"].append(tot)
+        out["hour_entropy_nats"].append(round_half_away(ent, 6))
+        out["n_active_hours"].append(len(hist))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "hour_entropy_nats": pa.array(
+                    out["hour_entropy_nats"], pa.float64()
+                ),
+                "n_active_hours": pa.array(
+                    out["n_active_hours"], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def type_user_overlap(ds: rd.Dataset) -> rd.Dataset:
+    """Pairwise audience overlap between event types: |users doing
+    both| / |users doing either| (Jaccard) for every type pair with a
+    non-empty intersection — which behaviors share an audience and
+    which are disjoint funnels.
+
+    Derived from the SAME distinct (user, type) → per-user bitmask
+    reduction as :func:`user_segment_profile` (one bucketed shuffle of
+    distinct pairs); the pairwise counts then come from the ≤ 2^k mask
+    histogram driver-side — n_both = Σ counts with both bits set — so
+    no user-level self-join ever runs."""
+    from . import bucketed_group_apply, round_half_away
+
+    pairs = ds.select_columns(["user_id", "event_type"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dp = pairs.map_batches(
+        distinct_partial, batch_format="pyarrow"
+    ).materialize()
+    types = sorted(dp.unique("event_type"))
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        g = g.assign(p=g["event_type"].map(bit).astype(np.int64))
+        masks = g.groupby("user_id", sort=False)["p"].sum()
+        return masks.value_counts().rename_axis("mask").reset_index(
+            name="n"
+        )
+
+    parts = bucketed_group_apply(dp, "user_id", per_bucket).to_pandas()
+    agg = parts.groupby("mask")["n"].sum()
+    mask_n = dict(zip(agg.index.astype(int), agg.to_numpy()))
+    out = {"t1": [], "t2": [], "n_both": [], "n_either": [],
+           "jaccard": []}
+    for i, t1 in enumerate(types):
+        for t2 in types[i + 1:]:
+            b1, b2 = bit[t1], bit[t2]
+            n_both = sum(
+                n for m, n in mask_n.items() if (m & b1) and (m & b2)
+            )
+            if n_both == 0:
+                continue  # mirror the SQL inner-join contract
+            n_either = sum(
+                n for m, n in mask_n.items() if (m & b1) or (m & b2)
+            )
+            out["t1"].append(t1)
+            out["t2"].append(t2)
+            out["n_both"].append(int(n_both))
+            out["n_either"].append(int(n_either))
+            out["jaccard"].append(
+                round_half_away(float(n_both) / float(n_either), 6)
+            )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "t1": pa.array(out["t1"], pa.string()),
+                "t2": pa.array(out["t2"], pa.string()),
+                "n_both": pa.array(out["n_both"], pa.int64()),
+                "n_either": pa.array(out["n_either"], pa.int64()),
+                "jaccard": pa.array(out["jaccard"], pa.float64()),
+            }
+        )
+    )

@@ -3778,6 +3778,26 @@ def q_label_margin(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_hour_entropy(sf_dir: str) -> rd.Dataset:
+    """Hour-of-day Shannon entropy per event type (nats) — schedule
+    concentration scalar next to the hour x dow heatmap."""
+    return events.hour_entropy(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+    )
+
+
+def q_type_user_overlap(sf_dir: str) -> rd.Dataset:
+    """Pairwise audience Jaccard between event types from the per-user
+    bitmask histogram — no user-level self-join."""
+    return events.type_user_overlap(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3795,6 +3815,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_hour_entropy": q_hour_entropy,
+        "q_type_user_overlap": q_type_user_overlap,
         "q_tail_suffixes": q_tail_suffixes,
         "q_label_margin": q_label_margin,
         "q_reorder_cadence": q_reorder_cadence,
@@ -4119,6 +4141,35 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_hour_entropy": (
+            "WITH c AS (SELECT event_type,"
+            " extract(hour FROM ts)::BIGINT AS h, count(*)::BIGINT AS n"
+            " FROM events GROUP BY 1, 2),"
+            " t AS (SELECT event_type, sum(n)::BIGINT AS tot FROM c"
+            " GROUP BY 1)"
+            " SELECT c.event_type, t.tot AS n_events,"
+            " round(sum(-(c.n::DOUBLE / t.tot::DOUBLE)"
+            " * ln(c.n::DOUBLE / t.tot::DOUBLE)), 6)"
+            " AS hour_entropy_nats,"
+            " count(*)::BIGINT AS n_active_hours"
+            " FROM c JOIN t USING (event_type) GROUP BY 1, 2"
+        ),
+        "q_type_user_overlap": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type"
+            " FROM events),"
+            " cnt AS (SELECT event_type, count(*)::BIGINT AS c FROM ut"
+            " GROUP BY 1),"
+            " bo AS (SELECT a.event_type AS t1, b.event_type AS t2,"
+            " count(*)::BIGINT AS n_both FROM ut a JOIN ut b"
+            " ON a.user_id = b.user_id"
+            " AND a.event_type < b.event_type GROUP BY 1, 2)"
+            " SELECT bo.t1, bo.t2, bo.n_both,"
+            " (c1.c + c2.c - bo.n_both)::BIGINT AS n_either,"
+            " round(bo.n_both::DOUBLE"
+            " / (c1.c + c2.c - bo.n_both)::DOUBLE, 6) AS jaccard"
+            " FROM bo JOIN cnt c1 ON c1.event_type = bo.t1"
+            " JOIN cnt c2 ON c2.event_type = bo.t2"
+        ),
         "q_tail_suffixes": (
             "WITH p AS (SELECT source, right(text, 16) AS sfx"
             " FROM documents),"
