@@ -344,6 +344,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-44 hour entropy / audience overlap
         ("q_hour_entropy", q.q_hour_entropy),
         ("q_type_user_overlap", q.q_type_user_overlap),
+        # round-5 batch-45 conversion lag / dup storage waste
+        ("q_conversion_lag", q.q_conversion_lag),
+        ("q_dup_bytes", q.q_dup_bytes),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

@@ -2710,3 +2710,87 @@ def srm_check(
             "z": pa.array([z], pa.float64()),
         }
     )
+
+
+def dup_bytes_by_source(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
+    """Storage-waste ledger of exact duplication: per source, how many
+    documents are NON-KEEPER copies of a global exact-text group
+    (keeper = min doc_id corpus-wide) and how many bytes deleting them
+    reclaims — the capacity-planning view of exact_dedup (counts say
+    "how many dups", this says "what it costs, and whose").
+
+    Same shuffle shape as exact_dedup_min_doc: per-batch combiner rows
+    (coarse text-hash bucket, text, source, n, Σbytes, min doc_id) —
+    at most one row per (text, source) per batch; the bucketed merge
+    resolves each text group's global keeper and debits every source's
+    copies EXCEPT the keeper's one copy (identical text ⇒ identical
+    byte length, so the keeper correction is one strlen). Driver sums
+    per source (bounded by the source count)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bts = pa.compute.binary_length(batch.column("text")).to_numpy()
+        df = pd.DataFrame(
+            {
+                "text": batch.column("text").to_pylist(),
+                "source": batch.column("source").to_pylist(),
+                "doc_id": batch.column("doc_id").to_numpy(),
+                "b": bts.astype(np.int64),
+            }
+        )
+        agg = df.groupby(["text", "source"], as_index=False).agg(
+            n=("doc_id", "size"), sb=("b", "sum"), mind=("doc_id", "min"),
+            bl=("b", "first"),
+        )
+        cb = (_text_hash64(pa.array(agg["text"])) & np.uint64(1023)).astype(
+            np.int64
+        )
+        agg.insert(0, "cb", cb)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.select_columns(["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["text", "source"], as_index=False).agg(
+            n=("n", "sum"), sb=("sb", "sum"), mind=("mind", "min"),
+            bl=("bl", "first"),
+        )
+        # global keeper per text = the (text, source) row holding the
+        # corpus-min doc_id; debit every copy except that one
+        kidx = agg.groupby("text")["mind"].idxmin()
+        keeper = pd.Series(False, index=agg.index)
+        keeper.loc[kidx] = True
+        agg["n_dup"] = agg["n"] - keeper.astype(np.int64)
+        agg["bytes"] = agg["sb"] - keeper.astype(np.int64) * agg["bl"]
+        out = agg[agg["n_dup"] > 0]
+        return out[["source", "n_dup", "bytes"]]
+
+    rows = (
+        partials.repartition(shuffle_blocks())
+        .groupby("cb")
+        .map_groups(merge, batch_format="pandas")
+        .take(max_groups + 1)
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            "dup_bytes_by_source: > max_groups source partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        n0, b0 = acc.get(r["source"], (0, 0))
+        acc[r["source"]] = (n0 + int(r["n_dup"]), b0 + int(r["bytes"]))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(sorted(acc), pa.string()),
+                "n_dup_docs": pa.array(
+                    [acc[s][0] for s in sorted(acc)], pa.int64()
+                ),
+                "bytes_reclaimable": pa.array(
+                    [acc[s][1] for s in sorted(acc)], pa.int64()
+                ),
+            }
+        )
+    )

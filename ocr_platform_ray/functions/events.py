@@ -4012,3 +4012,88 @@ def type_user_overlap(ds: rd.Dataset) -> rd.Dataset:
             }
         )
     )
+
+
+def conversion_lag_quantiles(
+    ds: rd.Dataset,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    max_cells: int = 500_000,
+) -> rd.Dataset:
+    """Exact day-lag quartiles from a user's FIRST ``from_type`` event
+    to their FIRST ``to_type`` event at or after it — the uncensored
+    complement of the Kaplan–Meier conversion curve (this is the
+    answer to "for users who DID convert, how long did it take").
+
+    Users hash-bucket (both firsts of one user co-locate); each bucket
+    emits a day-lag COUNT histogram, merged driver-side under the loud
+    guard, and the quartiles mirror quantile_cont's weighted
+    interpolation. Lag days = (Δepoch_µs) // 86 400e6, exact integer
+    floor on both engines; users whose first target precedes their
+    first source (or who lack either) are excluded."""
+    import numpy as np
+
+    from . import bucketed_group_apply, round_half_away
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64")
+        src = (
+            g[g["event_type"] == from_type]
+            .assign(t=t)
+            .groupby("user_id")["t"]
+            .min()
+        )
+        dst = (
+            g[g["event_type"] == to_type]
+            .assign(t=t)
+            .groupby("user_id")["t"]
+            .min()
+        )
+        both = pd.concat([src.rename("s"), dst.rename("d")], axis=1).dropna()
+        lag = (both["d"].astype(np.int64)
+               - both["s"].astype(np.int64)) // DAY_US
+        lag = lag[lag >= 0]
+        agg = lag.value_counts().rename_axis("lag").reset_index(name="n")
+        return agg
+
+    df = (
+        bucketed_group_apply(
+            ds.select_columns(["user_id", "event_type", "ts"]),
+            "user_id",
+            per_bucket,
+        )
+        .limit(max_cells + 1)
+        .to_pandas()
+    )
+    if len(df) > max_cells:
+        raise ValueError(
+            "conversion_lag_quantiles: > max_cells lag partials — raise "
+            "max_cells deliberately"
+        )
+    out = {"n_converted": [], "p25_days": [], "p50_days": [],
+           "p75_days": []}
+    if len(df):
+        agg = df.groupby("lag")["n"].sum().sort_index()
+        vals = agg.index.to_numpy(np.int64)
+        cnts = agg.to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out["n_converted"].append(n)
+        for col, q in (("p25_days", 0.25), ("p50_days", 0.5),
+                       ("p75_days", 0.75)):
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            a = float(vals[np.searchsorted(cum, lo + 1)])
+            b = float(vals[np.searchsorted(cum, min(lo + 2, n))])
+            out[col].append(round_half_away(a * (1.0 - frac) + b * frac, 6))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_converted": pa.array(out["n_converted"], pa.int64()),
+                "p25_days": pa.array(out["p25_days"], pa.float64()),
+                "p50_days": pa.array(out["p50_days"], pa.float64()),
+                "p75_days": pa.array(out["p75_days"], pa.float64()),
+            }
+        )
+    )

@@ -3798,6 +3798,41 @@ def q_type_user_overlap(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_conversion_lag(sf_dir: str) -> rd.Dataset:
+    """Exact day-lag quartiles from first signup to first purchase for
+    CONVERTED users — the uncensored complement of q_kaplan_meier."""
+    return events.conversion_lag_quantiles(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        )
+    )
+
+
+def q_dup_bytes(sf_dir: str) -> rd.Dataset:
+    """Storage-waste ledger of exact duplication per source (non-keeper
+    copies + bytes reclaimable; keeper = corpus-min doc_id). The
+    synthetic corpus has no exact dups, so every 10th doc is
+    re-syndicated as a deterministic copy (doc_id + 1e6, same source)
+    on BOTH engines — the q_embedding_dups_exact augmentation
+    contract."""
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % 10 == 0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), pa.scalar(1_000_000)),
+                "source": sub.column("source"),
+                "text": sub.column("text"),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(copies, batch_format="pyarrow"))
+    return dedup.dup_bytes_by_source(aug)
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3815,6 +3850,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_conversion_lag": q_conversion_lag,
+        "q_dup_bytes": q_dup_bytes,
         "q_hour_entropy": q_hour_entropy,
         "q_type_user_overlap": q_type_user_overlap,
         "q_tail_suffixes": q_tail_suffixes,
@@ -4141,6 +4178,30 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_conversion_lag": (
+            "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events"
+            " WHERE event_type = 'signup' GROUP BY 1),"
+            " d AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events"
+            " WHERE event_type = 'purchase' GROUP BY 1),"
+            " lg AS (SELECT (d.t - s.t) // 86400000000 AS lag"
+            " FROM s JOIN d USING (user_id) WHERE d.t >= s.t)"
+            " SELECT count(*)::BIGINT AS n_converted,"
+            " round(quantile_cont(lag, 0.25), 6) AS p25_days,"
+            " round(quantile_cont(lag, 0.50), 6) AS p50_days,"
+            " round(quantile_cont(lag, 0.75), 6) AS p75_days"
+            " FROM lg HAVING count(*) > 0"
+        ),
+        "q_dup_bytes": (
+            "WITH aug AS (SELECT doc_id, source, text FROM documents"
+            " UNION ALL SELECT doc_id + 1000000, source, text"
+            " FROM documents WHERE doc_id % 10 = 0),"
+            " k AS (SELECT text, min(doc_id) AS keeper FROM aug"
+            " GROUP BY 1)"
+            " SELECT d.source, count(*)::BIGINT AS n_dup_docs,"
+            " sum(strlen(d.text))::BIGINT AS bytes_reclaimable"
+            " FROM aug d JOIN k ON d.text = k.text"
+            " AND d.doc_id != k.keeper GROUP BY 1"
+        ),
         "q_hour_entropy": (
             "WITH c AS (SELECT event_type,"
             " extract(hour FROM ts)::BIGINT AS h, count(*)::BIGINT AS n"
