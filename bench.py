@@ -347,6 +347,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-45 conversion lag / dup storage waste
         ("q_conversion_lag", q.q_conversion_lag),
         ("q_dup_bytes", q.q_dup_bytes),
+        # round-5 batch-46 part elasticity / streaming dedup surface
+        ("q_size_price_slope", q.q_size_price_slope),
+        ("q_streaming_dedup", q.q_streaming_dedup),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

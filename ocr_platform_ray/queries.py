@@ -3833,6 +3833,29 @@ def q_dup_bytes(sf_dir: str) -> rd.Dataset:
     return dedup.dup_bytes_by_source(aug)
 
 
+def q_size_price_slope(sf_dir: str) -> rd.Dataset:
+    """Price-vs-size OLS elasticity per part type (slope/intercept/r2)
+    — the regr_by_group co-moment scheme over the part dimension."""
+    return relational.regr_by_group(
+        _read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_type", "p_size", "p_retailprice"],
+        ),
+        "p_type", "p_size", "p_retailprice",
+    )
+
+
+def q_streaming_dedup(sf_dir: str) -> rd.Dataset:
+    """Streaming cross-batch MinHash dedup via the band-sharded mutable
+    index actors (the raw-actor escape hatch for state the Dataset API
+    can't express) — rows-only driver check: one (doc_id, is_duplicate)
+    row per document, count deterministic; which copy survives depends
+    on arrival order (documented), so no value oracle."""
+    from .state.dedup_index import streaming_dedup
+
+    return streaming_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3850,6 +3873,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_size_price_slope": q_size_price_slope,
+        "q_streaming_dedup": q_streaming_dedup,
         "q_conversion_lag": q_conversion_lag,
         "q_dup_bytes": q_dup_bytes,
         "q_hour_entropy": q_hour_entropy,
@@ -4178,6 +4203,14 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_size_price_slope": (
+            "SELECT p_type,"
+            " round(regr_slope(p_retailprice, p_size), 6) AS slope,"
+            " round(regr_intercept(p_retailprice, p_size), 6)"
+            " AS intercept,"
+            " round(regr_r2(p_retailprice, p_size), 6) AS r2"
+            " FROM part GROUP BY p_type"
+        ),
         "q_conversion_lag": (
             "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events"
             " WHERE event_type = 'signup' GROUP BY 1),"
