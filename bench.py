@@ -350,6 +350,9 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-46 part elasticity / streaming dedup surface
         ("q_size_price_slope", q.q_size_price_slope),
         ("q_streaming_dedup", q.q_streaming_dedup),
+        # round-5 batch-47 line layout / spend gini
+        ("q_line_profile", q.q_line_profile),
+        ("q_spend_gini", q.q_spend_gini),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

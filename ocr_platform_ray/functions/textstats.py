@@ -3168,3 +3168,79 @@ def char_classes(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
             }
         )
     )
+
+
+def line_profile(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
+    """Layout fingerprint per source: average lines per document and
+    average characters per line — prose runs long lines (60-100 chars),
+    code/tables/navigation dumps run short ones, so a source whose
+    avg_line_len collapses between crawls started shipping markup as
+    text. Lines = newline count + 1; chars-per-line counts non-newline
+    characters only.
+
+    One streamed pass of exact integer partials (newline counts via the
+    zero-copy Arrow count_substring kernel), bounded driver merge, two
+    float divisions per source at 6dp — the utf8_audit shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        ch = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        nl = pc.count_substring(txt, "\n").to_numpy().astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch.column("source").to_pylist(),
+                "n": 1,
+                "ch": ch,
+                "nl": nl,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("g", as_index=False).sum(), preserve_index=False
+        )
+
+    rows = ds.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            "line_profile: > max_groups source partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        n0, c0, l0 = acc.get(r["g"], (0, 0, 0))
+        acc[r["g"]] = (n0 + int(r["n"]), c0 + int(r["ch"]), l0 + int(r["nl"]))
+    import ray.data as rd
+
+    from . import round_half_away
+
+    out = {"source": [], "n_docs": [], "n_lines": [],
+           "avg_lines_per_doc": [], "avg_line_len": []}
+    for g in sorted(acc):
+        n, c, l = acc[g]
+        lines = l + n  # nl + 1 per doc
+        out["source"].append(g)
+        out["n_docs"].append(n)
+        out["n_lines"].append(lines)
+        out["avg_lines_per_doc"].append(
+            round_half_away(float(lines) / float(n), 6)
+        )
+        out["avg_line_len"].append(
+            None if lines == 0
+            else round_half_away(float(c - l) / float(lines), 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "n_lines": pa.array(out["n_lines"], pa.int64()),
+                "avg_lines_per_doc": pa.array(
+                    out["avg_lines_per_doc"], pa.float64()
+                ),
+                "avg_line_len": pa.array(out["avg_line_len"], pa.float64()),
+            }
+        )
+    )

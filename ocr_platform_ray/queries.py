@@ -3856,6 +3856,42 @@ def q_streaming_dedup(sf_dir: str) -> rd.Dataset:
     return streaming_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_line_profile(sf_dir: str) -> rd.Dataset:
+    """Per-source layout fingerprint: avg lines/doc and avg chars/line
+    (newline-count integers, zero-copy Arrow kernel)."""
+    return textstats.line_profile(_docs(sf_dir, ["source", "text"]))
+
+
+def q_spend_gini(sf_dir: str) -> rd.Dataset:
+    """Order-value inequality per order priority: exact Gini over
+    integer cents (the gini_by_group rank-form histogram scheme)."""
+    import numpy as np
+
+    from .functions.sketches import gini_by_group
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return gini_by_group(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "o_orderpriority",
+        "cents",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3873,6 +3909,8 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_line_profile": q_line_profile,
+        "q_spend_gini": q_spend_gini,
         "q_size_price_slope": q_size_price_slope,
         "q_streaming_dedup": q_streaming_dedup,
         "q_conversion_lag": q_conversion_lag,
@@ -4203,6 +4241,28 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_line_profile": (
+            "WITH s AS (SELECT source, count(*)::BIGINT AS n,"
+            " sum(length(text))::BIGINT AS ch,"
+            " sum(length(text) - length(replace(text, chr(10), '')))"
+            "::BIGINT AS nl FROM documents GROUP BY 1)"
+            " SELECT source, n AS n_docs, (nl + n)::BIGINT AS n_lines,"
+            " round((nl + n)::DOUBLE / n::DOUBLE, 6) AS avg_lines_per_doc,"
+            " CASE WHEN nl + n = 0 THEN NULL ELSE"
+            " round((ch - nl)::DOUBLE / (nl + n)::DOUBLE, 6)"
+            " END AS avg_line_len FROM s"
+        ),
+        "q_spend_gini": (
+            "WITH c AS (SELECT o_orderpriority,"
+            " CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents"
+            " FROM orders),"
+            " r AS (SELECT o_orderpriority, cents, row_number() OVER ("
+            " PARTITION BY o_orderpriority ORDER BY cents) AS rn FROM c)"
+            " SELECT o_orderpriority, round((2 * sum(rn * cents) -"
+            " (count(*) + 1) * sum(cents)) /"
+            " (count(*) * sum(cents)), 6) AS gini"
+            " FROM r GROUP BY 1"
+        ),
         "q_size_price_slope": (
             "SELECT p_type,"
             " round(regr_slope(p_retailprice, p_size), 6) AS slope,"
