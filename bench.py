@@ -353,6 +353,8 @@ def run_queries(sf_dir: str) -> dict:
         # round-5 batch-47 line layout / spend gini
         ("q_line_profile", q.q_line_profile),
         ("q_spend_gini", q.q_spend_gini),
+        # round-5 batch-48 Dunning LLR collocations
+        ("q_llr_bigrams", q.q_llr_bigrams),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

@@ -397,10 +397,17 @@ def inverted_index(ds, max_postings: int = 32):
     )
 
 
-def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50):
+def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50,
+              score: str = "pmi"):
     """Top-k token pairs by document-level pointwise mutual information
     over the ``vocab_k`` most frequent tokens — the collocation /
-    phrase-mining pass of a corpus pipeline.
+    phrase-mining pass of a corpus pipeline. ``score="llr"`` switches
+    the ranking to Dunning's log-likelihood ratio G² (Dunning 1993) —
+    the classic complement that doesn't over-reward rare pairs the way
+    PMI does (a 2-doc pair can top PMI; G² weights by evidence mass);
+    the count plumbing is identical, only the driver-side scoring
+    changes (all four O·ln(O/E) terms in a FIXED order, + 0.0 to
+    normalize a −0.0 round).
 
     pmi(a, b) = ln(n_co * N / (df_a * df_b)) over DOCUMENT co-occurrence
     (each doc counts once per pair). The vocabulary is a bounded driver
@@ -482,23 +489,43 @@ def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50):
 
     counts = {int(r["key"]): int(r["n"]) for r in merged}
     n_docs = counts.pop(V * V)
-    out = {"token_a": [], "token_b": [], "n_co": [], "pmi": []}
+    score_col = "pmi" if score == "pmi" else "llr"
+    out = {"token_a": [], "token_b": [], "n_co": [], score_col: []}
     for key, n_co in counts.items():
         ia, ib = divmod(key, V)
         if ia == ib or n_co < min_co:
             continue
         da, db = counts[ia * V + ia], counts[ib * V + ib]
-        pmi = np.log(n_co * float(n_docs) / (da * db))
-        # DuckDB round(): half away from zero (pmi can be negative)
-        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+        if score == "pmi":
+            val = np.log(n_co * float(n_docs) / (da * db))
+            # DuckDB round(): half away from zero (pmi can be negative)
+            val = np.sign(val) * np.floor(np.abs(val) * 1e6 + 0.5) / 1e6
+        else:
+            import math
+
+            Nd, A, B, C = (float(n_docs), float(da), float(db),
+                           float(n_co))
+            t = C * math.log(C / (A * B / Nd))
+            if A - C > 0:
+                t += (A - C) * math.log((A - C) / (A * (Nd - B) / Nd))
+            if B - C > 0:
+                t += (B - C) * math.log((B - C) / ((Nd - A) * B / Nd))
+            if Nd - A - B + C > 0:
+                t += (Nd - A - B + C) * math.log(
+                    (Nd - A - B + C) / ((Nd - A) * (Nd - B) / Nd)
+                )
+            g2 = 2.0 * t
+            val = (np.sign(g2) * np.floor(np.abs(g2) * 1e6 + 0.5) / 1e6
+                   + 0.0)
         ta, tb = sorted((vocab[ia], vocab[ib]))  # lexicographic, like SQL
         out["token_a"].append(ta)
         out["token_b"].append(tb)
         out["n_co"].append(n_co)
-        out["pmi"].append(float(pmi))
+        out[score_col].append(float(val))
     order = sorted(
-        range(len(out["pmi"])),
-        key=lambda i: (-out["pmi"][i], out["token_a"][i], out["token_b"][i]),
+        range(len(out[score_col])),
+        key=lambda i: (-out[score_col][i], out["token_a"][i],
+                       out["token_b"][i]),
     )[:k]
     return pa.Table.from_pydict(
         {
@@ -509,7 +536,9 @@ def pmi_pairs(ds, vocab_k: int = 100, min_co: int = 5, k: int = 50):
                 [out["token_b"][i] for i in order], pa.string()
             ),
             "n_co": pa.array([out["n_co"][i] for i in order], pa.int64()),
-            "pmi": pa.array([out["pmi"][i] for i in order], pa.float64()),
+            score_col: pa.array(
+                [out[score_col][i] for i in order], pa.float64()
+            ),
         }
     )
 

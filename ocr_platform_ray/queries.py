@@ -3892,6 +3892,15 @@ def q_spend_gini(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_llr_bigrams(sf_dir: str) -> pa.Table:
+    """Top-50 collocations by Dunning's log-likelihood ratio G² —
+    the evidence-weighted complement of q_pmi_pairs on the same
+    document-co-occurrence counts."""
+    return textstats.pmi_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), score="llr"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3909,6 +3918,7 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_llr_bigrams": q_llr_bigrams,
         "q_line_profile": q_line_profile,
         "q_spend_gini": q_spend_gini,
         "q_size_price_slope": q_size_price_slope,
@@ -4241,6 +4251,33 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_llr_bigrams": (
+            "WITH allt AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[a-z0-9]+')) AS token FROM documents),"
+            " vocab AS (SELECT token FROM allt GROUP BY token"
+            "  ORDER BY count(*) DESC, token LIMIT 100),"
+            " dt AS (SELECT DISTINCT doc_id, token FROM allt"
+            "  WHERE token IN (SELECT token FROM vocab)),"
+            " df AS (SELECT token, count(*) AS d FROM dt GROUP BY token),"
+            " co AS (SELECT a.token AS ta, b.token AS tb, count(*) AS n_co"
+            "  FROM dt a JOIN dt b USING (doc_id) WHERE a.token < b.token"
+            "  GROUP BY 1, 2 HAVING count(*) >= 5),"
+            " nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),"
+            " sc AS (SELECT ta, tb, n_co,"
+            "  da.d::DOUBLE AS a, db.d::DOUBLE AS b, n_co::DOUBLE AS c,"
+            "  nn.nd FROM co JOIN df da ON da.token = co.ta"
+            "  JOIN df db ON db.token = co.tb CROSS JOIN nn)"
+            " SELECT ta AS token_a, tb AS token_b, n_co,"
+            " round(2.0 * (c * ln(c / (a * b / nd))"
+            "  + CASE WHEN a - c > 0 THEN (a - c)"
+            "    * ln((a - c) / (a * (nd - b) / nd)) ELSE 0 END"
+            "  + CASE WHEN b - c > 0 THEN (b - c)"
+            "    * ln((b - c) / ((nd - a) * b / nd)) ELSE 0 END"
+            "  + CASE WHEN nd - a - b + c > 0 THEN (nd - a - b + c)"
+            "    * ln((nd - a - b + c) / ((nd - a) * (nd - b) / nd))"
+            "    ELSE 0 END), 6) + 0.0 AS llr"
+            " FROM sc ORDER BY llr DESC, token_a, token_b LIMIT 50"
+        ),
         "q_line_profile": (
             "WITH s AS (SELECT source, count(*)::BIGINT AS n,"
             " sum(length(text))::BIGINT AS ch,"
