@@ -355,6 +355,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_spend_gini", q.q_spend_gini),
         # round-5 batch-48 Dunning LLR collocations
         ("q_llr_bigrams", q.q_llr_bigrams),
+        # round-5 batch-49 bloom-pushdown semi join
+        ("q_bloom_semijoin", q.q_bloom_semijoin),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

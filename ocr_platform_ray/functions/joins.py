@@ -524,3 +524,80 @@ def snapshot_diff(
         partials, ["group", "status"], merge, n_buckets=1,
         batch_format="pyarrow",
     )
+
+
+def bloom_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Bloom-pre-filtered EXACT semi join — the classic distributed-join
+    pushdown: the right side's keys are summarized once into an
+    ``m_bits`` Bloom filter (per-batch bit partials, driver OR, ONE
+    ``ray.put`` broadcast of m/8 bytes), every left batch drops rows
+    that can't possibly match BEFORE any shuffle, and the surviving
+    residue goes through the exact :func:`bucketed_merge_join`
+    ``how="semi"`` — so false positives are eliminated and the result
+    equals the plain semi join row-for-row, while the shuffle moves
+    only the pre-filtered fraction. For a selective right side the
+    filter is the whole game: a 0.1% match rate means 99.9% of the
+    left never enters the join exchange.
+
+    Keys hash via the PINNED md5 double-hash probe positions over their
+    decimal-string form (``_bloom_positions`` — version-stable across
+    heterogeneous workers; the polars-hash caveat documented there
+    applies to any cross-process filter bits)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from . import resolve_broadcast
+    from .dedup import _bloom_positions
+
+    right_on = right_on or on
+    n_bytes = m_bits // 8
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch.column(right_on), pa.string())
+        pos = _bloom_positions(keys, m_bits, n_probes).ravel()
+        bits = np.zeros(n_bytes, np.uint8)
+        np.bitwise_or.at(
+            bits,
+            (pos // 8).astype(np.int64),
+            (np.uint8(1) << (pos % 8).astype(np.uint8)),
+        )
+        return pa.Table.from_pydict(
+            {"bits": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    parts = right.select_columns([right_on]).map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).take_all()
+    merged = np.zeros(n_bytes, np.uint8)
+    for r in parts:
+        merged |= np.frombuffer(r["bits"], np.uint8)
+    ref = ray.put(merged)
+
+    def pre_filter(batch: pa.Table) -> pa.Table:
+        bits = resolve_broadcast(ref)
+        keys = pc.cast(batch.column(on), pa.string())
+        pos = _bloom_positions(keys, m_bits, n_probes)
+        probe = (
+            bits[(pos // 8).astype(np.int64)]
+            & (np.uint8(1) << (pos % 8).astype(np.uint8))
+        ) != 0
+        return batch.filter(pa.array(probe.all(axis=1)))
+
+    pre = left.map_batches(pre_filter, batch_format="pyarrow")
+    lsch = left_schema if left_schema is not None else left.schema()
+    rsch = right_schema if right_schema is not None else right.schema()
+    return bucketed_merge_join(
+        pre, right, on, right_on=right_on, how="semi",
+        left_schema=lsch, right_schema=rsch,
+    )

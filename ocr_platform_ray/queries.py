@@ -3901,6 +3901,53 @@ def q_llr_bigrams(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bloom_semijoin(sf_dir: str) -> rd.Dataset:
+    """Orders from high-balance customers via the Bloom-pre-filtered
+    exact semi join (classic distributed-join pushdown): the selective
+    customer side broadcasts 128 KB of filter bits, ~99% of orders
+    never enter the join shuffle, and the exact bucketed semi join
+    cleans up the false positives — result == plain SQL semi join."""
+    from .functions.joins import bloom_semi_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    rich = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).filter(expr="c_acctbal > 9000.0")
+    joined = bloom_semi_join(
+        orders, rich, on="o_custkey", right_on="c_custkey",
+        right_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()),
+             pa.field("c_acctbal", pa.float64())]
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            "o_orderpriority", as_index=False
+        ).size()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:
+        acc[r["o_orderpriority"]] = acc.get(r["o_orderpriority"], 0) + int(
+            r["size"]
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "o_orderpriority": pa.array(sorted(acc), pa.string()),
+                "n_orders": pa.array(
+                    [acc[k] for k in sorted(acc)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3918,6 +3965,7 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_bloom_semijoin": q_bloom_semijoin,
         "q_llr_bigrams": q_llr_bigrams,
         "q_line_profile": q_line_profile,
         "q_spend_gini": q_spend_gini,
@@ -4251,6 +4299,12 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_bloom_semijoin": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders"
+            " FROM orders WHERE o_custkey IN (SELECT c_custkey"
+            " FROM customer WHERE c_acctbal > 9000.0)"
+            " GROUP BY 1"
+        ),
         "q_llr_bigrams": (
             "WITH allt AS (SELECT doc_id, unnest(regexp_extract_all(text,"
             " '[a-z0-9]+')) AS token FROM documents),"
