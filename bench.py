@@ -357,6 +357,8 @@ def run_queries(sf_dir: str) -> dict:
         ("q_llr_bigrams", q.q_llr_bigrams),
         # round-5 batch-49 bloom-pushdown semi join
         ("q_bloom_semijoin", q.q_bloom_semijoin),
+        # round-5 batch-50 tokenizer fertility
+        ("q_tokenizer_fertility", q.q_tokenizer_fertility),
         # round-5 batch-34 vocab-budget/layout
         ("q_vocab_coverage", q.q_vocab_coverage),
         ("q_parquet_audit", q.q_parquet_audit),

@@ -3273,3 +3273,82 @@ def line_profile(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
             }
         )
     )
+
+
+def tokenizer_fertility(ds: rd.Dataset, max_groups: int = 100_000) -> rd.Dataset:
+    """Tokenizer-parity audit per language: characters per BPE-style
+    token and tokens per document — the multilingual-fairness metric
+    (a language whose chars/token is half the corpus average pays ~2×
+    the context budget per unit of text, and its docs truncate first).
+    Uses the SAME pretokenizer regex as n_bpe_tokens so the two
+    surfaces can never drift.
+
+    One streamed pass of exact integer partials (chars via utf8_length,
+    tokens via count_substring_regex — both zero-copy Arrow kernels),
+    bounded driver merge, two float divisions per language at 6dp."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        ch = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        tok = pc.count_substring_regex(txt, BPE_TOKEN_RE).to_numpy().astype(
+            np.int64
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch.column("lang").to_pylist(),
+                "n": 1,
+                "ch": ch,
+                "tok": tok,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("g", as_index=False).sum(), preserve_index=False
+        )
+
+    rows = ds.select_columns(["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            "tokenizer_fertility: > max_groups lang partials — raise "
+            "max_groups deliberately"
+        )
+    acc: dict = {}
+    for r in rows:
+        n0, c0, t0 = acc.get(r["g"], (0, 0, 0))
+        acc[r["g"]] = (n0 + int(r["n"]), c0 + int(r["ch"]),
+                       t0 + int(r["tok"]))
+    import ray.data as rd
+
+    from . import round_half_away
+
+    out = {"lang": [], "n_docs": [], "n_tokens": [],
+           "chars_per_token": [], "tokens_per_doc": []}
+    for g in sorted(acc):
+        n, c, t = acc[g]
+        out["lang"].append(g)
+        out["n_docs"].append(n)
+        out["n_tokens"].append(t)
+        out["chars_per_token"].append(
+            None if t == 0 else round_half_away(float(c) / float(t), 6)
+        )
+        out["tokens_per_doc"].append(
+            round_half_away(float(t) / float(n), 6)
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+                "chars_per_token": pa.array(
+                    out["chars_per_token"], pa.float64()
+                ),
+                "tokens_per_doc": pa.array(
+                    out["tokens_per_doc"], pa.float64()
+                ),
+            }
+        )
+    )

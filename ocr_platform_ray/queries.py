@@ -3948,6 +3948,14 @@ def q_bloom_semijoin(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_tokenizer_fertility(sf_dir: str) -> rd.Dataset:
+    """Per-language tokenizer-parity audit: chars per BPE-style token +
+    tokens per doc (the multilingual context-budget fairness metric)."""
+    return textstats.tokenizer_fertility(
+        _docs(sf_dir, ["lang", "text"])
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3965,6 +3973,7 @@ def queries() -> dict:
     # --- r05 recording window: new-in-r5 oracle queries (never
     # driver-recorded before) come first, then the oracle queries the
     # 50-entry cap rotated out of r04.
+        "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_llr_bigrams": q_llr_bigrams,
         "q_line_profile": q_line_profile,
@@ -4299,6 +4308,17 @@ def oracle_sql() -> dict:
 
 def _oracle_sql_base() -> dict:
     return {
+        "q_tokenizer_fertility": (
+            "WITH s AS (SELECT lang, count(*)::BIGINT AS n,"
+            " sum(length(text))::BIGINT AS ch,"
+            " sum(len(regexp_extract_all(text,"
+            " '''[a-z]+| ?[a-z0-9]+| ?[^a-z0-9 \\t\\n\\r]+')))::BIGINT"
+            " AS tok FROM documents GROUP BY 1)"
+            " SELECT lang, n AS n_docs, tok AS n_tokens,"
+            " CASE WHEN tok = 0 THEN NULL ELSE"
+            " round(ch::DOUBLE / tok::DOUBLE, 6) END AS chars_per_token,"
+            " round(tok::DOUBLE / n::DOUBLE, 6) AS tokens_per_doc FROM s"
+        ),
         "q_bloom_semijoin": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders"
             " FROM orders WHERE o_custkey IN (SELECT c_custkey"
